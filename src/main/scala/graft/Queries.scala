@@ -1,0 +1,693 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.operators.Relational
+import graft.similarity.Similarity
+import graft.sources.Tables
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The full query surface (SURVEY.md §2): every operator exposed as a
+  * `(SparkSession, sfDir) => DataFrame`, with a DuckDB-equivalent
+  * oracle SQL wherever the semantics are ANSI-expressible.
+  *
+  * Cross-engine hash-stability rules used throughout:
+  *  - float aggregates are `round(…, 2|4|6)` identically on both sides;
+  *  - every top-k has a total-order tiebreak;
+  *  - derived integer columns are BIGINT on both sides;
+  *  - timestamps are never emitted raw — always formatted strings or
+  *    epoch millis.
+  */
+object Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.tune(s)
+    if (name == "events") Tables.events(s, dir) else Tables(s, dir, name)
+  }
+
+  // ---------------------------------------------------------------
+  // Core relational (reference-pipeline surface)
+  // ---------------------------------------------------------------
+
+  val q01_filter_project: QFn = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+
+  val q01_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 45""".stripMargin
+
+  val q02_agg_group: QFn = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q02_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val q03_join_agg: QFn = (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  val q03_sql: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  val q04_broadcast_dim: QFn = (s, d) =>
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"),
+        round(avg("c_acctbal"), 4).as("avg_bal"))
+
+  val q04_sql: String =
+    """SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  val q05_sort_topk: QFn = (s, d) =>
+    Relational.topK(
+      t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal"),
+      25, col("c_acctbal").desc, col("c_custkey").asc)
+
+  val q05_sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey LIMIT 25""".stripMargin
+
+  val q06_window_rank: QFn = (s, d) =>
+    Relational.groupTopK(
+      t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      3, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+
+  val q06_sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  val q07_distinct: QFn = (s, d) =>
+    t(s, d, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+  val q07_sql: String =
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+  /** Union-merge: two "sources" of the same keyed entity merged by
+    * key — the reference's merge_lists_and_categories
+    * (create_merged.py:614). */
+  val q08_union_merge: QFn = (s, d) => {
+    val o = t(s, d, "orders")
+    val a = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("key"), lit("open").as("src"),
+        col("o_totalprice").as("score"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"), lit("urgent").as("src"),
+        col("o_totalprice").as("score"))
+    a.unionByName(b)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_sources"),
+        min("src").as("primary_src"),
+        round(max("score"), 2).as("score"))
+  }
+
+  val q08_sql: String =
+    """SELECT key, count(*) AS n_sources, min(src) AS primary_src,
+      |  round(max(score), 2) AS score
+      |FROM (
+      |  SELECT o_orderkey AS key, 'open' AS src, o_totalprice AS score
+      |  FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT o_orderkey AS key, 'urgent' AS src, o_totalprice AS score
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY key""".stripMargin
+
+  val q09_semi_join: QFn = (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val q09_sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
+
+  val q10_anti_join: QFn = (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+
+  val q10_sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  val q11_regex_filter: QFn = (s, d) =>
+    t(s, d, "part")
+      .filter(col("p_name").rlike("^(red|blue) .*(bolt|gear)$"))
+      .select("p_partkey", "p_name", "p_brand")
+
+  val q11_sql: String =
+    """SELECT p_partkey, p_name, p_brand FROM part
+      |WHERE regexp_matches(p_name, '^(red|blue) .*(bolt|gear)$')""".stripMargin
+
+  val q12_tokenize_explode: QFn = (s, d) =>
+    t(s, d, "part")
+      .select(explode(TextFunctions.tokens(col("p_name"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+
+  val q12_sql: String =
+    """SELECT token, count(*) AS freq FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(p_name), '\s+'),
+      |    x -> len(x) > 0)) AS token
+      |  FROM part)
+      |GROUP BY token""".stripMargin
+
+  /** Ordered member-list build per container — the reference's
+    * Collection.members assembly, as string_agg for engine-portable
+    * comparison. */
+  val q13_collect_members: QFn = (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+          _.cast("string")), ",").as("members"),
+        count(lit(1)).as("n_members"))
+
+  val q13_sql: String =
+    """SELECT o_custkey,
+      |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS members,
+      |  count(*) AS n_members
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** Snapshot diff (update_es.py produce_update_operations): per-user
+    * aggregate fingerprints of two event snapshots, classified
+    * insert/update/delete/noop via one full-outer join. */
+  val q14_snapshot_diff: QFn = (s, d) => {
+    val e = t(s, d, "events")
+    def snap(pred: Column): DataFrame =
+      e.filter(pred).groupBy("user_id")
+        .agg(md5(concat(count(lit(1)).cast("string"), lit("|"),
+          round(sum("value"), 2).cast("string"))).as("fp"))
+    Relational.snapshotDiff(
+      snap(col("event_id") % 2 === 0), snap(col("event_id") % 2 === 1),
+      "user_id", "fp")
+      .select(col("key").as("user_id"), col("op"))
+  }
+
+  val q14_sql: String =
+    """WITH prev AS (
+      |  SELECT user_id, md5(count(*)::VARCHAR || '|' ||
+      |    round(sum(value), 2)::VARCHAR) AS fp
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+      |curr AS (
+      |  SELECT user_id, md5(count(*)::VARCHAR || '|' ||
+      |    round(sum(value), 2)::VARCHAR) AS fp
+      |  FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+      |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+      |  CASE WHEN p.fp IS NULL THEN 'insert'
+      |       WHEN c.fp IS NULL THEN 'delete'
+      |       WHEN p.fp <> c.fp THEN 'update'
+      |       ELSE 'noop' END AS op
+      |FROM prev p FULL OUTER JOIN curr c ON p.user_id = c.user_id""".stripMargin
+
+  /** Interesting-score analog (create_merged.py:82): weighted
+    * deterministic score from typed features. */
+  val q15_scoring: QFn = (s, d) =>
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        round(
+          least(col("c_acctbal") / 10000.0, lit(1.0)) * 0.5 +
+            when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0)
+              * 0.3 +
+            (col("c_custkey") % 10) / 10.0 * 0.2, 4).as("score"))
+
+  val q15_sql: String =
+    """SELECT c_custkey,
+      |  round(least(c_acctbal / 10000.0, 1.0) * 0.5 +
+      |    (CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END) * 0.3 +
+      |    (c_custkey % 10) / 10.0 * 0.2, 4) AS score
+      |FROM customer""".stripMargin
+
+  /** Deterministic content-hash id (label_to_hash / namehash analog,
+    * create_merged.py:807) over the normalized name. */
+  val q16_hash_id: QFn = (s, d) =>
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        md5(lower(trim(col("c_name")))).as("name_hash"))
+
+  val q16_sql: String =
+    "SELECT c_custkey, md5(lower(trim(c_name))) AS name_hash FROM customer"
+
+  val q17_related_overlap: QFn = (s, d) =>
+    Relational.topK(
+      Relational.relatedByOverlap(
+        t(s, d, "lineitem").select("l_suppkey", "l_partkey"),
+        "l_suppkey", "l_partkey"),
+      50, col("shared").desc, col("c1").asc, col("c2").asc)
+
+  val q17_sql: String =
+    """WITH m AS (SELECT DISTINCT l_suppkey AS c, l_partkey AS i FROM lineitem),
+      |f AS (SELECT i FROM m GROUP BY i HAVING count(*) <= 1000),
+      |p AS (SELECT m.c, m.i FROM m JOIN f USING (i))
+      |SELECT a.c AS c1, b.c AS c2, count(*) AS shared
+      |FROM p a JOIN p b ON a.i = b.i AND a.c < b.c
+      |GROUP BY a.c, b.c
+      |ORDER BY shared DESC, c1, c2 LIMIT 50""".stripMargin
+
+  val q18_json_extract: QFn = (s, d) =>
+    t(s, d, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  val q18_sql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events WHERE event_type = 'click'""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Text analysis (documents)
+  // ---------------------------------------------------------------
+
+  val t01_token_count: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.wordPieceCount(col("text")).as("n_pieces"),
+        col("n_chars"))
+
+  val t01_sql: String =
+    """SELECT doc_id,
+      |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0))::BIGINT AS n_tokens,
+      |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |    x -> len(x) > 0))::BIGINT AS n_pieces,
+      |  n_chars
+      |FROM documents""".stripMargin
+
+  val t02_quality_score: QFn = (s, d) => {
+    val base = t(s, d, "documents").select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"))
+    base.withColumn("quality",
+      round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.25 +
+        least(col("stop_ratio") * 4, lit(1.0)) * 0.25, 4))
+  }
+
+  val t02_sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> len(x) > 0))::BIGINT AS n_tokens,
+      |    round((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      |      / greatest(len(text), 1), 4) AS punct_ratio,
+      |    round(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        x -> len(x) > 0),
+      |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+      |      / greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        x -> len(x) > 0)), 1), 4) AS stop_ratio,
+      |    round(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        x -> len(x) > 0), x -> len(x)))
+      |      / greatest(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |        x -> len(x) > 0)), 1), 4) AS mean_tok_len
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
+      |  round(least(n_tokens / 100.0, 1.0) * 0.5 +
+      |    (1.0 - least(punct_ratio * 5, 1.0)) * 0.25 +
+      |    least(stop_ratio * 4, 1.0) * 0.25, 4) AS quality
+      |FROM base""".stripMargin
+
+  val t03_langid: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+
+  val t03_sql: String = {
+    def hits(lex: Seq[String]): String =
+      s"""len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    x -> len(x) > 0),
+         |    x -> list_contains([${lex.map("'" + _ + "'").mkString(",")}], x)))""".stripMargin
+    val lx = TextFunctions.langLexicon
+    s"""WITH h AS (SELECT doc_id, lang,
+       |  ${hits(lx("en"))} AS s_en,
+       |  ${hits(lx("de"))} AS s_de,
+       |  ${hits(lx("fr"))} AS s_fr,
+       |  ${hits(lx("es"))} AS s_es
+       |  FROM documents)
+       |SELECT doc_id, lang AS true_lang,
+       |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |       WHEN s_en >= s_de THEN 'en'
+       |       ELSE 'de' END AS pred_lang
+       |FROM h""".stripMargin
+  }
+
+  val t04_fingerprint: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+
+  val t04_sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  val t05_ngram_freq: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(explode(TextFunctions.wordShingles(col("text"), 2))
+        .as("shingle"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 5)
+
+  val t05_sql: String =
+    """SELECT shingle, count(*) AS freq FROM (
+      |  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+      |    i -> t[i] || ' ' || t[i+1])) AS shingle
+      |  FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> len(x) > 0) AS t FROM documents))
+      |GROUP BY shingle HAVING count(*) >= 5""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Deduplication (documents)
+  // ---------------------------------------------------------------
+
+  val d01_exact_dedup: QFn = (s, d) =>
+    Dedup.exactClusters(t(s, d, "documents"), "doc_id", "text")
+
+  val d01_sql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  count(*) AS cluster_size, min(doc_id) AS keep_id
+      |FROM documents GROUP BY fp""".stripMargin
+
+  private val shingleToksSql =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0)""".stripMargin
+
+  val d02_ngram_jaccard: QFn = (s, d) =>
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.5, maxDf = 200)
+
+  val d02_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM posting GROUP BY shingle
+       |  HAVING count(*) <= 200),
+       |p AS (SELECT posting.doc_id, posting.shingle FROM posting
+       |  JOIN keep USING (shingle)),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+       |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id1, id2,
+       |  round(inter / (s1.n + s2.n - inter), 4) AS jaccard
+       |FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+       |JOIN sizes s2 ON id2 = s2.doc_id
+       |WHERE round(inter / (s1.n + s2.n - inter), 4) >= 0.5""".stripMargin
+
+  val d03_minhash_lsh: QFn = (s, d) =>
+    Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.5)
+
+  val d03_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+       |    s -> list_min(list_transform(shingles,
+       |      x -> md5(s::VARCHAR || ':' || x)))) AS sig
+       |  FROM sh),
+       |banded AS (SELECT doc_id, shingles, unnest(list_transform(range(0, 4),
+       |    b -> b::VARCHAR || '|' ||
+       |      md5(array_to_string(sig[b*3+1 : b*3+3], ',')))) AS band
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id1, id2, s1.shingles AS sh1, s2.shingles AS sh2
+       |  FROM cand JOIN sh s1 ON id1 = s1.doc_id
+       |  JOIN sh s2 ON id2 = s2.doc_id),
+       |scored AS (SELECT id1, id2,
+       |    len(list_intersect(sh1, sh2)) AS inter,
+       |    len(sh1) AS n1, len(sh2) AS n2 FROM pairs)
+       |SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard
+       |FROM scored
+       |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.5""".stripMargin
+
+  val d04_simhash: QFn = (s, d) =>
+    Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleSize = 3, maxHamming = 6)
+
+  // ---------------------------------------------------------------
+  // Similarity search (embeddings)
+  // ---------------------------------------------------------------
+
+  private def embD(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+
+  val s01_cosine_topk: QFn = (s, d) => {
+    val e = embD(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
+  }
+
+  private val cosSql =
+    "round(list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6)"
+
+  val s01_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+       |scored AS (SELECT probe_id, e.vec_id, $cosSql AS cos
+       |  FROM e, p WHERE e.vec_id <> probe_id)
+       |SELECT probe_id, vec_id, cos, rnk FROM (
+       |  SELECT probe_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored) WHERE rnk <= 10""".stripMargin
+
+  val s02_knn_join: QFn = (s, d) =>
+    Similarity.knnSelfJoin(embD(s, d), 5)
+
+  val s02_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e),
+       |scored AS (SELECT probe_id, e.vec_id, $cosSql AS cos
+       |  FROM e, p WHERE e.vec_id <> probe_id)
+       |SELECT probe_id, vec_id, cos, rnk FROM (
+       |  SELECT probe_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored) WHERE rnk <= 5""".stripMargin
+
+  val s03_ann_lsh: QFn = (s, d) =>
+    Similarity.lshNeighborPairs(embD(s, d), planes = 8, dim = 64,
+      minCos = 0.3)
+
+  // ---------------------------------------------------------------
+  // Multimodal (binary columns)
+  // ---------------------------------------------------------------
+
+  val m01_binary_meta: QFn = (s, d) =>
+    Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
+      .select(col("media_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.sha").as("sha"))
+
+  val m01_sql: String =
+    """SELECT doc_id AS media_id,
+      |  'application/octet-stream' AS mime,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  sha256(text) AS sha
+      |FROM documents""".stripMargin
+
+  val m02_feature_stub: QFn = (s, d) =>
+    Multimodal.extractFeatures(s,
+      Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+
+  // ---------------------------------------------------------------
+  // Events
+  // ---------------------------------------------------------------
+
+  val e01_window_agg: QFn = (s, d) =>
+    t(s, d, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+
+  val e01_sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val e02_sessionize: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    e.withColumn("prev_ms", lag("ms", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ms").as("start_ms"), max("ms").as("end_ms"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
+  val e02_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+      |s AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+      |    OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |t AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      |  FROM s)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ms) AS start_ms, max(ms) AS end_ms,
+      |  round(sum(value), 4) AS sum_value
+      |FROM t GROUP BY user_id, session_id""".stripMargin
+
+  val e03_user_stats: QFn = (s, d) =>
+    t(s, d, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
+        count(when(col("event_type") === "error", lit(1))).as("n_errors"),
+        countDistinct("event_type").as("n_types"),
+        round(avg("value"), 4).as("avg_value"),
+        max("value").as("max_value"))
+
+  val e03_sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+      |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+      |  count(DISTINCT event_type) AS n_types,
+      |  round(avg(value), 4) AS avg_value,
+      |  max(value) AS max_value
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------
+
+  val all: Map[String, QFn] = Map(
+    "q01_filter_project" -> q01_filter_project,
+    "q02_agg_group" -> q02_agg_group,
+    "q03_join_agg" -> q03_join_agg,
+    "q04_broadcast_dim" -> q04_broadcast_dim,
+    "q05_sort_topk" -> q05_sort_topk,
+    "q06_window_rank" -> q06_window_rank,
+    "q07_distinct" -> q07_distinct,
+    "q08_union_merge" -> q08_union_merge,
+    "q09_semi_join" -> q09_semi_join,
+    "q10_anti_join" -> q10_anti_join,
+    "q11_regex_filter" -> q11_regex_filter,
+    "q12_tokenize_explode" -> q12_tokenize_explode,
+    "q13_collect_members" -> q13_collect_members,
+    "q14_snapshot_diff" -> q14_snapshot_diff,
+    "q15_scoring" -> q15_scoring,
+    "q16_hash_id" -> q16_hash_id,
+    "q17_related_overlap" -> q17_related_overlap,
+    "q18_json_extract" -> q18_json_extract,
+    "t01_token_count" -> t01_token_count,
+    "t02_quality_score" -> t02_quality_score,
+    "t03_langid" -> t03_langid,
+    "t04_fingerprint" -> t04_fingerprint,
+    "t05_ngram_freq" -> t05_ngram_freq,
+    "d01_exact_dedup" -> d01_exact_dedup,
+    "d02_ngram_jaccard" -> d02_ngram_jaccard,
+    "d03_minhash_lsh" -> d03_minhash_lsh,
+    "d04_simhash" -> d04_simhash,
+    "s01_cosine_topk" -> s01_cosine_topk,
+    "s02_knn_join" -> s02_knn_join,
+    "s03_ann_lsh" -> s03_ann_lsh,
+    "m01_binary_meta" -> m01_binary_meta,
+    "m02_feature_stub" -> m02_feature_stub,
+    "e01_window_agg" -> e01_window_agg,
+    "e02_sessionize" -> e02_sessionize,
+    "e03_user_stats" -> e03_user_stats)
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter_project" -> q01_sql,
+    "q02_agg_group" -> q02_sql,
+    "q03_join_agg" -> q03_sql,
+    "q04_broadcast_dim" -> q04_sql,
+    "q05_sort_topk" -> q05_sql,
+    "q06_window_rank" -> q06_sql,
+    "q07_distinct" -> q07_sql,
+    "q08_union_merge" -> q08_sql,
+    "q09_semi_join" -> q09_sql,
+    "q10_anti_join" -> q10_sql,
+    "q11_regex_filter" -> q11_sql,
+    "q12_tokenize_explode" -> q12_sql,
+    "q13_collect_members" -> q13_sql,
+    "q14_snapshot_diff" -> q14_sql,
+    "q15_scoring" -> q15_sql,
+    "q16_hash_id" -> q16_sql,
+    "q17_related_overlap" -> q17_sql,
+    "q18_json_extract" -> q18_sql,
+    "t01_token_count" -> t01_sql,
+    "t02_quality_score" -> t02_sql,
+    "t03_langid" -> t03_sql,
+    "t04_fingerprint" -> t04_sql,
+    "t05_ngram_freq" -> t05_sql,
+    "d01_exact_dedup" -> d01_sql,
+    "d02_ngram_jaccard" -> d02_sql,
+    "d03_minhash_lsh" -> d03_sql,
+    "s01_cosine_topk" -> s01_sql,
+    "s02_knn_join" -> s02_sql,
+    "m01_binary_meta" -> m01_sql,
+    "e01_window_agg" -> e01_sql,
+    "e02_sessionize" -> e02_sql,
+    "e03_user_stats" -> e03_sql)
+}

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads +
+  * typed metadata struct, with the decode/feature step isolated
+  * behind a per-partition batch boundary.
+  *
+  * The container has no image/audio codecs, so [[FakeDecoder]] is a
+  * clearly-marked deterministic stand-in — the Spark-side plumbing
+  * (schema, batch shape, partition-wise execution, metadata
+  * propagation) is real and tested; swapping in a real codec touches
+  * only `FakeDecoder.decode`.
+  */
+object Multimodal {
+
+  /** Canonical media schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("sha", StringType))), nullable = true)))
+
+  /** Wrap any (id, text) table into a media table: payload = utf-8
+    * bytes, metadata derived columnar-ly (no UDF). Stand-in for an
+    * ingest that reads image/audio blobs. */
+  def asMedia(df: DataFrame, idCol: String, textCol: String)
+    : DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"))
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha")))
+
+  /** STUB decoder — deterministic fake "features" from the payload
+    * bytes. A real deployment replaces this body with an actual codec
+    * (e.g. JPEG decode + resize); the signature (bytes in, fixed-width
+    * float features out) is the real contract. */
+  object FakeDecoder {
+    val featureDim = 8
+    def decode(payload: Array[Byte]): Array[Float] = {
+      // ??? <- real codec goes here; deterministic fake for tests:
+      val out = new Array[Float](featureDim)
+      if (payload != null) {
+        var i = 0
+        while (i < payload.length) {
+          out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Partition-wise feature extraction: the decode runs inside
+    * `mapPartitions` so a real codec amortizes per-partition init
+    * (model load, codec context) exactly like a Pandas-UDF batch
+    * would. Output keeps (media_id, features, n_bytes).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame)
+    : DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("features", ArrayType(FloatType)))))
+    val ds: Dataset[Row] = media
+      .select(col("media_id").cast("long"), col("payload"),
+        col("meta.n_bytes").as("n_bytes"))
+      .mapPartitions { rows =>
+        // per-partition init happens here (codec/model load)
+        rows.map { r =>
+          val feats = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+            feats.toSeq)
+        }
+      }(enc)
+    ds.toDF()
+  }
+}

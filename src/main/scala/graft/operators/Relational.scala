@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators mirroring the reference pipeline's
+  * semantics (see SURVEY.md §2), expressed as composable
+  * `DataFrame => DataFrame` transforms so Catalyst sees one logical
+  * plan end-to-end (pushdown, pruning, join reorder all apply).
+  */
+object Relational {
+
+  /** Global top-k with a total order (tiebreak keys make the result
+    * deterministic). Spark plans this as TakeOrderedAndProject — no
+    * full sort, each partition keeps k rows then the driver merges;
+    * safe at any scale for small k.
+    * Reference: sorted-categories task, create_collections.py.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-k via row_number window. One shuffle on the
+    * partition keys; rank emitted as BIGINT `rn` to match SQL engines.
+    * Reference: research/sort_members (member ordering inside a
+    * collection).
+    */
+  def groupTopK(df: DataFrame, k: Int, partitionBy: Seq[Column],
+                order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Snapshot diff: classify keys of `current` vs `previous` into
+    * insert / delete / update / noop, like the reference's
+    * Elasticsearch update-op generator (update_es.py:249
+    * produce_update_operations) — re-expressed as ONE full-outer
+    * shuffle join on the key instead of an in-RAM dict diff, so it
+    * scales to any snapshot size.
+    *
+    * `fingerprint` must be a column computed identically on both
+    * sides (e.g. a hash of the compared payload).
+    */
+  def snapshotDiff(previous: DataFrame, current: DataFrame,
+                   key: String, fingerprint: String): DataFrame = {
+    val p = previous.select(col(key).as("key"),
+      col(fingerprint).as("prev_fp"))
+    val c = current.select(col(key).as("key"),
+      col(fingerprint).as("curr_fp"))
+    p.join(c, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("prev_fp").isNull, lit("insert"))
+          .when(col("curr_fp").isNull, lit("delete"))
+          .when(col("prev_fp") =!= col("curr_fp"), lit("update"))
+          .otherwise(lit("noop")))
+  }
+
+  /** Related-items by co-occurrence: given (containerKey, itemKey)
+    * membership pairs, emit container pairs ranked by shared-item
+    * count. This is the reference's related-collections precompute
+    * (precompute_related.py) done as a distributed self-join on the
+    * item key: shuffle on itemKey (the only key that matters), then
+    * aggregate pair counts. Containers with huge memberships dominate
+    * pair fanout at scale — `maxItemFanout` drops items shared by more
+    * than that many containers (they carry near-zero signal and
+    * quadratic cost; same trick as stop-word removal in similarity
+    * joins).
+    */
+  def relatedByOverlap(membership: DataFrame, containerCol: String,
+                       itemCol: String,
+                       maxItemFanout: Int = 1000): DataFrame = {
+    val m = membership.select(col(containerCol).as("container"),
+      col(itemCol).as("item")).distinct()
+    val fanout = m.groupBy("item")
+      .agg(count(lit(1)).as("item_fanout"))
+      .filter(col("item_fanout") <= maxItemFanout)
+    val pruned = m.join(fanout, Seq("item"), "left_semi")
+    val a = pruned.select(col("item"), col("container").as("c1"))
+    val b = pruned.select(col("item"), col("container").as("c2"))
+    a.join(b, Seq("item"))
+      .filter(col("c1") < col("c2"))
+      .groupBy("c1", "c2")
+      .agg(count(lit(1)).as("shared"))
+  }
+}

