@@ -394,9 +394,8 @@ object Queries {
       |FROM documents""".stripMargin
 
   val t05_ngram_freq: QFn = (s, d) =>
-    t(s, d, "documents")
-      .select(explode(TextFunctions.wordShingles(col("text"), 2))
-        .as("shingle"))
+    TextFunctions.shinglePostings(t(s, d, "documents"), "doc_id",
+      "text", 2, distinct = false)
       .groupBy("shingle")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 5)

@@ -38,6 +38,25 @@ object Dedup {
       seed => array_min(transform(shingles,
         s => md5(concat(seed.cast("string"), lit(":"), s)))))
 
+  /** [[minhashSignature]] computed the scalable way: explode the
+    * shingles and take the `numHashes` minima in ONE codegen'd hash
+    * aggregate (partial aggregation map-side, one shuffle on doc_id)
+    * instead of interpreted per-row higher-order folds. Values are
+    * bit-identical to [[minhashSignature]] (same md5(seed:shingle)
+    * family), so the same DuckDB oracle holds.
+    */
+  def minhashSignatures(postings: DataFrame, numHashes: Int)
+    : DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
+        .as(s"h$i"))
+    postings
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** LSH banding: split the signature into `bands` equal bands; the
     * band key is (bandIndex, md5 of the band's joined hashes). Docs
     * sharing any band key are near-dup candidates. One explode + one
@@ -60,19 +79,27 @@ object Dedup {
                       bands: Int = 4, threshold: Double = 0.5)
     : DataFrame = {
     val rowsPerBand = numHashes / bands
-    val shingled = shingleDocs(docs, idCol, textCol, shingleSize)
-    val banded = shingled
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    val postings = TextFunctions.shinglePostings(docs, idCol, textCol,
+      shingleSize, distinct = true)
+    val banded = minhashSignatures(postings, numHashes)
       .withColumn("band", explode(lshBandKeys(col("sig"), bands,
         rowsPerBand)))
-      .select("band", "doc_id", "shingles")
+      .select("band", "doc_id")
+    // candidates carry ids only — the (possibly skewed) band join
+    // never shuffles shingle payloads
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
-      .dropDuplicates("id1", "id2")
-    verifyJaccard(candidates, threshold)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sets = postings.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"))
+    val pairs = candidates
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        "id2")
+    verifyJaccard(pairs, threshold)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index shingle
@@ -85,11 +112,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 200): DataFrame = {
-    val shingled = shingleDocs(docs, idCol, textCol, shingleSize)
-    val sizes = shingled.select(col("doc_id"),
-      size(col("shingles")).as("n"))
-    val posting = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val posting = TextFunctions.shinglePostings(docs, idCol, textCol,
+      shingleSize, distinct = true)
+    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pruned = posting.join(
       posting.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf),
@@ -135,19 +160,22 @@ object Dedup {
     * i-th hex nibble group of md5(shingle) is odd. Deterministic and
     * engine-portable (md5-based).
     */
-  def simhashCol(shingles: Column, bits: Int = 32): Column = {
-    val bitCols = (0 until bits).map { i =>
-      // nibble i of the md5 hex digest (recycle digest of seeded hash
-      // every 32 nibbles)
-      val seed = i / 32
-      val nib = (i % 32) + 1
-      val vote = aggregate(shingles, lit(0L), (acc, s) =>
-        acc + when(
-          conv(substring(md5(concat(lit(seed.toString), lit(":"), s)),
-            nib, 1), 16, 10).cast("int") % 2 === 1, 1L).otherwise(-1L))
-      when(vote >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i)
+  def simhashSignatures(postings: DataFrame, bits: Int = 32)
+    : DataFrame = {
+    require(bits <= 32, "one md5 digest provides 32 nibble-bits")
+    val votes = (0 until bits).map { i =>
+      sum(when(conv(substring(col("d"), i + 1, 1), 16, 10)
+        .cast("int") % 2 === 1, 1L).otherwise(-1L)).as(s"v$i")
     }
-    bitCols.reduce(_ + _)
+    val packed = (0 until bits)
+      .map(i => when(col(s"v$i") >= 0, lit(1L)).otherwise(lit(0L)) *
+        lit(1L << i))
+      .reduce(_ + _)
+    postings
+      .withColumn("d", md5(col("shingle")))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("sig"))
   }
 
   /** SimHash near-dup pairs: bucket by the signature's bytes (4 bands
@@ -156,9 +184,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, maxHamming: Int = 4)
     : DataFrame = {
-    val sigs = shingleDocs(docs, idCol, textCol, shingleSize)
-      .withColumn("sig", simhashCol(col("shingles")))
-      .select("doc_id", "sig")
+    val sigs = simhashSignatures(TextFunctions.shinglePostings(
+      docs, idCol, textCol, shingleSize, distinct = true))
     val banded = sigs.withColumn("band", explode(array(
       (0 until 4).map(b => concat(lit(b + "|"),
         shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)))): _*)))

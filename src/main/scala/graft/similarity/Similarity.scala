@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,17 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns (double out). */
+  /** Dot product via the codegen'd native expression
+    * ([[graft.functions.DotProduct]]); `array<double>` in. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, 6-dp rounded for cross-engine hash
-    * stability. */
+  /** Cosine similarity in one codegen'd pass (dot + both norms),
+    * 6-dp rounded for cross-engine hash stability. */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b))), 6)
 
   /** Brute-force top-k cosine neighbors of a probe set: broadcast
     * the probes (they are small by construction), score map-side,

@@ -1,0 +1,59 @@
+package graft
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base + " lambda"), // near dup of 1
+    (4L, "completely different words entirely unrelated content here now")
+  ).toDF("doc_id", "text")
+
+  test("exactClusters groups identical normalized content") {
+    val rows = Dedup.exactClusters(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 3)
+    val dup = rows.find(_._2 == 2).get
+    assert(dup._3 == 1L) // min id survives
+  }
+
+  test("ngramJaccardPairs finds exact and near dup pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs agrees with exact jaccard on this corpus") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(got.contains((1L, 2L))) // identical docs always collide
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashPairs: identical docs have hamming 0") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val p = graft.text.TextFunctions.shinglePostings(docs, "doc_id",
+      "text", 3, distinct = true)
+    val a = Dedup.minhashSignatures(p, 8).as[(Long, Seq[String])]
+      .collect().toMap
+    val b = Dedup.minhashSignatures(p, 8).as[(Long, Seq[String])]
+      .collect().toMap
+    assert(a == b)
+    assert(a(1L) == a.getOrElse(2L, Nil)) // identical docs, same sig
+  }
+}

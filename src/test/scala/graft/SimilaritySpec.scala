@@ -1,0 +1,63 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical / orthogonal vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(2.0, 4.0))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0 && got(2) == 1.0)
+  }
+
+  test("dot handles zero vectors without NaN in cosine") {
+    val got = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()
+    assert(got(0) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(1.0, 0.1)),   // closest to 0
+      (2L, Seq(0.5, 0.5)),
+      (3L, Seq(0.0, 1.0))    // farthest from 0
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 0L)
+    val got = Similarity.bruteForceTopK(corpus, probes, 3)
+      .select("vec_id", "rnk").as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("hyperplane buckets are deterministic and group near vectors") {
+    val df = Seq(
+      (0L, Seq.fill(8)(1.0)),
+      (1L, Seq.fill(8)(1.0))  // identical → same bucket
+    ).toDF("vec_id", "embedding")
+    val buckets = df.withColumn("b",
+        Similarity.hyperplaneBucket(col("embedding"), planes = 4,
+          dim = 8))
+      .select("b").as[Long].collect()
+    assert(buckets(0) == buckets(1))
+  }
+
+  test("lshNeighborPairs finds identical vectors") {
+    val df = Seq(
+      (0L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(-1.0, -2.0, -3.0, -4.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lshNeighborPairs(df, planes = 4, dim = 4,
+        minCos = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowedTypeStats aggregates tumbling windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedTypeStats(df, window = "10 minutes",
+        lateness = "5 minutes")
+      .writeStream.format("memory").queryName("wts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0),
+        (ts(5), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first window
+      mem.addData((ts(59), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("wts")
+        .select("event_type", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Streams.Event(1L, ts(0), 1.0),
+        Streams.Event(1L, ts(5), 2.0)) // same session
+      q.processAllAvailable()
+      mem.addData(Streams.Event(1L, ts(30), 3.0)) // gap > 10m → closes
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
