@@ -3,6 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.Relational
+import graft.pipeline.CollectionsPipeline
 import graft.similarity.Similarity
 import graft.sources.Tables
 import graft.text.TextFunctions
@@ -301,6 +302,40 @@ object Queries {
   val q18_sql: String =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events WHERE event_type = 'click'""".stripMargin
+
+  /** End-to-end collection build (the reference's whole DAG in one
+    * declarative pipeline — see [[CollectionsPipeline]]). */
+  val q19_collection_pipeline: QFn = (s, d) => {
+    val o = t(s, d, "orders")
+    CollectionsPipeline.build(
+      Seq(
+        o.filter(col("o_orderstatus") === "O")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey", "o_orderkey", "o_totalprice")),
+      "o_custkey", "o_orderkey", "o_totalprice", topK = 5)
+  }
+
+  val q19_sql: String =
+    """WITH m AS (
+      |  SELECT o_custkey AS ckey, o_orderkey AS member,
+      |    o_totalprice AS mscore
+      |  FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderkey, o_totalprice
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |d AS (SELECT ckey, member, max(mscore) AS mscore
+      |  FROM m GROUP BY ckey, member),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY ckey
+      |    ORDER BY mscore DESC, member) AS rn FROM d),
+      |stats AS (SELECT ckey, count(*) AS n_members,
+      |    round(sum(mscore), 2) AS total_score FROM d GROUP BY ckey),
+      |tops AS (SELECT ckey,
+      |    string_agg(member::VARCHAR, ',' ORDER BY rn) AS top_members
+      |  FROM r WHERE rn <= 5 GROUP BY ckey)
+      |SELECT stats.ckey, n_members, total_score, top_members,
+      |  md5(stats.ckey::VARCHAR) AS collection_id
+      |FROM stats JOIN tops ON stats.ckey = tops.ckey""".stripMargin
 
   // ---------------------------------------------------------------
   // Text analysis (documents)
@@ -638,6 +673,7 @@ object Queries {
     "q16_hash_id" -> q16_hash_id,
     "q17_related_overlap" -> q17_related_overlap,
     "q18_json_extract" -> q18_json_extract,
+    "q19_collection_pipeline" -> q19_collection_pipeline,
     "t01_token_count" -> t01_token_count,
     "t02_quality_score" -> t02_quality_score,
     "t03_langid" -> t03_langid,
@@ -675,6 +711,7 @@ object Queries {
     "q16_hash_id" -> q16_sql,
     "q17_related_overlap" -> q17_sql,
     "q18_json_extract" -> q18_sql,
+    "q19_collection_pipeline" -> q19_sql,
     "t01_token_count" -> t01_sql,
     "t02_quality_score" -> t02_sql,
     "t03_langid" -> t03_sql,

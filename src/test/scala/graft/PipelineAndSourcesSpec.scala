@@ -1,0 +1,80 @@
+package graft
+
+import graft.pipeline.CollectionsPipeline
+import graft.sources.TextSources
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class PipelineAndSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CollectionsPipeline merges sources, dedupes, ranks, assembles") {
+    val a = Seq((1L, 10L, 5.0), (1L, 11L, 3.0)).toDF("c", "m", "s")
+    val b = Seq((1L, 10L, 9.0), (2L, 20L, 1.0)).toDF("c", "m", "s")
+    val got = CollectionsPipeline.build(Seq(a, b), "c", "m", "s",
+        topK = 1)
+      .select("ckey", "n_members", "total_score", "top_members")
+      .as[(Long, Long, Double, String)].collect().toMap2
+    // member 10 deduped to max score 9.0; top-1 member is 10
+    assert(got(1L) == (2L, 12.0, "10"))
+    assert(got(2L) == (1L, 1.0, "20"))
+  }
+
+  implicit class MapOps[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("readJsonl enforces schema and tolerates corrupt lines") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("data.jsonl")
+    Files.writeString(f,
+      """{"id": 1, "name": "alpha"}
+        |not json at all
+        |{"id": 2, "name": "beta"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = TextSources.readJsonl(spark, f.toString, schema).cache()
+    try {
+      assert(df.filter("id IS NOT NULL").count() == 2)
+      assert(df.filter("_corrupt_record IS NOT NULL").count() == 1)
+    } finally df.unpersist()
+  }
+
+  test("readTsv reads headerless tab-separated lines") {
+    val dir = Files.createTempDirectory("graft-tsv")
+    val f = dir.resolve("data.tsv")
+    Files.writeString(f, "1\talpha\n2\tbeta\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val got = TextSources.readTsv(spark, f.toString, schema)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    // force a fresh session so spark.sql.extensions applies (shared
+    // SparkContext is reused)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+          |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
+          |""".stripMargin).collect()(0)
+      assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
