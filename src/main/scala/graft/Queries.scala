@@ -519,6 +519,28 @@ object Queries {
     Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
       shingleSize = 3, maxHamming = 6)
 
+  /** Embedding-cosine near-duplicate pairs (the modern semantic-dedup
+    * path): brute-force pairs above a high cosine threshold. */
+  val d05_embedding_dedup: QFn = (s, d) => {
+    val e = embD(s, d)
+    e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      .join(broadcast(e.select(col("vec_id").as("id2"),
+        col("embedding").as("v2"))))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.95)
+      .select("id1", "id2", "cos")
+  }
+
+  val d05_sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95""".stripMargin
+
   // ---------------------------------------------------------------
   // Similarity search (embeddings)
   // ---------------------------------------------------------------
@@ -562,6 +584,13 @@ object Queries {
   val s03_ann_lsh: QFn = (s, d) =>
     Similarity.lshNeighborPairs(embD(s, d), planes = 8, dim = 64,
       minCos = 0.3)
+
+  val s04_ann_ivf: QFn = (s, d) => {
+    val e = embD(s, d)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+      nLists = 16, nProbe = 4)
+  }
+
 
   // ---------------------------------------------------------------
   // Multimodal (binary columns)
@@ -683,9 +712,11 @@ object Queries {
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
+    "d05_embedding_dedup" -> d05_embedding_dedup,
     "s01_cosine_topk" -> s01_cosine_topk,
     "s02_knn_join" -> s02_knn_join,
     "s03_ann_lsh" -> s03_ann_lsh,
+    "s04_ann_ivf" -> s04_ann_ivf,
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_stub" -> m02_feature_stub,
     "e01_window_agg" -> e01_window_agg,
@@ -720,6 +751,7 @@ object Queries {
     "d01_exact_dedup" -> d01_sql,
     "d02_ngram_jaccard" -> d02_sql,
     "d03_minhash_lsh" -> d03_sql,
+    "d05_embedding_dedup" -> d05_sql,
     "s01_cosine_topk" -> s01_sql,
     "s02_knn_join" -> s02_sql,
     "m01_binary_meta" -> m01_sql,

@@ -101,4 +101,45 @@ object Similarity {
   def knnSelfJoin(corpus: DataFrame, k: Int, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame =
     bruteForceTopK(corpus, corpus, k, idCol, vecCol)
+
+  /** IVF-style ANN: assign every vector to its nearest of `nLists`
+    * fixed centroids (an inverted file), then search only the probe's
+    * `nProbe` closest lists. Centroids here are a deterministic sample
+    * (lowest ids) — a k-means step would slot in without changing the
+    * dataflow. Shapes at scale: centroid assignment is a broadcast
+    * (centroids are tiny) + map-side argmax; the search joins probes
+    * to lists, so the shuffle key is the list id, never the raw
+    * vector pairs.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+    : DataFrame = {
+    val cents = corpus.select(col(idCol).as("cent_id"),
+      col(vecCol).as("cv"))
+      .orderBy("cent_id").limit(nLists)
+    def assign(df: DataFrame, id: String, v: String, keep: Int)
+      : DataFrame = {
+      val scored = df.select(col(id), col(v))
+        .join(broadcast(cents))
+        .withColumn("cs", cosine(col(v), col("cv")))
+      val w = Window.partitionBy(id)
+        .orderBy(col("cs").desc, col("cent_id"))
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+        .select(col(id), col(v), col("cent_id"))
+    }
+    val lists = assign(corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cand_v")), "cand_id", "cand_v", 1)
+    val probed = assign(probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_v")), "probe_id", "probe_v", nProbe)
+    val scored = probed.join(lists, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("probe_v"), col("cand_v")))
+      .select("probe_id", "cand_id", "cos")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -29,6 +29,16 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeats of `keyCols` with bounded
+    * state — the watermark ages out old keys, which is the only way
+    * dedup state survives an unbounded stream. The batch analog is
+    * dropDuplicates; the reference's remove_duplicates
+    * (create_merged.py:992) is the same idea over a full snapshot. */
+  def streamDedup(events: DataFrame, tsCol: String, lateness: String,
+                  keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long,
                           sum: Double)

@@ -9,7 +9,8 @@ import graft.multimodal.Multimodal
 class QueriesSpec extends SparkSpec {
 
   private val mayBeEmpty = Set("q10_anti_join", "d04_simhash",
-    "s03_ann_lsh", "d02_ngram_jaccard", "d03_minhash_lsh")
+    "s03_ann_lsh", "d02_ngram_jaccard", "d03_minhash_lsh",
+    "d05_embedding_dedup")
 
   Queries.all.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {

@@ -49,6 +49,18 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
   }
 
+  test("ivfTopK finds the identical vector through its list") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(j => math.sin(i * 7 + j).abs + 0.1)))
+    val corpus = (vecs :+ (99L, vecs(7)._2)).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 99L)
+    val got = Similarity.ivfTopK(corpus, probes, k = 3, nLists = 4,
+        nProbe = 2)
+      .select("cand_id", "rnk").as[(Long, Long)].collect()
+      .sortBy(_._2)
+    assert(got.head._1 == 7L) // its duplicate ranks first
+  }
+
   test("lshNeighborPairs finds identical vectors") {
     val df = Seq(
       (0L, Seq(1.0, 2.0, 3.0, 4.0)),

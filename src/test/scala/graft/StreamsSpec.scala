@@ -34,6 +34,20 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamDedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "doc_id")
+    val q = Streams.streamDedup(df, "ts", "10 minutes", "doc_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
