@@ -297,7 +297,9 @@ object Queries {
     t(s, d, "events")
       .filter(col("event_type") === "click")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
 
   val q18_sql: String =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

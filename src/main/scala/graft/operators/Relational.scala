@@ -56,6 +56,28 @@ object Relational {
           .otherwise(lit("noop")))
   }
 
+  /** Skew-resistant equi-join by key salting: the left (large,
+    * skewed) side gets a deterministic salt in [0, saltFactor); the
+    * right side is replicated once per salt value. The shuffle then
+    * spreads each hot key over `saltFactor` reducers instead of one.
+    *
+    * Use when AQE's runtime skew split isn't available (e.g. the skew
+    * is in an aggregation feeding the join) — at 100 TB a single hot
+    * key otherwise pins one executor for the whole stage. The salt is
+    * derived from stable row content (xxhash64 of all left columns),
+    * not rand(), so retries/speculative tasks see identical rows.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val saltedLeft = left.withColumn("graft_salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
+        lit(saltFactor)))
+    val saltedRight = right.withColumn("graft_salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "graft_salt"))
+      .drop("graft_salt")
+  }
+
   /** Related-items by co-occurrence: given (containerKey, itemKey)
     * membership pairs, emit container pairs ranked by shared-item
     * count. This is the reference's related-collections precompute

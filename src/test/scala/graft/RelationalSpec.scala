@@ -43,6 +43,17 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(("g1", 9, 1L), ("g1", 5, 2L), ("g2", 1, 1L)))
   }
 
+  test("saltedJoin matches a plain join, spread over salts") {
+    val left = (1 to 100).map(i => (1L, i)).toDF("k", "v") // hot key 1
+    val right = Seq((1L, "dim1"), (2L, "dim2")).toDF("k", "name")
+    val got = Relational.saltedJoin(left, right, "k", 4)
+    assert(got.count() == 100)
+    assert(got.columns.toSeq == Seq("k", "v", "name"))
+    // same result as unsalted join
+    assert(got.select("k", "v", "name").except(
+      left.join(right, "k")).count() == 0)
+  }
+
   test("topK is deterministic under ties via tiebreak column") {
     val df = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0)).toDF("id", "v")
     val got = Relational.topK(df, 2, col("v").desc, col("id").asc)
