@@ -1,7 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, TopKBy}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -46,10 +46,15 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", cosine(col("v"), col("p")))
       .select("probe_id", "vec_id", "cos")
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k aggregate (map-side partials): no sort, the
+    // shuffle carries |probes| x k rows instead of |corpus|x|probes| —
+    // see org.apache.spark.sql.graft.TopKBy
+    scored.groupBy("probe_id")
+      .agg(TopKBy.topKBy(col("cos"), col("vec_id"), k).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("probe_id"), col("s.id").as("vec_id"),
+        col("s.score").as("cos"), (col("pos") + 1).cast("long")
+          .as("rnk"))
   }
 
   /** Sign-random-projection (hyperplane) LSH bucketing, RNG-free:

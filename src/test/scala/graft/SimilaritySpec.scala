@@ -49,6 +49,21 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(0) == buckets(1))
   }
 
+  test("TopKBy aggregate: bounded, ordered, deterministic on ties") {
+    import org.apache.spark.sql.graft.TopKBy
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 3L), (1L, 0.5, 7L),
+        (1L, 0.99, 1L), (2L, 0.1, 5L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(TopKBy.topKBy(col("score"), col("id"), 3).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("g"), col("pos"), col("s.score"), col("s.id"))
+      .as[(Long, Int, Double, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 0.99, 1L), (1L, 1, 0.9, 3L), (1L, 2, 0.9, 10L),
+      (2L, 0, 0.1, 5L)))
+  }
+
   test("ivfTopK finds the identical vector through its list") {
     val vecs = (0L until 20L).map(i =>
       (i, Seq.tabulate(4)(j => math.sin(i * 7 + j).abs + 0.1)))

@@ -12,7 +12,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh")
+    System.setProperty("derby.system.home", tmp.toString)
     val s = SparkSession.builder()
+      .config("spark.sql.warehouse.dir", tmp.resolve("wh").toString)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
