@@ -3,6 +3,7 @@ package graft.dedup
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication family for a 100 TB corpus.
   *
@@ -79,8 +80,12 @@ object Dedup {
                       bands: Int = 4, threshold: Double = 0.5)
     : DataFrame = {
     val rowsPerBand = numHashes / bands
+    // the postings feed signatures AND candidate verification — persist
+    // once instead of recomputing the tokenize/window pipeline per
+    // branch (pushed-filter asymmetry defeats ReuseExchange here)
     val postings = TextFunctions.shinglePostings(docs, idCol, textCol,
       shingleSize, distinct = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = minhashSignatures(postings, numHashes)
       .withColumn("band", explode(lshBandKeys(col("sig"), bands,
         rowsPerBand)))
@@ -114,6 +119,7 @@ object Dedup {
                         maxDf: Int = 200): DataFrame = {
     val posting = TextFunctions.shinglePostings(docs, idCol, textCol,
       shingleSize, distinct = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pruned = posting.join(
       posting.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -58,6 +58,14 @@ class TextFunctionsSpec extends SparkSpec {
       "a b c") == List("a b", "b c"))
   }
 
+  test("null text yields null metrics, not exceptions") {
+    val df = Seq[(Long, String)]((1L, null)).toDF("id", "text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      TextFunctions.fingerprint(col("text")).as("fp")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("shinglePostings matches wordShingles on well-formed docs") {
     val docs = Seq((1L, "a b c d"), (2L, "x y z")).toDF("id", "text")
     val got = TextFunctions.shinglePostings(docs, "id", "text", 3,
