@@ -339,6 +339,24 @@ object Queries {
       |  md5(stats.ckey::VARCHAR) AS collection_id
       |FROM stats JOIN tops ON stats.ckey = tops.ckey""".stripMargin
 
+  /** Name curation / canonicalization (force_normalize analog):
+    * NFC (custom codegen'd expression) + case/whitespace canonical
+    * form + suffix strip + canonical hash. */
+  val q20_normalize_names: QFn = (s, d) =>
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        graft.text.Normalize.curatedName(col("c_name")).as("label"),
+        md5(graft.text.Normalize.canonicalLabel(col("c_name")))
+          .as("label_hash"))
+
+  val q20_sql: String =
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(lower(trim(nfc_normalize(c_name))),
+      |    '\s+', ' ', 'g'), '\.eth$', '') AS label,
+      |  md5(regexp_replace(lower(trim(nfc_normalize(c_name))),
+      |    '\s+', ' ', 'g')) AS label_hash
+      |FROM customer""".stripMargin
+
   // ---------------------------------------------------------------
   // Text analysis (documents)
   // ---------------------------------------------------------------
@@ -705,6 +723,7 @@ object Queries {
     "q17_related_overlap" -> q17_related_overlap,
     "q18_json_extract" -> q18_json_extract,
     "q19_collection_pipeline" -> q19_collection_pipeline,
+    "q20_normalize_names" -> q20_normalize_names,
     "t01_token_count" -> t01_token_count,
     "t02_quality_score" -> t02_quality_score,
     "t03_langid" -> t03_langid,
@@ -745,6 +764,7 @@ object Queries {
     "q17_related_overlap" -> q17_sql,
     "q18_json_extract" -> q18_sql,
     "q19_collection_pipeline" -> q19_sql,
+    "q20_normalize_names" -> q20_sql,
     "t01_token_count" -> t01_sql,
     "t02_quality_score" -> t02_sql,
     "t03_langid" -> t03_sql,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Core relational operators mirroring the reference pipeline's
   * semantics (see SURVEY.md §2), expressed as composable
@@ -92,8 +93,12 @@ object Relational {
   def relatedByOverlap(membership: DataFrame, containerCol: String,
                        itemCol: String,
                        maxItemFanout: Int = 1000): DataFrame = {
+    // m feeds the fanout filter AND both self-join sides; persist so
+    // the distinct shuffle runs once (pushed-filter asymmetry between
+    // branches defeats ReuseExchange)
     val m = membership.select(col(containerCol).as("container"),
       col(itemCol).as("item")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val fanout = m.groupBy("item")
       .agg(count(lit(1)).as("item_fanout"))
       .filter(col("item_fanout") <= maxItemFanout)

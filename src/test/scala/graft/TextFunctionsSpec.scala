@@ -58,6 +58,16 @@ class TextFunctionsSpec extends SparkSpec {
       "a b c") == List("a b", "b c"))
   }
 
+  test("Normalize: NFC + canonical label + suffix strip") {
+    import graft.text.Normalize
+    // e + combining acute (NFD) normalizes to precomposed é (NFC)
+    val nfd = "Caf\u0065\u0301  Shop.eth"
+    val got = Seq(nfd).toDF("text")
+      .select(Normalize.curatedName(col("text")).as("v"))
+      .as[String].collect()(0)
+    assert(got == "caf\u00e9 shop")
+  }
+
   test("null text yields null metrics, not exceptions") {
     val df = Seq[(Long, String)]((1L, null)).toDF("id", "text")
     val r = df.select(
