@@ -539,6 +539,37 @@ object Queries {
     Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
       shingleSize = 3, maxHamming = 6)
 
+  /** Oracle mirror of the SimHash pipeline: same md5-nibble-parity
+    * votes (odd hex digit = +1), same byte banding, same Hamming cut.
+    * The 32 vote aggregates are generated, not hand-written. */
+  val d04_sql: String = {
+    val votes = (0 until 32).map(i =>
+      s"sum(CASE WHEN strpos('13579bdf', substr(d, ${i + 1}, 1)) > 0 " +
+        s"THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
+    val packed = (0 until 32).map(i =>
+      s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |digests AS (SELECT doc_id, md5(unnest(shingles)) AS d FROM sh),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM digests GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($packed AS BIGINT) AS sig FROM votes),
+       |banded AS (SELECT doc_id, sig,
+       |    b::VARCHAR || '|' || (((sig >> (b * 8)) & 255))::VARCHAR AS band
+       |  FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    a.sig AS sig1, b.sig AS sig2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 6""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs (the modern semantic-dedup
     * path): brute-force pairs above a high cosine threshold. */
   val d05_embedding_dedup: QFn = (s, d) => {
@@ -575,6 +606,9 @@ object Queries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 10)
   }
 
+  private val centCos =
+    "round(list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)"
+
   private val cosSql =
     "round(list_dot_product(v, pv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6)"
 
@@ -605,11 +639,58 @@ object Queries {
     Similarity.lshNeighborPairs(embD(s, d), planes = 8, dim = 64,
       minCos = 0.3)
 
+  /** Oracle mirror of hyperplane LSH: the deterministic ±1 plane
+    * components are plan-time literals — inlined into the SQL. */
+  val s03_sql: String = {
+    val signs = Similarity.planeSigns(8, 64)
+    val bucketExpr = (0 until 8).map { h =>
+      val arr = signs(h).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $arr::DOUBLE[]) >= 0 " +
+        s"THEN ${1 << h} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM e)
+       |SELECT a.vec_id AS id1, b2.vec_id AS id2,
+       |  round(list_dot_product(a.v, b2.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE round(list_dot_product(a.v, b2.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.3""".stripMargin
+  }
+
   val s04_ann_ivf: QFn = (s, d) => {
     val e = embD(s, d)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
       nLists = 16, nProbe = 4)
   }
+
+  val s04_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT 16),
+       |cand_assign AS (SELECT vec_id AS cand_id, v AS cand_v, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      $centCos DESC, cent_id) AS r
+       |  FROM e, cents),
+       |lists AS (SELECT cand_id, cand_v, cent_id FROM cand_assign
+       |  WHERE r = 1),
+       |probe_assign AS (SELECT vec_id AS probe_id, v AS probe_v, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      $centCos DESC, cent_id) AS r
+       |  FROM e, cents WHERE vec_id < 5),
+       |probed AS (SELECT probe_id, probe_v, cent_id FROM probe_assign
+       |  WHERE r <= 4),
+       |scored AS (SELECT probe_id, cand_id,
+       |    round(list_dot_product(probe_v, cand_v) /
+       |      (sqrt(list_dot_product(probe_v, probe_v)) *
+       |       sqrt(list_dot_product(cand_v, cand_v))), 6) AS cos
+       |  FROM probed JOIN lists USING (cent_id)
+       |  WHERE probe_id <> cand_id)
+       |SELECT probe_id, cand_id, cos, rnk FROM (
+       |  SELECT probe_id, cand_id, cos, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+       |  FROM scored) WHERE rnk <= 10""".stripMargin
 
 
   // ---------------------------------------------------------------
@@ -773,9 +854,12 @@ object Queries {
     "d01_exact_dedup" -> d01_sql,
     "d02_ngram_jaccard" -> d02_sql,
     "d03_minhash_lsh" -> d03_sql,
+    "d04_simhash" -> d04_sql,
     "d05_embedding_dedup" -> d05_sql,
     "s01_cosine_topk" -> s01_sql,
     "s02_knn_join" -> s02_sql,
+    "s03_ann_lsh" -> s03_sql,
+    "s04_ann_ivf" -> s04_sql,
     "m01_binary_meta" -> m01_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

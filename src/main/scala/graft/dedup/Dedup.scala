@@ -201,7 +201,7 @@ object Dedup {
         col("a.sig").as("sig1"), col("b.sig").as("sig2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(
-        col("sig2"))))
+        col("sig2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }

@@ -66,13 +66,18 @@ object Similarity {
     * At 100 TB this is the scale path: one shuffle on the bucket key,
     * per-bucket brute force, vs. the broadcast brute-force baseline.
     */
+  /** The deterministic ±1 hyperplane components; public so oracle
+    * mirrors can inline the identical literals. */
+  def planeSigns(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(h => (0 until dim).map { j =>
+      if (Integer.parseInt(md5Hex(s"$h:$j").substring(0, 2), 16) % 2
+        == 0) 1.0 else -1.0
+    })
+
   def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val allSigns = planeSigns(planes, dim)
     val bits = (0 until planes).map { h =>
-      // deterministic ±1 pattern per (plane, component)
-      val signs = array((0 until dim).map { j =>
-        if (Integer.parseInt(md5Hex(s"$h:$j").substring(0, 2), 16) % 2
-          == 0) lit(1.0) else lit(-1.0)
-      }: _*)
+      val signs = array(allSigns(h).map(lit): _*)
       val proj = aggregate(zip_with(vec, signs, (x, s) => x * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << h)
