@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The reference's whole collection-build flow as ONE declarative
   * pipeline: multi-source membership union → per-member merge →
@@ -36,9 +37,12 @@ object CollectionsPipeline {
     val unioned = sources.map(_.select(
       col(collectionKey).as("ckey"), col(memberKey).as("member"),
       col(memberScore).as("mscore"))).reduce(_ unionByName _)
-    // best occurrence per (collection, member) — uniq_members
+    // best occurrence per (collection, member) — uniq_members.
+    // Feeds both the stats aggregate and the ranking window; persist
+    // so the union+aggregate runs once.
     val d = unioned.groupBy("ckey", "member")
       .agg(max("mscore").as("mscore"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("ckey")
       .orderBy(col("mscore").desc, col("member").asc)
     val ranked = d.withColumn("rn", row_number().over(w))
