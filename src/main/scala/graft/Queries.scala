@@ -622,8 +622,10 @@ object Queries {
        |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
        |  FROM scored) WHERE rnk <= 10""".stripMargin
 
-  val s02_knn_join: QFn = (s, d) =>
-    Similarity.knnSelfJoin(embD(s, d), 5)
+  val s02_knn_join: QFn = (s, d) => {
+    val e = embD(s, d)
+    Similarity.bruteForceTopKPartitioned(e, e, 5)
+  }
 
   val s02_sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, TopKBy}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,12 +49,77 @@ object Similarity {
     // bounded-heap top-k aggregate (map-side partials): no sort, the
     // shuffle carries |probes| x k rows instead of |corpus|x|probes| —
     // see org.apache.spark.sql.graft.TopKBy
+    topKPerProbe(scored, k)
+  }
+
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("probe_id")
       .agg(TopKBy.topKBy(col("cos"), col("vec_id"), k).as("tk"))
       .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "s")))
       .select(col("probe_id"), col("s.id").as("vec_id"),
         col("s.score").as("cos"), (col("pos") + 1).cast("long")
           .as("rnk"))
+
+  /** Brute-force top-k without materializing the pair relation: the
+    * probe set broadcasts as primitive arrays and each corpus
+    * partition keeps per-probe bounded heaps (mapPartitions — the
+    * documented last resort, justified here because the declarative
+    * form must emit |corpus|x|probes| rows through the join machinery
+    * and that row overhead, not the math, dominates). Emits only
+    * |partitions| x |probes| x k partial rows, merged by the same
+    * TopKBy aggregate. Rounding uses Catalyst's exact semantics
+    * (BigDecimal.valueOf + HALF_UP) so results are bit-identical to
+    * [[bruteForceTopK]] and the SQL oracle.
+    */
+  def bruteForceTopKPartitioned(corpus: DataFrame, probes: DataFrame,
+                                k: Int, idCol: String = "vec_id",
+                                vecCol: String = "embedding")
+    : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probeArr: Array[(Long, Array[Double])] = probes
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(probeArr)
+    val partials = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { rows =>
+        val ps = bc.value
+        val heaps = Array.fill(ps.length)(
+          new org.apache.spark.sql.graft.TopKBuffer(k))
+        rows.foreach { case (id, v) =>
+          var i = 0
+          while (i < ps.length) {
+            val (pid, p) = ps(i)
+            if (pid != id) {
+              var dot = 0.0; var nv = 0.0; var np = 0.0; var j = 0
+              val n = math.min(v.length, p.length)
+              while (j < n) {
+                dot += v(j) * p(j); nv += v(j) * v(j)
+                np += p(j) * p(j); j += 1
+              }
+              val denom = math.sqrt(nv) * math.sqrt(np)
+              val cos = if (denom == 0.0) 0.0 else dot / denom
+              // Catalyst Round(…, 6) semantics, bit-identical
+              val rounded = java.math.BigDecimal.valueOf(cos)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+              heaps(i).insert(rounded, id)
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          (0 until h.n).iterator.map(j =>
+            (ps(i)._1, h.ids(j), h.scores(j)))
+        }
+      }
+      .toDF("probe_id", "vec_id", "cos")
+    topKPerProbe(partials, k)
   }
 
   /** Sign-random-projection (hyperplane) LSH bucketing, RNG-free:
