@@ -79,6 +79,8 @@ object Dedup {
                       shingleSize: Int = 3, numHashes: Int = 12,
                       bands: Int = 4, threshold: Double = 0.5)
     : DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
     // the postings feed signatures AND candidate verification — persist
     // once instead of recomputing the tokenize/window pipeline per

@@ -58,6 +58,40 @@ object Multimodal {
     }
   }
 
+  /** Frame/sample plumbing: derive per-media sample points (frame
+    * indices) columnar-ly and explode to one row per sampled frame —
+    * the shape a video pipeline fans out on before per-frame decode.
+    * Frame count is a deterministic stand-in (bytes/1000) until a real
+    * probe supplies metadata; the explode/fan-out plumbing is real.
+    */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    media
+      .withColumn("n_frames",
+        greatest((col("meta.n_bytes") / 1000).cast("long"), lit(1L)))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          lit(everyN.toLong))))
+      .select("media_id", "n_frames", "frame_idx")
+  }
+
+  /** Fixed-size byte chunking (audio windows / image tiles): emits
+    * (media_id, chunk_idx, chunk bytes). `substring` on binary is
+    * codegen'd; chunk count is bounded by payload size. */
+  def chunkPayload(media: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive")
+    media
+      .withColumn("n_chunks",
+        ceil(col("meta.n_bytes") / chunkBytes.toDouble).cast("long"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          greatest(col("n_chunks") - 1, lit(0L)))))
+      .withColumn("chunk",
+        substring(col("payload"),
+          (col("chunk_idx") * chunkBytes + 1).cast("int"), lit(chunkBytes)))
+      .select("media_id", "chunk_idx", "chunk")
+  }
+
   /** Partition-wise feature extraction: the decode runs inside
     * `mapPartitions` so a real codec amortizes per-partition init
     * (model load, codec context) exactly like a Pandas-UDF batch

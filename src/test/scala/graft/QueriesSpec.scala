@@ -29,6 +29,23 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("multimodal frame sampling and chunking plumbing") {
+    val media = Multimodal.asMedia(
+      graft.sources.Tables(spark, sf("sf0.001"), "documents")
+        .limit(10), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, everyN = 2)
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq ==
+      Seq("media_id", "n_frames", "frame_idx"))
+    val chunks = Multimodal.chunkPayload(media, chunkBytes = 64)
+    val r = chunks.filter("media_id = 0").collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Array[Byte]]("chunk").length).sum
+    val nBytes = media.filter("media_id = 0")
+      .selectExpr("meta.n_bytes").collect()(0).getLong(0)
+    assert(total == nBytes, "chunks must reassemble the payload")
+  }
+
   test("multimodal features are deterministic and fixed-width") {
     val media = Multimodal.asMedia(
       graft.sources.Tables(spark, sf("sf0.001"), "documents"),
