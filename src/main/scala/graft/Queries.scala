@@ -4,6 +4,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.Relational
 import graft.pipeline.CollectionsPipeline
+import graft.ranking.RankingMetrics
 import graft.similarity.Similarity
 import graft.sources.Tables
 import graft.text.TextFunctions
@@ -356,6 +357,44 @@ object Queries {
       |  md5(regexp_replace(lower(trim(nfc_normalize(c_name))),
       |    '\s+', ' ', 'g')) AS label_hash
       |FROM customer""".stripMargin
+
+  /** NDCG@5 ranking quality per customer: predicted order = price
+    * desc; relevance = order priority grade (learning-to-rank eval
+    * analog). */
+  val q21_ndcg: QFn = (s, d) => {
+    val rel = when(col("o_orderpriority") === "1-URGENT", 2.0)
+      .when(col("o_orderpriority") === "2-HIGH", 1.0).otherwise(0.0)
+    RankingMetrics.ndcgAtK(
+      t(s, d, "orders"), "o_custkey", rel,
+      predictedOrder = Seq(col("o_totalprice").desc,
+        col("o_orderkey").asc),
+      tiebreak = Seq(col("o_orderkey").asc), k = 5)
+  }
+
+  val q21_sql: String = {
+    val ws = RankingMetrics.discountWeights(5)
+    def wCase(rn: String): String =
+      (1 to 5).map(i => s"WHEN $rn = $i THEN ${ws(i - 1)}")
+        .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH base AS (SELECT o_custkey, o_orderkey, o_totalprice,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 2.0
+       |         WHEN o_orderpriority = '2-HIGH' THEN 1.0
+       |         ELSE 0.0 END AS rel
+       |  FROM orders),
+       |ranked AS (SELECT *,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn_pred,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY rel DESC, o_orderkey) AS rn_ideal
+       |  FROM base),
+       |agg AS (SELECT o_custkey,
+       |    round(sum(rel * (${wCase("rn_pred")})), 6) AS dcg,
+       |    round(sum(rel * (${wCase("rn_ideal")})), 6) AS idcg
+       |  FROM ranked GROUP BY o_custkey)
+       |SELECT o_custkey, dcg, idcg,
+       |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) ELSE 0.0 END AS ndcg
+       |FROM agg""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Text analysis (documents)
@@ -807,6 +846,7 @@ object Queries {
     "q18_json_extract" -> q18_json_extract,
     "q19_collection_pipeline" -> q19_collection_pipeline,
     "q20_normalize_names" -> q20_normalize_names,
+    "q21_ndcg" -> q21_ndcg,
     "t01_token_count" -> t01_token_count,
     "t02_quality_score" -> t02_quality_score,
     "t03_langid" -> t03_langid,
@@ -848,6 +888,7 @@ object Queries {
     "q18_json_extract" -> q18_sql,
     "q19_collection_pipeline" -> q19_sql,
     "q20_normalize_names" -> q20_sql,
+    "q21_ndcg" -> q21_sql,
     "t01_token_count" -> t01_sql,
     "t02_quality_score" -> t02_sql,
     "t03_langid" -> t03_sql,
