@@ -372,7 +372,10 @@ object Queries {
   }
 
   val q21_sql: String = {
-    val ws = RankingMetrics.discountWeights(5)
+    // weights hardcoded independently of RankingMetrics.discountWeights
+    // (1/log2(i+1), 8dp) so a formula bug there cannot cancel out in
+    // the parity check
+    val ws = Seq(1.0, 0.63092975, 0.5, 0.43067656, 0.38685281)
     def wCase(rn: String): String =
       (1 to 5).map(i => s"WHEN $rn = $i THEN ${ws(i - 1)}")
         .mkString("CASE ", " ", " ELSE 0.0 END")

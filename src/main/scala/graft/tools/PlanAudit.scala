@@ -25,7 +25,7 @@ object PlanAudit {
             if (c > 0) Some(s"$tag:$c") else None }
         println(s"[audit] $name  ${flags.mkString(" ")}")
       } catch { case e: Throwable =>
-        println(s"[audit] $name ERROR ${e.getMessage.take(80)}") }
+        println(s"[audit] $name ERROR ${e.toString.take(80)}") }
     }
     spark.stop()
   }
