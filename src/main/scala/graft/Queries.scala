@@ -399,6 +399,48 @@ object Queries {
        |FROM agg""".stripMargin
   }
 
+  /** Deterministic avatar/emoji assignment (AvatarEmoji.get_emoji,
+    * create_merged.py:849): hash-bucket the canonical name into a
+    * small pool dim and broadcast-join the pick. */
+  val q22_avatar_assign: QFn = (s, d) => {
+    val bucket = conv(substring(md5(lower(trim(col("c_name")))), 1, 8),
+      16, 10).cast("long") % 25
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")),
+        bucket === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("avatar"))
+  }
+
+  val q22_sql: String =
+    """SELECT c_custkey, n_name AS avatar
+      |FROM customer JOIN nation
+      |ON (('0x' || substr(md5(lower(trim(c_name))), 1, 8))::BIGINT % 25)
+      |   = n_nationkey""".stripMargin
+
+  /** Prefix/suffix mining (research/collection-name-normalization:
+    * most-popular-prefixes.py / most-popular-suffixes.py): first/last
+    * token frequencies over the corpus. */
+  val q23_affix_freq: QFn = (s, d) => {
+    val toks = TextFunctions.tokens(col("p_name"))
+    val p = t(s, d, "part")
+    val pre = p.select(element_at(toks, 1).as("affix"),
+      lit("prefix").as("kind"))
+    val suf = p.select(element_at(toks, -1).as("affix"),
+      lit("suffix").as("kind"))
+    pre.unionByName(suf)
+      .groupBy("affix", "kind")
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  val q23_sql: String =
+    """WITH toks AS (SELECT list_filter(regexp_split_to_array(trim(p_name), '\s+'),
+      |    x -> len(x) > 0) AS t FROM part)
+      |SELECT affix, kind, count(*) AS freq FROM (
+      |  SELECT t[1] AS affix, 'prefix' AS kind FROM toks
+      |  UNION ALL
+      |  SELECT t[-1] AS affix, 'suffix' AS kind FROM toks)
+      |GROUP BY affix, kind""".stripMargin
+
   // ---------------------------------------------------------------
   // Text analysis (documents)
   // ---------------------------------------------------------------
@@ -850,6 +892,8 @@ object Queries {
     "q19_collection_pipeline" -> q19_collection_pipeline,
     "q20_normalize_names" -> q20_normalize_names,
     "q21_ndcg" -> q21_ndcg,
+    "q22_avatar_assign" -> q22_avatar_assign,
+    "q23_affix_freq" -> q23_affix_freq,
     "t01_token_count" -> t01_token_count,
     "t02_quality_score" -> t02_quality_score,
     "t03_langid" -> t03_langid,
@@ -892,6 +936,8 @@ object Queries {
     "q19_collection_pipeline" -> q19_sql,
     "q20_normalize_names" -> q20_sql,
     "q21_ndcg" -> q21_sql,
+    "q22_avatar_assign" -> q22_sql,
+    "q23_affix_freq" -> q23_sql,
     "t01_token_count" -> t01_sql,
     "t02_quality_score" -> t02_sql,
     "t03_langid" -> t03_sql,
