@@ -547,6 +547,23 @@ object Queries {
       |    x -> len(x) > 0) AS t FROM documents))
       |GROUP BY shingle HAVING count(*) >= 5""".stripMargin
 
+  /** Word segmentation round-trip (wordninja-style _tokenizer analog,
+    * rows-only): fit a Zipf dictionary on the corpus, strip spaces
+    * from each doc, re-segment, compare token counts. */
+  val q24_word_segmentation: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val model = graft.text.WordSegmenter.fitFromCorpus(docs, "text")
+    val squashed = docs.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\s+", "").as("label"),
+      TextFunctions.tokenCount(col("text")).as("n_orig"))
+    graft.text.WordSegmenter
+      .segmentDocs(s, squashed, model, "doc_id", "label")
+      .join(squashed.select(col("doc_id").as("id"), col("n_orig")),
+        "id")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_orig"),
+        (col("n_tokens") === col("n_orig")).as("roundtrip_exact"))
+  }
+
   // ---------------------------------------------------------------
   // Deduplication (documents)
   // ---------------------------------------------------------------
@@ -894,6 +911,7 @@ object Queries {
     "q21_ndcg" -> q21_ndcg,
     "q22_avatar_assign" -> q22_avatar_assign,
     "q23_affix_freq" -> q23_affix_freq,
+    "q24_word_segmentation" -> q24_word_segmentation,
     "t01_token_count" -> t01_token_count,
     "t02_quality_score" -> t02_quality_score,
     "t03_langid" -> t03_langid,
