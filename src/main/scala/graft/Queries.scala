@@ -423,9 +423,9 @@ object Queries {
   val q23_affix_freq: QFn = (s, d) => {
     val toks = TextFunctions.tokens(col("p_name"))
     val p = t(s, d, "part")
-    val pre = p.select(element_at(toks, 1).as("affix"),
+    val pre = p.select(try_element_at(toks, lit(1)).as("affix"),
       lit("prefix").as("kind"))
-    val suf = p.select(element_at(toks, -1).as("affix"),
+    val suf = p.select(try_element_at(toks, lit(-1)).as("affix"),
       lit("suffix").as("kind"))
     pre.unionByName(suf)
       .groupBy("affix", "kind")
@@ -556,6 +556,7 @@ object Queries {
     val squashed = docs.select(col("doc_id"),
       regexp_replace(lower(col("text")), "\\s+", "").as("label"),
       TextFunctions.tokenCount(col("text")).as("n_orig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.text.WordSegmenter
       .segmentDocs(s, squashed, model, "doc_id", "label")
       .join(squashed.select(col("doc_id").as("id"), col("n_orig")),
@@ -661,8 +662,8 @@ object Queries {
        |  FROM digests GROUP BY doc_id),
        |sig AS (SELECT doc_id, CAST($packed AS BIGINT) AS sig FROM votes),
        |banded AS (SELECT doc_id, sig,
-       |    b::VARCHAR || '|' || (((sig >> (b * 8)) & 255))::VARCHAR AS band
-       |  FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
+       |    b::VARCHAR || '|' || (((sig >> (b * 4)) & 15))::VARCHAR AS band
+       |  FROM sig, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(b)),
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        |    a.sig AS sig1, b.sig AS sig2
        |  FROM banded a JOIN banded b

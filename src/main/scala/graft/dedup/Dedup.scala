@@ -186,17 +186,23 @@ object Dedup {
       .select(col("doc_id"), packed.as("sig"))
   }
 
-  /** SimHash near-dup pairs: bucket by the signature's bytes (4 bands
-    * of 8 bits for 32-bit sigs), verify by Hamming distance.
+  /** SimHash near-dup pairs: bucket by the signature's 8 nibble bands
+    * (4 bits each for 32-bit sigs), verify by Hamming distance.
+    * Pigeonhole: a pair within Hamming distance d shares at least one
+    * of 8 bands whenever d <= 7, so recall is EXACT for
+    * maxHamming <= 7 (byte bands would silently miss pairs with one
+    * differing bit in every band).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, maxHamming: Int = 4)
     : DataFrame = {
+    require(maxHamming <= 7,
+      s"nibble banding guarantees recall only for maxHamming <= 7")
     val sigs = simhashSignatures(TextFunctions.shinglePostings(
       docs, idCol, textCol, shingleSize, distinct = true))
     val banded = sigs.withColumn("band", explode(array(
-      (0 until 4).map(b => concat(lit(b + "|"),
-        shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)))): _*)))
+      (0 until 8).map(b => concat(lit(b + "|"),
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(15L)))): _*)))
     banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),

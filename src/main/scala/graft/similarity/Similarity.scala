@@ -142,9 +142,9 @@ object Similarity {
   def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
     val allSigns = planeSigns(planes, dim)
     val bits = (0 until planes).map { h =>
-      val signs = array(allSigns(h).map(lit): _*)
-      val proj = aggregate(zip_with(vec, signs, (x, s) => x * s),
-        lit(0.0), (acc, v) => acc + v)
+      // codegen'd dot against the literal plane; same left-to-right
+      // summation as the interpreted fold, so buckets are unchanged
+      val proj = dot(vec, array(allSigns(h).map(lit): _*))
       when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << h)
     }
     bits.reduce(_ + _).cast("long")

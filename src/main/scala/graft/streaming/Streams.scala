@@ -63,6 +63,11 @@ object Streams {
           sorted.foreach { e =>
             val t = e.ts.getTime
             sessions match {
+              // late (out-of-order) event: merge into the open session
+              // without regressing lastTs, extending start if needed
+              case cur :: rest if t <= cur.lastTs =>
+                sessions = cur.copy(start = math.min(cur.start, t),
+                  n = cur.n + 1, sum = cur.sum + e.value) :: rest
               case cur :: rest if t - cur.lastTs <= gapMs =>
                 sessions = cur.copy(lastTs = t, n = cur.n + 1,
                   sum = cur.sum + e.value) :: rest

@@ -49,9 +49,11 @@ object TextFunctions {
   /** Mean token length, 4-dp rounded. */
   def meanTokenLen(text: Column): Column = {
     val toks = tokens(text)
-    round(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)) /
-        greatest(size(toks), lit(1)).cast("double"), 4)
+    // null (not 0.0) for token-less docs — matches SQL list_sum([])
+    when(size(toks) === 0, lit(null).cast("double"))
+      .otherwise(round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)) /
+          size(toks).cast("double"), 4))
   }
 
   /** Composite quality score in [0,1]: long-enough, low punctuation,
@@ -101,9 +103,10 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))
     val cnt = size(toks)
-    transform(
-      sequence(lit(0), greatest(cnt - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(cnt >= n,
+      transform(sequence(lit(0), cnt - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Word n-gram shingle postings `(doc_id, shingle)` — the

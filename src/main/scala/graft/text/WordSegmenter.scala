@@ -110,7 +110,9 @@ object WordSegmenter {
           val toks =
             if (r.isNullAt(1)) Seq.empty[String]
             else m.segment(r.getString(1))
-          Row(r.getLong(0), toks, toks.length.toLong)
+          val id: java.lang.Long =
+            if (r.isNullAt(0)) null else r.getLong(0)
+          Row(id, toks, toks.length.toLong)
         }
       }(enc)
     ds.toDF()

@@ -4,10 +4,12 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
   DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes,
+  Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.AbstractDataType
 
 /** Bounded top-k buffer: keeps the k best (score, id) pairs, ordered
   * by score DESC then id ASC (the deterministic-tiebreak contract the
@@ -56,7 +58,10 @@ case class TopKBy(
     score: Expression, id: Expression, kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, LongType, IntegerType)
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
   require(kExpr.foldable, "k must be a literal")

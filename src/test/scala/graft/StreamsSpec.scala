@@ -48,6 +48,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges late events without regressing the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Streams.Event(1L, ts(0), 1.0),
+        Streams.Event(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      // late replay from before the session: merges, must NOT close it
+      mem.addData(Streams.Event(1L, ts(2), 4.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Event(1L, ts(30), 8.0)) // closes (gap 25m)
+      q.processAllAvailable()
+      val rows = spark.table("sess_late")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 3L, 7.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
