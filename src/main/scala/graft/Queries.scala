@@ -441,6 +441,40 @@ object Queries {
       |  SELECT t[-1] AS affix, 'suffix' AS kind FROM toks)
       |GROUP BY affix, kind""".stripMargin
 
+  /** Exact interpolated percentiles per group (price distribution
+    * stats — the popularity/qrank percentile analysis analog). */
+  val q25_quantiles: QFn = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2)
+          .as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 2)
+          .as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 2)
+          .as("p99"))
+
+  val q25_sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** ROLLUP hierarchy totals (OLAP cube slice — collection counts at
+    * every hierarchy level). */
+  val q26_rollup: QFn = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q26_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
   // ---------------------------------------------------------------
   // Text analysis (documents)
   // ---------------------------------------------------------------
@@ -913,6 +947,8 @@ object Queries {
     "q22_avatar_assign" -> q22_avatar_assign,
     "q23_affix_freq" -> q23_affix_freq,
     "q24_word_segmentation" -> q24_word_segmentation,
+    "q25_quantiles" -> q25_quantiles,
+    "q26_rollup" -> q26_rollup,
     "t01_token_count" -> t01_token_count,
     "t02_quality_score" -> t02_quality_score,
     "t03_langid" -> t03_langid,
@@ -957,6 +993,8 @@ object Queries {
     "q21_ndcg" -> q21_sql,
     "q22_avatar_assign" -> q22_sql,
     "q23_affix_freq" -> q23_sql,
+    "q25_quantiles" -> q25_sql,
+    "q26_rollup" -> q26_sql,
     "t01_token_count" -> t01_sql,
     "t02_quality_score" -> t02_sql,
     "t03_langid" -> t03_sql,
