@@ -203,14 +203,17 @@ object Dedup {
     val banded = sigs.withColumn("band", explode(array(
       (0 until 8).map(b => concat(lit(b + "|"),
         shiftright(col("sig"), b * 4).bitwiseAND(lit(15L)))): _*)))
+    // Hamming cut BEFORE dedup: the filter depends only on the sigs
+    // (functionally dependent on the ids), so distinct-then-filter and
+    // filter-then-distinct agree — but filtering first shrinks the
+    // distinct's shuffle from all band collisions to true matches
     banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(
-        col("sig2"))).cast("long"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
       .select("id1", "id2", "hamming")
   }
 }
