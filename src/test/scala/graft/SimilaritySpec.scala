@@ -64,6 +64,20 @@ class SimilaritySpec extends SparkSpec {
       (2L, 0, 0.1, 5L)))
   }
 
+  test("partitioned and declarative brute-force kNN are identical") {
+    val e = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val probes = e.filter(col("vec_id") < 20)
+    val a = Similarity.bruteForceTopK(e, probes, 4)
+      .select("probe_id", "vec_id", "cos", "rnk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val b = Similarity.bruteForceTopKPartitioned(e, probes, 4)
+      .select("probe_id", "vec_id", "cos", "rnk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("ivfTopK finds the identical vector through its list") {
     val vecs = (0L until 20L).map(i =>
       (i, Seq.tabulate(4)(j => math.sin(i * 7 + j).abs + 0.1)))
