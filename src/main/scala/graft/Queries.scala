@@ -475,6 +475,50 @@ object Queries {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  /** Declarative cross-tab: per-user event counts pivoted by type
+    * (explicit value list keeps columns deterministic at any scale —
+    * pivot without values triggers an extra distinct job). */
+  val q27_pivot: QFn = (s, d) =>
+    t(s, d, "events")
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val q27_sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Deterministic hash split (train/val/test): content-hash bucket,
+    * engine-portable (md5), reproducible across runs and engines —
+    * the right way to carve eval sets out of a 100 TB corpus (a
+    * rand() sample is neither reproducible nor join-stable). */
+  val q28_hash_split: QFn = (s, d) => {
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")),
+      1, 8), 16, 10).cast("long") % 100
+    t(s, d, "orders")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  val q28_sql: String =
+    """SELECT CASE
+      |    WHEN (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100) < 80 THEN 'train'
+      |    WHEN (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100) < 90 THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------
   // Text analysis (documents)
   // ---------------------------------------------------------------
@@ -949,6 +993,8 @@ object Queries {
     "q24_word_segmentation" -> q24_word_segmentation,
     "q25_quantiles" -> q25_quantiles,
     "q26_rollup" -> q26_rollup,
+    "q27_pivot" -> q27_pivot,
+    "q28_hash_split" -> q28_hash_split,
     "t01_token_count" -> t01_token_count,
     "t02_quality_score" -> t02_quality_score,
     "t03_langid" -> t03_langid,
@@ -995,6 +1041,8 @@ object Queries {
     "q23_affix_freq" -> q23_sql,
     "q25_quantiles" -> q25_sql,
     "q26_rollup" -> q26_sql,
+    "q27_pivot" -> q27_sql,
+    "q28_hash_split" -> q28_sql,
     "t01_token_count" -> t01_sql,
     "t02_quality_score" -> t02_sql,
     "t03_langid" -> t03_sql,
