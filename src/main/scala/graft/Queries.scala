@@ -446,20 +446,20 @@ object Queries {
   val q25_quantiles: QFn = (s, d) =>
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2)
-          .as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 2)
-          .as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 2)
-          .as("p99"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+      .select(col("l_returnflag"),
+        round(col("ps").getItem(0), 2).as("p50"),
+        round(col("ps").getItem(1), 2).as("p90"),
+        round(col("ps").getItem(2), 2).as("p99"))
 
   val q25_sql: String =
     """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-      |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+      |  round(ps[1], 2) AS p50, round(ps[2], 2) AS p90,
+      |  round(ps[3], 2) AS p99
+      |FROM (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS ps
+      |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
 
   /** ROLLUP hierarchy totals (OLAP cube slice — collection counts at
     * every hierarchy level). */

@@ -5,14 +5,15 @@ import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, DotProduct, T
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Embedding similarity search over `array<float>` columns.
+/** Embedding similarity search over `array<double>` columns.
   *
-  * All vector math is codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) — no UDFs, no driver-side loops — so the
-  * same plan runs on 100 TB of embeddings: broadcast the (small) probe
-  * set, score every row map-side, and keep top-k with a
-  * TakeOrdered / window-rank, never materializing the full cross
-  * product.
+  * Vector math runs through the custom codegen'd Catalyst expressions
+  * ([[org.apache.spark.sql.graft.CosineSimilarity]] /
+  * [[org.apache.spark.sql.graft.DotProduct]]) — no UDFs, no
+  * interpreted higher-order folds — and top-k uses the bounded-heap
+  * [[org.apache.spark.sql.graft.TopKBy]] aggregate, so the same plan
+  * runs on 100 TB of embeddings: broadcast the (small) probe set,
+  * score map-side, shuffle only |probes| x k rows.
   */
 object Similarity {
 
