@@ -403,8 +403,7 @@ object Queries {
     * create_merged.py:849): hash-bucket the canonical name into a
     * small pool dim and broadcast-join the pick. */
   val q22_avatar_assign: QFn = (s, d) => {
-    val bucket = conv(substring(md5(lower(trim(col("c_name")))), 1, 8),
-      16, 10).cast("long") % 25
+    val bucket = md5Bucket(lower(trim(col("c_name")))) % 25
     t(s, d, "customer")
       .join(broadcast(t(s, d, "nation")),
         bucket === col("n_nationkey"))
@@ -484,7 +483,7 @@ object Queries {
       .pivot("event_type",
         Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
 
   val q27_sql: String =
     """SELECT user_id,
@@ -500,8 +499,7 @@ object Queries {
     * the right way to carve eval sets out of a 100 TB corpus (a
     * rand() sample is neither reproducible nor join-stable). */
   val q28_hash_split: QFn = (s, d) => {
-    val bucket = conv(substring(md5(col("o_orderkey").cast("string")),
-      1, 8), 16, 10).cast("long") % 100
+    val bucket = md5Bucket(col("o_orderkey").cast("string")) % 100
     t(s, d, "orders")
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val")
@@ -775,6 +773,13 @@ object Queries {
   // ---------------------------------------------------------------
   // Similarity search (embeddings)
   // ---------------------------------------------------------------
+
+  /** Engine-portable hash bucket: first 8 hex chars of md5 as a
+    * non-negative BIGINT (DuckDB mirror: ('0x'||substr(md5(x),1,8))::BIGINT).
+    * The 8-char cap keeps the value inside a signed long on both
+    * engines. */
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   private def embD(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
