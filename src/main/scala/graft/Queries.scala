@@ -967,6 +967,40 @@ object Queries {
       |  max(value) AS max_value
       |FROM events GROUP BY user_id""".stripMargin
 
+
+  /** Moving-window aggregate (trailing 4-event average per user) —
+    * the frame-based window family. */
+  val e04_moving_avg: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      .rowsBetween(-3, Window.currentRow)
+    e.withColumn("mavg", round(avg("value").over(w), 4))
+      .select("user_id", "event_id", "ms", "mavg")
+  }
+
+  val e04_sql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |  round(avg(value) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ms(ts), event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+      |FROM events""".stripMargin
+
+  /** Quartile assignment by account balance (ntile) — single global
+    * window here; at scale the same op range-partitions first. */
+  val q29_ntile: QFn = (s, d) =>
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(Window
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc))
+          .cast("long").as("quartile"))
+
+  val q29_sql: String =
+    """SELECT c_custkey, c_acctbal,
+      |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |FROM customer""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1018,7 +1052,9 @@ object Queries {
     "m02_feature_stub" -> m02_feature_stub,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
-    "e03_user_stats" -> e03_user_stats)
+    "e03_user_stats" -> e03_user_stats,
+    "e04_moving_avg" -> e04_moving_avg,
+    "q29_ntile" -> q29_ntile)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -1065,5 +1101,7 @@ object Queries {
     "m01_binary_meta" -> m01_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,
-    "e03_user_stats" -> e03_sql)
+    "e03_user_stats" -> e03_sql,
+    "e04_moving_avg" -> e04_sql,
+    "q29_ntile" -> q29_sql)
 }
