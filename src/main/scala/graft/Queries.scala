@@ -169,16 +169,21 @@ object Queries {
       |WHERE o_custkey IN (
       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin
 
+  /** Customers with no finished order — the anti-join is against a
+    * FILTERED orders side so the result is non-empty at every SF (an
+    * anti-join on all orders matches zero customers in this data and
+    * the oracle hash would verify an empty set). */
   val q10_anti_join: QFn = (s, d) =>
     t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
   val q10_sql: String =
     """SELECT c_custkey, c_name FROM customer
       |WHERE NOT EXISTS (
-      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
 
   val q11_regex_filter: QFn = (s, d) =>
     t(s, d, "part")
@@ -749,26 +754,41 @@ object Queries {
   }
 
   /** Embedding-cosine near-duplicate pairs (the modern semantic-dedup
-    * path): brute-force pairs above a high cosine threshold. */
-  val d05_embedding_dedup: QFn = (s, d) => {
-    val e = embD(s, d)
-    e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      .join(broadcast(e.select(col("vec_id").as("id2"),
-        col("embedding").as("v2"))))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
-      .filter(col("cos") >= 0.95)
-      .select("id1", "id2", "cos")
-  }
+    * path) through banded hyperplane LSH: candidates only from shared
+    * (band, bucket) keys — ids-only shuffles, exact cosine verify
+    * inside candidates, NO all-pairs BroadcastNestedLoopJoin. The
+    * 0.4 threshold is calibrated to this corpus (max pairwise cosine
+    * at sf0.01 is 0.51), so the oracle verifies a non-empty result. */
+  val d05_embedding_dedup: QFn = (s, d) =>
+    Similarity.bandedLshNeighborPairs(embD(s, d), bands = 4,
+      bandBits = 4, dim = 64, minCos = 0.4)
 
-  val d05_sql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |SELECT a.vec_id AS id1, b.vec_id AS id2,
-      |  round(list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE round(list_dot_product(a.v, b.v) /
-      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95""".stripMargin
+  /** Oracle mirror of the banded-LSH dedup: the deterministic ±1
+    * plane components are plan-time literals — inlined into the SQL,
+    * bucketing reproduced band by band. */
+  val d05_sql: String = {
+    val signs = Similarity.planeSigns(16, 64)
+    val bandSelects = (0 until 4).map { b =>
+      val bits = (0 until 4).map { i =>
+        val arr = signs(b * 4 + i).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $arr::DOUBLE[]) >= 0 " +
+          s"THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, '$b|' || ($bits)::VARCHAR AS band FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.vec_id < b.vec_id)
+       |SELECT id1, id2,
+       |  round(list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+       |FROM cand JOIN e x ON id1 = x.vec_id JOIN e y ON id2 = y.vec_id
+       |WHERE round(list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Similarity search (embeddings)
@@ -896,9 +916,16 @@ object Queries {
       |  sha256(text) AS sha
       |FROM documents""".stripMargin
 
+  /** Rows-only check (stub decoder has no oracle): features emitted as
+    * a 4-dp CSV string, not array<float> — raw float arrays are
+    * unsortable/unhashable in the harness's pandas compare. */
   val m02_feature_stub: QFn = (s, d) =>
     Multimodal.extractFeatures(s,
       Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+      .select(col("media_id"), col("n_bytes"),
+        array_join(transform(col("features"),
+          f => round(f.cast("double"), 4).cast("string")), ",")
+          .as("features_csv"))
 
   // ---------------------------------------------------------------
   // Events
@@ -987,18 +1014,266 @@ object Queries {
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
       |FROM events""".stripMargin
 
-  /** Quartile assignment by account balance (ntile) — single global
-    * window here; at scale the same op range-partitions first. */
+  /** Quartile assignment by account balance — the scale-safe global
+    * ntile: range-partition + per-partition ranks + offset arithmetic
+    * ([[Relational.globalNtile]]); no single-partition WindowExec
+    * anywhere in the plan. */
   val q29_ntile: QFn = (s, d) =>
-    t(s, d, "customer")
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(Window
-          .orderBy(col("c_acctbal").asc, col("c_custkey").asc))
-          .cast("long").as("quartile"))
+    Relational.globalNtile(
+      t(s, d, "customer").select("c_custkey", "c_acctbal"),
+      buckets = 4, rangeParts = 32, bucketCol = "quartile",
+      col("c_acctbal").asc, col("c_custkey").asc)
 
   val q29_sql: String =
     """SELECT c_custkey, c_acctbal,
       |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Round-2 surface: nested JSON, skeleton normalization, field-wise
+  // merge, dump ingest, entity triples, type-set + by-X filters
+  // ---------------------------------------------------------------
+
+  /** Nested JSON path extraction (get_nested_field analog,
+    * update_es.py): a nested doc is built deterministically from event
+    * fields (props is flat in this data), then dotted / indexed paths
+    * are extracted with missing-path nulls — all codegen'd JsonPath,
+    * no per-row walk. */
+  val q30_nested_json: QFn = (s, d) => {
+    val doc = concat(lit("{\"evt\":{\"type\":\""), col("event_type"),
+      lit("\",\"tags\":[\"x\",\""), col("event_type"),
+      lit("\"],\"payload\":"), col("props"), lit("}}"))
+    t(s, d, "events")
+      .select(col("event_id"), doc.as("doc"))
+      .select(col("event_id"),
+        graft.operators.JsonOps.nestedField(col("doc"), "evt.type")
+          .as("etype"),
+        graft.operators.JsonOps.nestedField(col("doc"), "evt.tags[1]")
+          .as("tag1"),
+        graft.operators.JsonOps
+          .nestedFieldAs(col("doc"), "evt.payload.k", "long").as("k"),
+        graft.operators.JsonOps
+          .nestedField(col("doc"), "evt.payload.missing").as("missing"))
+  }
+
+  val q30_sql: String =
+    """WITH j AS (SELECT event_id,
+      |    '{"evt":{"type":"' || event_type || '","tags":["x","' ||
+      |    event_type || '"],"payload":' || props || '}}' AS doc
+      |  FROM events)
+      |SELECT event_id,
+      |  json_extract_string(doc, '$.evt.type') AS etype,
+      |  json_extract_string(doc, '$.evt.tags[1]') AS tag1,
+      |  CAST(json_extract_string(doc, '$.evt.payload.k') AS BIGINT) AS k,
+      |  json_extract_string(doc, '$.evt.payload.missing') AS missing
+      |FROM j""".stripMargin
+
+  /** Confusable-skeleton normalization (ens-normalize / UTS-39 public
+    * subset — force_normalize analog): homoglyph-spoofed + emoji/ZWJ
+    * decorated names are built deterministically from customer names
+    * (so the oracle actually bites on non-ASCII input), then collapsed
+    * to their Latin skeleton by the codegen'd
+    * [[org.apache.spark.sql.graft.ConfusableSkeleton]] expression. */
+  // homoglyph spoof table (latin -> cyrillic) and emoji decoration,
+  // spelled as explicit codepoints so the Spark and oracle copies
+  // cannot drift through invisible characters
+  private val spoofTo = "аеорс" // а е о р с
+  private val emojiDeco = "🚀‍✨" // 🚀 ZWJ ✨
+
+  val q31_skeleton_normalize: QFn = (s, d) => {
+    import org.apache.spark.sql.graft.{ColumnBridge, ConfusableSkeleton}
+    val spoofed = when(pmod(col("c_custkey"), lit(3)) === 0,
+      translate(col("c_name"), "aeopc", spoofTo))
+      .otherwise(col("c_name"))
+    val dirty = concat(spoofed,
+      when(pmod(col("c_custkey"), lit(5)) === 0,
+        lit(emojiDeco)).otherwise(lit("")))
+    val skel = ColumnBridge.column(
+      ConfusableSkeleton(ColumnBridge.expression(dirty)))
+    t(s, d, "customer")
+      .select(col("c_custkey"), dirty.as("dirty"), skel.as("skel"),
+        (skel === col("c_name")).as("roundtrip"))
+  }
+
+  /** Oracle mirror: same dirty-name construction (codepoints via
+    * chr() — no literal-encoding drift), then the documented skeleton
+    * equivalence nfc → strip → translate with the confusable table
+    * inlined from [[org.apache.spark.sql.graft.Skeletonize]]. */
+  val q31_sql: String = {
+    import org.apache.spark.sql.graft.Skeletonize
+    def chrs(s: String): String =
+      s.codePoints().toArray.map(cp => s"chr($cp)").mkString(" || ")
+    val from = Skeletonize.confusables.map(_._1).mkString
+    val to = Skeletonize.confusables.map(_._2).mkString
+    val strip = Skeletonize.stripClass
+    s"""WITH dirty AS (SELECT c_custkey, c_name,
+       |    (CASE WHEN c_custkey % 3 = 0
+       |      THEN translate(c_name, 'aeopc', ${chrs(spoofTo)})
+       |      ELSE c_name END) ||
+       |    (CASE WHEN c_custkey % 5 = 0
+       |      THEN ${chrs(emojiDeco)} ELSE '' END) AS dirty
+       |  FROM customer)
+       |SELECT c_custkey, dirty,
+       |  translate(regexp_replace(nfc_normalize(dirty), '$strip', '', 'g'),
+       |    ${chrs(from)}, '$to') AS skel,
+       |  translate(regexp_replace(nfc_normalize(dirty), '$strip', '', 'g'),
+       |    ${chrs(from)}, '$to') = c_name AS roundtrip
+       |FROM dirty""".stripMargin
+  }
+
+  /** Field-wise collection merge (merge_collections analog,
+    * create_merged.py:549): two snapshots of the same keyed entity
+    * with different coverage/nulls, merged field-by-field keeping the
+    * better-ranked source's value per FIELD (not per row) —
+    * [[Relational.fieldMergeByRank]]. */
+  val q32_field_merge: QFn = (s, d) => {
+    val c = t(s, d, "customer")
+    val a = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey").as("key"), lit(1L).as("rnk"),
+        col("c_name").as("name"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          lit(null).cast("string")).otherwise(col("c_mktsegment"))
+          .as("segment"),
+        round(col("c_acctbal"), 2).as("bal"))
+    val b = c
+      .select(col("c_custkey").as("key"), lit(2L).as("rnk"),
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          lit(null).cast("string"))
+          .otherwise(concat(lit("fallback:"), col("c_name")))
+          .as("name"),
+        col("c_mktsegment").as("segment"),
+        lit(null).cast("double").as("bal"))
+    Relational.fieldMergeByRank(a, b, "key", "rnk",
+      Seq("name", "segment", "bal"))
+  }
+
+  val q32_sql: String = {
+    val max = Long.MaxValue
+    s"""WITH a AS (SELECT c_custkey AS key, CAST(1 AS BIGINT) AS rnk,
+       |    c_name AS name,
+       |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+       |         ELSE c_mktsegment END AS segment,
+       |    round(c_acctbal, 2) AS bal
+       |  FROM customer WHERE c_custkey % 2 = 0),
+       |b AS (SELECT c_custkey AS key, CAST(2 AS BIGINT) AS rnk,
+       |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+       |         ELSE 'fallback:' || c_name END AS name,
+       |    c_mktsegment AS segment, CAST(NULL AS DOUBLE) AS bal
+       |  FROM customer)
+       |SELECT coalesce(a.key, b.key) AS key,
+       |  CASE WHEN coalesce(a.rnk, $max) <= coalesce(b.rnk, $max)
+       |    THEN coalesce(a.name, b.name)
+       |    ELSE coalesce(b.name, a.name) END AS name,
+       |  CASE WHEN coalesce(a.rnk, $max) <= coalesce(b.rnk, $max)
+       |    THEN coalesce(a.segment, b.segment)
+       |    ELSE coalesce(b.segment, a.segment) END AS segment,
+       |  CASE WHEN coalesce(a.rnk, $max) <= coalesce(b.rnk, $max)
+       |    THEN coalesce(a.bal, b.bal)
+       |    ELSE coalesce(b.bal, a.bal) END AS bal,
+       |  least(coalesce(a.rnk, $max), coalesce(b.rnk, $max)) AS src_rank
+       |FROM a FULL OUTER JOIN b ON a.key = b.key""".stripMargin
+  }
+
+  /** Wiki-SQL-dump ingest round-trip (create_inlets.py's
+    * INSERT-statement parser): nation is serialized into MySQL-dump
+    * INSERT lines (one statement per region, quote-escaped), parsed
+    * back by [[graft.sources.TextSources.parseSqlDumpTuples]], and the
+    * oracle is the ORIGINAL table — a parser bug breaks the hash. */
+  val q33_sql_dump_parse: QFn = (s, d) => {
+    val tup = concat(lit("("), col("n_nationkey"), lit(",'"),
+      regexp_replace(col("n_name"), "'", "''"), lit("',"),
+      col("n_regionkey"), lit(")"))
+    val lines = t(s, d, "nation")
+      .groupBy("n_regionkey")
+      .agg(concat(lit("INSERT INTO `nation` VALUES "),
+        array_join(array_sort(collect_list(tup)), ","), lit(";"))
+        .as("line"))
+      .select("line")
+    graft.sources.TextSources
+      .parseSqlDumpTuples(lines, "line",
+        Seq("n_nationkey", "n_name", "n_regionkey"))
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+  }
+
+  val q33_sql: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation""".stripMargin
+
+  /** Wikidata-entity explode (create_inlets.py's entity → statement
+    * rows): a JSON entity doc per customer, parsed and exploded to
+    * (entity_id, predicate, value) triples. The oracle emits the
+    * triples directly from the base table — a serialization/parse bug
+    * on the Spark side breaks the hash. */
+  val q34_entity_triples: QFn = (s, d) => {
+    val entity = to_json(struct(col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_mktsegment").as("segment"),
+      col("c_nationkey").as("nation")))
+    t(s, d, "customer")
+      .select(from_json(entity,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"))
+      .select(element_at(col("m"), "id").cast("long").as("entity_id"),
+        explode(map_filter(col("m"), (k, _) => k =!= "id"))
+          .as(Seq("predicate", "value")))
+  }
+
+  val q34_sql: String =
+    """SELECT c_custkey AS entity_id, 'name' AS predicate,
+      |  c_name AS value FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'segment', c_mktsegment FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'nation', c_nationkey::VARCHAR FROM customer""".stripMargin
+
+  /** Type-set filter (should_filter_by_type analog,
+    * create_merged.py:591): each entity carries an array of type
+    * tags; entities whose tag set intersects a banned set are dropped
+    * — `arrays_overlap` is codegen'd, no explode needed. */
+  val q35_type_filter: QFn = (s, d) => {
+    val types = array(col("c_mktsegment"),
+      concat(lit("tier"), pmod(col("c_custkey"), lit(3))))
+    t(s, d, "customer")
+      .withColumn("types", types)
+      .filter(!arrays_overlap(col("types"),
+        array(lit("MACHINERY"), lit("tier1"))))
+      .select(col("c_custkey"),
+        array_join(col("types"), ",").as("type_set"))
+  }
+
+  val q35_sql: String =
+    """SELECT c_custkey,
+      |  array_to_string([c_mktsegment, 'tier' || (c_custkey % 3)], ',')
+      |    AS type_set
+      |FROM customer
+      |WHERE NOT list_has_any([c_mktsegment, 'tier' || (c_custkey % 3)],
+      |  ['MACHINERY', 'tier1'])""".stripMargin
+
+  /** "by X" heuristic flag (should_filter_by_by analog,
+    * create_merged.py:607): names of the form "… by someone" are
+    * attribution-style and filtered by the reference; the flag is a
+    * plain regex test. Deterministic " by …" suffixes are injected so
+    * both branches are exercised. */
+  val q36_by_filter: QFn = (s, d) => {
+    val name = concat(col("c_name"),
+      when(pmod(col("c_custkey"), lit(7)) === 0,
+        concat(lit(" by "), lower(col("c_mktsegment"))))
+        .otherwise(lit("")))
+    t(s, d, "customer")
+      .select(col("c_custkey"), name.as("coll_name"))
+      .withColumn("by_flag", col("coll_name").rlike(" by [a-z]"))
+  }
+
+  val q36_sql: String =
+    """SELECT c_custkey,
+      |  c_name || (CASE WHEN c_custkey % 7 = 0
+      |    THEN ' by ' || lower(c_mktsegment) ELSE '' END) AS coll_name,
+      |  regexp_matches(c_name || (CASE WHEN c_custkey % 7 = 0
+      |    THEN ' by ' || lower(c_mktsegment) ELSE '' END),
+      |    ' by [a-z]') AS by_flag
       |FROM customer""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1054,7 +1329,14 @@ object Queries {
     "e02_sessionize" -> e02_sessionize,
     "e03_user_stats" -> e03_user_stats,
     "e04_moving_avg" -> e04_moving_avg,
-    "q29_ntile" -> q29_ntile)
+    "q29_ntile" -> q29_ntile,
+    "q30_nested_json" -> q30_nested_json,
+    "q31_skeleton_normalize" -> q31_skeleton_normalize,
+    "q32_field_merge" -> q32_field_merge,
+    "q33_sql_dump_parse" -> q33_sql_dump_parse,
+    "q34_entity_triples" -> q34_entity_triples,
+    "q35_type_filter" -> q35_type_filter,
+    "q36_by_filter" -> q36_by_filter)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -1103,5 +1385,12 @@ object Queries {
     "e02_sessionize" -> e02_sql,
     "e03_user_stats" -> e03_sql,
     "e04_moving_avg" -> e04_sql,
-    "q29_ntile" -> q29_sql)
+    "q29_ntile" -> q29_sql,
+    "q30_nested_json" -> q30_sql,
+    "q31_skeleton_normalize" -> q31_sql,
+    "q32_field_merge" -> q32_sql,
+    "q33_sql_dump_parse" -> q33_sql,
+    "q34_entity_triples" -> q34_sql,
+    "q35_type_filter" -> q35_sql,
+    "q36_by_filter" -> q36_sql)
 }

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -109,16 +110,33 @@ object Dedup {
     verifyJaccard(pairs, threshold)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted-index shingle
-    * join (no LSH): explode shingles, self-join on shingle, count
-    * intersections, compute |A∩B| / (|A|+|B|-|A∩B|). The shuffle key
-    * is the shingle — the inverted-index join pattern; `maxDf` drops
-    * ubiquitous shingles (quadratic fanout, no signal), mirroring
-    * document-frequency pruning in similarity-join literature.
+  /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
+    * inverted-index join (the AllPairs / PPJoin candidate-generation
+    * family from the set-similarity-join literature, public):
+    *
+    *  1. `maxDf` drops ubiquitous shingles (quadratic fanout, no
+    *     signal) — document-frequency pruning, mirrored by the oracle.
+    *  2. Within the pruned universe each doc's shingles are sorted in
+    *     the GLOBAL order (df asc, shingle asc); only the first
+    *     n' − ⌈t·n'⌉ + 1 of them (its *prefix*) enter the index. A
+    *     pair with pruned-Jaccard ≥ t shares ≥ ⌈t·n'⌉ shingles with
+    *     each side, so its prefix must hit the other doc's postings —
+    *     recall is EXACT, but candidate generation now lives in the
+    *     LOW-df shingle buckets, killing the quadratic blowup that a
+    *     plain shingle self-join hits inside frequent-shingle buckets.
+    *  3. A length filter (t·max ≤ min) cuts survivors, then exact
+    *     verification over the full pruned sets computes
+    *     |A∩B| / (|A|+|B|−|A∩B|) with FULL doc sizes — identical
+    *     output (and oracle hash) to the unfiltered join.
+    *
+    * The prefix bound uses t − 1e-4/2 so pairs that only pass the
+    * threshold after 4-dp rounding are still generated.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 200): DataFrame = {
+    // rounding slack: final filter is round(j,4) >= t
+    val t = threshold - 0.00005
     val posting = TextFunctions.shinglePostings(docs, idCol, textCol,
       shingleSize, distinct = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -126,16 +144,43 @@ object Dedup {
     val pruned = posting.join(
       posting.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf),
-      Seq("shingle"), "left_semi")
-    val inter = pruned.as("a").join(pruned.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+      Seq("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // prefix postings: rank within doc by global (df, shingle) order
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("shingle").asc)
+    val ranked = pruned
+      .withColumn("r", row_number().over(wDoc))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("r") <=
+        col("np") - ceil(col("np") * t) + 1)
+      .select("shingle", "doc_id")
+    // candidates: a doc's prefix vs the other doc's FULL pruned
+    // postings (prefix-vs-full is exactly recall-complete; the join
+    // key is the shingle, and prefixes live in rare shingles)
+    val cand = prefix.as("a")
+      .join(pruned.select("shingle", "doc_id").as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+      .distinct()
+    // length filter on FULL sizes (j >= t implies t·max <= min), then
+    // exact verify over the full pruned sets
+    val sets = pruned.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh"))
+    cand
       .join(sizes.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("n", "n1"), "id1")
       .join(sizes.withColumnRenamed("doc_id", "id2")
         .withColumnRenamed("n", "n2"), "id2")
+      .filter(col("n1") >= col("n2") * t && col("n2") >= col("n1") * t)
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", round(col("inter") /
         (col("n1") + col("n2") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)

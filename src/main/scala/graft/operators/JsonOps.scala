@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Nested JSON path access — the reference's get_nested_field
+  * (update_es.py) walks dotted paths through nested ES documents,
+  * returning None when any step is missing. Here the same access is a
+  * single codegen'd JsonPath evaluation per column (get_json_object),
+  * null on missing paths — no per-row Python walk, so it runs at scan
+  * speed over a 100 TB JSON column.
+  */
+object JsonOps {
+
+  /** Extract `path` ("a.b.c" or "a.items[2].id") from a JSON string
+    * column; null when any step of the path is absent. */
+  def nestedField(doc: Column, path: String): Column =
+    get_json_object(doc, "$." + path)
+
+  /** [[nestedField]] with a target type (null on cast failure too —
+    * mirrors the reference's tolerant field reads). */
+  def nestedFieldAs(doc: Column, path: String, castTo: String): Column =
+    nestedField(doc, path).cast(castTo)
+}

@@ -79,6 +79,74 @@ object Relational {
       .drop("graft_salt")
   }
 
+  /** Global ntile without a single-partition window. Spark's
+    * `ntile(n).over(Window.orderBy(...))` funnels EVERY row through one
+    * task ("WindowExec: No Partition Defined" — the classic
+    * scale-killer); here the same result is computed fully
+    * partitioned: range-partition on the sort order, number rows
+    * per partition (a partitioned window), lift local row numbers to
+    * global ranks via per-partition counts (one tiny row per
+    * partition, bounded by `rangeParts`, collected to the driver),
+    * then bucket with exact ntile arithmetic (first N%n buckets get
+    * the extra row). `order` must be a total order (include a
+    * tiebreak) so global ranks are well-defined wherever the range
+    * boundaries land.
+    */
+  def globalNtile(df: DataFrame, buckets: Int, rangeParts: Int,
+                  bucketCol: String, order: Column*): DataFrame = {
+    require(buckets > 0 && rangeParts > 0)
+    val parted = df.repartitionByRange(rangeParts, order: _*)
+      .withColumn("graft_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one row per range partition — bounded driver state by design
+    val counts = parted.groupBy("graft_pid")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("graft_pid").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val n = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy("graft_pid").orderBy(order: _*)
+    val rn = element_at(typedLit(offsets), col("graft_pid")) +
+      row_number().over(w).cast("long")
+    // ntile semantics: q = N/n rows per bucket, first r = N%n buckets
+    // take one extra. Integer-exact while N < 2^52 (double mantissa).
+    val q = n / buckets
+    val r = n % buckets
+    val cut = (q + 1) * r
+    val bucket =
+      when(rn <= cut, floor((rn + lit(q)) / lit((q + 1).toDouble)))
+        .otherwise(lit(r) +
+          floor((rn - cut + lit(math.max(q, 1) - 1)) /
+            lit(math.max(q, 1).toDouble)))
+    parted.withColumn(bucketCol, bucket.cast("long"))
+      .drop("graft_pid")
+  }
+
+  /** Field-wise merge of two keyed snapshots: for every field take the
+    * value from the better-ranked (lower `rankCol`) source, falling
+    * back to the other source when that value is null — the
+    * struct-level "coalesce by rank" merge of the reference's
+    * merge_collections (create_merged.py:549). One full-outer shuffle
+    * join on the key; per-field logic is pure codegen'd expressions.
+    */
+  def fieldMergeByRank(a: DataFrame, b: DataFrame, key: String,
+                       rankCol: String, fields: Seq[String])
+    : DataFrame = {
+    val pa = a.select(col(key) +:
+      (rankCol +: fields).map(f => col(f).as("a_" + f)): _*)
+    val pb = b.select(col(key) +:
+      (rankCol +: fields).map(f => col(f).as("b_" + f)): _*)
+    val ra = coalesce(col("a_" + rankCol), lit(Long.MaxValue))
+    val rb = coalesce(col("b_" + rankCol), lit(Long.MaxValue))
+    val merged = fields.map { f =>
+      when(ra <= rb, coalesce(col("a_" + f), col("b_" + f)))
+        .otherwise(coalesce(col("b_" + f), col("a_" + f))).as(f)
+    }
+    pa.join(pb, Seq(key), "full_outer")
+      .select(col(key) +: merged :+ least(ra, rb).as("src_rank"): _*)
+  }
+
   /** Related-items by co-occurrence: given (containerKey, itemKey)
     * membership pairs, emit container pairs ranked by shared-item
     * count. This is the reference's related-collections precompute

@@ -71,20 +71,53 @@ object Similarity {
     * TopKBy aggregate. Rounding uses Catalyst's exact semantics
     * (BigDecimal.valueOf + HALF_UP) so results are bit-identical to
     * [[bruteForceTopK]] and the SQL oracle.
+    *
+    * The probe side is processed in bounded batches of at most
+    * `maxProbesInFlight` (split by a deterministic hash of the probe
+    * id), so driver memory and broadcast size stay O(batch) no matter
+    * how large the probe set is — an unbatched collect of a full-corpus
+    * probe set would OOM the driver at scale. Each probe lands in
+    * exactly one batch, so unioning the per-batch partials and merging
+    * with the same bounded-heap aggregate is bit-identical to the
+    * single-pass form (spec-verified).
     */
   def bruteForceTopKPartitioned(corpus: DataFrame, probes: DataFrame,
                                 k: Int, idCol: String = "vec_id",
-                                vecCol: String = "embedding")
+                                vecCol: String = "embedding",
+                                maxProbesInFlight: Int = 8192)
     : DataFrame = {
+    val prepared = probes.select(col(idCol).cast("long").as("pid"),
+      col(vecCol).as("pv"))
+    val nProbes = prepared.count()
+    val nBatches = math.max(1L,
+      (nProbes + maxProbesInFlight - 1) / maxProbesInFlight).toInt
+    val partials = (0 until nBatches).map { b =>
+      val batch = if (nBatches == 1) prepared
+        else prepared.filter(
+          pmod(xxhash64(col("pid")), lit(nBatches.toLong)) === b)
+      partialTopK(corpus, batch, k, maxProbesInFlight, idCol, vecCol)
+    }.reduce(_ unionByName _)
+    topKPerProbe(partials, k)
+  }
+
+  /** One bounded probe batch of [[bruteForceTopKPartitioned]]: collect
+    * the (capped) batch, broadcast, heap-scan the corpus. */
+  private def partialTopK(corpus: DataFrame, probeBatch: DataFrame,
+                          k: Int, maxProbesInFlight: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val probeArr: Array[(Long, Array[Double])] = probes
-      .select(col(idCol).cast("long"), col(vecCol))
+    val probeArr: Array[(Long, Array[Double])] = probeBatch
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    // 4x slack over the target batch size absorbs hash-split skew;
+    // anything beyond that means the caller bypassed the batching
+    require(probeArr.length <= 4L * maxProbesInFlight,
+      s"probe batch ${probeArr.length} exceeds 4x maxProbesInFlight " +
+        s"($maxProbesInFlight) — unbounded probe collect")
     val bc = spark.sparkContext.broadcast(probeArr)
-    val partials = corpus
+    corpus
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("v"))
       .as[(Long, Array[Double])]
@@ -120,7 +153,6 @@ object Similarity {
         }
       }
       .toDF("probe_id", "vec_id", "cos")
-    topKPerProbe(partials, k)
   }
 
   /** Sign-random-projection (hyperplane) LSH bucketing, RNG-free:
@@ -170,6 +202,46 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         col("cos"))
+  }
+
+  /** Banded (OR-amplified) hyperplane-LSH near-neighbor pairs — the
+    * semantic-dedup scale path. `bands * bandBits` deterministic
+    * hyperplanes are split into `bands` groups; two vectors become
+    * candidates iff they agree on EVERY bit of at least ONE band —
+    * much higher recall near the threshold than the single
+    * all-planes signature in [[lshNeighborPairs]], with the same
+    * scale shape: the only shuffles are keyed on (band, bucket) and
+    * carry ids only; exact cosine runs within candidate pairs; no
+    * all-pairs / BroadcastNestedLoopJoin anywhere. The planes are the
+    * md5-derived [[planeSigns]] literals, so any engine can mirror
+    * the bucketing exactly (the DuckDB oracle inlines them).
+    */
+  def bandedLshNeighborPairs(corpus: DataFrame, bands: Int,
+                             bandBits: Int, dim: Int, minCos: Double,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val allSigns = planeSigns(bands * bandBits, dim)
+    val v = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val bandKeys = (0 until bands).map { b =>
+      val bits = (0 until bandBits).map { i =>
+        val proj = dot(col("v"),
+          array(allSigns(b * bandBits + i).map(lit): _*))
+        when(proj >= 0, lit(1)).otherwise(lit(0)) * lit(1 << i)
+      }.reduce(_ + _)
+      concat(lit(s"$b|"), bits.cast("string"))
+    }
+    val banded = v.withColumn("band", explode(array(bandKeys: _*)))
+      .select("band", "vec_id") // ids only through the band shuffle
+    val cand = banded.as("a").join(banded.as("b"), Seq("band"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
+      .join(v.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= minCos)
+      .select("id1", "id2", "cos")
   }
 
   /** All-pairs k-NN self-join for a bounded corpus slice (exact):

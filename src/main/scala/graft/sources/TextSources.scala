@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Line-oriented sources the reference pipeline consumes
@@ -39,4 +40,38 @@ object TextSources {
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .csv(path)
+
+  /** Parse MySQL-dump `INSERT INTO … VALUES (…),(…);` statements —
+    * the Wikipedia SQL dump shape the reference ingests
+    * (create_inlets.py's page/category/pagelinks parsing) — into one
+    * row per VALUES tuple with `fields` string columns.
+    *
+    * Fully columnar and splittable: each dump line parses
+    * independently (regexp_extract for the VALUES body, split on the
+    * `),(` tuple separator, quote-aware field split via a Java-regex
+    * lookahead), so a multi-TB dump parallelizes by input split with
+    * no driver-side parsing. Quoted strings may contain commas and
+    * parentheses; `''` and `\'` escapes are unescaped. Limitation
+    * (documented): a string containing the literal `),(`  would split
+    * early — a full SQL lexer would be a custom datasource.
+    */
+  def parseSqlDumpTuples(lines: DataFrame, lineCol: String,
+                         fields: Seq[String]): DataFrame = {
+    val body = regexp_extract(col(lineCol),
+      "(?i)VALUES\\s*\\((.*)\\)\\s*;?\\s*$", 1)
+    val exploded = lines
+      .select(explode(split(body, "\\),\\s*\\(")).as("graft_tuple"))
+      .filter(length(col("graft_tuple")) > 0)
+    // split on commas outside single-quoted strings (even number of
+    // quotes to the right of the comma)
+    val parts = split(col("graft_tuple"),
+      ",(?=(?:[^']*'[^']*')*[^']*$)")
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      val raw = trim(element_at(parts, i + 1))
+      val unquoted = regexp_replace(raw, "^'(.*)'$", "$1")
+      regexp_replace(regexp_replace(unquoted, "''", "'"), "\\\\'", "'")
+        .as(f)
+    }
+    exploded.select(cols: _*)
+  }
 }
