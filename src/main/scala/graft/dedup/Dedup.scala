@@ -89,10 +89,18 @@ object Dedup {
     val postings = TextFunctions.shinglePostings(docs, idCol, textCol,
       shingleSize, distinct = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize before the signature/sets branches fan out —
+    // parallel stages would otherwise race-recompute the cache
+    postings.count()
+    // banded is consumed by BOTH sides of the self-join below; persist
+    // + materialize so the signature aggregate runs once, not twice
+    // (one short row per doc x band — tiny at any SF)
     val banded = minhashSignatures(postings, numHashes)
       .withColumn("band", explode(lshBandKeys(col("sig"), bands,
         rowsPerBand)))
       .select("band", "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     // candidates carry ids only — the (possibly skewed) band join
     // never shuffles shingle payloads
     val candidates = banded.as("a")
@@ -137,38 +145,51 @@ object Dedup {
                         maxDf: Int = 200): DataFrame = {
     // rounding slack: final filter is round(j,4) >= t
     val t = threshold - 0.00005
+    // shingle strings collapse to 64-bit hashes immediately: every
+    // downstream shuffle/join/set carries longs, not ~25-byte strings
+    // (3-4x smaller shuffles, cheaper equality). The hash never
+    // reaches the output; a 64-bit collision altering a Jaccard count
+    // needs two colliding shingles inside one doc pair (~2^-64-scale —
+    // below any float-rounding concern).
     val posting = TextFunctions.shinglePostings(docs, idCol, textCol,
       shingleSize, distinct = true)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize ONCE before fan-out: the sizes/df/prefix/sets
+    // branches otherwise race to fill the cache from independent
+    // parallel stages, recomputing the tokenize/window pipeline 2-3x
+    posting.count()
     val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pruned = posting.join(
-      posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+      posting.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf),
-      Seq("shingle"))
+      Seq("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // prefix postings: rank within doc by global (df, shingle) order
+    pruned.count()
+    // prefix postings: rank within doc by the global (df, h) order
+    // (any global total order preserves exact recall)
     val wDoc = Window.partitionBy("doc_id")
-      .orderBy(col("df").asc, col("shingle").asc)
+      .orderBy(col("df").asc, col("h").asc)
     val ranked = pruned
       .withColumn("r", row_number().over(wDoc))
       .withColumn("np", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefix = ranked
       .filter(col("r") <=
         col("np") - ceil(col("np") * t) + 1)
-      .select("shingle", "doc_id")
+      .select("h", "doc_id")
     // candidates: a doc's prefix vs the other doc's FULL pruned
     // postings (prefix-vs-full is exactly recall-complete; the join
-    // key is the shingle, and prefixes live in rare shingles)
+    // key is the shingle hash, and prefixes live in rare shingles)
     val cand = prefix.as("a")
-      .join(pruned.select("shingle", "doc_id").as("b"), Seq("shingle"))
+      .join(pruned.select("h", "doc_id").as("b"), Seq("h"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
       .distinct()
     // length filter on FULL sizes (j >= t implies t·max <= min), then
-    // exact verify over the full pruned sets
+    // exact verify over the full pruned hash-sets
     val sets = pruned.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("sh"))
+      .agg(collect_list(col("h")).as("sh"))
     cand
       .join(sizes.withColumnRenamed("doc_id", "id1")
         .withColumnRenamed("n", "n1"), "id1")
@@ -243,8 +264,14 @@ object Dedup {
     : DataFrame = {
     require(maxHamming <= 7,
       s"nibble banding guarantees recall only for maxHamming <= 7")
+    // persist + materialize: the band self-join consumes sigs on BOTH
+    // sides, and without a materialized cache each side recomputes the
+    // whole tokenize/shingle/vote pipeline (measured 2-5x the query).
+    // One row per doc — trivially memory-resident at any SF.
     val sigs = simhashSignatures(TextFunctions.shinglePostings(
       docs, idCol, textCol, shingleSize, distinct = true))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     val banded = sigs.withColumn("band", explode(array(
       (0 until 8).map(b => concat(lit(b + "|"),
         shiftright(col("sig"), b * 4).bitwiseAND(lit(15L)))): _*)))

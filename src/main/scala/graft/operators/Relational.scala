@@ -167,6 +167,9 @@ object Relational {
     val m = membership.select(col(containerCol).as("container"),
       col(itemCol).as("item")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize before the fanout-filter + two join branches fan
+    // out — parallel stages otherwise race-recompute the cache
+    m.count()
     val fanout = m.groupBy("item")
       .agg(count(lit(1)).as("item_fanout"))
       .filter(col("item_fanout") <= maxItemFanout)
