@@ -112,26 +112,23 @@ object TextFunctions {
   /** Word n-gram shingle postings `(doc_id, shingle)` — the
     * inverted-index shape every dedup/similarity pipeline keys on.
     *
-    * Built codegen-first: `posexplode` the token array once, then
-    * window `lead`s stitch n-grams — no interpreted higher-order
-    * folds in the hot path (those cost ~10x at corpus scale). One
-    * shuffle on doc_id; documents are bounded-length so the window
-    * state is tiny. Docs shorter than one full shingle emit nothing
-    * (mirrors the oracle's `len(toks) >= n` guard).
+    * Built on the codegen'd
+    * [[org.apache.spark.sql.graft.WordShinglesExpr]] expression: the
+    * whole shingle array materializes per document inside whole-stage
+    * codegen and explodes in the same stage — ZERO shuffles until a
+    * consumer aggregates (the earlier posexplode + lead-window form
+    * shuffled and sorted every token of the corpus by doc_id first,
+    * ~6 s of every dedup query at sf0.1). Docs shorter than one full
+    * shingle emit nothing (mirrors the oracle's `len(toks) >= n`
+    * guard).
     */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, distinct: Boolean): DataFrame = {
-    val exploded = docs.select(col(idCol).as("doc_id"),
-      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "token")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val parts = col("token") +: (1 until n).map(i =>
-      lead(col("token"), i).over(w))
-    val out = (if (n == 1) exploded.withColumn("shingle", col("token"))
-      else exploded
-        .withColumn("last_tok", parts.last)
-        .withColumn("shingle", concat_ws(" ", parts: _*))
-        .filter(col("last_tok").isNotNull))
-      .select("doc_id", "shingle")
+    import org.apache.spark.sql.graft.{ColumnBridge, WordShinglesExpr}
+    val sh = ColumnBridge.column(
+      WordShinglesExpr(ColumnBridge.expression(col(textCol)), n))
+    val out = docs.select(col(idCol).as("doc_id"),
+      explode(sh).as("shingle"))
     if (distinct) out.dropDuplicates("doc_id", "shingle") else out
   }
 }
