@@ -1043,17 +1043,19 @@ object Queries {
     val doc = concat(lit("{\"evt\":{\"type\":\""), col("event_type"),
       lit("\",\"tags\":[\"x\",\""), col("event_type"),
       lit("\"],\"payload\":"), col("props"), lit("}}"))
+    // ONE from_json parse for all four paths (each get_json_object
+    // would re-parse the document); missing paths surface as nulls
+    val p = graft.operators.JsonOps.parsedDoc(col("doc"),
+      "evt STRUCT<type: STRING, tags: ARRAY<STRING>, " +
+        "payload: STRUCT<k: BIGINT, missing: STRING>>")
     t(s, d, "events")
       .select(col("event_id"), doc.as("doc"))
       .select(col("event_id"),
-        graft.operators.JsonOps.nestedField(col("doc"), "evt.type")
-          .as("etype"),
-        graft.operators.JsonOps.nestedField(col("doc"), "evt.tags[1]")
-          .as("tag1"),
-        graft.operators.JsonOps
-          .nestedFieldAs(col("doc"), "evt.payload.k", "long").as("k"),
-        graft.operators.JsonOps
-          .nestedField(col("doc"), "evt.payload.missing").as("missing"))
+        p.getField("evt").getField("type").as("etype"),
+        element_at(p.getField("evt").getField("tags"), 2).as("tag1"),
+        p.getField("evt").getField("payload").getField("k").as("k"),
+        p.getField("evt").getField("payload").getField("missing")
+          .as("missing"))
   }
 
   val q30_sql: String =

@@ -21,4 +21,15 @@ object JsonOps {
     * mirrors the reference's tolerant field reads). */
   def nestedFieldAs(doc: Column, path: String, castTo: String): Column =
     nestedField(doc, path).cast(castTo)
+
+  /** Multi-path extraction with ONE parse: declare a (partial) schema
+    * covering every wanted path, `from_json` once, and walk the
+    * resulting struct with codegen'd field accesses. Each extra
+    * `get_json_object` re-parses the whole document — at 100 TB,
+    * k paths must not mean k full JSON parses per row. Missing paths
+    * and absent fields come back null, like the reference's tolerant
+    * get_nested_field. */
+  def parsedDoc(doc: Column, ddlSchema: String): Column =
+    from_json(doc, org.apache.spark.sql.types.StructType
+      .fromDDL(ddlSchema))
 }

@@ -230,8 +230,13 @@ object Similarity {
       }.reduce(_ + _)
       concat(lit(s"$b|"), bits.cast("string"))
     }
+    // both self-join sides consume banded: persist + materialize so
+    // the 16 plane projections run once per vector, not twice
+    // (bands x one short row per vector — tiny at any SF)
     val banded = v.withColumn("band", explode(array(bandKeys: _*)))
       .select("band", "vec_id") // ids only through the band shuffle
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     val cand = banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
