@@ -872,10 +872,24 @@ object Queries {
       nLists = 16, nProbe = 4)
   }
 
+  /** Oracle mirror of IVF with ONE Lloyd refinement iteration: seed =
+    * 16 lowest ids, cosine argmax assignment, per-dimension mean
+    * rounded to 6 dp (same rounding as the Spark side, so the exact
+    * centroid doubles match), then the nProbe search. */
   val s04_sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
        |  ORDER BY vec_id LIMIT 16),
+       |s1 AS (SELECT e.vec_id, e.v, c0.cent_id, $centCos AS cs
+       |  FROM e, c0),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT vec_id, v, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+       |    FROM s1) WHERE r = 1),
+       |u1 AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
+       |  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+       |cents AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM u1
+       |  GROUP BY cent_id),
        |cand_assign AS (SELECT vec_id AS cand_id, v AS cand_v, cent_id,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY
        |      $centCos DESC, cent_id) AS r

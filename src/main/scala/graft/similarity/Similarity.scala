@@ -255,22 +255,60 @@ object Similarity {
                   vecCol: String = "embedding"): DataFrame =
     bruteForceTopK(corpus, corpus, k, idCol, vecCol)
 
-  /** IVF-style ANN: assign every vector to its nearest of `nLists`
-    * fixed centroids (an inverted file), then search only the probe's
-    * `nProbe` closest lists. Centroids here are a deterministic sample
-    * (lowest ids) — a k-means step would slot in without changing the
-    * dataflow. Shapes at scale: centroid assignment is a broadcast
-    * (centroids are tiny) + map-side argmax; the search joins probes
-    * to lists, so the shuffle key is the list id, never the raw
-    * vector pairs.
+  /** Deterministic IVF centroids: a lowest-id seed sample refined by
+    * `iters` spherical-k-means (Lloyd) iterations — cosine
+    * assignment against broadcast centroids (map-side argmax), then a
+    * per-dimension mean update as one partial-aggregating shuffle
+    * keyed on (list, dim). Centroid components round to 6 dp so any
+    * engine reproduces the EXACT centroids (float-summation order
+    * differs across engines; the rounding absorbs it). A list that
+    * captures no vectors drops out, identically everywhere.
+    */
+  def ivfCentroids(corpus: DataFrame, nLists: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.select(col(idCol).as("cent_id"),
+      col(vecCol).as("cv"))
+      .orderBy("cent_id").limit(nLists)
+    for (_ <- 0 until iters) {
+      val scored = corpus
+        .select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .join(broadcast(cents))
+        .withColumn("cs", cosine(col("v"), col("cv")))
+      val w = Window.partitionBy("vid")
+        .orderBy(col("cs").desc, col("cent_id"))
+      val assigned = scored.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      cents = assigned.groupBy("cent_id", "pos")
+        .agg(round(avg("x"), 6).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    cents
+  }
+
+  /** IVF ANN: assign every vector to its nearest of `nLists`
+    * centroids (an inverted file), then search only the probe's
+    * `nProbe` closest lists. Centroids are the deterministic
+    * Lloyd-refined [[ivfCentroids]]. Shapes at scale: centroid
+    * assignment is a broadcast (centroids are tiny) + map-side
+    * argmax; the search joins probes to lists, so the shuffle key is
+    * the list id, never the raw vector pairs.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding")
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              kmeansIters: Int = 1)
     : DataFrame = {
-    val cents = corpus.select(col(idCol).as("cent_id"),
-      col(vecCol).as("cv"))
-      .orderBy("cent_id").limit(nLists)
+    // both the list build and the probe assignment consume cents;
+    // persist + materialize so the Lloyd iterations run once
+    val cents = ivfCentroids(corpus, nLists, kmeansIters, idCol,
+      vecCol).persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    cents.count()
     def assign(df: DataFrame, id: String, v: String, keep: Int)
       : DataFrame = {
       val scored = df.select(col(id), col(v))
