@@ -1233,8 +1233,10 @@ object Queries {
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType)).as("m"))
       .select(element_at(col("m"), "id").cast("long").as("entity_id"),
-        explode(map_filter(col("m"), (k, _) => k =!= "id"))
-          .as(Seq("predicate", "value")))
+        explode(col("m")).as(Seq("predicate", "value")))
+      // plain codegen'd predicate after the explode — map_filter is an
+      // interpreted higher-order function (hot-path convention)
+      .filter(col("predicate") =!= "id")
   }
 
   val q34_sql: String =

@@ -86,8 +86,13 @@ object Similarity {
                                 vecCol: String = "embedding",
                                 maxProbesInFlight: Int = 8192)
     : DataFrame = {
+    // persist + materialize before the count + per-batch collects fan
+    // out (the probe subtree would otherwise re-run once per batch);
+    // safe to release right after — the partials only reference the
+    // collected broadcast arrays, never this plan
     val prepared = probes.select(col(idCol).cast("long").as("pid"),
       col(vecCol).as("pv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nProbes = prepared.count()
     val nBatches = math.max(1L,
       (nProbes + maxProbesInFlight - 1) / maxProbesInFlight).toInt
@@ -97,6 +102,7 @@ object Similarity {
           pmod(xxhash64(col("pid")), lit(nBatches.toLong)) === b)
       partialTopK(corpus, batch, k, maxProbesInFlight, idCol, vecCol)
     }.reduce(_ unionByName _)
+    prepared.unpersist()
     topKPerProbe(partials, k)
   }
 

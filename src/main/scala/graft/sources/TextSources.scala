@@ -59,8 +59,15 @@ object TextSources {
                          fields: Seq[String]): DataFrame = {
     val body = regexp_extract(col(lineCol),
       "(?i)VALUES\\s*\\((.*)\\)\\s*;?\\s*$", 1)
+    // normalize MySQL backslash-quote escapes to SQL '' BEFORE any
+    // quote counting — the comma splitter below counts raw quotes and
+    // a \' would otherwise leave an odd count and mis-split the tuple.
+    // (An escaped backslash immediately before a closing quote, \\',
+    // is the one sequence this normalization misreads — full fidelity
+    // there needs a real lexer datasource.)
+    val normalized = regexp_replace(body, "\\\\'", "''")
     val exploded = lines
-      .select(explode(split(body, "\\),\\s*\\(")).as("graft_tuple"))
+      .select(explode(split(normalized, "\\),\\s*\\(")).as("graft_tuple"))
       .filter(length(col("graft_tuple")) > 0)
     // split on commas outside single-quoted strings (even number of
     // quotes to the right of the comma)
@@ -69,8 +76,7 @@ object TextSources {
     val cols = fields.zipWithIndex.map { case (f, i) =>
       val raw = trim(element_at(parts, i + 1))
       val unquoted = regexp_replace(raw, "^'(.*)'$", "$1")
-      regexp_replace(regexp_replace(unquoted, "''", "'"), "\\\\'", "'")
-        .as(f)
+      regexp_replace(unquoted, "''", "'").as(f)
     }
     exploded.select(cols: _*)
   }

@@ -24,8 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * empty array), so the existing DuckDB oracles are untouched.
   */
 object ShingleUtil {
+  // hoisted: String.split("\\s+") would Pattern.compile per document
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toLowerCase.toString.split("\\s+")
+    val toks = WS.split(text.toLowerCase.toString)
       .filter(_.nonEmpty)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {

@@ -153,7 +153,9 @@ class Round2OpsSpec extends SparkSpec {
     val lines = Seq(
       "INSERT INTO `page` VALUES (1,'Python_(language)',10)," +
         "(2,'O''Brien, Flann',20);",
-      "INSERT INTO `page` VALUES (3,'plain',30);")
+      // mysqldump-style backslash escape, commas after it
+      "INSERT INTO `page` VALUES (3,'L\\'Homme, vite',30)," +
+        "(4,'plain',40);")
       .toDF("line")
     val got = TextSources.parseSqlDumpTuples(lines, "line",
         Seq("id", "title", "score"))
@@ -161,7 +163,8 @@ class Round2OpsSpec extends SparkSpec {
     assert(got == Set(
       ("1", "Python_(language)", "10"),
       ("2", "O'Brien, Flann", "20"),
-      ("3", "plain", "30")))
+      ("3", "L'Homme, vite", "30"),
+      ("4", "plain", "40")))
   }
 
   // ---- JsonOps ----------------------------------------------------
