@@ -127,8 +127,10 @@ object TextFunctions {
     import org.apache.spark.sql.graft.{ColumnBridge, WordShinglesExpr}
     val sh = ColumnBridge.column(
       WordShinglesExpr(ColumnBridge.expression(col(textCol)), n))
-    val out = docs.select(col(idCol).as("doc_id"),
-      explode(sh).as("shingle"))
-    if (distinct) out.dropDuplicates("doc_id", "shingle") else out
+    // distinctness is PER DOCUMENT, so dedup inside the row before
+    // exploding — array_distinct costs O(doc) map-side where a
+    // dropDuplicates after the explode is a full corpus-wide shuffle
+    val arr = if (distinct) array_distinct(sh) else sh
+    docs.select(col(idCol).as("doc_id"), explode(arr).as("shingle"))
   }
 }
