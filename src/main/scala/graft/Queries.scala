@@ -445,25 +445,40 @@ object Queries {
       |  SELECT t[-1] AS affix, 'suffix' AS kind FROM toks)
       |GROUP BY affix, kind""".stripMargin
 
-  /** Exact interpolated percentiles per group (price distribution
-    * stats — the popularity/qrank percentile analysis analog). */
-  val q25_quantiles: QFn = (s, d) =>
+  /** Exact discrete percentiles per group (price distribution stats —
+    * the popularity/qrank percentile analysis analog). Discrete (the
+    * value at rank ⌈p·n⌉) rather than interpolated on purpose: the
+    * result is an ACTUAL data value, bit-identical in every engine —
+    * interpolated quantiles differ by 1 ulp across engines and flip
+    * 2-dp rounding at .xx5 boundaries (observed at sf0.001). At
+    * 100 TB the same stats come from approx_percentile; this is the
+    * exact, oracle-comparable form. */
+  val q25_quantiles: QFn = (s, d) => {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice")
+    def pick(p: Double, name: String) =
+      round(max(when(col("rn") === ceil(col("n") * p),
+        col("l_extendedprice"))), 2).as(name)
     t(s, d, "lineitem")
+      .select("l_returnflag", "l_extendedprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("l_returnflag")))
       .groupBy("l_returnflag")
-      .agg(percentile(col("l_extendedprice"),
-        array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
-      .select(col("l_returnflag"),
-        round(col("ps").getItem(0), 2).as("p50"),
-        round(col("ps").getItem(1), 2).as("p90"),
-        round(col("ps").getItem(2), 2).as("p99"))
+      .agg(pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+  }
 
   val q25_sql: String =
-    """SELECT l_returnflag,
-      |  round(ps[1], 2) AS p50, round(ps[2], 2) AS p90,
-      |  round(ps[3], 2) AS p99
-      |FROM (SELECT l_returnflag,
-      |    quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS ps
-      |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
+    """WITH r AS (SELECT l_returnflag, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  round(max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END), 2) AS p50,
+      |  round(max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END), 2) AS p90,
+      |  round(max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END), 2) AS p99
+      |FROM r GROUP BY l_returnflag""".stripMargin
 
   /** ROLLUP hierarchy totals (OLAP cube slice — collection counts at
     * every hierarchy level). */
