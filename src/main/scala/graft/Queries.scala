@@ -256,21 +256,32 @@ object Queries {
       |FROM prev p FULL OUTER JOIN curr c ON p.user_id = c.user_id""".stripMargin
 
   /** Interesting-score analog (create_merged.py:82): weighted
-    * deterministic score from typed features. */
-  val q15_scoring: QFn = (s, d) =>
+    * deterministic score from typed features.
+    *
+    * Computed in INTEGER space (score x 1e7 is exact because acctbal
+    * is 2-dp money) with the HALF_UP 4-dp round done by integer
+    * arithmetic. The naive float form — round(weighted sum, 4) —
+    * lands on an exact .xxxx5 tie for a systematic slice of rows
+    * (2-dp inputs x decimal weights terminate at 5-7 digits), and
+    * Spark round (decimal repr, HALF_UP) vs other engines' round
+    * (binary) then disagree: observed as 10 mismatched rows at sf0.1.
+    */
+  val q15_scoring: QFn = (s, d) => {
+    val cents = round(col("c_acctbal") * 100, 0).cast("long")
+    val scaled = least(cents, lit(1000000L)) * 5 +
+      when(col("c_mktsegment") === "BUILDING", 3000000L)
+        .otherwise(0L) +
+      pmod(col("c_custkey"), lit(10)) * 200000L
     t(s, d, "customer")
       .select(col("c_custkey"),
-        round(
-          least(col("c_acctbal") / 10000.0, lit(1.0)) * 0.5 +
-            when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0)
-              * 0.3 +
-            (col("c_custkey") % 10) / 10.0 * 0.2, 4).as("score"))
+        (floor((scaled + 500) / lit(1000.0)) / 10000.0).as("score"))
+  }
 
   val q15_sql: String =
     """SELECT c_custkey,
-      |  round(least(c_acctbal / 10000.0, 1.0) * 0.5 +
-      |    (CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END) * 0.3 +
-      |    (c_custkey % 10) / 10.0 * 0.2, 4) AS score
+      |  floor((least(CAST(round(c_acctbal * 100) AS BIGINT), 1000000) * 5
+      |    + (CASE WHEN c_mktsegment = 'BUILDING' THEN 3000000 ELSE 0 END)
+      |    + (c_custkey % 10) * 200000 + 500) / 1000.0) / 10000.0 AS score
       |FROM customer""".stripMargin
 
   /** Deterministic content-hash id (label_to_hash / namehash analog,
@@ -378,9 +389,9 @@ object Queries {
 
   val q21_sql: String = {
     // weights hardcoded independently of RankingMetrics.discountWeights
-    // (1/log2(i+1), 8dp) so a formula bug there cannot cancel out in
-    // the parity check
-    val ws = Seq(1.0, 0.63092975, 0.5, 0.43067656, 0.38685281)
+    // (1/log2(i+1), 5dp — see that Scaladoc for why 5) so a formula
+    // bug there cannot cancel out in the parity check
+    val ws = Seq(1.0, 0.63093, 0.5, 0.43068, 0.38685)
     def wCase(rn: String): String =
       (1 to 5).map(i => s"WHEN $rn = $i THEN ${ws(i - 1)}")
         .mkString("CASE ", " ", " ELSE 0.0 END")
@@ -1004,22 +1015,33 @@ object Queries {
       |  round(sum(value), 4) AS sum_value
       |FROM t GROUP BY user_id, session_id""".stripMargin
 
-  val e03_user_stats: QFn = (s, d) =>
+  /** avg_value is computed in integer space — sum(2-dp values) is an
+    * exact cent count, and the HALF_UP 4-dp round of cents*100/n is
+    * pure integer arithmetic: floor((200*S + n) / (2n)). The float
+    * form round(avg(value), 4) hits exact rounding ties for a
+    * systematic slice of users (2-dp inputs → short-terminating
+    * averages) where Spark's decimal round and a binary round
+    * disagree (observed at sf0.1). */
+  val e03_user_stats: QFn = (s, d) => {
+    val cents = round(sum("value") * 100, 0).cast("long")
     t(s, d, "events")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
         count(when(col("event_type") === "error", lit(1))).as("n_errors"),
         countDistinct("event_type").as("n_types"),
-        round(avg("value"), 4).as("avg_value"),
+        (floor((cents * 200 + count(lit(1))) /
+          (count(lit(1)).cast("double") * 2)) / 10000.0).as("avg_value"),
         max("value").as("max_value"))
+  }
 
   val e03_sql: String =
     """SELECT user_id, count(*) AS n_events,
       |  count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
       |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
       |  count(DISTINCT event_type) AS n_types,
-      |  round(avg(value), 4) AS avg_value,
+      |  floor((CAST(round(sum(value) * 100) AS BIGINT) * 200 + count(*))
+      |    / (count(*) * 2.0)) / 10000.0 AS avg_value,
       |  max(value) AS max_value
       |FROM events GROUP BY user_id""".stripMargin
 

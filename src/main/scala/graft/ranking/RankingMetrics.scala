@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object RankingMetrics {
 
-  /** weights(i) = round(1/log2(i+2), 8) for 0-based position i. */
+  /** weights(i) = round(1/log2(i+2), 5) for 0-based position i.
+    * 5 dp on purpose: graded gains are small integers, so every
+    * rel*w product and dcg sum terminates within 6 decimal digits —
+    * the 6-dp output rounding can then never land on a .5 tie, which
+    * is the one place Spark round (decimal HALF_UP) and other
+    * engines' round (binary) disagree. 8-dp weights made dcg values
+    * like 2x0.63092975 = 1.26185950 an exact 7th-digit tie. */
   def discountWeights(k: Int): Seq[Double] =
     (1 to k).map(i => BigDecimal(1.0 / (math.log(i + 1) / math.log(2)))
-      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
   private def weightExpr(rn: Column, k: Int): Column = {
     val ws = discountWeights(k)

@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput probe: drives the watermarked operators with
+  * the built-in `rate-micro-batch` source (deterministic row counts
+  * per batch) and reports rows/second sustained through each pipeline.
+  * `runMain graft.tools.StreamBench [rowsPerBatch] [batches]`.
+  *
+  * This is a tool, not part of the driver contract — it exists so
+  * streaming perf claims in SURVEY are measured, like Bench does for
+  * batch. State stays bounded by construction (watermark windows /
+  * one struct per key), so rows/s here extrapolates to a long-running
+  * feed rather than degrading as state accumulates.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rowsPerBatch = if (args.nonEmpty) args(0).toLong else 200000L
+    val batches = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // rate-micro-batch: exactly rowsPerBatch rows per trigger, value
+    // is a monotonically increasing Long — derive the events shape
+    def syntheticEvents() = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .load()
+      .select(col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(1000L)).as("user_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase")),
+          (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value"), lit(97L)) / 10.0).as("value"))
+
+    def drive(name: String, df: org.apache.spark.sql.DataFrame,
+              mode: String): Unit = {
+      val t0 = System.nanoTime()
+      val q = df.writeStream
+        .format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ck").toString)
+        .start()
+      // poll progress — processAllAvailable never returns for a rate
+      // source (there is always a next batch pending)
+      var processed = 0L
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (processed < rowsPerBatch * batches &&
+        System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        processed = q.recentProgress.map(_.numInputRows).sum
+      }
+      q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rate = (rowsPerBatch * batches / dt).toLong
+      println(s"""[streambench] {"pipeline":"$name","rows":${rowsPerBatch * batches},"sec":${f"$dt%.2f"},"rows_per_sec":$rate}""")
+    }
+
+    drive("windowed_type_stats",
+      Streams.windowedTypeStats(syntheticEvents(), "1 minute",
+        "30 seconds"), "update")
+    drive("stream_dedup",
+      Streams.streamDedup(syntheticEvents()
+        .withColumn("dup_key", pmod(col("event_id"), lit(10000L))),
+        "ts", "30 seconds", "dup_key"), "append")
+    spark.stop()
+  }
+}

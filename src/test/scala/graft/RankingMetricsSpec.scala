@@ -6,16 +6,16 @@ import org.apache.spark.sql.functions._
 class RankingMetricsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("discountWeights match hand-computed 1/log2(i+1)") {
+  test("discountWeights match hand-computed 1/log2(i+1) at 5dp") {
     assert(RankingMetrics.discountWeights(5) ==
-      Seq(1.0, 0.63092975, 0.5, 0.43067656, 0.38685281))
+      Seq(1.0, 0.63093, 0.5, 0.43068, 0.38685))
   }
 
   test("ndcgAtK matches a hand-computed example") {
     // predicted order by score desc: [id1(rel 0), id2(rel 2), id3(rel 1)]
-    // k=2: dcg = 0*1.0 + 2*0.63092975 = 1.2618595 -> 1.26186
-    // ideal: [id2(rel 2), id3(rel 1)]: idcg = 2*1.0 + 1*0.63092975
-    //   = 2.63092975 -> 2.63093
+    // k=2: dcg = 0*1.0 + 2*0.63093 = 1.26186
+    // ideal: [id2(rel 2), id3(rel 1)]: idcg = 2*1.0 + 1*0.63093
+    //   = 2.63093
     // ndcg = round(1.26186 / 2.63093, 4) = 0.4796
     val df = Seq(("g", 1L, 10.0, 0.0), ("g", 2L, 5.0, 2.0),
         ("g", 3L, 1.0, 1.0))
