@@ -654,6 +654,68 @@ object Queries {
       |    x -> len(x) > 0) AS t FROM documents))
       |GROUP BY shingle HAVING count(*) >= 5""".stripMargin
 
+  /** PII scrub (training-data hygiene): emails and phone-like numbers
+    * redacted in one codegen'd regexp_replace chain, with per-class
+    * counts. PII is injected deterministically (the synthetic corpus
+    * has none) so the scrub regexes are actually exercised and the
+    * oracle hash bites on the scrubbed text. */
+  val t06_pii_scrub: QFn = (s, d) => {
+    val dirty = concat(col("text"), lit(" contact user"),
+      col("doc_id"), lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.emailCount(dirty).as("n_emails"),
+        TextFunctions.phoneCount(dirty).as("n_phones"),
+        md5(TextFunctions.scrubPii(dirty)).as("scrubbed_fp"))
+  }
+
+  val t06_sql: String = {
+    val email = TextFunctions.emailRe
+    val phone = TextFunctions.phoneRe
+    s"""WITH dirty AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+       |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(dirty, '$phone')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(dirty, '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g')) AS scrubbed_fp
+       |FROM dirty""".stripMargin
+  }
+
+  /** Token-repetition quality signals (Gopher-style repetition
+    * filters): repeated-token fraction and top-token share per doc —
+    * explode + two hash aggregates, no per-row interpreted folds.
+    * Token-less docs emit nothing (mirrored by the oracle). */
+  val t07_repetition: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4)
+          .as("rep_ratio"),
+        round(col("top_freq") / col("n_tokens"), 4).as("top_share"))
+
+  val t07_sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |f AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct,
+      |  round(1.0 - count(*) / CAST(sum(c) AS BIGINT), 4) AS rep_ratio,
+      |  round(max(c) / CAST(sum(c) AS BIGINT), 4) AS top_share
+      |FROM f GROUP BY doc_id""".stripMargin
+
   /** Word segmentation round-trip (wordninja-style _tokenizer analog,
     * rows-only): fit a Zipf dictionary on the corpus, strip spaces
     * from each doc, re-segment, compare token counts. */
@@ -1369,6 +1431,8 @@ object Queries {
     "t03_langid" -> t03_langid,
     "t04_fingerprint" -> t04_fingerprint,
     "t05_ngram_freq" -> t05_ngram_freq,
+    "t06_pii_scrub" -> t06_pii_scrub,
+    "t07_repetition" -> t07_repetition,
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
     "d03_minhash_lsh" -> d03_minhash_lsh,
@@ -1426,6 +1490,8 @@ object Queries {
     "t03_langid" -> t03_sql,
     "t04_fingerprint" -> t04_sql,
     "t05_ngram_freq" -> t05_sql,
+    "t06_pii_scrub" -> t06_sql,
+    "t07_repetition" -> t07_sql,
     "d01_exact_dedup" -> d01_sql,
     "d02_ngram_jaccard" -> d02_sql,
     "d03_minhash_lsh" -> d03_sql,

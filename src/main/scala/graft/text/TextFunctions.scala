@@ -88,6 +88,28 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** PII scrub regexes — kept to syntax that is valid in BOTH Java
+    * regex and RE2 so the DuckDB oracle applies the identical
+    * patterns. A production scrubber adds more classes (SSNs, IBANs,
+    * addresses); the operator shape (ordered regexp_replace chain +
+    * per-class counts) is what matters at corpus scale — one codegen'd
+    * pass, no UDF. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails then phone-like numbers (order matters: emails can
+    * contain digits). Spark regexp_replace is global by default — the
+    * DuckDB mirror needs the explicit 'g' flag. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(emailRe)).cast("long")
+
+  def phoneCount(text: Column): Column =
+    regexp_count(text, lit(phoneRe)).cast("long")
+
   /** Normalized-content fingerprint: md5 of lowercased,
     * whitespace-collapsed text. The exact-dedup key.
     * Reference analog: update_es.py:98 (JSONLIndex.hash) hashes a
