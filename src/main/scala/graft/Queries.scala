@@ -1346,6 +1346,44 @@ object Queries {
       |UNION ALL
       |SELECT c_custkey, 'nation', c_nationkey::VARCHAR FROM customer""".stripMargin
 
+  /** N-Triples entity assembly (create_kv.py entity_generator +
+    * clean): NT lines are generated deterministically (subject URI,
+    * predicate, quoted @en literal), then parsed — URI prefix strip,
+    * literal unwrap — and grouped by subject with predicate-aware
+    * aggregation: single-valued predicates take the value, multi-
+    * valued ones collect a sorted set. The reference streams
+    * adjacent-subject groups through Python; here it is one hash
+    * aggregate keyed on subject, which scales to the full 396 M-triple
+    * dump. Oracle = the original table (round-trip). */
+  val q37_nt_entity: QFn = (s, d) => {
+    val c = t(s, d, "customer")
+    def line(pred: String, obj: Column) =
+      concat(lit("<http://www.wikidata.org/entity/Q"),
+        col("c_custkey"), lit(s"> <p:$pred> \""), obj, lit("\"@en ."))
+    val lines = c.select(line("name", col("c_name")).as("line"))
+      .unionByName(c.select(
+        line("type", concat(lit("seg:"), col("c_mktsegment"))).as("line")))
+      .unionByName(c.select(
+        line("type", concat(lit("tier"),
+          pmod(col("c_custkey"), lit(3)))).as("line")))
+    val parsed = lines.select(
+      regexp_extract(col("line"),
+        "^<http://www\\.wikidata\\.org/entity/([^>]*)>", 1).as("subject"),
+      regexp_extract(col("line"), "> <([^>]*)> ", 1).as("pred"),
+      regexp_extract(col("line"), "\"(.*)\"@en \\.$", 1).as("obj"))
+    parsed.groupBy("subject")
+      .agg(max(when(col("pred") === "p:name", col("obj"))).as("name"),
+        array_join(array_sort(
+          collect_list(when(col("pred") === "p:type", col("obj")))),
+          ",").as("types"))
+  }
+
+  val q37_sql: String =
+    """SELECT 'Q' || c_custkey AS subject, c_name AS name,
+      |  array_to_string(list_sort(['seg:' || c_mktsegment,
+      |    'tier' || (c_custkey % 3)]), ',') AS types
+      |FROM customer""".stripMargin
+
   /** Type-set filter (should_filter_by_type analog,
     * create_merged.py:591): each entity carries an array of type
     * tags; entities whose tag set intersects a banned set are dropped
@@ -1455,7 +1493,8 @@ object Queries {
     "q33_sql_dump_parse" -> q33_sql_dump_parse,
     "q34_entity_triples" -> q34_entity_triples,
     "q35_type_filter" -> q35_type_filter,
-    "q36_by_filter" -> q36_by_filter)
+    "q36_by_filter" -> q36_by_filter,
+    "q37_nt_entity" -> q37_nt_entity)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -1513,5 +1552,6 @@ object Queries {
     "q33_sql_dump_parse" -> q33_sql,
     "q34_entity_triples" -> q34_sql,
     "q35_type_filter" -> q35_sql,
-    "q36_by_filter" -> q36_sql)
+    "q36_by_filter" -> q36_sql,
+    "q37_nt_entity" -> q37_sql)
 }
