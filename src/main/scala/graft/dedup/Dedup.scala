@@ -179,23 +179,30 @@ object Dedup {
       .select("h", "doc_id")
     // candidates: a doc's prefix vs the other doc's FULL pruned
     // postings (prefix-vs-full is exactly recall-complete; the join
-    // key is the shingle hash, and prefixes live in rare shingles)
-    val cand = prefix.as("a")
-      .join(pruned.select("h", "doc_id").as("b"), Seq("h"))
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
+    // key is the shingle hash, and prefixes live in rare shingles).
+    // FULL doc sizes ride along via a broadcast (one row per doc) so
+    // the length filter (j >= t implies t·max <= min) cuts pairs
+    // BEFORE the distinct and the sizes survive into verification —
+    // at scale this is the difference between deduping the filtered
+    // candidate set and deduping every raw prefix collision.
+    val sizesB = broadcast(sizes)
+    val prefixN = prefix.join(sizesB, "doc_id")
+    val prunedN = pruned.select("h", "doc_id").join(sizesB, "doc_id")
+    val cand = prefixN.as("a")
+      .join(prunedN.as("b"), Seq("h"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        col("a.n") >= col("b.n") * t && col("b.n") >= col("a.n") * t)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.n"))
+          .otherwise(col("b.n")).as("n1"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.n"))
+          .otherwise(col("a.n")).as("n2"))
       .distinct()
-    // length filter on FULL sizes (j >= t implies t·max <= min), then
     // exact verify over the full pruned hash-sets
     val sets = pruned.groupBy("doc_id")
       .agg(collect_list(col("h")).as("sh"))
     cand
-      .join(sizes.withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("n", "n1"), "id1")
-      .join(sizes.withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("n", "n2"), "id2")
-      .filter(col("n1") >= col("n2") * t && col("n2") >= col("n1") * t)
       .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")),
         "id1")
       .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")),
