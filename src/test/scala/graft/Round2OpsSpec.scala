@@ -167,6 +167,52 @@ class Round2OpsSpec extends SparkSpec {
       ("4", "plain", "40")))
   }
 
+  // ---- cross-algorithm integrity on real corpus -------------------
+
+  test("MinHash-LSH pairs are a subset of exact Jaccard pairs, " +
+    "with identical scores (sf0.001)") {
+    // no df-pruning can occur here (df <= ndocs << maxDf), so d02 and
+    // d03 share the same Jaccard definition and LSH recall must be a
+    // subset of the exact inverted-index result
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+    val exact = graft.dedup.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val lsh = graft.dedup.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", 3, 12, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (i1, i2, j) =>
+      assert(exact.get((i1, i2)).contains(j),
+        s"LSH pair ($i1,$i2,$j) missing/different in exact result")
+    }
+  }
+
+  test("banded-LSH neighbor pairs are a subset of brute-force cosine " +
+    "pairs, with identical scores (sf0.001)") {
+    val e = graft.sources.Tables(spark, sf("sf0.001"), "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val banded = Similarity.bandedLshNeighborPairs(e, 4, 4, 64, 0.3)
+      .as[(Long, Long, Double)].collect()
+    val brute = e.select(col("vec_id").as("id1"),
+        col("embedding").as("v1"))
+      .crossJoin(e.select(col("vec_id").as("id2"),
+        col("embedding").as("v2")))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(banded.nonEmpty)
+    banded.foreach { case (i1, i2, c) =>
+      assert(brute.get((i1, i2)).contains(c),
+        s"banded pair ($i1,$i2,$c) missing/different in brute force")
+    }
+  }
+
   // ---- JsonOps ----------------------------------------------------
 
   test("nestedField walks dotted and indexed paths, null when absent") {
