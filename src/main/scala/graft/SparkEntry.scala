@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end collection build — union → member merge →
+    * rank → assembly — i.e. the reference's whole DAG as one plan. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q03_join_agg(spark, "/root/testdata/sf0.001")
+    Queries.q19_collection_pipeline(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

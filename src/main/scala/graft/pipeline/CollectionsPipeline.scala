@@ -43,6 +43,9 @@ object CollectionsPipeline {
     val d = unioned.groupBy("ckey", "member")
       .agg(max("mscore").as("mscore"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize before the stats/ranking branches fan out —
+    // parallel stages otherwise race-recompute the cache
+    d.count()
     val w = Window.partitionBy("ckey")
       .orderBy(col("mscore").desc, col("member").asc)
     val ranked = d.withColumn("rn", row_number().over(w))
