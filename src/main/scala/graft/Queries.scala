@@ -272,17 +272,29 @@ object Queries {
       when(col("c_mktsegment") === "BUILDING", 3000000L)
         .otherwise(0L) +
       pmod(col("c_custkey"), lit(10)) * 200000L
+    // HALF_UP = round half AWAY FROM ZERO — acctbal (and so the
+    // score) can be negative, where floor((x+500)/1000) would round
+    // toward +inf instead; mirror the sign explicitly
+    val rounded = when(scaled >= 0,
+      floor((scaled + 500) / lit(1000.0)))
+      .otherwise(-floor((-scaled + 500) / lit(1000.0)))
     t(s, d, "customer")
-      .select(col("c_custkey"),
-        (floor((scaled + 500) / lit(1000.0)) / 10000.0).as("score"))
+      .select(col("c_custkey"), (rounded / 10000.0).as("score"))
   }
 
   val q15_sql: String =
-    """SELECT c_custkey,
-      |  floor((least(CAST(round(c_acctbal * 100) AS BIGINT), 1000000) * 5
+    """WITH t AS (SELECT c_custkey,
+      |    least(CAST(round(c_acctbal * 100) AS BIGINT), 1000000) * 5
       |    + (CASE WHEN c_mktsegment = 'BUILDING' THEN 3000000 ELSE 0 END)
-      |    + (c_custkey % 10) * 200000 + 500) / 1000.0) / 10000.0 AS score
-      |FROM customer""".stripMargin
+      |    + (c_custkey % 10) * 200000 AS scaled
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  -- BIGINT cast: DuckDB floor returns DOUBLE and -floor(0.4)
+      |  -- is negative zero, which hashes as '-0.0' vs Spark's '0.0'
+      |  CAST(CASE WHEN scaled >= 0 THEN floor((scaled + 500) / 1000.0)
+      |       ELSE -floor((-scaled + 500) / 1000.0) END AS BIGINT)
+      |    / 10000.0 AS score
+      |FROM t""".stripMargin
 
   /** Deterministic content-hash id (label_to_hash / namehash analog,
     * create_merged.py:807) over the normalized name. */
@@ -699,22 +711,32 @@ object Queries {
       .agg(sum("c").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max("c").as("top_freq"))
+      // ratios of counts terminate at the 4dp tie digit whenever the
+      // token count divides a power of 10 (n=160 → 1/160 = 0.00625!),
+      // so the HALF_UP round happens in integer space like q15/e03
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4)
-          .as("rep_ratio"),
-        round(col("top_freq") / col("n_tokens"), 4).as("top_share"))
+        (floor(((col("n_tokens") - col("n_distinct")) * 20000 +
+          col("n_tokens")) / (col("n_tokens").cast("double") * 2)) /
+          10000.0).as("rep_ratio"),
+        (floor((col("top_freq") * 20000 + col("n_tokens")) /
+          (col("n_tokens").cast("double") * 2)) / 10000.0)
+          .as("top_share"))
 
   val t07_sql: String =
     """WITH tok AS (SELECT doc_id,
       |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
       |      x -> len(x) > 0)) AS tok
       |  FROM documents),
-      |f AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
-      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-      |  count(*) AS n_distinct,
-      |  round(1.0 - count(*) / CAST(sum(c) AS BIGINT), 4) AS rep_ratio,
-      |  round(max(c) / CAST(sum(c) AS BIGINT), 4) AS top_share
-      |FROM f GROUP BY doc_id""".stripMargin
+      |f AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_freq
+      |  FROM f GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  floor(((n_tokens - n_distinct) * 20000 + n_tokens)
+      |    / (n_tokens * 2.0)) / 10000.0 AS rep_ratio,
+      |  floor((top_freq * 20000 + n_tokens)
+      |    / (n_tokens * 2.0)) / 10000.0 AS top_share
+      |FROM a""".stripMargin
 
   /** Word segmentation round-trip (wordninja-style _tokenizer analog,
     * rows-only): fit a Zipf dictionary on the corpus, strip spaces

@@ -180,14 +180,14 @@ object Dedup {
     // candidates: a doc's prefix vs the other doc's FULL pruned
     // postings (prefix-vs-full is exactly recall-complete; the join
     // key is the shingle hash, and prefixes live in rare shingles).
-    // FULL doc sizes ride along via a broadcast (one row per doc) so
-    // the length filter (j >= t implies t·max <= min) cuts pairs
-    // BEFORE the distinct and the sizes survive into verification —
-    // at scale this is the difference between deduping the filtered
-    // candidate set and deduping every raw prefix collision.
-    val sizesB = broadcast(sizes)
-    val prefixN = prefix.join(sizesB, "doc_id")
-    val prunedN = pruned.select("h", "doc_id").join(sizesB, "doc_id")
+    // FULL doc sizes ride along (one row per doc) so the length
+    // filter (j >= t implies t·max <= min) cuts pairs BEFORE the
+    // distinct and the sizes survive into verification. No broadcast
+    // hint: sizes is O(ndocs) — AQE broadcasts it when it is small
+    // and shuffles it when a billion-doc corpus makes that the only
+    // safe plan.
+    val prefixN = prefix.join(sizes, "doc_id")
+    val prunedN = pruned.select("h", "doc_id").join(sizes, "doc_id")
     val cand = prefixN.as("a")
       .join(prunedN.as("b"), Seq("h"))
       .filter(col("a.doc_id") =!= col("b.doc_id") &&

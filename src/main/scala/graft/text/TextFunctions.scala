@@ -144,6 +144,11 @@ object TextFunctions {
     * shingle emit nothing (mirrors the oracle's `len(toks) >= n`
     * guard).
     */
+  /** PRECONDITION: `idCol` is unique in `docs` — with duplicate doc
+    * ids, `distinct = true` dedups shingles within each ROW, not
+    * across the id (copies each emit their own postings and inflate
+    * downstream sizes/signatures). Callers with possibly-repeated
+    * ids must `dropDuplicates(idCol)` first. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, distinct: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.{ColumnBridge, WordShinglesExpr}

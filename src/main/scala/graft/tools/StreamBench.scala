@@ -19,6 +19,9 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPerBatch = if (args.nonEmpty) args(0).toLong else 200000L
     val batches = if (args.length > 1) args(1).toInt else 10
+    // recentProgress is a capped ring buffer (default 100 entries) —
+    // beyond that the processed-row sum silently undercounts
+    require(batches <= 90, s"batches ($batches) must be <= 90")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,8 +65,10 @@ object StreamBench {
       }
       q.stop()
       val dt = (System.nanoTime() - t0) / 1e9
-      val rate = (rowsPerBatch * batches / dt).toLong
-      println(s"""[streambench] {"pipeline":"$name","rows":${rowsPerBatch * batches},"sec":${f"$dt%.2f"},"rows_per_sec":$rate}""")
+      // rate from rows ACTUALLY processed — on deadline expiry the
+      // intended row count would overstate throughput
+      val rate = (processed / dt).toLong
+      println(s"""[streambench] {"pipeline":"$name","rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate}""")
     }
 
     drive("windowed_type_stats",

@@ -29,15 +29,20 @@ class IntegerRoundingSpec extends AnyFunSuite {
     assert(tie == 0.0001)
   }
 
-  test("q15 score formula == BigDecimal HALF_UP weighted score") {
-    (1 to 2000).foreach { _ =>
-      val cents = rnd.nextLong(2000000L)
+  test("q15 score formula == BigDecimal HALF_UP weighted score, " +
+    "including negative balances") {
+    (1 to 4000).foreach { _ =>
+      // negative cents included: acctbal can be negative, and a
+      // sign-blind floor would round negative ties toward +inf
+      // (HALF_CEILING) instead of away from zero (HALF_UP)
+      val cents = rnd.nextLong(2100000L) - 100000L
       val custkey = rnd.nextLong(100000L)
       val isBuilding = rnd.nextBoolean()
-      // engine form: integer-scaled score*1e7, HALF_UP via +500/1000
+      // engine form: integer-scaled score*1e7, sign-aware HALF_UP
       val scaled = math.min(cents, 1000000L) * 5 +
         (if (isBuilding) 3000000L else 0L) + (custkey % 10) * 200000L
-      val got = math.floor((scaled + 500) / 1000.0) / 10000.0
+      val got = (if (scaled >= 0) math.floor((scaled + 500) / 1000.0)
+        else -math.floor((-scaled + 500) / 1000.0)) / 10000.0
       // exact decimal: least(bal/1e4, 1)*0.5 + b*0.3 + (k%10)*0.02
       val bal = BigDecimal(cents) / 100
       val score = (bal / 10000).min(1) * BigDecimal("0.5") +

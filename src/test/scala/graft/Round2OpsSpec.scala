@@ -171,12 +171,14 @@ class Round2OpsSpec extends SparkSpec {
 
   test("MinHash-LSH pairs are a subset of exact Jaccard pairs, " +
     "with identical scores (sf0.001)") {
-    // no df-pruning can occur here (df <= ndocs << maxDf), so d02 and
-    // d03 share the same Jaccard definition and LSH recall must be a
-    // subset of the exact inverted-index result
+    // maxDf = MaxValue disables df-pruning so d02 and d03 share the
+    // same Jaccard definition (with the default 200, a shingle in
+    // >200 of the docs would shrink d02's intersections but not
+    // d03's) and LSH recall must be a subset of the exact result
     val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
     val exact = graft.dedup.Dedup
-      .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxDf = Int.MaxValue)
       .as[(Long, Long, Double)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap
     val lsh = graft.dedup.Dedup
