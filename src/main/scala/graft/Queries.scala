@@ -1193,16 +1193,27 @@ object Queries {
           .as("missing"))
   }
 
+  /** json_valid guard: Spark's PERMISSIVE from_json yields null
+    * fields on a malformed doc (e.g. props not valid JSON, or a quote
+    * inside event_type corrupting the concat) where a bare DuckDB
+    * json_extract would ERROR the whole oracle — the guard makes both
+    * engines degrade to nulls identically. */
   val q30_sql: String =
     """WITH j AS (SELECT event_id,
       |    '{"evt":{"type":"' || event_type || '","tags":["x","' ||
       |    event_type || '"],"payload":' || props || '}}' AS doc
       |  FROM events)
       |SELECT event_id,
-      |  json_extract_string(doc, '$.evt.type') AS etype,
-      |  json_extract_string(doc, '$.evt.tags[1]') AS tag1,
-      |  CAST(json_extract_string(doc, '$.evt.payload.k') AS BIGINT) AS k,
-      |  json_extract_string(doc, '$.evt.payload.missing') AS missing
+      |  CASE WHEN json_valid(doc)
+      |    THEN json_extract_string(doc, '$.evt.type') END AS etype,
+      |  CASE WHEN json_valid(doc)
+      |    THEN json_extract_string(doc, '$.evt.tags[1]') END AS tag1,
+      |  CAST(CASE WHEN json_valid(doc)
+      |    THEN json_extract_string(doc, '$.evt.payload.k') END
+      |    AS BIGINT) AS k,
+      |  CASE WHEN json_valid(doc)
+      |    THEN json_extract_string(doc, '$.evt.payload.missing') END
+      |    AS missing
       |FROM j""".stripMargin
 
   /** Confusable-skeleton normalization (ens-normalize / UTS-39 public
@@ -1329,9 +1340,11 @@ object Queries {
     graft.sources.TextSources
       .parseSqlDumpTuples(lines, "line",
         Seq("n_nationkey", "n_name", "n_regionkey"))
-      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+      // try_cast: a mis-parsed fragment degrades to null instead of
+      // an ANSI CAST_INVALID_INPUT crash of the whole ingest
+      .select(col("n_nationkey").try_cast("long").as("n_nationkey"),
         col("n_name"),
-        col("n_regionkey").cast("long").as("n_regionkey"))
+        col("n_regionkey").try_cast("long").as("n_regionkey"))
   }
 
   val q33_sql: String =

@@ -17,10 +17,12 @@ object JsonOps {
   def nestedField(doc: Column, path: String): Column =
     get_json_object(doc, "$." + path)
 
-  /** [[nestedField]] with a target type (null on cast failure too —
-    * mirrors the reference's tolerant field reads). */
+  /** [[nestedField]] with a target type — null on cast failure too
+    * (try_cast: Spark 4 runs ANSI mode by default, where a plain cast
+    * THROWS on e.g. "n/a" → long instead of the tolerant null read
+    * the reference's get_nested_field contract promises). */
   def nestedFieldAs(doc: Column, path: String, castTo: String): Column =
-    nestedField(doc, path).cast(castTo)
+    nestedField(doc, path).try_cast(castTo)
 
   /** Multi-path extraction with ONE parse: declare a (partial) schema
     * covering every wanted path, `from_json` once, and walk the

@@ -267,8 +267,12 @@ object Similarity {
     * per-dimension mean update as one partial-aggregating shuffle
     * keyed on (list, dim). Centroid components round to 6 dp so any
     * engine reproduces the EXACT centroids (float-summation order
-    * differs across engines; the rounding absorbs it). A list that
-    * captures no vectors drops out, identically everywhere.
+    * differs across engines by last-ulp amounts; the rounding absorbs
+    * that except when a mean sits within one ulp of an exact
+    * .xxxxxx5 boundary — ~1e-10 per component, ~1e-7 per full
+    * centroid set — the same residual every rounded float aggregate
+    * in the suite carries). A list that captures no vectors drops
+    * out, identically everywhere.
     */
   def ivfCentroids(corpus: DataFrame, nLists: Int, iters: Int,
                    idCol: String = "vec_id",

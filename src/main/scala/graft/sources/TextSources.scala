@@ -74,7 +74,9 @@ object TextSources {
     val parts = split(col("graft_tuple"),
       ",(?=(?:[^']*'[^']*')*[^']*$)")
     val cols = fields.zipWithIndex.map { case (f, i) =>
-      val raw = trim(element_at(parts, i + 1))
+      // try_element_at: a malformed/short tuple yields null fields
+      // instead of an ANSI INVALID_ARRAY_INDEX crash of the whole job
+      val raw = trim(try_element_at(parts, lit(i + 1)))
       val unquoted = regexp_replace(raw, "^'(.*)'$", "$1")
       regexp_replace(unquoted, "''", "'").as(f)
     }

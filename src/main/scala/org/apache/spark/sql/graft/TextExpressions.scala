@@ -19,16 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * shuffles.
   *
   * Semantics are identical to `tokens(lower(text))` n-grams
-  * (lowercase via UTF8String — same as Spark's `lower` —, split on
-  * `\s+`, drop empty tokens, docs shorter than one shingle emit an
-  * empty array), so the existing DuckDB oracles are untouched.
+  * (split on `\s+`, drop empty tokens, docs shorter than one shingle
+  * emit an empty array), so the existing DuckDB oracles are
+  * untouched. Lowercasing uses Locale.ROOT so a host JVM locale
+  * (tr_TR dotless-i) can never change results. Known cross-engine
+  * caveat shared with Spark's own `lower`: the JDK applies the
+  * Unicode Final_Sigma rule (ΤΕΛΟΣ → τελος with ς) where utf8proc
+  * engines map Σ → σ unconditionally — Greek-final-sigma corpora
+  * would need a simple-casefold expression on both sides.
   */
 object ShingleUtil {
   // hoisted: String.split("\\s+") would Pattern.compile per document
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = WS.split(text.toLowerCase.toString)
+    val toks = WS.split(
+      text.toString.toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {

@@ -217,6 +217,22 @@ class Round2OpsSpec extends SparkSpec {
 
   // ---- JsonOps ----------------------------------------------------
 
+  test("malformed dump tuples and bad casts degrade to null under ANSI") {
+    // short tuple: missing third field must be null, not an
+    // INVALID_ARRAY_INDEX crash (Spark 4 runs ANSI by default)
+    val lines = Seq("INSERT INTO `x` VALUES (1,'only-two');")
+      .toDF("line")
+    val parsed = TextSources.parseSqlDumpTuples(lines, "line",
+        Seq("a", "b", "c"))
+      .as[(String, String, Option[String])].collect().head
+    assert(parsed == (("1", "only-two", None)))
+    // non-numeric JSON value: try_cast contract returns null
+    val j = Seq("""{"price": "n/a"}""").toDF("j")
+    val v = j.select(JsonOps.nestedFieldAs(col("j"), "price", "long")
+      .as("p")).as[Option[Long]].collect().head
+    assert(v.isEmpty)
+  }
+
   test("nestedField walks dotted and indexed paths, null when absent") {
     val df = Seq("""{"a":{"b":[{"c":5},{"c":7}]},"d":"x"}""").toDF("j")
     val got = df.select(
