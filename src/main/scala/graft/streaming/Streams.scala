@@ -39,6 +39,57 @@ object Streams {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Watermarked stream-stream interval join: attribute each
+    * conversion to the preceding trigger event by key within
+    * `maxDelayMinutes` — the funnel-attribution shape. Both sides
+    * carry watermarks and the join condition is time-bounded in BOTH
+    * directions, so Spark can expire buffered state; an unbounded
+    * stream-stream join would grow state forever. */
+  def attributionJoin(triggers: DataFrame, conversions: DataFrame,
+                      maxDelayMinutes: Int = 30): DataFrame = {
+    val t = triggers
+      .select(col("user_id"), col("event_id").as("trigger_id"),
+        col("ts").as("t_ts"))
+      .withWatermark("t_ts", s"$maxDelayMinutes minutes")
+    val c = conversions
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("conversion_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$maxDelayMinutes minutes")
+    t.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("t_ts") &&
+        col("c_ts") <= col("t_ts") +
+          expr(s"interval $maxDelayMinutes minutes"))
+      .select(col("user_id"), col("trigger_id"), col("conversion_id"),
+        (unix_millis(col("c_ts")) - unix_millis(col("t_ts")))
+          .as("delay_ms"))
+  }
+
+  case class Scored(user_id: Long, item_id: Long, score: Double)
+  case class TopKOut(user_id: Long, item_ids: Seq[Long],
+                     scores: Seq[Double])
+
+  /** Streaming per-key top-k: state is the current k best
+    * (score, item) pairs per key — bounded by construction, emitted
+    * on every update (Update output mode). The batch analog is the
+    * TopKBy bounded-heap aggregate; this is its incremental form. */
+  def streamingTopK(events: Dataset[Scored], k: Int)
+    : Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[List[(Double, Long)], TopKOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[List[(Double, Long)]]) =>
+          val merged =
+            (state.getOption.getOrElse(Nil) ++
+              rows.map(r => (r.score, r.item_id)))
+              .sortBy { case (s, id) => (-s, id) }
+              .take(k)
+          state.update(merged)
+          TopKOut(uid, merged.map(_._2), merged.map(_._1))
+      }
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long,
                           sum: Double)

@@ -70,6 +70,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin matches conversions within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val trig = MemoryStream[(Long, Long, Timestamp)]
+    val conv = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("user_id", "event_id", "ts")
+    val q = Streams.attributionJoin(
+        trig.toDF().toDF(cols: _*), conv.toDF().toDF(cols: _*),
+        maxDelayMinutes = 10)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      trig.addData((1L, 100L, ts(0)), (2L, 200L, ts(0)))
+      // user 1 converts inside the window; user 2 converts too late
+      conv.addData((1L, 900L, ts(5)), (2L, 901L, ts(25)))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("user_id", "trigger_id", "conversion_id", "delay_ms")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 900L, 5L * 60 * 1000)))
+    } finally q.stop()
+  }
+
+  test("streamingTopK keeps the k best per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Scored]
+    val q = Streams.streamingTopK(mem.toDS(), k = 2)
+      .writeStream.format("memory").queryName("stopk")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Streams.Scored(1L, 10L, 0.5),
+        Streams.Scored(1L, 11L, 0.9))
+      q.processAllAvailable()
+      // a later batch with a better item evicts the weakest
+      mem.addData(Streams.Scored(1L, 12L, 0.7))
+      q.processAllAvailable()
+      val last = spark.table("stopk")
+        .as[Streams.TopKOut].collect()
+        .filter(_.user_id == 1L).last
+      assert(last.item_ids == Seq(11L, 12L))
+      assert(last.scores == Seq(0.9, 0.7))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
