@@ -25,5 +25,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName,
+        "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("confusable_skeleton"),
+      new ExpressionInfo(classOf[ConfusableSkeleton].getName,
+        "confusable_skeleton"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ConfusableSkeleton(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName,
+        "word_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShinglesExpr(children.head, children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"word_shingles(text, n): n must be an integer literal, got $other")
+        })))
   }
 }

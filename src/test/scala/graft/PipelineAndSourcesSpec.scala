@@ -69,9 +69,15 @@ class PipelineAndSourcesSpec extends SparkSpec {
     try {
       val r = s2.sql(
         """SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
-          |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d
+          |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+          |       nfc_normalize('été') AS n,
+          |       confusable_skeleton('cаfé') AS k,
+          |       word_shingles('A b c', 2) AS w
           |""".stripMargin).collect()(0)
       assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
+      assert(r.getString(2) == "été")
+      assert(r.getString(3) == "café")
+      assert(r.getSeq[String](4) == Seq("a b", "b c"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
