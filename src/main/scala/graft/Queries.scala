@@ -1024,6 +1024,32 @@ object Queries {
        |  FROM scored) WHERE rnk <= 10""".stripMargin
 
 
+  /** Scalar quantization of embeddings to 256-level codes (the int8
+    * storage/transport form — at 100 TB the embedding column is the
+    * bulk of the bytes and 8x compression is the difference between
+    * one cluster and eight). Codes come from the codegen'd
+    * [[org.apache.spark.sql.graft.QuantizeCsv]] expression; the range
+    * params ride along so any reader can dequantize. */
+  val s05_quantize: QFn = (s, d) => {
+    import org.apache.spark.sql.graft.{ColumnBridge, QuantizeCsv}
+    val e = embD(s, d)
+    e.select(col("vec_id"),
+      round(array_min(col("embedding")), 6).as("mn"),
+      round(array_max(col("embedding")), 6).as("mx"),
+      ColumnBridge.column(QuantizeCsv(
+        ColumnBridge.expression(col("embedding")), 256)).as("codes"))
+  }
+
+  val s05_sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+      |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+      |  array_to_string(list_transform(v, x ->
+      |    CAST(CASE WHEN mx > mn
+      |      THEN floor((x - mn) / (mx - mn) * 255 + 0.5)
+      |      ELSE 0 END AS BIGINT)::VARCHAR), ',') AS codes
+      |FROM b""".stripMargin
+
   // ---------------------------------------------------------------
   // Multimodal (binary columns)
   // ---------------------------------------------------------------
@@ -1515,6 +1541,7 @@ object Queries {
     "s02_knn_join" -> s02_knn_join,
     "s03_ann_lsh" -> s03_ann_lsh,
     "s04_ann_ivf" -> s04_ann_ivf,
+    "s05_quantize" -> s05_quantize,
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_stub" -> m02_feature_stub,
     "e01_window_agg" -> e01_window_agg,
@@ -1575,6 +1602,7 @@ object Queries {
     "s02_knn_join" -> s02_sql,
     "s03_ann_lsh" -> s03_sql,
     "s04_ann_ivf" -> s04_sql,
+    "s05_quantize" -> s05_sql,
     "m01_binary_meta" -> m01_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

@@ -56,6 +56,69 @@ object ShingleUtil {
   }
 }
 
+/** Per-vector scalar quantization of an `array<double>` embedding to
+  * `levels` uniform codes, emitted as a CSV string — the storage/
+  * transport form for embeddings at corpus scale (64 float64 dims →
+  * 64 bytes). One codegen'd pass, no higher-order functions.
+  *
+  * Arithmetic is plain IEEE (`floor((x-min)/(max-min)*(levels-1) +
+  * 0.5)`) over values any engine reads identically from parquet, so
+  * an oracle reproduces the exact codes with the same formula —
+  * no decimal-vs-binary rounding boundary exists because nothing is
+  * rounded to a decimal place. A constant vector (max == min)
+  * quantizes to all-zero codes.
+  */
+object QuantizeUtil {
+  def quantizeCsv(vec: ArrayData, levels: Int): UTF8String = {
+    val n = vec.numElements()
+    var mn = Double.MaxValue
+    var mx = -Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val x = vec.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val span = mx - mn
+    val sb = new java.lang.StringBuilder(n * 4)
+    i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      val code = if (span > 0)
+        math.floor((vec.getDouble(i) - mn) / span * (levels - 1) + 0.5)
+          .toLong
+      else 0L
+      sb.append(code)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** [[QuantizeUtil.quantizeCsv]] as a codegen'd unary expression. */
+case class QuantizeCsv(child: Expression, levels: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(levels >= 2, s"levels must be >= 2, got $levels")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "quantize_csv"
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeUtil.quantizeCsv(input.asInstanceOf[ArrayData], levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+    : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.QuantizeUtil.quantizeCsv($c, $levels)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+    : Expression = copy(child = newChild)
+}
+
 /** [[ShingleUtil.shingles]] as a codegen'd unary expression:
   * `word_shingles(text, n)` → array of space-joined lowercase word
   * n-grams. */

@@ -167,6 +167,30 @@ class Round2OpsSpec extends SparkSpec {
       ("4", "plain", "40")))
   }
 
+  // ---- scalar quantization ----------------------------------------
+
+  test("QuantizeCsv: codes bounded, dequantization error within half a step") {
+    import org.apache.spark.sql.graft.{ColumnBridge, QuantizeCsv}
+    val df = Seq(
+      (1L, Seq(-1.0, 0.0, 0.5, 1.0)),
+      (2L, Seq(3.3, 3.3, 3.3))) // constant vector → all-zero codes
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"), col("embedding"),
+        ColumnBridge.column(QuantizeCsv(
+          ColumnBridge.expression(col("embedding")), 256)).as("codes"))
+      .as[(Long, Seq[Double], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3.split(',').map(_.toLong)))).toMap
+    assert(got(2L)._2.toSeq == Seq(0L, 0L, 0L))
+    val (v, codes) = got(1L)
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    assert(codes.head == 0L && codes.last == 255L) // min/max pinned
+    val (mn, mx) = (v.min, v.max)
+    val step = (mx - mn) / 255
+    v.zip(codes).foreach { case (x, c) =>
+      assert(math.abs(c * step + mn - x) <= step / 2 + 1e-12)
+    }
+  }
+
   // ---- cross-algorithm integrity on real corpus -------------------
 
   test("MinHash-LSH pairs are a subset of exact Jaccard pairs, " +
