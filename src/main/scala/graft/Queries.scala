@@ -700,7 +700,9 @@ object Queries {
   /** Token-repetition quality signals (Gopher-style repetition
     * filters): repeated-token fraction and top-token share per doc —
     * explode + two hash aggregates, no per-row interpreted folds.
-    * Token-less docs emit nothing (mirrored by the oracle). */
+    * Token-less docs emit nothing (mirrored by the oracle). The
+    * sign-blind floor((20000x+n)/(2n)) HALF_UP form is safe here by
+    * construction: both numerators are counts, never negative. */
   val t07_repetition: QFn = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -1131,29 +1133,41 @@ object Queries {
     * form round(avg(value), 4) hits exact rounding ties for a
     * systematic slice of users (2-dp inputs → short-terminating
     * averages) where Spark's decimal round and a binary round
-    * disagree (observed at sf0.1). */
+    * disagree (observed at sf0.1). The sign branch mirrors q15 so
+    * HALF_UP (round away from zero on .5) holds for negative sums
+    * too, not just the non-negative ones this schema happens to
+    * produce. */
   val e03_user_stats: QFn = (s, d) => {
     val cents = round(sum("value") * 100, 0).cast("long")
+    val n = count(lit(1))
+    val halfUp =
+      when(cents >= 0,
+        floor((cents * 200 + n) / (n.cast("double") * 2)))
+        .otherwise(-floor(((-cents) * 200 + n) / (n.cast("double") * 2)))
     t(s, d, "events")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
         count(when(col("event_type") === "error", lit(1))).as("n_errors"),
         countDistinct("event_type").as("n_types"),
-        (floor((cents * 200 + count(lit(1))) /
-          (count(lit(1)).cast("double") * 2)) / 10000.0).as("avg_value"),
+        (halfUp / 10000.0).as("avg_value"),
         max("value").as("max_value"))
   }
 
   val e03_sql: String =
-    """SELECT user_id, count(*) AS n_events,
-      |  count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
-      |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
-      |  count(DISTINCT event_type) AS n_types,
-      |  floor((CAST(round(sum(value) * 100) AS BIGINT) * 200 + count(*))
-      |    / (count(*) * 2.0)) / 10000.0 AS avg_value,
-      |  max(value) AS max_value
-      |FROM events GROUP BY user_id""".stripMargin
+    """WITH a AS (SELECT user_id, count(*) AS n,
+      |    CAST(round(sum(value) * 100) AS BIGINT) AS cents,
+      |    count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+      |    count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+      |    count(DISTINCT event_type) AS n_types,
+      |    max(value) AS max_value
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n AS n_events, n_clicks, n_errors, n_types,
+      |  (CASE WHEN cents >= 0 THEN floor((cents * 200 + n) / (n * 2.0))
+      |        ELSE -floor(((-cents) * 200 + n) / (n * 2.0)) END)
+      |    / 10000.0 AS avg_value,
+      |  max_value
+      |FROM a""".stripMargin
 
 
   /** Moving-window aggregate (trailing 4-event average per user) —

@@ -13,6 +13,14 @@ import org.apache.spark.storage.StorageLevel
   * strategy is one shuffle keyed on the dedup signature, which is the
   * scalable shape (hash-partition by signature, keep one winner per
   * group).
+  *
+  * Caching contract: the LSH/Jaccard builders persist bounded
+  * intermediates (postings, signatures — O(docs) rows) that the
+  * returned LAZY DataFrame still references, so they cannot unpersist
+  * before the caller's action runs. Long-lived sessions running many
+  * such queries must release them afterwards
+  * (`spark.sharedState.cacheManager.clearCache()` — Bench and Verify
+  * both do this between queries).
   */
 object Dedup {
 
@@ -173,9 +181,12 @@ object Dedup {
     val ranked = pruned
       .withColumn("r", row_number().over(wDoc))
       .withColumn("np", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // 1e-9 guard: if t*np is exactly integer but the double product
+    // rounds a hair up, a bare ceil would shorten the prefix by one
+    // and silently drop a boundary pair (recall must stay EXACT)
     val prefix = ranked
       .filter(col("r") <=
-        col("np") - ceil(col("np") * t) + 1)
+        col("np") - ceil(col("np") * t - 1e-9) + 1)
       .select("h", "doc_id")
     // candidates: a doc's prefix vs the other doc's FULL pruned
     // postings (prefix-vs-full is exactly recall-complete; the join
@@ -190,8 +201,11 @@ object Dedup {
     val prunedN = pruned.select("h", "doc_id").join(sizes, "doc_id")
     val cand = prefixN.as("a")
       .join(prunedN.as("b"), Seq("h"))
+      // same float-boundary guard on the length filter: an exact
+      // integer product must not fail >= through double rounding
       .filter(col("a.doc_id") =!= col("b.doc_id") &&
-        col("a.n") >= col("b.n") * t && col("b.n") >= col("a.n") * t)
+        col("a.n") >= col("b.n") * t - 1e-9 &&
+        col("b.n") >= col("a.n") * t - 1e-9)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id2"),
         when(col("a.doc_id") < col("b.doc_id"), col("a.n"))

@@ -91,6 +91,11 @@ object Relational {
     * the extra row). `order` must be a total order (include a
     * tiebreak) so global ranks are well-defined wherever the range
     * boundaries land.
+    *
+    * The range-partitioned input stays persisted (the returned lazy
+    * frame must see the SAME partition assignment the counts pass
+    * saw); callers in long-lived sessions release it after their
+    * action via `cacheManager.clearCache()` (Bench/Verify do).
     */
   def globalNtile(df: DataFrame, buckets: Int, rangeParts: Int,
                   bucketCol: String, order: Column*): DataFrame = {

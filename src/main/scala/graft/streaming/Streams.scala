@@ -39,12 +39,20 @@ object Streams {
     events.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
-  /** Watermarked stream-stream interval join: attribute each
-    * conversion to the preceding trigger event by key within
-    * `maxDelayMinutes` — the funnel-attribution shape. Both sides
-    * carry watermarks and the join condition is time-bounded in BOTH
-    * directions, so Spark can expire buffered state; an unbounded
-    * stream-stream join would grow state forever. */
+  /** Watermarked stream-stream interval join: pair each conversion
+    * with EVERY preceding trigger by key within `maxDelayMinutes` —
+    * the funnel-attribution shape. Both sides carry watermarks and
+    * the join condition is time-bounded in BOTH directions, so Spark
+    * can expire buffered state; an unbounded stream-stream join would
+    * grow state forever.
+    *
+    * Semantics are deliberately many-to-many: a conversion preceded
+    * by several triggers from the same user inside the window emits
+    * one row per trigger. Single-touch models are a downstream pick
+    * over this output — see [[lastTouch]]. (Spark does not support a
+    * stateful aggregation directly after a time-interval stream-stream
+    * join, so the pick runs per micro-batch via foreachBatch, or over
+    * the materialized output in batch.) */
   def attributionJoin(triggers: DataFrame, conversions: DataFrame,
                       maxDelayMinutes: Int = 30): DataFrame = {
     val t = triggers
@@ -65,14 +73,35 @@ object Streams {
           .as("delay_ms"))
   }
 
+  /** Last-touch pick over [[attributionJoin]] output: keep, per
+    * conversion, the single most recent trigger (minimum delay;
+    * trigger_id breaks exact ties). Batch/foreachBatch only — a
+    * streaming agg chained after a time-interval join is unsupported
+    * by Spark's multiple-stateful-operator rules. */
+  def lastTouch(attributed: DataFrame): DataFrame =
+    attributed.groupBy("conversion_id")
+      .agg(min_by(struct(col("delay_ms"), col("trigger_id"),
+        col("user_id")), struct(col("delay_ms"), col("trigger_id")))
+        .as("best"))
+      .select(col("best.user_id").as("user_id"),
+        col("best.trigger_id").as("trigger_id"), col("conversion_id"),
+        col("best.delay_ms").as("delay_ms"))
+
   case class Scored(user_id: Long, item_id: Long, score: Double)
   case class TopKOut(user_id: Long, item_ids: Seq[Long],
                      scores: Seq[Double])
 
   /** Streaming per-key top-k: state is the current k best
     * (score, item) pairs per key — bounded by construction, emitted
-    * on every update (Update output mode). The batch analog is the
-    * TopKBy bounded-heap aggregate; this is its incremental form. */
+    * on every update (Update output mode). A re-arrival of an item
+    * already in state keeps its best score (one slot per item_id, no
+    * duplicates in the output lists). The batch analog is the TopKBy
+    * bounded-heap aggregate; this is its incremental form.
+    *
+    * State per key is ≤ k pairs, but the KEY SET itself never
+    * expires (NoTimeout): on a stream with unbounded key cardinality
+    * total state grows with distinct keys — add a timeout policy (or
+    * key TTL upstream) before pointing this at such a feed. */
   def streamingTopK(events: Dataset[Scored], k: Int)
     : Dataset[TopKOut] = {
     import events.sparkSession.implicits._
@@ -83,6 +112,8 @@ object Streams {
           val merged =
             (state.getOption.getOrElse(Nil) ++
               rows.map(r => (r.score, r.item_id)))
+              .groupBy { case (_, id) => id }
+              .valuesIterator.map(_.maxBy { case (s, _) => s }).toList
               .sortBy { case (s, id) => (-s, id) }
               .take(k)
           state.update(merged)

@@ -92,6 +92,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin is many-to-many; lastTouch picks one trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val trig = MemoryStream[(Long, Long, Timestamp)]
+    val conv = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("user_id", "event_id", "ts")
+    val q = Streams.attributionJoin(
+        trig.toDF().toDF(cols: _*), conv.toDF().toDF(cols: _*),
+        maxDelayMinutes = 10)
+      .writeStream.format("memory").queryName("attr_mm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two triggers precede the same conversion inside the window
+      trig.addData((1L, 100L, ts(0)), (1L, 101L, ts(3)))
+      conv.addData((1L, 900L, ts(5)))
+      q.processAllAvailable()
+      val attributed = spark.table("attr_mm")
+      val rows = attributed
+        .select("trigger_id", "conversion_id", "delay_ms")
+        .as[(Long, Long, Long)].collect().toSet
+      // documented semantics: one row PER preceding trigger
+      assert(rows == Set((100L, 900L, 5L * 60 * 1000),
+        (101L, 900L, 2L * 60 * 1000)))
+      // last-touch downstream pick keeps the most recent trigger only
+      val last = Streams.lastTouch(attributed)
+        .select("user_id", "trigger_id", "conversion_id", "delay_ms")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(last == Set((1L, 101L, 900L, 2L * 60 * 1000)))
+    } finally q.stop()
+  }
+
+  test("streamingTopK dedups re-scored items, keeping the max score") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Scored]
+    val q = Streams.streamingTopK(mem.toDS(), k = 2)
+      .writeStream.format("memory").queryName("stopk_dedup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Streams.Scored(1L, 10L, 0.5),
+        Streams.Scored(1L, 11L, 0.4))
+      q.processAllAvailable()
+      // item 10 re-arrives with a new score: must occupy ONE slot at
+      // its best score, not evict item 11 with a duplicate entry
+      mem.addData(Streams.Scored(1L, 10L, 0.9))
+      q.processAllAvailable()
+      val last = spark.table("stopk_dedup")
+        .as[Streams.TopKOut].collect()
+        .filter(_.user_id == 1L).last
+      assert(last.item_ids == Seq(10L, 11L))
+      assert(last.scores == Seq(0.9, 0.4))
+    } finally q.stop()
+  }
+
   test("streamingTopK keeps the k best per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Scored]
