@@ -91,38 +91,45 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
-    // the postings feed signatures AND candidate verification — persist
-    // once instead of recomputing the tokenize/window pipeline per
-    // branch (pushed-filter asymmetry defeats ReuseExchange here)
     val postings = TextFunctions.shinglePostings(docs, idCol, textCol,
       shingleSize, distinct = true)
+    // ONE doc_id shuffle computes the minhash signature AND the
+    // verification shingle set (the md5(seed:shingle) minima are
+    // bit-identical to minhashSignatures, so the DuckDB oracle is
+    // unchanged). The old shape aggregated the persisted postings
+    // twice — signatures, then sets — paying a second full shuffle.
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
+        .as(s"h$i"))
+    val combined = postings
+      .groupBy("doc_id")
+      .agg(mins.head,
+        (mins.tail :+ collect_list(col("shingle")).as("sh")): _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+        col("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize before the signature/sets branches fan out —
-    // parallel stages would otherwise race-recompute the cache
-    postings.count()
-    // banded is consumed by BOTH sides of the self-join below; persist
-    // + materialize so the signature aggregate runs once, not twice
-    // (one short row per doc x band — tiny at any SF)
-    val banded = minhashSignatures(postings, numHashes)
+    // materialize before fan-out (band self-join sides + two verify
+    // joins) — parallel stages would otherwise race-recompute it
+    combined.count()
+    // banded rows carry ids only — the (possibly skewed) band join
+    // never shuffles shingle payloads. Recomputing the explode per
+    // join side is a cheap projection over the materialized cache, so
+    // no second persist is needed.
+    val banded = combined
       .withColumn("band", explode(lshBandKeys(col("sig"), bands,
         rowsPerBand)))
       .select("band", "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    banded.count()
-    // candidates carry ids only — the (possibly skewed) band join
-    // never shuffles shingle payloads
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val sets = postings.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("sh"))
     val pairs = candidates
-      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")),
-        "id1")
-      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")),
-        "id2")
+      .join(combined.select(col("doc_id").as("id1"),
+        col("sh").as("sh1")), "id1")
+      .join(combined.select(col("doc_id").as("id2"),
+        col("sh").as("sh2")), "id2")
     verifyJaccard(pairs, threshold)
   }
 
@@ -163,49 +170,59 @@ object Dedup {
       shingleSize, distinct = true)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize ONCE before fan-out: the sizes/df/prefix/sets
-    // branches otherwise race to fill the cache from independent
-    // parallel stages, recomputing the tokenize/window pipeline 2-3x
+    // materialize ONCE before fan-out: the df/enriched branches
+    // otherwise race to fill the cache from independent parallel
+    // stages, recomputing the tokenize/shingle pipeline 2-3x
     posting.count()
-    val sizes = posting.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pruned = posting.join(
-      posting.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf),
-      Seq("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pruned.count()
-    // prefix postings: rank within doc by the global (df, h) order
-    // (any global total order preserves exact recall)
+    val df = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    // ONE doc_id window pass attaches everything downstream needs to
+    // every posting row: rank `r` in the global (df, h) order with
+    // pruned (df <= maxDf) rows first, full size `n`, pruned size
+    // `np`. This replaces a separate sizes aggregate plus two
+    // size-attach joins — three fewer shuffles on the posting set.
     val wDoc = Window.partitionBy("doc_id")
-      .orderBy(col("df").asc, col("h").asc)
-    val ranked = pruned
-      .withColumn("r", row_number().over(wDoc))
-      .withColumn("np", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val wOrd = wDoc.orderBy(col("keep").desc, col("df").asc,
+      col("h").asc)
+    val enriched = posting.join(df, Seq("h"))
+      .withColumn("keep", col("df") <= maxDf)
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("np", count(when(col("keep"), lit(1))).over(wDoc))
+      .select("doc_id", "h", "keep", "r", "n", "np")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    enriched.count()
+    // enriched is materialized; the postings cache has no consumers
+    // left — release it instead of holding both until the caller's
+    // cache clear
+    posting.unpersist(false)
+    val pruned = enriched.filter(col("keep"))
     // 1e-9 guard: if t*np is exactly integer but the double product
     // rounds a hair up, a bare ceil would shorten the prefix by one
     // and silently drop a boundary pair (recall must stay EXACT)
-    val prefix = ranked
-      .filter(col("r") <=
-        col("np") - ceil(col("np") * t - 1e-9) + 1)
-      .select("h", "doc_id")
+    val prefix = pruned.filter(col("r") <=
+      col("np") - ceil(col("np") * t - 1e-9) + 1)
     // candidates: a doc's prefix vs the other doc's FULL pruned
     // postings (prefix-vs-full is exactly recall-complete; the join
     // key is the shingle hash, and prefixes live in rare shingles).
-    // FULL doc sizes ride along (one row per doc) so the length
-    // filter (j >= t implies t·max <= min) cuts pairs BEFORE the
-    // distinct and the sizes survive into verification. No broadcast
-    // hint: sizes is O(ndocs) — AQE broadcasts it when it is small
-    // and shuffles it when a billion-doc corpus makes that the only
-    // safe plan.
-    val prefixN = prefix.join(sizes, "doc_id")
-    val prunedN = pruned.select("h", "doc_id").join(sizes, "doc_id")
-    val cand = prefixN.as("a")
-      .join(prunedN.as("b"), Seq("h"))
-      // same float-boundary guard on the length filter: an exact
-      // integer product must not fail >= through double rounding
+    // Three pair cuts run BEFORE the distinct:
+    //  - length filter: j >= t implies t·max <= min (float-boundary
+    //    guarded so an exact integer product cannot fail >=)
+    //  - PPJoin positional filter: at a match seen at positions
+    //    (r_a, r_b) of the pruned orders, the remaining overlap is at
+    //    most 1 + min(np_a − r_a, np_b − r_b); a qualifying pair needs
+    //    overlap ≥ α = ⌈t/(1+t)·(n_a+n_b)⌉ and always survives via its
+    //    FIRST shared prefix shingle (overlap before the first match
+    //    is zero), so dropping later matches below α keeps recall
+    //    exact while cutting the distinct's input.
+    val alpha = ceil((col("a.n") + col("b.n")) * lit(t / (1 + t))
+      - 1e-9)
+    val cand = prefix.as("a")
+      .join(pruned.as("b"), Seq("h"))
       .filter(col("a.doc_id") =!= col("b.doc_id") &&
         col("a.n") >= col("b.n") * t - 1e-9 &&
-        col("b.n") >= col("a.n") * t - 1e-9)
+        col("b.n") >= col("a.n") * t - 1e-9 &&
+        lit(1) + least(col("a.np") - col("a.r"),
+          col("b.np") - col("b.r")) >= alpha)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id2"),
         when(col("a.doc_id") < col("b.doc_id"), col("a.n"))
@@ -213,7 +230,9 @@ object Dedup {
         when(col("a.doc_id") < col("b.doc_id"), col("b.n"))
           .otherwise(col("a.n")).as("n2"))
       .distinct()
-    // exact verify over the full pruned hash-sets
+    // exact verify over the full pruned hash-sets; the grouped collect
+    // reuses the enriched cache's doc_id partitioning (window exec
+    // partitioning survives the InMemoryTableScan) — no extra shuffle
     val sets = pruned.groupBy("doc_id")
       .agg(collect_list(col("h")).as("sh"))
     cand

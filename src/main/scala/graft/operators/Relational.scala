@@ -166,24 +166,40 @@ object Relational {
   def relatedByOverlap(membership: DataFrame, containerCol: String,
                        itemCol: String,
                        maxItemFanout: Int = 1000): DataFrame = {
-    // m feeds the fanout filter AND both self-join sides; persist so
-    // the distinct shuffle runs once (pushed-filter asymmetry between
-    // branches defeats ReuseExchange)
+    // m feeds the fanout filter AND the semi-join left side; persist
+    // so the distinct shuffle runs once (pushed-filter asymmetry
+    // between branches defeats ReuseExchange)
     val m = membership.select(col(containerCol).as("container"),
       col(itemCol).as("item")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize before the fanout-filter + two join branches fan
-    // out — parallel stages otherwise race-recompute the cache
+    // materialize before the branches fan out — parallel stages
+    // otherwise race-recompute the cache
     m.count()
+    // fanout counts FIRST, as a plain count aggregate: hub items are
+    // dropped before any member list materializes, so aggregation
+    // buffers stay bounded even when one item sits in millions of
+    // containers
     val fanout = m.groupBy("item")
       .agg(count(lit(1)).as("item_fanout"))
       .filter(col("item_fanout") <= maxItemFanout)
     val pruned = m.join(fanout, Seq("item"), "left_semi")
-    val a = pruned.select(col("item"), col("container").as("c1"))
-    val b = pruned.select(col("item"), col("container").as("c2"))
-    a.join(b, Seq("item"))
-      .filter(col("c1") < col("c2"))
-      .groupBy("c1", "c2")
+    // grouped member list per item (bounded by maxItemFanout); the
+    // groupBy reuses the semi-join's hash partitioning on item — no
+    // extra shuffle. sort_array makes within-list order (and so pair
+    // orientation) deterministic.
+    val byItem = pruned.groupBy("item")
+      .agg(sort_array(collect_list(col("container"))).as("cs"))
+    // ordered pairs by in-row combination explode instead of an
+    // item-keyed self-join: the pair stream never shuffles — it flows
+    // straight into the final aggregate's map-side partial combine
+    // (the self-join form shuffled BOTH join sides plus the joined
+    // pair rows; this shape's only shuffles are the two aggregates)
+    val pairs = byItem
+      .select(posexplode(col("cs")).as(Seq("i", "c1")), col("cs"))
+      .select(col("c1"),
+        explode(slice(col("cs"), col("i") + 2,
+          size(col("cs")) - col("i") - 1)).as("c2"))
+    pairs.groupBy("c1", "c2")
       .agg(count(lit(1)).as("shared"))
   }
 }
