@@ -740,6 +740,49 @@ object Queries {
       |    / (n_tokens * 2.0)) / 10000.0 AS top_share
       |FROM a""".stripMargin
 
+  /** Per-document salient terms by TF-IDF: term frequency × ln(N/df),
+    * top-3 per doc with full tiebreaks. Ranking compares the ROUNDED
+    * 6-dp score (identical on both engines) so rank order is
+    * hash-stable; ln never terminates in decimal, so the 6-dp round
+    * cannot hit the exact-tie trap. The scalar doc count joins in via
+    * a broadcast cross join — no single-partition window anywhere. */
+  val t08_tfidf: QFn = (s, d) => {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tf feeds df, the doc count AND the score join — materialize
+    tf.count()
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfc, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+  }
+
+  val t08_sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+      |scored AS (SELECT doc_id, term, tf, df,
+      |    round(tf * ln(n_docs / df), 6) AS tfidf
+      |  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rn FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+      |FROM r WHERE rn <= 3""".stripMargin
+
   /** Word segmentation round-trip (wordninja-style _tokenizer analog,
     * rows-only): fit a Zipf dictionary on the corpus, strip spaces
     * from each doc, re-segment, compare token counts. */
@@ -834,17 +877,18 @@ object Queries {
     Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
       shingleSize = 3, maxHamming = 6)
 
-  /** Oracle mirror of the SimHash pipeline: same md5-nibble-parity
-    * votes (odd hex digit = +1), same byte banding, same Hamming cut.
-    * The 32 vote aggregates are generated, not hand-written. */
-  val d04_sql: String = {
+  /** Shared CTE chain of the SimHash oracle (through `cand`): same
+    * md5-nibble-parity votes (odd hex digit = +1), same nibble
+    * banding. The 32 vote aggregates are generated, not hand-written.
+    * Used by d04 (pairs) and d06 (clusters over the pair graph). */
+  private val simhashCtesSql: String = {
     val votes = (0 until 32).map(i =>
       s"sum(CASE WHEN strpos('13579bdf', substr(d, ${i + 1}, 1)) > 0 " +
         s"THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
     val packed = (0 until 32).map(i =>
       s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |    range(1, greatest(len(t) - 1, 1)),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
@@ -860,10 +904,13 @@ object Queries {
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        |    a.sig AS sig1, b.sig AS sig2
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val d04_sql: String =
+    s"""WITH $simhashCtesSql
        |SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 6""".stripMargin
-  }
 
   /** Embedding-cosine near-duplicate pairs (the modern semantic-dedup
     * path) through banded hyperplane LSH: candidates only from shared
@@ -901,6 +948,95 @@ object Queries {
        |WHERE round(list_dot_product(x.v, y.v) /
        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4""".stripMargin
   }
+
+  /** Near-dup CLUSTERING: connected components over the SimHash pair
+    * graph (d04's exact parameters), labelling every document with
+    * the min doc_id reachable through near-dup edges — the step that
+    * turns pairwise dedup output into keep-one-per-cluster decisions
+    * (remove_duplicates, create_merged.py:992, generalized to a
+    * transitive duplicate relation). Iterative min-label propagation,
+    * O(diameter) rounds of one join + one aggregate
+    * ([[graft.graph.Components]]); singleton docs keep their own id. */
+  val d06_dup_clusters: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, maxHamming = 6).select("id1", "id2")
+    graft.graph.Components.componentSizes(
+      docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("component"),
+        col("cluster_size"))
+  }
+
+  /** Oracle: the shared SimHash CTEs, then the transitive closure via
+    * a recursive CTE (min reachable id = the component label). */
+  val d06_sql: String =
+    s"""WITH RECURSIVE $simhashCtesSql,
+       |pairs AS (SELECT id1, id2 FROM cand
+       |  WHERE bit_count(xor(sig1, sig2)) <= 6),
+       |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+       |  UNION SELECT id2, id1 FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |  WHERE e.v <> r.u),
+       |comp AS (SELECT u AS id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u),
+       |lab AS (SELECT d.doc_id,
+       |    coalesce(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       |SELECT doc_id, component,
+       |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+       |    AS cluster_size
+       |FROM lab""".stripMargin
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * 5-gram shingle with a held-out "eval" slice (doc_id % 50 == 0) —
+    * the n-gram-overlap decontamination step every LLM data pipeline
+    * runs before training. One semi-join on the shingle hash (the
+    * eval index is tiny next to the corpus — AQE broadcasts it);
+    * contamination fraction rounded HALF_UP in integer space
+    * (numerators are counts, non-negative). */
+  val d07_decontaminate: QFn = (s, d) => {
+    val post = TextFunctions.shinglePostings(t(s, d, "documents"),
+      "doc_id", "text", 5, distinct = true)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eval/train/totals branches fan out — materialize first
+    post.count()
+    val evalSet = post.filter(col("doc_id") % 50 === 0)
+      .select("h").distinct()
+    val train = post.filter(col("doc_id") % 50 =!= 0)
+    val totals = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(evalSet, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor((coalesce(col("n_hits"), lit(0L)) * 20000 +
+          col("n_shingles")) / (col("n_shingles").cast("double") * 2))
+          / 10000.0).as("contaminated_frac"))
+  }
+
+  val d07_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 3, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+       |      t[i+3] || ' ' || t[i+4])) AS shingles
+       |  FROM toks WHERE len(t) >= 5),
+       |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |ev AS (SELECT DISTINCT shingle FROM post WHERE doc_id % 50 = 0),
+       |train AS (SELECT * FROM post WHERE doc_id % 50 <> 0),
+       |totals AS (SELECT doc_id, count(*) AS n_shingles
+       |  FROM train GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*) AS n_hits FROM train
+       |  WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  floor((coalesce(h.n_hits, 0) * 20000 + t.n_shingles)
+       |    / (t.n_shingles * 2.0)) / 10000.0 AS contaminated_frac
+       |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Similarity search (embeddings)
@@ -1188,6 +1324,54 @@ object Queries {
       |    ORDER BY epoch_ms(ts), event_id
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
       |FROM events""".stripMargin
+
+  /** As-of join: attribute each click to the most recent view at or
+    * before it per user — the temporal-join shape Spark has no native
+    * operator for. Re-expressed scale-first as ONE user-keyed shuffle:
+    * union both event kinds, order by (ms, kind, event_id) with views
+    * before clicks at equal timestamps, and carry the last non-null
+    * view forward (`last(..., ignoreNulls)` over a running frame).
+    * Both engines run the identical window form, so the deterministic
+    * tiebreak (max (ms, event_id) among qualifying views) is shared.
+    * Clicks with no prior view keep nulls. A range/interval join would
+    * shuffle |views|×|clicks| candidate pairs; this carries each row
+    * exactly once. */
+  val e05_asof_join: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === "view", lit(0)).otherwise(lit(1))
+          .as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("view_id",
+        last(when(col("kind") === 0, col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("view_ms",
+        last(when(col("kind") === 0, col("ms")),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("view_id"), (col("ms") - col("view_ms")).as("delay_ms"))
+  }
+
+  val e05_sql: String =
+    """WITH u AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |w AS (SELECT user_id, event_id, ms, kind,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |      OVER win AS view_id,
+      |    last_value(CASE WHEN kind = 0 THEN ms END IGNORE NULLS)
+      |      OVER win AS view_ms
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ms, kind, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id AS click_id, view_id,
+      |  ms - view_ms AS delay_ms
+      |FROM w WHERE kind = 1""".stripMargin
 
   /** Quartile assignment by account balance — the scale-safe global
     * ntile: range-partition + per-partition ranks + offset arithmetic
@@ -1551,6 +1735,10 @@ object Queries {
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embedding_dedup" -> d05_embedding_dedup,
+    "d06_dup_clusters" -> d06_dup_clusters,
+    "d07_decontaminate" -> d07_decontaminate,
+    "t08_tfidf" -> t08_tfidf,
+    "e05_asof_join" -> e05_asof_join,
     "s01_cosine_topk" -> s01_cosine_topk,
     "s02_knn_join" -> s02_knn_join,
     "s03_ann_lsh" -> s03_ann_lsh,
@@ -1612,6 +1800,10 @@ object Queries {
     "d03_minhash_lsh" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embedding_dedup" -> d05_sql,
+    "d06_dup_clusters" -> d06_sql,
+    "d07_decontaminate" -> d07_sql,
+    "t08_tfidf" -> t08_sql,
+    "e05_asof_join" -> e05_sql,
     "s01_cosine_topk" -> s01_sql,
     "s02_knn_join" -> s02_sql,
     "s03_ann_lsh" -> s03_sql,
