@@ -271,22 +271,35 @@ object Dedup {
       .select("id1", "id2", "jaccard")
 
   /** SimHash signature column: for bit i, a shingle votes +1 if the
-    * i-th hex nibble group of md5(shingle) is odd. Deterministic and
-    * engine-portable (md5-based).
+    * i-th hex nibble of md5(shingle) is odd. Deterministic and
+    * engine-portable (md5-based; the DuckDB mirror tests the same
+    * nibble parity via strpos('13579bdf', …)).
+    *
+    * Per-row work is four 8-hex-digit `conv` parses; each vote then
+    * reads one bit of those longs (nibble i of a hex group occupies
+    * bits [4·(7 − i%8), …], its parity is the lowest of them). The
+    * earlier form did substring+conv per BIT — 32 string parses per
+    * posting row, measured ~25% of the whole d04 query at sf0.1.
     */
   def simhashSignatures(postings: DataFrame, bits: Int = 32)
     : DataFrame = {
     require(bits <= 32, "one md5 digest provides 32 nibble-bits")
+    val groups = (bits + 7) / 8
+    val withMasks = postings
+      .withColumn("d", md5(col("shingle")))
+      .select(col("doc_id") +: (0 until groups).map(g =>
+        conv(substring(col("d"), g * 8 + 1, 8), 16, 10).cast("long")
+          .as(s"m$g")): _*)
     val votes = (0 until bits).map { i =>
-      sum(when(conv(substring(col("d"), i + 1, 1), 16, 10)
-        .cast("int") % 2 === 1, 1L).otherwise(-1L)).as(s"v$i")
+      val parity = shiftright(col(s"m${i / 8}"), 4 * (7 - i % 8))
+        .bitwiseAND(lit(1L))
+      sum(parity * 2L - 1L).as(s"v$i")
     }
     val packed = (0 until bits)
       .map(i => when(col(s"v$i") >= 0, lit(1L)).otherwise(lit(0L)) *
         lit(1L << i))
       .reduce(_ + _)
-    postings
-      .withColumn("d", md5(col("shingle")))
+    withMasks
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), packed.as("sig"))
