@@ -87,6 +87,41 @@ object Streams {
         col("best.trigger_id").as("trigger_id"), col("conversion_id"),
         col("best.delay_ms").as("delay_ms"))
 
+  /** Streaming NEAR-dup signal: the incremental form of the MinHash
+    * LSH dedup family (graft.dedup). Each arriving doc computes its
+    * LSH band keys ROW-LOCALLY (codegen'd shingles → md5 minhash →
+    * band keys — no corpus-wide shuffle), then
+    * `dropDuplicatesWithinWatermark` keeps only first-seen band keys
+    * and a windowed count per doc emits how many of its bands were
+    * novel: `novel_bands == n bands` → no LSH collision with anything
+    * inside the watermark horizon; fewer → near-dup candidate; a FULL
+    * duplicate (every band seen before) emits no row at all — absence
+    * IS the drop decision. Two chained stateful operators (band-dedup
+    * state and the window agg), BOTH bounded by the watermark.
+    *
+    * Batch analog: Dedup.minhashLshPairs' banding stage; reference
+    * analog: remove_duplicates (create_merged.py:992) run as a feed
+    * instead of a snapshot. */
+  def streamingNearDupSignal(docs: DataFrame, lateness: String,
+                             window: String = "1 minute",
+                             shingleSize: Int = 3, numHashes: Int = 12,
+                             bands: Int = 4): DataFrame = {
+    val shingles = array_distinct(
+      graft.text.TextFunctions.wordShingles(col("text"), shingleSize))
+    val sig = graft.dedup.Dedup.minhashSignature(shingles, numHashes)
+    val bandKeys = graft.dedup.Dedup.lshBandKeys(sig, bands,
+      numHashes / bands)
+    docs
+      .select(col("ts"), col("doc_id"), explode(bandKeys).as("band"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("band"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(count(lit(1)).as("novel_bands"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("novel_bands"))
+  }
+
   case class Scored(user_id: Long, item_id: Long, score: Double)
   case class TopKOut(user_id: Long, item_ids: Seq[Long],
                      scores: Seq[Double])

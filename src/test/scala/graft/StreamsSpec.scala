@@ -165,6 +165,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupSignal: dup doc has zero novel bands") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.streamingNearDupSignal(df, lateness = "5 minutes",
+        window = "10 minutes")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta"
+      mem.addData((ts(1), 1L, text))
+      q.processAllAvailable()
+      // doc 2 is an exact dup → every band key already seen
+      mem.addData((ts(2), 2L, text))
+      q.processAllAvailable()
+      // close the window so the counts emit
+      mem.addData((ts(40), 9L, "totally different filler words here"))
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .select("doc_id", "novel_bands")
+        .as[(Long, Long)].collect().toMap
+      assert(got(1L) == 4L)      // all 4 bands novel
+      assert(!got.contains(2L))  // zero novel bands → no row at all
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
