@@ -878,28 +878,37 @@ object Queries {
       shingleSize = 3, maxHamming = 6)
 
   /** Shared CTE chain of the SimHash oracle (through `cand`): same
-    * md5-nibble-parity votes (odd hex digit = +1), same nibble
-    * banding. The 32 vote aggregates are generated, not hand-written.
-    * Used by d04 (pairs) and d06 (clusters over the pair graph). */
+    * md5-nibble-parity votes (odd hex digit = +1) over the 64-nibble
+    * digest md5(shingle) || md5('x:' || shingle), same 8-bit banding.
+    * The 64 vote aggregates are generated, not hand-written; bit 63's
+    * weight is spelled (-max - 1) so the literal stays BIGINT, and
+    * the packed value is the identical two's-complement signature on
+    * both engines (xor / bit_count / shift+mask are all
+    * representation-based). Used by d04 (pairs) and d06 (clusters
+    * over the pair graph). */
   private val simhashCtesSql: String = {
-    val votes = (0 until 32).map(i =>
+    val votes = (0 until 64).map(i =>
       s"sum(CASE WHEN strpos('13579bdf', substr(d, ${i + 1}, 1)) > 0 " +
         s"THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
-    val packed = (0 until 32).map(i =>
-      s"(CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
+    val packed = (0 until 64).map { i =>
+      val w = if (i == 63) "(-9223372036854775807 - 1)"
+        else (1L << i).toString
+      s"(CASE WHEN v$i >= 0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
     s"""toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(
        |    range(1, greatest(len(t) - 1, 1)),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
        |  FROM toks WHERE len(t) >= 3),
-       |digests AS (SELECT doc_id, md5(unnest(shingles)) AS d FROM sh),
+       |digests AS (SELECT doc_id,
+       |    md5(shingle) || md5('x:' || shingle) AS d
+       |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)),
        |votes AS (SELECT doc_id,
        |    $votes
        |  FROM digests GROUP BY doc_id),
        |sig AS (SELECT doc_id, CAST($packed AS BIGINT) AS sig FROM votes),
        |banded AS (SELECT doc_id, sig,
-       |    b::VARCHAR || '|' || (((sig >> (b * 4)) & 15))::VARCHAR AS band
+       |    b::VARCHAR || '|' || (((sig >> (b * 8)) & 255))::VARCHAR AS band
        |  FROM sig, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(b)),
        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        |    a.sig AS sig1, b.sig AS sig2

@@ -271,22 +271,32 @@ object Dedup {
       .select("id1", "id2", "jaccard")
 
   /** SimHash signature column: for bit i, a shingle votes +1 if the
-    * i-th hex nibble of md5(shingle) is odd. Deterministic and
-    * engine-portable (md5-based; the DuckDB mirror tests the same
-    * nibble parity via strpos('13579bdf', …)).
+    * i-th hex nibble of the digest is odd, where the digest is
+    * md5(shingle) for bits 0-31 extended by md5('x:' || shingle) for
+    * bits 32-63. Deterministic and engine-portable (md5-based; the
+    * DuckDB mirror tests the same nibble parity via
+    * strpos('13579bdf', …) over the same concatenated digest).
     *
-    * Per-row work is four 8-hex-digit `conv` parses; each vote then
-    * reads one bit of those longs (nibble i of a hex group occupies
-    * bits [4·(7 − i%8), …], its parity is the lowest of them). The
-    * earlier form did substring+conv per BIT — 32 string parses per
-    * posting row, measured ~25% of the whole d04 query at sf0.1.
+    * Per-row work is one 8-hex-digit `conv` parse per 8 bits; each
+    * vote then reads one bit of those longs (nibble i of a hex group
+    * occupies bits [4·(7 − i%8), …], its parity is the lowest of
+    * them). The earlier form did substring+conv per BIT — 32 string
+    * parses per posting row, measured ~25% of the whole d04 query at
+    * sf0.1. Bit 63 of the packed signature is the sign bit — the
+    * value is the two's-complement BIGINT on both engines, and all
+    * downstream ops (xor, bit_count, shift+mask banding) are
+    * representation-based, so the sign is harmless.
     */
   def simhashSignatures(postings: DataFrame, bits: Int = 32)
     : DataFrame = {
-    require(bits <= 32, "one md5 digest provides 32 nibble-bits")
+    require(bits <= 64, "two md5 digests provide 64 nibble-bits")
     val groups = (bits + 7) / 8
+    val digest =
+      if (bits <= 32) md5(col("shingle"))
+      else concat(md5(col("shingle")),
+        md5(concat(lit("x:"), col("shingle"))))
     val withMasks = postings
-      .withColumn("d", md5(col("shingle")))
+      .withColumn("d", digest)
       .select(col("doc_id") +: (0 until groups).map(g =>
         conv(substring(col("d"), g * 8 + 1, 8), 16, 10).cast("long")
           .as(s"m$g")): _*)
@@ -305,29 +315,41 @@ object Dedup {
       .select(col("doc_id"), packed.as("sig"))
   }
 
-  /** SimHash near-dup pairs: bucket by the signature's 8 nibble bands
-    * (4 bits each for 32-bit sigs), verify by Hamming distance.
-    * Pigeonhole: a pair within Hamming distance d shares at least one
-    * of 8 bands whenever d <= 7, so recall is EXACT for
-    * maxHamming <= 7 (byte bands would silently miss pairs with one
-    * differing bit in every band).
+  /** SimHash near-dup pairs: bucket by the signature's `bands` equal
+    * bit-bands, verify by Hamming distance. Pigeonhole: a pair within
+    * Hamming distance d shares at least one band whenever
+    * d < bands, so recall is EXACT for maxHamming <= bands - 1.
+    *
+    * Band WIDTH is the scale lever: with 32-bit sigs and 4-bit bands
+    * there are only 8·16 = 128 distinct bucket keys in the whole
+    * corpus — every bucket holds corpus/128 docs and candidate
+    * generation is quadratic regardless of data. 64-bit sigs with
+    * 8-bit bands (the defaults here) give 8·256 = 2 048 keys and a
+    * 16× thinner bucket at identical recall guarantees; wider sigs
+    * also make the Hamming cut a finer similarity measure.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleSize: Int = 3, maxHamming: Int = 4)
+                   shingleSize: Int = 3, maxHamming: Int = 4,
+                   sigBits: Int = 64, bands: Int = 8)
     : DataFrame = {
-    require(maxHamming <= 7,
-      s"nibble banding guarantees recall only for maxHamming <= 7")
+    require(sigBits % bands == 0,
+      s"sigBits ($sigBits) must split into equal bands ($bands)")
+    val bandBits = sigBits / bands
+    require(bandBits <= 16, "band keys are materialized as small longs")
+    require(maxHamming <= bands - 1,
+      s"banding guarantees recall only for maxHamming <= ${bands - 1}")
     // persist + materialize: the band self-join consumes sigs on BOTH
     // sides, and without a materialized cache each side recomputes the
     // whole tokenize/shingle/vote pipeline (measured 2-5x the query).
     // One row per doc — trivially memory-resident at any SF.
     val sigs = simhashSignatures(TextFunctions.shinglePostings(
-      docs, idCol, textCol, shingleSize, distinct = true))
+      docs, idCol, textCol, shingleSize, distinct = true), sigBits)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
+    val mask = (1L << bandBits) - 1
     val banded = sigs.withColumn("band", explode(array(
-      (0 until 8).map(b => concat(lit(b + "|"),
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(15L)))): _*)))
+      (0 until bands).map(b => concat(lit(b + "|"),
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)))): _*)))
     // Hamming cut BEFORE dedup: the filter depends only on the sigs
     // (functionally dependent on the ids), so distinct-then-filter and
     // filter-then-distinct agree — but filtering first shrinks the
