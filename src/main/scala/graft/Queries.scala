@@ -783,6 +783,63 @@ object Queries {
       |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
       |FROM r WHERE rn <= 3""".stripMargin
 
+  /** Character-trigram LM quality proxy (the CCNet/KenLM-style
+    * perplexity filter, self-trained on the corpus): per doc, the
+    * average log-probability of its char trigrams under the corpus
+    * trigram model, P(c3|c1c2) = count(tri)/count(bigram-prefix).
+    * The floating part is ONE ln per distinct (tri) row, immediately
+    * converted to exact integer MICRO-nats (round(ln·1e6) as BIGINT),
+    * so every sum is integer — order-independent and hash-stable
+    * across engines (a raw double sum over millions of rows drifts by
+    * summation order). The 4-dp average uses the sign-branched
+    * HALF_UP integer form (log-probs are ≤ 0). */
+  val t09_charlm: QFn = (s, d) => {
+    val tri = t(s, d, "documents")
+      // the length guard matters twice over: it mirrors the oracle's
+      // doc set AND keeps sequence() ascending (sequence(1, 0) counts
+      // DOWN in Spark and would emit substring(s, 0, 3) junk)
+      .filter(length(lower(trim(col("text")))) >= 3)
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(1, length(lower(trim(text))) - 2), " +
+          "i -> substring(lower(trim(text)), i, 3)))").as("tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tri.count()
+    val tc = tri.groupBy("tri").agg(count(lit(1)).as("tn"))
+    val bc = tri.groupBy(substring(col("tri"), 1, 2).as("bi"))
+      .agg(count(lit(1)).as("bn"))
+    val scored = tri.join(tc, "tri")
+      .join(bc, substring(col("tri"), 1, 2) === col("bi"))
+      .select(col("doc_id"),
+        round(log(col("tn") / col("bn")) * 1e6, 0).cast("long")
+          .as("lp_micro"))
+    val sum = org.apache.spark.sql.functions.sum(col("lp_micro"))
+    val n = count(lit(1))
+    // HALF_UP at 4dp in integer space; S <= 0 so mirror q15's sign
+    val avg = -floor(((-sum) * 2 + n * 100) /
+      (n.cast("double") * 200)) / 10000.0
+    scored.groupBy("doc_id")
+      .agg(n.as("n_tris"), sum.as("sum_lp_micro"),
+        avg.as("avg_logp"))
+  }
+
+  val t09_sql: String =
+    """WITH d AS (SELECT doc_id, lower(trim(text)) AS s FROM documents
+      |  WHERE length(lower(trim(text))) >= 3),
+      |tri AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS tri
+      |  FROM d, unnest(range(1, length(s) - 1)) AS u(i)),
+      |tc AS (SELECT tri, count(*) AS tn FROM tri GROUP BY tri),
+      |bc AS (SELECT substr(tri, 1, 2) AS bi, count(*) AS bn
+      |  FROM tri GROUP BY 1),
+      |scored AS (SELECT doc_id,
+      |    CAST(round(ln(tn / bn) * 1000000) AS BIGINT) AS lp_micro
+      |  FROM tri t JOIN tc USING (tri)
+      |  JOIN bc ON substr(t.tri, 1, 2) = bc.bi)
+      |SELECT doc_id, count(*) AS n_tris,
+      |  CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+      |  -floor(((-CAST(sum(lp_micro) AS BIGINT)) * 2 + count(*) * 100)
+      |    / (count(*) * 200.0)) / 10000.0 AS avg_logp
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   /** Word segmentation round-trip (wordninja-style _tokenizer analog,
     * rows-only): fit a Zipf dictionary on the corpus, strip spaces
     * from each doc, re-segment, compare token counts. */
@@ -1747,6 +1804,7 @@ object Queries {
     "d06_dup_clusters" -> d06_dup_clusters,
     "d07_decontaminate" -> d07_decontaminate,
     "t08_tfidf" -> t08_tfidf,
+    "t09_charlm" -> t09_charlm,
     "e05_asof_join" -> e05_asof_join,
     "s01_cosine_topk" -> s01_cosine_topk,
     "s02_knn_join" -> s02_knn_join,
@@ -1812,6 +1870,7 @@ object Queries {
     "d06_dup_clusters" -> d06_sql,
     "d07_decontaminate" -> d07_sql,
     "t08_tfidf" -> t08_sql,
+    "t09_charlm" -> t09_sql,
     "e05_asof_join" -> e05_sql,
     "s01_cosine_topk" -> s01_sql,
     "s02_knn_join" -> s02_sql,

@@ -109,6 +109,32 @@ class Round3OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 0L))
   }
 
+  // ---- t09 char-trigram LM ----------------------------------------
+
+  test("charlm scores deterministic trigrams above surprising ones") {
+    val docs = Seq(
+      // "aaaa": trigrams aaa,aaa — P(a|aa) = 1 within this corpus slice
+      (1L, "aaaa", "en", "s", 1L),
+      // "aab" makes the aa-prefix ambiguous → both docs' scores drop
+      (2L, "aab", "en", "s", 1L),
+      (3L, "xy", "en", "s", 1L)) // too short: no trigram, no row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite")
+      .parquet("/tmp/graft-test-charlm/documents.parquet")
+    val got = Queries.all("t09_charlm")(spark, "/tmp/graft-test-charlm")
+      .select("doc_id", "n_tris", "avg_logp")
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, a) => k -> ((n, a)) }.toMap
+    assert(!got.contains(3L))
+    val (n1, a1) = got(1L)
+    val (n2, a2) = got(2L)
+    // doc 1: trigrams {aaa x2}; corpus bigram 'aa' appears 3x (2 in
+    // doc1, 1 in doc2) → P(aaa)=2/3 per trigram → avg ln(2/3)
+    assert(n1 == 2L && math.abs(a1 - math.log(2.0 / 3)) < 1e-3)
+    // doc 2: trigram aab, P=1/3 → avg ln(1/3)
+    assert(n2 == 1L && math.abs(a2 - math.log(1.0 / 3)) < 1e-3)
+  }
+
   // ---- t08 tf-idf -------------------------------------------------
 
   test("tf-idf ranks distinctive terms above ubiquitous ones") {
