@@ -1450,6 +1450,84 @@ object Queries {
       |  ms - view_ms AS delay_ms
       |FROM w WHERE kind = 1""".stripMargin
 
+  /** Funnel assembly (view → click → purchase within 7 days per
+    * step — sized to this corpus's ~7 h median inter-event gap so
+    * both funnel outcomes actually occur): TWO chained as-of passes
+    * over ONE user-keyed sort — pass
+    * 1 gives every click its latest qualifying view, pass 2 gives
+    * every purchase its latest click (carrying that click's view).
+    * Both passes share the window spec, so Spark plans one Exchange +
+    * one Sort feeding two WindowExecs; a step-wise interval join
+    * would shuffle candidate pairs per step instead. The `-1`
+    * sentinel keeps the click's view-attribution column non-null so
+    * all three `last(...ignoreNulls)` reads pick the SAME click row. */
+  val e06_funnel: QFn = (s, d) => {
+    val stepMs = 7L * 24 * 3600 * 1000
+    val e = t(s, d, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === "view", lit(0))
+          .when(col("event_type") === "click", lit(1))
+          .otherwise(lit(2)).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lastOf(c: Column) = last(c, ignoreNulls = true).over(w)
+    val p1 = e
+      .withColumn("lv_id", lastOf(when(col("kind") === 0, col("event_id"))))
+      .withColumn("lv_ms", lastOf(when(col("kind") === 0, col("ms"))))
+      .withColumn("cv_id",
+        when(col("kind") === 1 && col("ms") - col("lv_ms") <= stepMs,
+          col("lv_id")))
+    val p2 = p1
+      .withColumn("lc_id", lastOf(when(col("kind") === 1, col("event_id"))))
+      .withColumn("lc_ms", lastOf(when(col("kind") === 1, col("ms"))))
+      .withColumn("lc_cv",
+        lastOf(when(col("kind") === 1, coalesce(col("cv_id"), lit(-1L)))))
+    p2.filter(col("kind") === 2)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        when(col("ms") - col("lc_ms") <= stepMs, col("lc_id"))
+          .as("click_id"),
+        when(col("ms") - col("lc_ms") <= stepMs && col("lc_cv") >= 0,
+          col("lc_cv")).as("view_id"))
+      .withColumn("full_funnel", col("view_id").isNotNull)
+  }
+
+  val e06_sql: String =
+    """WITH u AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+      |      ELSE 2 END AS kind
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |p1 AS (SELECT *,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |      OVER win AS lv_id,
+      |    last_value(CASE WHEN kind = 0 THEN ms END IGNORE NULLS)
+      |      OVER win AS lv_ms
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ms, kind, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p1b AS (SELECT *, CASE WHEN kind = 1 AND ms - lv_ms <= 604800000
+      |    THEN lv_id END AS cv_id FROM p1),
+      |p2 AS (SELECT *,
+      |    last_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS)
+      |      OVER win AS lc_id,
+      |    last_value(CASE WHEN kind = 1 THEN ms END IGNORE NULLS)
+      |      OVER win AS lc_ms,
+      |    last_value(CASE WHEN kind = 1 THEN coalesce(cv_id, -1) END
+      |      IGNORE NULLS) OVER win AS lc_cv
+      |  FROM p1b
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ms, kind, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id AS purchase_id,
+      |  CASE WHEN ms - lc_ms <= 604800000 THEN lc_id END AS click_id,
+      |  CASE WHEN ms - lc_ms <= 604800000 AND lc_cv >= 0 THEN lc_cv END
+      |    AS view_id,
+      |  (CASE WHEN ms - lc_ms <= 604800000 AND lc_cv >= 0 THEN lc_cv END)
+      |    IS NOT NULL AS full_funnel
+      |FROM p2 WHERE kind = 2""".stripMargin
+
   /** Quartile assignment by account balance — the scale-safe global
     * ntile: range-partition + per-partition ranks + offset arithmetic
     * ([[Relational.globalNtile]]); no single-partition WindowExec
@@ -1817,6 +1895,7 @@ object Queries {
     "t08_tfidf" -> t08_tfidf,
     "t09_charlm" -> t09_charlm,
     "e05_asof_join" -> e05_asof_join,
+    "e06_funnel" -> e06_funnel,
     "s01_cosine_topk" -> s01_cosine_topk,
     "s02_knn_join" -> s02_knn_join,
     "s03_ann_lsh" -> s03_ann_lsh,
@@ -1883,6 +1962,7 @@ object Queries {
     "t08_tfidf" -> t08_sql,
     "t09_charlm" -> t09_sql,
     "e05_asof_join" -> e05_sql,
+    "e06_funnel" -> e06_sql,
     "s01_cosine_topk" -> s01_sql,
     "s02_knn_join" -> s02_sql,
     "s03_ann_lsh" -> s03_sql,

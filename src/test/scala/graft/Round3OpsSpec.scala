@@ -89,6 +89,40 @@ class Round3OpsSpec extends SparkSpec {
     assert(got == Map(12L -> Some(11L), 20L -> None, 31L -> Some(30L)))
   }
 
+  // ---- e06 funnel -------------------------------------------------
+
+  test("funnel attributes purchase to latest click and ITS view") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val events = Seq(
+      // user 1: view@1 → click@2 → purchase@3: full funnel
+      (10L, ts(1), 1L, "view", 0.0, "{}"),
+      (11L, ts(2), 1L, "click", 0.0, "{}"),
+      (12L, ts(3), 1L, "purchase", 0.0, "{}"),
+      // user 2: click with NO prior view, then purchase: click-only
+      (20L, ts(1), 2L, "click", 0.0, "{}"),
+      (21L, ts(2), 2L, "purchase", 0.0, "{}"),
+      // user 3: purchase with no click at all
+      (30L, ts(1), 3L, "view", 0.0, "{}"),
+      (31L, ts(2), 3L, "purchase", 0.0, "{}"),
+      // user 4: view AFTER the click must not count for that click
+      (40L, ts(2), 4L, "click", 0.0, "{}"),
+      (41L, ts(3), 4L, "view", 0.0, "{}"),
+      (42L, ts(4), 4L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite")
+      .parquet("/tmp/graft-test-funnel/events.parquet")
+    val got = Queries.all("e06_funnel")(spark, "/tmp/graft-test-funnel")
+      .select("purchase_id", "click_id", "view_id", "full_funnel")
+      .as[(Long, Option[Long], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(12L) == ((Some(11L), Some(10L), true)))
+    assert(got(21L) == ((Some(20L), None, false)))
+    assert(got(31L) == ((None, None, false)))
+    // the click at t2 predates the view at t3 → no view attribution
+    assert(got(42L) == ((Some(40L), None, false)))
+  }
+
   // ---- d07 decontamination ----------------------------------------
 
   test("decontamination flags only train docs sharing eval 5-grams") {
