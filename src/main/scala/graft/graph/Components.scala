@@ -39,7 +39,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
-  /** @param nodes one column `id` — every vertex (isolated vertices
+  /** PRECONDITION: every edge endpoint appears in `nodes` — an
+    * endpoint missing from `nodes` carries no label, so paths through
+    * it would not merge (and it is absent from the output). Dedup
+    * callers satisfy this trivially (pairs come from the doc set).
+    *
+    * @param nodes one column `id` — every vertex (isolated vertices
     *              become their own singleton component)
     * @param edges columns `id1`,`id2` — undirected near-dup pairs
     * @param driverFinishMaxEdges when the edge set is at most this
