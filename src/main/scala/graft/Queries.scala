@@ -792,7 +792,12 @@ object Queries {
     * so every sum is integer — order-independent and hash-stable
     * across engines (a raw double sum over millions of rows drifts by
     * summation order). The 4-dp average uses the sign-branched
-    * HALF_UP integer form (log-probs are ≤ 0). */
+    * HALF_UP integer form (log-probs are ≤ 0). Residual cross-engine
+    * exposure is the ln itself (JVM Math.log vs libm may differ by
+    * 1 ulp): a flip needs the true value within ~ulp of a 0.5 micro-
+    * nat boundary, and ln is evaluated once per DISTINCT (tn, bn)
+    * pair (a few thousand), so the odds are ~1e-6 per run — accepted
+    * and monitored by the three-SF parity gate. */
   val t09_charlm: QFn = (s, d) => {
     // normalize ONCE into an attribute before the lambda: an
     // expression inside transform()'s lambda is re-evaluated per

@@ -48,6 +48,16 @@ object Dedup {
       seed => array_min(transform(shingles,
         s => md5(concat(seed.cast("string"), lit(":"), s)))))
 
+  /** The min-aggregate column per seed of the md5(seed:shingle)
+    * family — THE oracle-parity-critical construction (seed format,
+    * separator, hash fn are mirrored literally by the DuckDB oracle),
+    * shared by every aggregate-form minhash consumer so it cannot
+    * silently fork. */
+  private def minhashMinExprs(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
+        .as(s"h$i"))
+
   /** [[minhashSignature]] computed the scalable way: explode the
     * shingles and take the `numHashes` minima in ONE codegen'd hash
     * aggregate (partial aggregation map-side, one shuffle on doc_id)
@@ -57,9 +67,7 @@ object Dedup {
     */
   def minhashSignatures(postings: DataFrame, numHashes: Int)
     : DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
-        .as(s"h$i"))
+    val mins = minhashMinExprs(numHashes)
     postings
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -98,9 +106,7 @@ object Dedup {
     // bit-identical to minhashSignatures, so the DuckDB oracle is
     // unchanged). The old shape aggregated the persisted postings
     // twice — signatures, then sets — paying a second full shuffle.
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
-        .as(s"h$i"))
+    val mins = minhashMinExprs(numHashes)
     val combined = postings
       .groupBy("doc_id")
       .agg(mins.head,

@@ -78,6 +78,10 @@ object Components {
         .join(labels.select(col("id").as("dst"),
           col("component").as("nbr")), Seq("dst"))
         .groupBy("src").agg(min(col("nbr")).as("nbr_min"))
+      // materialized eagerly: stepA feeds BOTH sides of the pointer-
+      // jump self-join below (different join keys, so ReuseExchange
+      // cannot dedupe the subtree) — without the checkpoint the
+      // neighbour-min join + aggregate would execute twice per round
       val stepA = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")),
           Seq("id"), "left")
@@ -86,23 +90,21 @@ object Components {
             col("component"))).as("component"),
           (col("nbr_min").isNotNull &&
             col("nbr_min") < col("component")).as("changed"))
-      // pointer jumping fused into the SAME job: component :=
-      // label(component). Labels only ever decrease and always name a
-      // node of the same component, so the shortcut preserves the
-      // invariant while collapsing label chains exponentially. The
-      // `changed` flag (computed BEFORE the jump — a neighbour-min
-      // fixpoint is the convergence condition) rides along so one
-      // checkpoint + one cheap cached count is the whole round.
-      val next = stepA.as("x")
+        .localCheckpoint(true)
+      // convergence check BEFORE the jump: a neighbour-min fixpoint
+      // is constant per component, hence already the global minimum
+      val changed = stepA.filter(col("changed")).count()
+      // pointer jumping: component := label(component). Labels only
+      // ever decrease and always name a node of the same component,
+      // so the shortcut preserves the invariant while collapsing
+      // label chains exponentially.
+      labels = stepA.as("x")
         .join(stepA.select(col("id").as("cid"),
           col("component").as("cc")).as("p"),
           col("x.component") === col("p.cid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("p.cc"), col("x.component")).as("component"),
-          col("x.changed"))
+          coalesce(col("p.cc"), col("x.component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.filter(col("changed")).count()
-      labels = next.select("id", "component")
       converged = changed == 0
       iter += 1
     }

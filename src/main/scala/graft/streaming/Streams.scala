@@ -106,12 +106,19 @@ object Streams {
                              window: String = "1 minute",
                              shingleSize: Int = 3, numHashes: Int = 12,
                              bands: Int = 4): DataFrame = {
+    val toks = graft.text.TextFunctions.tokens(col("text"))
     val shingles = array_distinct(
       graft.text.TextFunctions.wordShingles(col("text"), shingleSize))
     val sig = graft.dedup.Dedup.minhashSignature(shingles, numHashes)
     val bandKeys = graft.dedup.Dedup.lshBandKeys(sig, bands,
       numHashes / bands)
     docs
+      // shingle-less docs (fewer than shingleSize tokens) MUST drop
+      // here: their minhash is array_min(empty) = null per seed, so
+      // every short doc would share the md5('')-derived band keys and
+      // be silently reported as a duplicate of any other short doc.
+      // Mirrors shinglePostings' emit-nothing guard in the batch path.
+      .filter(size(toks) >= shingleSize)
       .select(col("ts"), col("doc_id"), explode(bandKeys).as("band"))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("band"))

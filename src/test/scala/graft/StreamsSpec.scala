@@ -180,6 +180,12 @@ class StreamsSpec extends SparkSpec {
       // doc 2 is an exact dup → every band key already seen
       mem.addData((ts(2), 2L, text))
       q.processAllAvailable()
+      // short docs (< shingleSize tokens) must NOT alias each other:
+      // without the token guard their empty shingle sets would share
+      // md5('')-derived band keys and doc 4 would vanish as a "dup"
+      // of doc 3
+      mem.addData((ts(3), 3L, "too short"), (ts(4), 4L, "also tiny"))
+      q.processAllAvailable()
       // close the window so the counts emit
       mem.addData((ts(40), 9L, "totally different filler words here"))
       q.processAllAvailable()
@@ -188,6 +194,7 @@ class StreamsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(got(1L) == 4L)      // all 4 bands novel
       assert(!got.contains(2L))  // zero novel bands → no row at all
+      assert(!got.contains(3L) && !got.contains(4L)) // guarded out
     } finally q.stop()
   }
 
