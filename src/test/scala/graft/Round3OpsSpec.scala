@@ -42,6 +42,37 @@ class Round3OpsSpec extends SparkSpec {
     assert(got.size == 200 && got.values.toSet == Set(1L))
   }
 
+  test("both component paths match a BFS reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 20 + rnd.nextInt(30)
+      val es = Seq.fill(rnd.nextInt(n))(
+        (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+      // in-memory BFS reference: min reachable id per node
+      val adj = es.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      def comp(start: Long): Long = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+            .diff(seen)
+          seen ++= frontier
+        }
+        seen.min
+      }
+      val want = (1L to n).map(i => i -> comp(i)).toMap
+      val nodes = (1L to n).toDF("id")
+      val edges = es.toDF("id1", "id2")
+      Seq(1000000L, 0L).foreach { cap =>
+        val got = Components.connectedComponents(nodes, edges,
+            driverFinishMaxEdges = cap)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"cap=$cap edges=$es")
+      }
+    }
+  }
+
   test("driver finish and distributed loop agree") {
     val rnd = new scala.util.Random(7)
     val nodes = (1L to 60L).toDF("id")
