@@ -1049,10 +1049,11 @@ object Queries {
         col("cluster_size"))
   }
 
-  /** Oracle: the shared SimHash CTEs, then the transitive closure via
-    * a recursive CTE (min reachable id = the component label). */
-  val d06_sql: String =
-    s"""WITH RECURSIVE $simhashCtesSql,
+  /** Shared oracle fragment: SimHash candidate pairs → transitive
+    * closure via a recursive CTE (min reachable id = the component
+    * label). Used by d06 and d08. */
+  private val dupGraphCtesSql: String =
+    s"""$simhashCtesSql,
        |pairs AS (SELECT id1, id2 FROM cand
        |  WHERE bit_count(xor(sig1, sig2)) <= 6),
        |edges AS (SELECT id1 AS u, id2 AS v FROM pairs
@@ -1062,7 +1063,10 @@ object Queries {
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
        |  WHERE e.v <> r.u),
        |comp AS (SELECT u AS id, least(u, min(v)) AS component
-       |  FROM reach GROUP BY u),
+       |  FROM reach GROUP BY u)""".stripMargin
+
+  val d06_sql: String =
+    s"""WITH RECURSIVE $dupGraphCtesSql,
        |lab AS (SELECT d.doc_id,
        |    coalesce(c.component, d.doc_id) AS component
        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
@@ -1070,6 +1074,49 @@ object Queries {
        |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
        |    AS cluster_size
        |FROM lab""".stripMargin
+
+  /** Canonical-document pick per duplicate cluster — the step AFTER
+    * d06's clustering: each near-dup cluster keeps its best document
+    * (longest text, doc_id as the total-order tiebreak) and marks the
+    * rest for removal. Reference analog: remove_duplicates keeps one
+    * collection per duplicate group (create_merged.py:992); LLM
+    * pipelines keep the highest-quality member of each near-dup
+    * cluster. The pick is ONE window pass over the cluster labels —
+    * first_value and count share a single partition+order+frame spec,
+    * so they plan into one WindowExec on one component shuffle. */
+  val d08_cluster_canonical: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, maxHamming = 6).select("id1", "id2")
+    val comp = graft.graph.Components.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    val lab = comp.join(
+      docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lab.select(
+      col("id").as("doc_id"), col("component"),
+      first("id").over(w).as("canonical_id"),
+      count(lit(1)).over(w).as("cluster_size"),
+      when(col("id") === first("id").over(w), 1L).otherwise(0L)
+        .as("keep"))
+  }
+
+  val d08_sql: String =
+    s"""WITH RECURSIVE $dupGraphCtesSql,
+       |lab AS (SELECT d.doc_id,
+       |    coalesce(c.component, d.doc_id) AS component, d.n_chars
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       |SELECT doc_id, component,
+       |  first_value(doc_id) OVER w AS canonical_id,
+       |  CAST(count(*) OVER w AS BIGINT) AS cluster_size,
+       |  CAST(CASE WHEN doc_id = first_value(doc_id) OVER w
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM lab
+       |WINDOW w AS (PARTITION BY component
+       |  ORDER BY n_chars DESC, doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
 
   /** Benchmark decontamination: flag training documents sharing any
     * 5-gram shingle with a held-out "eval" slice (doc_id % 50 == 0) —
@@ -1296,6 +1343,40 @@ object Queries {
         array_join(transform(col("features"),
           f => round(f.cast("double"), 4).cast("string")), ",")
           .as("features_csv"))
+
+  /** Cross-document duplicated content tiles: payloads chunked into
+    * fixed 256-byte tiles (binary substring — codegen'd), each tile
+    * keyed by a hash, tiles appearing in 2+ distinct media reported.
+    * This is the content-defined-block half of image/video tile dedup:
+    * with a real codec the tile would be a decoded image patch, but
+    * the shuffle shape (fan out to tiles, one hash-keyed aggregate) is
+    * the real contract — at 100 TB the tile aggregate is the job and
+    * it shuffles hashes + ids only, never payload bytes twice.
+    * Hash-stability: DuckDB's md5 only takes VARCHAR, so both engines
+    * hash the HEX of the tile bytes (hex(substring(payload)) ==
+    * substring(hex(payload)) because hex is byte-wise). */
+  val m03_tile_dedup: QFn = (s, d) => {
+    val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id",
+      "text")
+    Multimodal.chunkPayload(media, 256)
+      .filter(length(col("chunk")) > 0)
+      .select(col("media_id"), md5(hex(col("chunk"))).as("tile_hash"))
+      .groupBy("tile_hash")
+      .agg(countDistinct("media_id").as("n_media"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_media") >= 2)
+  }
+
+  val m03_sql: String =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      |tiles AS (SELECT doc_id,
+      |    md5(substring(hx, i * 512 + 1, 512)) AS tile_hash
+      |  FROM h, range(0, greatest(CAST(ceil(len(hx) / 512.0) AS BIGINT), 1)) r(i)
+      |  WHERE len(hx) > i * 512)
+      |SELECT tile_hash, count(DISTINCT doc_id) AS n_media,
+      |  count(*) AS n_occ
+      |FROM tiles GROUP BY tile_hash
+      |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
   // ---------------------------------------------------------------
   // Events
@@ -1532,6 +1613,76 @@ object Queries {
       |  (CASE WHEN ms - lc_ms <= 604800000 AND lc_cv >= 0 THEN lc_cv END)
       |    IS NOT NULL AS full_funnel
       |FROM p2 WHERE kind = 2""".stripMargin
+
+  /** Gap-based sessionization via Spark's NATIVE `session_window` —
+    * the same 30-minute-gap semantics as e02's manual lag+cumsum form
+    * but expressed as the built-in session aggregate, which is the
+    * form that carries unchanged onto a Structured Streaming feed
+    * (merging session state under a watermark). Session end is
+    * last-event + gap by definition of session_window; both engines
+    * floor-format timestamps to whole seconds. A spec pins e07's
+    * session count equal to e02's. */
+  val e07_session_window: QFn = (s, d) =>
+    t(s, d, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  val e07_sql: String =
+    """WITH e AS (SELECT user_id, event_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, ts, value,
+      |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM m)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+      |    AS session_end,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** Cohort retention matrix: users cohorted by first-activity date,
+    * activity counted per (cohort, day-offset) cell as DISTINCT users.
+    * The per-user first-date aggregate is tiny next to the event log
+    * (|users| rows) — AQE broadcasts it back onto events, so the fact
+    * table shuffles once, for the final cell aggregate. */
+  val e08_retention: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id")
+      .agg(min("day").as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val e08_sql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM ev
+      |  GROUP BY user_id)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+      |  CAST(day - cohort_day AS BIGINT) AS day_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
 
   /** Quartile assignment by account balance — the scale-safe global
     * ntile: range-partition + per-partition ranks + offset arithmetic
@@ -1897,6 +2048,7 @@ object Queries {
     "d05_embedding_dedup" -> d05_embedding_dedup,
     "d06_dup_clusters" -> d06_dup_clusters,
     "d07_decontaminate" -> d07_decontaminate,
+    "d08_cluster_canonical" -> d08_cluster_canonical,
     "t08_tfidf" -> t08_tfidf,
     "t09_charlm" -> t09_charlm,
     "e05_asof_join" -> e05_asof_join,
@@ -1964,6 +2116,7 @@ object Queries {
     "d05_embedding_dedup" -> d05_sql,
     "d06_dup_clusters" -> d06_sql,
     "d07_decontaminate" -> d07_sql,
+    "d08_cluster_canonical" -> d08_sql,
     "t08_tfidf" -> t08_sql,
     "t09_charlm" -> t09_sql,
     "e05_asof_join" -> e05_sql,
