@@ -39,17 +39,25 @@ object Bench {
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => }
+      // a crashing query must NOT read as a fast success: record the
+      // failure per query and in a top-level errors list
+      val err = try { run(name); None } catch {
+        case t: Throwable => Some(t.getClass.getSimpleName)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist shared subtrees; release between queries so
       // cached partitions don't accumulate across the whole run
       spark.sharedState.cacheManager.clearCache()
-      name -> dt
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + err.fold(v.toString)(_ => "null")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1369,10 +1369,13 @@ object Queries {
 
   val m03_sql: String =
     """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      |idx AS (SELECT doc_id, hx,
+      |    unnest(generate_series(0,
+      |      greatest(CAST(ceil(len(hx) / 512.0) AS BIGINT), 1) - 1)) AS i
+      |  FROM h),
       |tiles AS (SELECT doc_id,
       |    md5(substring(hx, i * 512 + 1, 512)) AS tile_hash
-      |  FROM h, range(0, greatest(CAST(ceil(len(hx) / 512.0) AS BIGINT), 1)) r(i)
-      |  WHERE len(hx) > i * 512)
+      |  FROM idx WHERE len(hx) > i * 512)
       |SELECT tile_hash, count(DISTINCT doc_id) AS n_media,
       |  count(*) AS n_occ
       |FROM tiles GROUP BY tile_hash
@@ -2060,10 +2063,13 @@ object Queries {
     "s05_quantize" -> s05_quantize,
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_stub" -> m02_feature_stub,
+    "m03_tile_dedup" -> m03_tile_dedup,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
     "e03_user_stats" -> e03_user_stats,
     "e04_moving_avg" -> e04_moving_avg,
+    "e07_session_window" -> e07_session_window,
+    "e08_retention" -> e08_retention,
     "q29_ntile" -> q29_ntile,
     "q30_nested_json" -> q30_nested_json,
     "q31_skeleton_normalize" -> q31_skeleton_normalize,
@@ -2127,10 +2133,13 @@ object Queries {
     "s04_ann_ivf" -> s04_sql,
     "s05_quantize" -> s05_sql,
     "m01_binary_meta" -> m01_sql,
+    "m03_tile_dedup" -> m03_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,
     "e03_user_stats" -> e03_sql,
     "e04_moving_avg" -> e04_sql,
+    "e07_session_window" -> e07_sql,
+    "e08_retention" -> e08_sql,
     "q29_ntile" -> q29_sql,
     "q30_nested_json" -> q30_sql,
     "q31_skeleton_normalize" -> q31_sql,

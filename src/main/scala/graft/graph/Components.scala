@@ -1,7 +1,8 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over a pair graph — the step that
@@ -116,15 +117,24 @@ object Components {
 
   /** Exact single-task finish for a bounded edge set: union-find with
     * path compression, roots normalized to the component minimum, and
-    * the (changed-only) mapping broadcast back onto the node set. */
+    * the (changed-only) mapping broadcast back onto the node set.
+    *
+    * Ids are collected in their NATIVE type — an unconditional
+    * `cast("long")` would turn non-numeric ids into null silently
+    * (non-ANSI cast), collapsing unrelated nodes under one union-find
+    * key while the distributed loop handled them correctly. The
+    * "minimum label" order matches the loop's `least`/`min` for every
+    * supported type; an id type neither path can order throws
+    * instead of corrupting labels. */
   private def driverFinish(nodes: DataFrame, e: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    import spark.implicits._
-    val pairs = e.select(col("id1").cast("long"), col("id2").cast("long"))
-      .as[(Long, Long)].collect()
+    val idType = e.schema("id1").dataType
+    implicit val ord: Ordering[Any] = idOrdering(idType)
+    val pairs = e.select(col("id1"), col("id2")).collect()
+      .map(r => (r.get(0), r.get(1)))
     e.unpersist(false)
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x
@@ -137,16 +147,33 @@ object Components {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) {
         // union by min keeps the invariant root = component minimum
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
     val members = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
-      .toSet.iterator.map((m: Long) => (m, find(m))).toSeq
-    val mapDf = members.toDF("id", "graft_cc_root")
+      .toSet.iterator.map((m: Any) => Row(m, find(m))).toSeq
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(members, 1),
+      StructType(Seq(StructField("id", idType),
+        StructField("graft_cc_root", idType))))
     nodes.select(col("id"))
       .join(broadcast(mapDf), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("graft_cc_root"), col("id")).as("component"))
+  }
+
+  /** Natural ordering per id type, matching Catalyst's `min`
+    * semantics on the same column so both finish paths agree. */
+  private def idOrdering(dt: DataType): Ordering[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+    case FloatType | DoubleType =>
+      Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
+    case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+    case _: DecimalType =>
+      Ordering.by((x: Any) => x.asInstanceOf[java.math.BigDecimal])
+    case other => throw new IllegalArgumentException(
+      s"connectedComponents: unsupported id type $other")
   }
 
   /** Components plus per-component size — the usual dedup report
