@@ -2005,6 +2005,232 @@ object Queries {
       |FROM customer""".stripMargin
 
   // ---------------------------------------------------------------
+  // Round-4 surface: LLM training-data assembly + relational depth
+  // ---------------------------------------------------------------
+
+  /** LLM context-window packing: documents in a deterministic total
+    * order are laid into fixed token-budget bins (2048 here), bin =
+    * floor(exclusive-prefix-token-sum / budget) — the manifest a
+    * sequence-packing job emits before concatenating docs into
+    * training rows. The global prefix sum is the scale problem: it is
+    * computed by [[Relational.globalRunningSum]] (range-partition +
+    * per-partition offsets, the q29 shape), so NO single-partition
+    * window exists — at 100 TB the only global state is one partial
+    * sum per range partition. Token counts use t01's whitespace
+    * semantics so the DuckDB mirror is exact. */
+  val q38_pack_sequences: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    Relational.globalRunningSum(docs, col("n_tokens"), "cum_before",
+        rangeParts = 32, col("doc_id").asc)
+      .withColumn("bin",
+        floor(col("cum_before") / lit(2048.0)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  val q38_sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> len(x) > 0))::BIGINT AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM tok)
+      |SELECT CAST(floor(cum_before / 2048.0) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin
+
+  /** Deterministic stratified sampling — the data-mixing step of a
+    * training pipeline: per-language rates (en kept lean, rare
+    * languages upsampled) applied via the engine-portable md5 bucket,
+    * so the SAME rows are selected on any engine, any run, any
+    * partitioning. Pure map-side filter: no shuffle, no RNG state;
+    * at 100 TB this is a scan whose selectivity is the blended rate. */
+  val q39_stratified_sample: QFn = (s, d) => {
+    val bucket =
+      md5Bucket(concat(lit("strat:"), col("doc_id").cast("string"))) % 100
+    val rate = when(col("lang") === "en", 20)
+      .when(col("lang") === "zh", 40).otherwise(60)
+    t(s, d, "documents")
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  val q39_sql: String =
+    """SELECT doc_id, lang,
+      |  ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT
+      |    % 100 AS bucket
+      |FROM documents
+      |WHERE ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT
+      |    % 100
+      |  < CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 40 ELSE 60 END""".stripMargin
+
+  /** Interval join — every view within the hour before each click,
+    * per user (attribution candidate sets, not just the latest as-of
+    * pick of e05). The naive plan is an inequality join = cartesian
+    * blowup; here both sides are bucketed into 1-hour time bins and
+    * equi-joined on (user, bin) — each click probes exactly its two
+    * overlapping bins (a 1 h window spans at most 2 bins), then the
+    * exact range predicate filters inside the bucket. Shuffle keys
+    * are (user_id, bin): fine-grained, skew-free, and the pair count
+    * never exceeds the true result by more than the bucket slack. */
+  val e09_interval_join: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ms").as("vms"),
+        floor(col("ms") / 3600000L).as("bin"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ms").as("cms"),
+        explode(array(floor(col("ms") / 3600000L) - 1,
+          floor(col("ms") / 3600000L))).as("bin"))
+    clicks.join(views, Seq("user_id", "bin"))
+      .filter(col("vms") >= col("cms") - 3600000L &&
+        col("vms") < col("cms"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (col("cms") - col("vms")).as("gap_ms"))
+  }
+
+  val e09_sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+      |  FROM events)
+      |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      |  c.ms - v.ms AS gap_ms
+      |FROM e c JOIN e v ON c.user_id = v.user_id
+      |  AND c.event_type = 'click' AND v.event_type = 'view'
+      |  AND v.ms >= c.ms - 3600000 AND v.ms < c.ms""".stripMargin
+
+  /** SCD-2 style change intervals (gaps-and-islands): per user,
+    * consecutive runs of the same event_type collapse into one
+    * validity interval [valid_from, valid_to) where valid_to is the
+    * next run's start (-1 = still current) — how a snapshot stream
+    * becomes a slowly-changing dimension. Two partitioned windows on
+    * the SAME (user, time) sort → one Exchange+Sort serves both; no
+    * global window anywhere. */
+  val q40_scd2: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val runs = e
+      .withColumn("new_run",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum("new_run").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(min("event_type").as("event_type"),
+        min("ms").as("valid_from_ms"), count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy("run_id")
+    runs.withColumn("valid_to_ms",
+        coalesce(lead("valid_from_ms", 1).over(w2), lit(-1L)))
+      .select("user_id", "run_id", "event_type", "valid_from_ms",
+        "valid_to_ms", "n_events")
+  }
+
+  val q40_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+      |      AS new_run
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |r AS (SELECT *, CAST(sum(new_run) OVER (PARTITION BY user_id
+      |      ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM f),
+      |runs AS (SELECT user_id, run_id, min(event_type) AS event_type,
+      |    min(ms) AS valid_from_ms, count(*) AS n_events
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, run_id, event_type, valid_from_ms,
+      |  coalesce(lead(valid_from_ms) OVER (PARTITION BY user_id
+      |    ORDER BY run_id), -1) AS valid_to_ms, n_events
+      |FROM runs""".stripMargin
+
+  /** Tokenizer-vocabulary coverage: global term frequencies, top 200
+    * terms by (freq desc, term), cumulative corpus coverage in exact
+    * integer PPM (HALF_UP in integer space — floats never touch the
+    * running sum, so the hash is stable across engines and summation
+    * orders). The full aggregate is distributed; only the 200-row
+    * top-k — already bounded — flows through the final rank window. */
+  val t10_vocab_coverage: QFn = (s, d) => {
+    val freq = t(s, d, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text"))))
+        .as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    freq.count() // feeds the total AND the top-k (CLAUDE.md rule)
+    val total = freq.select(sum("freq").as("total"))
+    val top = freq.orderBy(col("freq").desc, col("term").asc).limit(200)
+    // the window input is bounded to 200 rows by the limit above, so
+    // one partition is O(200) state; the constant partition key keeps
+    // the partition-spec invariant (no unpartitioned WindowExec)
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("freq").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", count(lit(1)).over(w).cast("long"))
+      .withColumn("cum", sum("freq").over(w).cast("long"))
+      .withColumn("coverage_ppm",
+        floor((col("cum") * 2000000L + col("total")) /
+          (col("total") * 2L)).cast("long"))
+      .select("rank", "term", "freq", "coverage_ppm")
+  }
+
+  val t10_sql: String =
+    """WITH tok AS (SELECT
+      |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |freq AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+      |n AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freq),
+      |top AS (SELECT term, freq FROM freq
+      |  ORDER BY freq DESC, term LIMIT 200),
+      |c AS (SELECT term, freq, total,
+      |    CAST(count(*) OVER w AS BIGINT) AS rank,
+      |    CAST(sum(freq) OVER w AS BIGINT) AS cum
+      |  FROM top CROSS JOIN n
+      |  WINDOW w AS (ORDER BY freq DESC, term
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT rank, term, freq,
+      |  CAST(floor((cum * 2000000 + total) / (total * 2)) AS BIGINT)
+      |    AS coverage_ppm
+      |FROM c""".stripMargin
+
+  /** CUBE over (status, priority): all four grouping-set levels in
+    * one pass — Spark expands the cube into a single hash aggregate
+    * (rows replicated per grouping set at the map side, partial aggs
+    * combine before the one shuffle). Grouping columns are never null
+    * in this data, so 'ALL' markers disambiguate subtotal rows
+    * portably (no engine-specific GROUPING_ID bit order). */
+  val q41_cube: QFn = (s, d) =>
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  val q41_sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
 
@@ -2078,7 +2304,13 @@ object Queries {
     "q34_entity_triples" -> q34_entity_triples,
     "q35_type_filter" -> q35_type_filter,
     "q36_by_filter" -> q36_by_filter,
-    "q37_nt_entity" -> q37_nt_entity)
+    "q37_nt_entity" -> q37_nt_entity,
+    "q38_pack_sequences" -> q38_pack_sequences,
+    "q39_stratified_sample" -> q39_stratified_sample,
+    "e09_interval_join" -> e09_interval_join,
+    "q40_scd2" -> q40_scd2,
+    "t10_vocab_coverage" -> t10_vocab_coverage,
+    "q41_cube" -> q41_cube)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -2148,5 +2380,11 @@ object Queries {
     "q34_entity_triples" -> q34_sql,
     "q35_type_filter" -> q35_sql,
     "q36_by_filter" -> q36_sql,
-    "q37_nt_entity" -> q37_sql)
+    "q37_nt_entity" -> q37_sql,
+    "q38_pack_sequences" -> q38_sql,
+    "q39_stratified_sample" -> q39_sql,
+    "e09_interval_join" -> e09_sql,
+    "q40_scd2" -> q40_sql,
+    "t10_vocab_coverage" -> t10_sql,
+    "q41_cube" -> q41_sql)
 }

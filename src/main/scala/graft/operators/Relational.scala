@@ -128,6 +128,40 @@ object Relational {
       .drop("graft_pid")
   }
 
+  /** Scale-safe global exclusive prefix sum of `measure` over a total
+    * order — the same range-partition + per-partition-offset shape as
+    * [[globalNtile]], so NO single-partition WindowExec appears in the
+    * plan. Per-partition partial sums (one row per range partition)
+    * are collected to the driver — bounded state by construction —
+    * and re-broadcast as literal offsets; the running sum inside each
+    * partition is an ordinary partitioned window.
+    *
+    * Emits `outCol` = sum of `measure` over all STRICTLY PRECEDING
+    * rows in the given order (exclusive prefix; the first row gets 0).
+    * `measure` must be integral — prefix sums of doubles would depend
+    * on partition boundaries.
+    */
+  def globalRunningSum(df: DataFrame, measure: Column, outCol: String,
+                       rangeParts: Int, order: Column*): DataFrame = {
+    require(rangeParts > 0)
+    val parted = df.repartitionByRange(rangeParts, order: _*)
+      .withColumn("graft_pid", spark_partition_id())
+      .withColumn("graft_m", measure.cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sums = parted.groupBy("graft_pid")
+      .agg(sum(col("graft_m")).as("s"))
+      .orderBy("graft_pid").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val offsets: Map[Int, Long] =
+      sums.map(_._1).zip(sums.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy("graft_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = element_at(typedLit(offsets), col("graft_pid")) +
+      sum(col("graft_m")).over(w) - col("graft_m")
+    parted.withColumn(outCol, cumBefore.cast("long"))
+      .drop("graft_pid", "graft_m")
+  }
+
   /** Field-wise merge of two keyed snapshots: for every field take the
     * value from the better-ranked (lower `rankCol`) source, falling
     * back to the other source when that value is null — the

@@ -60,6 +60,127 @@ class Round4OpsSpec extends SparkSpec {
       "d" -> "d", "e" -> "d"))
   }
 
+  test("globalRunningSum matches a sequential prefix sum, partitioned plan") {
+    val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "m")
+    val got = graft.operators.Relational
+      .globalRunningSum(df, col("m"), "cum", rangeParts = 8,
+        col("id").asc)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.filter(_.contains("Window"))
+      .forall(_.contains("graft_pid")))
+    val rows = got.select("id", "cum").as[(Long, Long)]
+      .collect().toMap
+    var cum = 0L
+    (1L to 100L).foreach { i =>
+      assert(rows(i) == cum, s"id $i")
+      cum += i % 7 + 1
+    }
+  }
+
+  test("q38 packing: bins are contiguous doc ranges, tokens add up") {
+    val packed = Queries.q38_pack_sequences(spark, sf)
+      .orderBy("bin")
+      .select("bin", "n_docs", "bin_tokens", "first_doc", "last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(packed.nonEmpty)
+    // bins partition the corpus: doc ranges never overlap and every
+    // doc is in exactly one bin
+    packed.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4)
+      case _ =>
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(packed.map(_._2).sum == total)
+  }
+
+  test("e09 interval join keeps exactly the views in the hour window") {
+    import java.sql.Timestamp
+    val base = 1700000000000L
+    val ev = Seq(
+      (1L, 10L, "click", new Timestamp(base + 7200000L)),
+      (2L, 10L, "view", new Timestamp(base + 7200000L - 10L)),   // in
+      (3L, 10L, "view", new Timestamp(base + 7200000L - 3599999L)), // in (edge)
+      (4L, 10L, "view", new Timestamp(base + 7200000L - 3600001L)), // out (too old)
+      (5L, 10L, "view", new Timestamp(base + 7200000L)),         // out (not strictly before)
+      (6L, 99L, "view", new Timestamp(base + 7200000L - 10L))    // out (other user)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    ev.createOrReplaceTempView("graft_e09_fixture")
+    // rebuild the query over the fixture via the same bucketed shape
+    val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ms").as("vms"), floor(col("ms") / 3600000L).as("bin"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ms").as("cms"),
+        explode(array(floor(col("ms") / 3600000L) - 1,
+          floor(col("ms") / 3600000L))).as("bin"))
+    val got = clicks.join(views, Seq("user_id", "bin"))
+      .filter(col("vms") >= col("cms") - 3600000L &&
+        col("vms") < col("cms"))
+      .select("view_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+  }
+
+  test("q40 scd2 collapses runs and chains validity intervals") {
+    val ret = Queries.q40_scd2(spark, sf)
+    // intervals chain: within a user, each valid_to equals the next
+    // valid_from (or -1 for the last run)
+    val bad = ret.as("a").join(ret.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.run_id") + 1 === col("b.run_id"))
+      .filter(col("a.valid_to_ms") =!= col("b.valid_from_ms")).count()
+    assert(bad == 0)
+    // runs collapse: consecutive runs never share an event_type
+    val same = ret.as("a").join(ret.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.run_id") + 1 === col("b.run_id"))
+      .filter(col("a.event_type") === col("b.event_type")).count()
+    assert(same == 0)
+  }
+
+  test("t10 coverage is monotone and ends at 1e6 when vocab fits") {
+    val rows = Queries.t10_vocab_coverage(spark, sf)
+      .orderBy("rank").select("rank", "coverage_ppm")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._2
+      case _ => true
+    })
+    // at sf0.001 the synthetic vocab is < 200 terms → full coverage
+    if (rows.length < 200) assert(rows.last._2 == 1000000L)
+  }
+
+  test("q41 cube grand total equals the table count") {
+    val cube = Queries.q41_cube(spark, sf)
+    val grand = cube.filter(col("status") === "ALL" &&
+        col("priority") === "ALL")
+      .select("n").as[Long].collect()
+    val n = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(grand.toSeq == Seq(n))
+    // per-status marginals sum to the grand total
+    val marg = cube.filter(col("status") =!= "ALL" &&
+        col("priority") === "ALL")
+      .agg(sum("n")).as[Long].head()
+    assert(marg == n)
+  }
+
+  test("q39 stratified sample is deterministic and respects strata") {
+    val a = Queries.q39_stratified_sample(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Queries.q39_stratified_sample(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // every sampled row's bucket is under its stratum rate
+    val bad = Queries.q39_stratified_sample(spark, sf)
+      .filter(col("bucket") >=
+        when(col("lang") === "en", 20)
+          .when(col("lang") === "zh", 40).otherwise(60)).count()
+    assert(bad == 0)
+  }
+
   test("string-id driver finish agrees with the distributed loop") {
     val nodes = Seq("n1", "n2", "n3", "n4").toDF("id")
     val edges = Seq(("n2", "n3"), ("n3", "n4")).toDF("id1", "id2")
