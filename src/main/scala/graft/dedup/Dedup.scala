@@ -334,6 +334,23 @@ object Dedup {
     * 16× thinner bucket at identical recall guarantees; wider sigs
     * also make the Hamming cut a finer similarity measure.
     */
+  /** Band-count scaling rule: the FEWEST bands that still guarantee
+    * exact recall for `maxHamming` (pigeonhole needs
+    * bands ≥ maxHamming + 1). Fewer bands ⇒ wider bands ⇒ more
+    * distinct bucket keys (bands · 2^bandBits) ⇒ thinner buckets —
+    * the lever that keeps candidate generation linear as the corpus
+    * grows 1000×: at maxHamming ≤ 3, 64-bit sigs band into 4×16-bit
+    * bands = 262 144 bucket keys, 128× thinner buckets than the 8-band
+    * default, with recall untouched. Band bits are capped at 16 so
+    * keys stay small longs. */
+  def bandsFor(sigBits: Int, maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < sigBits)
+    (maxHamming + 1 to sigBits)
+      .find(b => sigBits % b == 0 && sigBits / b <= 16)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no band count ≥ ${maxHamming + 1} divides $sigBits"))
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, maxHamming: Int = 4,
                    sigBits: Int = 64, bands: Int = 8)

@@ -276,10 +276,18 @@ object Similarity {
     */
   def ivfCentroids(corpus: DataFrame, nLists: Int, iters: Int,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    var cents = corpus.select(col(idCol).as("cent_id"),
-      col(vecCol).as("cv"))
-      .orderBy("cent_id").limit(nLists)
+                   vecCol: String = "embedding",
+                   kmeansPlusPlus: Boolean = false): DataFrame = {
+    // low-id seeding is the SQL-mirrorable default (the s04 oracle
+    // reproduces it verbatim); farthest-first is the quality path —
+    // same downstream Lloyd/assign machinery either way
+    var cents =
+      if (kmeansPlusPlus)
+        farthestFirstSeeds(corpus, nLists, idCol = idCol,
+          vecCol = vecCol)
+      else corpus.select(col(idCol).as("cent_id"),
+        col(vecCol).as("cv"))
+        .orderBy("cent_id").limit(nLists)
     for (_ <- 0 until iters) {
       val scored = corpus
         .select(col(idCol).as("vid"), col(vecCol).as("v"))
@@ -300,6 +308,75 @@ object Similarity {
     cents
   }
 
+  /** Deterministic k-means++-style seeding: farthest-first traversal
+    * (the maxmin variant of k-means++ — no RNG, so every engine, run
+    * and partitioning produces identical seeds) over a BOUNDED
+    * hash-ordered sample. The sample is the `sampleCap` lowest rows
+    * by md5(id) — a deterministic uniform draw that TakeOrdered
+    * computes without a full sort — collected to the driver
+    * (≤ sampleCap vectors, bounded by construction like the
+    * WordSegmenter vocab collect) where the k seeds are chosen
+    * sequentially: each next seed maximizes its cosine distance to
+    * the nearest already-chosen seed (ties broken by id). Sketch-
+    * then-solve is the standard scale shape for seeding: the corpus
+    * is only ever scanned for the sample, never k times.
+    *
+    * Versus lowest-id seeding, farthest-first seeds spread across the
+    * data's modes instead of clumping wherever the first ids landed —
+    * fewer empty lists and tighter assignments for the SAME Lloyd
+    * budget (specs pin both the determinism and the spread).
+    */
+  def farthestFirstSeeds(corpus: DataFrame, nLists: Int,
+                         sampleCap: Int = 2048,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(nLists > 0 && sampleCap >= nLists)
+    val spark = corpus.sparkSession
+    val sample = corpus
+      .select(col(idCol).cast("long").as("sid"),
+        col(vecCol).cast("array<double>").as("sv"))
+      .orderBy(md5(col("sid").cast("string")), col("sid"))
+      .limit(sampleCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "farthestFirstSeeds: empty corpus")
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 1.0 else 1.0 - d / den
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      sample.minBy(_._1))
+    // minDist(i) = distance of sample(i) to its nearest chosen seed;
+    // updated incrementally so the traversal is O(k·|sample|)
+    val minDist = sample.map(p => cosDist(p._2, chosen.head._2))
+    while (chosen.size < math.min(nLists, sample.length)) {
+      var best = -1
+      var i = 0
+      while (i < sample.length) {
+        if (best < 0 || minDist(i) > minDist(best) ||
+          (minDist(i) == minDist(best) &&
+            sample(i)._1 < sample(best)._1)) {
+          if (!chosen.exists(_._1 == sample(i)._1)) best = i
+        }
+        i += 1
+      }
+      chosen += sample(best)
+      i = 0
+      while (i < sample.length) {
+        val d = cosDist(sample(i)._2, chosen.last._2)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    import spark.implicits._
+    chosen.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cent_id", "cv")
+  }
+
   /** IVF ANN: assign every vector to its nearest of `nLists`
     * centroids (an inverted file), then search only the probe's
     * `nProbe` closest lists. Centroids are the deterministic
@@ -311,13 +388,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              kmeansIters: Int = 1)
+              kmeansIters: Int = 1, kmeansPlusPlus: Boolean = false)
     : DataFrame = {
     // both the list build and the probe assignment consume cents;
     // persist + materialize so the Lloyd iterations run once
     val cents = ivfCentroids(corpus, nLists, kmeansIters, idCol,
-      vecCol).persist(org.apache.spark.storage.StorageLevel
-      .MEMORY_AND_DISK)
+      vecCol, kmeansPlusPlus).persist(org.apache.spark.storage
+      .StorageLevel.MEMORY_AND_DISK)
     cents.count()
     def assign(df: DataFrame, id: String, v: String, keep: Int)
       : DataFrame = {

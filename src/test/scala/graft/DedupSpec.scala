@@ -56,4 +56,28 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
     assert(a(1L) == a.getOrElse(2L, Nil)) // identical docs, same sig
   }
+
+  test("bandsFor picks the fewest recall-preserving bands") {
+    // maxHamming 3 → 4 bands of 16 bits (262 144 bucket keys)
+    assert(Dedup.bandsFor(64, 3) == 4)
+    // maxHamming 7 → needs ≥ 8 bands
+    assert(Dedup.bandsFor(64, 7) == 8)
+    // maxHamming 0: one band would be 64 bits > 16-bit cap → 4 bands
+    assert(Dedup.bandsFor(64, 0) == 4)
+    assert(Dedup.bandsFor(32, 3) == 4)
+  }
+
+  test("wide-band (scaled) banding returns identical pairs") {
+    // the 4×16-bit banding bandsFor prescribes at maxHamming 3 must
+    // produce EXACTLY the 8-band default's pairs — recall is a
+    // pigeonhole guarantee, not probabilistic
+    val docs10 = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    def pairs(bands: Int) =
+      Dedup.simhashPairs(docs10, "doc_id", "text", shingleSize = 3,
+          maxHamming = 3, sigBits = 64, bands = bands)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(Dedup.bandsFor(64, 3)) == pairs(8))
+  }
 }

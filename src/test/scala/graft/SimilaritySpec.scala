@@ -101,4 +101,55 @@ class SimilaritySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(got.contains((0L, 1L)))
   }
+
+  // three well-separated clusters around orthogonal axes, cluster
+  // membership recoverable from the id — a seeding quality fixture
+  private def clusteredCorpus(n: Int) = {
+    (0L until n.toLong).map { i =>
+      val axis = (i % 3).toInt
+      val base = Array.tabulate(6)(j => if (j == axis) 10.0 else 0.0)
+      // deterministic small jitter so vectors within a cluster differ
+      val jit = Array.tabulate(6)(j => math.sin(i * 13 + j) * 0.3)
+      (i, base.zip(jit).map { case (a, b) => a + b }.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("farthestFirstSeeds is deterministic across partitionings") {
+    val c = clusteredCorpus(60)
+    val a = Similarity.farthestFirstSeeds(c, 3)
+      .select("cent_id").as[Long].collect().toSet
+    val b = Similarity.farthestFirstSeeds(c.repartition(7), 3)
+      .select("cent_id").as[Long].collect().toSet
+    assert(a == b && a.size == 3)
+  }
+
+  test("farthestFirstSeeds covers all clusters where low-id clumps") {
+    // low-id seeds 0,1,2 hit clusters 0,1,2 by luck of i%3 — use a
+    // corpus whose first ids all sit in ONE cluster instead
+    val skew = (0L until 60L).map { i =>
+      val axis = if (i < 20) 0 else ((i % 2) + 1).toInt
+      val base = Array.tabulate(6)(j => if (j == axis) 10.0 else 0.0)
+      val jit = Array.tabulate(6)(j => math.sin(i * 13 + j) * 0.3)
+      (i, base.zip(jit).map { case (a, b) => a + b }.toSeq)
+    }.toDF("vec_id", "embedding")
+    def axisOf(v: Seq[Double]): Int = v.zipWithIndex.maxBy(_._1)._2
+    val ffAxes = Similarity.farthestFirstSeeds(skew, 3)
+      .select("cv").as[Seq[Double]].collect().map(axisOf).toSet
+    val lowAxes = skew.orderBy("vec_id").limit(3)
+      .select("embedding").as[Seq[Double]].collect().map(axisOf).toSet
+    assert(ffAxes == Set(0, 1, 2)) // one seed per mode
+    assert(lowAxes == Set(0))      // naive seeding clumps
+  }
+
+  test("k-means++ ivfTopK still finds the planted duplicate") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(j => math.sin(i * 7 + j).abs + 0.1)))
+    val corpus = (vecs :+ (99L, vecs(7)._2)).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 99L)
+    val got = Similarity.ivfTopK(corpus, probes, k = 3, nLists = 4,
+        nProbe = 2, kmeansPlusPlus = true)
+      .select("cand_id", "rnk").as[(Long, Long)].collect()
+      .sortBy(_._2)
+    assert(got.head._1 == 7L)
+  }
 }
