@@ -803,37 +803,49 @@ object Queries {
     // expression inside transform()'s lambda is re-evaluated per
     // ELEMENT, so lower(trim(text)) in the lambda body would copy the
     // whole document ~1.5k times per row (measured 3x the query)
-    def tri = t(s, d, "documents")
-      .select(col("doc_id"), lower(trim(col("text"))).as("gs"))
-      // the length guard matters twice over: it mirrors the oracle's
-      // doc set AND keeps sequence() ascending (sequence(1, 0) counts
-      // DOWN in Spark and would emit substring(s, 0, 3) junk)
-      .filter(length(col("gs")) >= 3)
-      .select(col("doc_id"),
-        expr("explode(transform(sequence(1, length(gs) - 2), " +
-          "i -> substring(gs, i, 3)))").as("tri"))
-    // The corpus trigram stream itself is never materialized — only
-    // the MODEL is: tc = one partial-aggregated shuffle down to
-    // |distinct trigrams| (bounded by charset³, ~50k here), persisted
-    // because the bigram rollup and the scoring join both read it.
-    // AQE broadcasts both model tables into the scoring join, so the
-    // big stream's only shuffle is the final per-doc aggregate.
-    val tc = tri.groupBy("tri").agg(count(lit(1)).as("tn"))
+    // trigrams are PACKED LONG code-point triples (codegen'd
+    // CharTrigramCodes) — injective vs the substring form, so every
+    // group/count/ratio is identical while the hot path hashes and
+    // shuffles 8-byte longs instead of allocating one 3-char string
+    // per corpus position; the bigram prefix is a bit shift
+    def tri = {
+      import org.apache.spark.sql.graft.{CharTrigramCodes, ColumnBridge}
+      t(s, d, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("gs"))
+        // mirrors the oracle's length(s) >= 3 doc set
+        .filter(length(col("gs")) >= 3)
+        .select(col("doc_id"),
+          explode(ColumnBridge.column(CharTrigramCodes(
+            ColumnBridge.expression(col("gs"))))).as("tri"))
+    }
+    // The trigram stream is exploded ONCE and immediately reduced to
+    // the per-doc trigram frequency table tf (map-side combine, one
+    // shuffle on (doc_id, tri)); tf then feeds BOTH the model rollups
+    // and the scoring — the earlier two-pass form re-exploded and
+    // re-substringed the whole corpus stream for scoring (measured
+    // ~40% of the query). Counts stay exact integers, so scoring by
+    // c·lp_micro is bit-identical to scoring each occurrence.
+    val tf = tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tc.count()
-    val bc = tc.groupBy(substring(col("tri"), 1, 2).as("bi"))
+    tf.count() // feeds the model AND the scoring join (CLAUDE.md rule)
+    val tc = tf.groupBy("tri").agg(sum(col("c")).as("tn"))
+    val bc = tc.groupBy(shiftrightunsigned(col("tri"), 21).as("bi"))
       .agg(sum(col("tn")).as("bn"))
-    val scored = tri.join(tc, "tri")
-      .join(bc, substring(col("tri"), 1, 2) === col("bi"))
-      .select(col("doc_id"),
+    // lp is computed per DISTINCT trigram (|model| rows, ~50k) and the
+    // tiny scored model broadcasts back onto tf — the corpus-sized
+    // side never touches a log() or a string op
+    val model = tc.join(bc,
+        shiftrightunsigned(col("tri"), 21) === col("bi"))
+      .select(col("tri"),
         round(log(col("tn") / col("bn")) * 1e6, 0).cast("long")
           .as("lp_micro"))
-    val sumLp = sum(col("lp_micro"))
-    val n = count(lit(1))
+    val sumLp = sum(col("c") * col("lp_micro"))
+    val n = sum(col("c"))
     // HALF_UP at 4dp in integer space; S <= 0 so mirror q15's sign
     val avg = -floor(((-sumLp) * 2 + n * 100) /
       (n.cast("double") * 200)) / 10000.0
-    scored.groupBy("doc_id")
+    tf.join(model, "tri")
+      .groupBy("doc_id")
       .agg(n.as("n_tris"), sumLp.as("sum_lp_micro"),
         avg.as("avg_logp"))
   }

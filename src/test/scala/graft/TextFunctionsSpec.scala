@@ -87,4 +87,26 @@ class TextFunctionsSpec extends SparkSpec {
       distinct = true)
     assert(short.count() == 0)
   }
+
+  test("CharTrigramCodes packs code-point triples injectively") {
+    import org.apache.spark.sql.graft.{CharTrigramCodes, ColumnBridge}
+    def codes(s: String): List[Long] =
+      Seq(s).toDF("text")
+        .select(ColumnBridge.column(CharTrigramCodes(
+          ColumnBridge.expression(col("text")))).as("v"))
+        .collect()(0).getSeq[Long](0).toList
+    def pack(a: Int, b: Int, c: Int): Long =
+      (a.toLong << 42) | (b.toLong << 21) | c.toLong
+    assert(codes("abcd") ==
+      List(pack('a', 'b', 'c'), pack('b', 'c', 'd')))
+    // supplementary-plane char (surrogate pair) is ONE code point —
+    // the trigram count matches DuckDB's per-character substr
+    val clef = 0x1D11E // U+1D11E musical G clef
+    assert(codes(new String(Character.toChars(clef)) + "ab") ==
+      List(pack(clef, 'a', 'b')))
+    // shorter than 3 code points -> empty, mirroring length(s) >= 3
+    assert(codes("ab") == Nil)
+    // bigram prefix of the pack is a shift, used by the t09 rollup
+    assert((pack('a', 'b', 'c') >>> 21) == pack(0, 'a', 'b'))
+  }
 }
