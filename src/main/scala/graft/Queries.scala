@@ -2221,6 +2221,47 @@ object Queries {
       |    AS coverage_ppm
       |FROM c""".stripMargin
 
+  /** PageRank over the symmetrized part↔supplier supply graph
+    * (bipartite, node id = 2·partkey / 2·suppkey+1 keeps the spaces
+    * disjoint) — iterative graph analytics with a FULL hash oracle:
+    * ranks are exact integers in 1e-12 mass units and contributions
+    * are floor divisions ([[graft.graph.PageRank]]), so five rounds
+    * of power iteration are bit-identical to the DuckDB oracle's five
+    * unrolled CTEs. Per round: one shuffle join + one aggregate; the
+    * degree-attached edge list is persisted once and reused. */
+  val g01_pagerank: QFn = (s, d) => {
+    val e0 = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.graph.PageRank.pageRank(edges, iters = 5)
+  }
+
+  val g01_sql: String = {
+    def round(i: Int) =
+      s"""r$i AS (SELECT node, 150000000000 // cnt + coalesce(s, 0) AS r
+         |  FROM nodes CROSS JOIN n LEFT JOIN (
+         |    SELECT ed.dst AS node,
+         |      CAST(sum((r.r * 17) // (ed.deg * 20)) AS BIGINT) AS s
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node
+         |    GROUP BY ed.dst) c USING (node))""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |n AS (SELECT count(*) AS cnt FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ed AS (SELECT edges.src, edges.dst, deg.deg
+       |  FROM edges JOIN deg ON deg.src = edges.src),
+       |r0 AS (SELECT node, 1000000000000 // cnt AS r
+       |  FROM nodes CROSS JOIN n),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT node, CAST(r AS BIGINT) AS rank_u FROM r5""".stripMargin
+  }
+
   /** CUBE over (status, priority): all four grouping-set levels in
     * one pass — Spark expands the cube into a single hash aggregate
     * (rows replicated per grouping set at the map side, partial aggs
@@ -2322,7 +2363,8 @@ object Queries {
     "e09_interval_join" -> e09_interval_join,
     "q40_scd2" -> q40_scd2,
     "t10_vocab_coverage" -> t10_vocab_coverage,
-    "q41_cube" -> q41_cube)
+    "q41_cube" -> q41_cube,
+    "g01_pagerank" -> g01_pagerank)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -2398,5 +2440,6 @@ object Queries {
     "e09_interval_join" -> e09_sql,
     "q40_scd2" -> q40_sql,
     "t10_vocab_coverage" -> t10_sql,
-    "q41_cube" -> q41_sql)
+    "q41_cube" -> q41_sql,
+    "g01_pagerank" -> g01_sql)
 }

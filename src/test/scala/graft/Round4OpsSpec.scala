@@ -181,6 +181,30 @@ class Round4OpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("pageRank: uniform on a regular graph, mass conserved") {
+    // 4-cycle (2-regular, symmetric): the uniform distribution is
+    // stationary, so every node must keep exactly total/n units
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val r = graft.graph.PageRank.pageRank(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r.values.toSet == Set(250000000000L))
+    assert(r.values.sum == 1000000000000L)
+  }
+
+  test("pageRank ranks the hub above the spokes") {
+    // star: hub 1 connected to 2..6, symmetrized
+    val spokes = (2L to 6L).map(i => (1L, i))
+    val edges = (spokes ++ spokes.map(_.swap)).toDF("src", "dst")
+    val r = graft.graph.PageRank.pageRank(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 6L).forall(i => r(1L) > r(i)))
+    // spokes are symmetric — identical ranks
+    assert((2L to 6L).map(r).toSet.size == 1)
+    // quantization loses at most a few units per node per round
+    assert(math.abs(r.values.sum - 1000000000000L) < 1000L)
+  }
+
   test("string-id driver finish agrees with the distributed loop") {
     val nodes = Seq("n1", "n2", "n3", "n4").toDF("id")
     val edges = Seq(("n2", "n3"), ("n3", "n4")).toDF("id1", "id2")
