@@ -63,12 +63,20 @@ object StreamBench {
         Thread.sleep(100)
         processed = q.recentProgress.map(_.numInputRows).sum
       }
+      // state-store shape from the LAST progress: total state rows
+      // and bytes prove (or disprove) the bounded-state claims —
+      // a watermarked op's numRowsTotal must plateau, a NoTimeout
+      // keyed op's must track distinct keys
+      val stateOps = Option(q.lastProgress)
+        .map(_.stateOperators.toSeq).getOrElse(Nil)
+      val stateRows = stateOps.map(_.numRowsTotal).sum
+      val stateBytes = stateOps.map(_.memoryUsedBytes).sum
       q.stop()
       val dt = (System.nanoTime() - t0) / 1e9
       // rate from rows ACTUALLY processed — on deadline expiry the
       // intended row count would overstate throughput
       val rate = (processed / dt).toLong
-      println(s"""[streambench] {"pipeline":"$name","rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate}""")
+      println(s"""[streambench] {"pipeline":"$name","rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
     }
 
     drive("windowed_type_stats",
@@ -78,6 +86,25 @@ object StreamBench {
       Streams.streamDedup(syntheticEvents()
         .withColumn("dup_key", pmod(col("event_id"), lit(10000L))),
         "ts", "30 seconds", "dup_key"), "append")
+    // keyed mapGroupsWithState: state = k pairs x 1000 users, flat
+    locally {
+      import spark.implicits._
+      drive("streaming_topk",
+        Streams.streamingTopK(syntheticEvents()
+          .select(col("user_id"), col("event_id").as("item_id"),
+            col("value").as("score"))
+          .as[Streams.Scored], k = 10).toDF(), "update")
+    }
+    // minhash-LSH banding + watermarked band dedup + windowed count:
+    // the heaviest per-row stateful pipeline (shingle + md5 x hashes)
+    drive("near_dup_signal",
+      Streams.streamingNearDupSignal(syntheticEvents()
+        .select(col("ts"), col("event_id").as("doc_id"),
+          concat_ws(" ",
+            (0 until 12).map(i => concat(lit("w"),
+              pmod(col("event_id") * (i * 2 + 1), lit(5000L)))): _*)
+            .as("text")),
+        lateness = "30 seconds"), "update")
     spark.stop()
   }
 }
