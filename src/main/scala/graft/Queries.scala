@@ -2262,6 +2262,89 @@ object Queries {
        |SELECT node, CAST(r AS BIGINT) AS rank_u FROM r5""".stripMargin
   }
 
+  /** HyperLogLog approximate distinct with FULL cross-engine parity —
+    * the classic trade at 100 TB: exact distinct shuffles every
+    * (group, value) pair; the sketch shuffles at most
+    * |groups|·64 registers. Engine-portable construction: register
+    * index = first md5 byte mod 64; rho = leading-zero bits of the
+    * next 13 hex digits (counted via regexp + a 16-way nibble CASE —
+    * pure string/integer ops, no log2 float boundary); registers
+    * merge with MAX (associative ⇒ partial aggregation works); the
+    * estimate is the raw-HLL formula evaluated ENTIRELY in integer
+    * space: S = Σ 2^(40−M_j) over all 64 registers (empty ⇒ 2^40),
+    * est = (709·4096·2^40) DIV (1000·S) — exact BIGINTs end to end,
+    * so the oracle hash-matches the sketch, not just the trend.
+    * Exact distinct rides along per group to show the error
+    * (±~13% at m=64 by theory; see spec). */
+  val q42_hll_distinct: QFn = (s, d) => {
+    val h = md5(col("user_id").cast("string"))
+    val j = conv(substring(h, 1, 2), 16, 10).cast("long") % 64
+    val wh = substring(h, 3, 13)
+    val lz = length(regexp_extract(wh, "^(0*)", 1))
+    val nib = substring(wh, lz + lit(1), lit(1))
+    val blen = when(nib === "1", 1).when(nib.isin("2", "3"), 2)
+      .when(nib.isin("4", "5", "6", "7"), 3).otherwise(4)
+    val rho = when(lz === 13, lit(53))
+      .otherwise(lz * 4 + (lit(4) - blen) + 1)
+    val regs = t(s, d, "events")
+      .select(col("event_type"), col("user_id"), j.as("j"),
+        least(rho, lit(40)).cast("long").as("rho"))
+    val sketch = regs.groupBy("event_type", "j")
+      .agg(max("rho").as("m"), countDistinct("user_id").as("nd"))
+      .groupBy("event_type")
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - m AS INT))"))
+        + (lit(64) - count(lit(1))) * lit(1L << 40)).as("s_scaled"),
+        (lit(64) - count(lit(1))).cast("long").as("v_empty"),
+        sum("nd").cast("long").as("n_exact"))
+    // small-range (linear counting) correction below 2.5m, exactly as
+    // the HLL paper prescribes: floor(m·ln(m/V)) — floor of an
+    // irrational, no decimal tie boundary exists (V=64 ⇒ exactly 0)
+    sketch
+      .withColumn("raw",
+        expr("(709 * 4096 * 1099511627776) DIV (1000 * s_scaled)"))
+      .select(col("event_type"), col("s_scaled"), col("v_empty"),
+        when(col("v_empty") > 0 && col("raw") < 160,
+          floor(lit(64.0) * log(lit(64.0) / col("v_empty")))
+            .cast("long"))
+          .otherwise(col("raw")).as("n_approx"),
+        col("n_exact"))
+  }
+
+  val q42_sql: String =
+    """WITH h AS (SELECT event_type, user_id,
+      |    md5(user_id::VARCHAR) AS hx FROM events),
+      |r AS (SELECT event_type, user_id,
+      |    ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS j,
+      |    length(regexp_extract(substr(hx, 3, 13), '^(0*)', 1)) AS lz,
+      |    substr(hx, 3 + length(regexp_extract(substr(hx, 3, 13),
+      |      '^(0*)', 1)), 1) AS nib
+      |  FROM h),
+      |rho AS (SELECT event_type, user_id, j,
+      |    least(CASE WHEN lz = 13 THEN 53
+      |      ELSE lz * 4 + (4 - (CASE WHEN nib = '1' THEN 1
+      |        WHEN nib IN ('2', '3') THEN 2
+      |        WHEN nib IN ('4', '5', '6', '7') THEN 3
+      |        ELSE 4 END)) + 1 END, 40) AS rho
+      |  FROM r),
+      |regs AS (SELECT event_type, j, max(rho) AS m,
+      |    count(DISTINCT user_id) AS nd
+      |  FROM rho GROUP BY 1, 2),
+      |sk AS (SELECT event_type,
+      |    CAST(sum(1::BIGINT << (40 - m)) +
+      |      (64 - count(*)) * (1::BIGINT << 40) AS BIGINT) AS s_scaled,
+      |    CAST(64 - count(*) AS BIGINT) AS v_empty,
+      |    CAST(sum(nd) AS BIGINT) AS n_exact
+      |  FROM regs GROUP BY event_type),
+      |est AS (SELECT *,
+      |    (709 * 4096 * 1099511627776) // (1000 * s_scaled) AS raw
+      |  FROM sk)
+      |SELECT event_type, s_scaled, v_empty,
+      |  CASE WHEN v_empty > 0 AND raw < 160
+      |    THEN CAST(floor(64 * ln(64.0 / v_empty)) AS BIGINT)
+      |    ELSE raw END AS n_approx,
+      |  n_exact
+      |FROM est""".stripMargin
+
   /** CUBE over (status, priority): all four grouping-set levels in
     * one pass — Spark expands the cube into a single hash aggregate
     * (rows replicated per grouping set at the map side, partial aggs
@@ -2364,6 +2447,7 @@ object Queries {
     "q40_scd2" -> q40_scd2,
     "t10_vocab_coverage" -> t10_vocab_coverage,
     "q41_cube" -> q41_cube,
+    "q42_hll_distinct" -> q42_hll_distinct,
     "g01_pagerank" -> g01_pagerank)
 
   val oracles: Map[String, String] = Map(
@@ -2441,5 +2525,6 @@ object Queries {
     "q40_scd2" -> q40_sql,
     "t10_vocab_coverage" -> t10_sql,
     "q41_cube" -> q41_sql,
+    "q42_hll_distinct" -> q42_sql,
     "g01_pagerank" -> g01_sql)
 }

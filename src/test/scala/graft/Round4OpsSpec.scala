@@ -205,6 +205,17 @@ class Round4OpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1000000000000L) < 1000L)
   }
 
+  test("q42 hll estimate lands within theory bounds of exact") {
+    val rows = Queries.q42_hll_distinct(spark, sf)
+      .select("n_approx", "n_exact").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      // raw HLL at m=64 has σ ≈ 1.04/√64 ≈ 13%; allow 3σ
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.4, s"approx $approx vs exact $exact")
+    }
+  }
+
   test("string-id driver finish agrees with the distributed loop") {
     val nodes = Seq("n1", "n2", "n3", "n4").toDF("id")
     val edges = Seq(("n2", "n3"), ("n3", "n4")).toDF("id1", "id2")
