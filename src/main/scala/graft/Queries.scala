@@ -2221,6 +2221,48 @@ object Queries {
       |    AS coverage_ppm
       |FROM c""".stripMargin
 
+  /** Explicit GROUPING SETS — the marginals-only plan (status),
+    * (priority), (): unlike q41's CUBE, the cross cells are never
+    * computed, so the aggregate processes 3 replicas instead of 4 —
+    * at 100 TB choosing the exact grouping sets IS the optimization.
+    * Uses Spark 4's native Dataset.groupingSets. */
+  val q43_grouping_sets: QFn = (s, d) =>
+    t(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+          Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  val q43_sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** Deterministic fixed-size uniform sample — order by a salted md5
+    * of the key and take k: the same k rows on any engine, any run,
+    * any partitioning (the fixed-size counterpart of q39's rate-based
+    * strata). Plans as TakeOrderedAndProject: each partition keeps k
+    * rows, the driver merges — no full sort at any scale. */
+  val q44_uniform_sample: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(concat(lit("samp:"),
+          col("doc_id").cast("string"))), 1, 8).as("rk"))
+      .orderBy(col("rk"), col("doc_id"))
+      .limit(50)
+
+  val q44_sql: String =
+    """SELECT doc_id, lang,
+      |  substr(md5('samp:' || doc_id::VARCHAR), 1, 8) AS rk
+      |FROM documents ORDER BY rk, doc_id LIMIT 50""".stripMargin
+
   /** PageRank over the symmetrized part↔supplier supply graph
     * (bipartite, node id = 2·partkey / 2·suppkey+1 keeps the spaces
     * disjoint) — iterative graph analytics with a FULL hash oracle:
@@ -2448,6 +2490,8 @@ object Queries {
     "t10_vocab_coverage" -> t10_vocab_coverage,
     "q41_cube" -> q41_cube,
     "q42_hll_distinct" -> q42_hll_distinct,
+    "q43_grouping_sets" -> q43_grouping_sets,
+    "q44_uniform_sample" -> q44_uniform_sample,
     "g01_pagerank" -> g01_pagerank)
 
   val oracles: Map[String, String] = Map(
@@ -2526,5 +2570,7 @@ object Queries {
     "t10_vocab_coverage" -> t10_sql,
     "q41_cube" -> q41_sql,
     "q42_hll_distinct" -> q42_sql,
+    "q43_grouping_sets" -> q43_sql,
+    "q44_uniform_sample" -> q44_sql,
     "g01_pagerank" -> g01_sql)
 }

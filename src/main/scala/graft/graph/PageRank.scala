@@ -71,6 +71,11 @@ object PageRank {
       // every node has out-edges by construction; in a symmetrized
       // graph it therefore also has in-edges, but a directed caller
       // may have sources nobody links to — they keep just the base
+      // per-round EAGER checkpoint: ranks feeds the next round only
+      // once (linear lineage, unlike Components' doubling), but the
+      // checkpoint hands AQE an exactly-sized relation so every
+      // round's rank join plans as a broadcast — measured ~2x faster
+      // than one deep 5-round plan whose joins fall back to SMJ
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
