@@ -2387,6 +2387,56 @@ object Queries {
       |  n_exact
       |FROM est""".stripMargin
 
+  /** Triangle count over the part co-purchase graph (parts sharing an
+    * order) via DEGREE-ORDERED ORIENTATION ([[graft.graph.Triangles]]):
+    * edges point low-(deg,id) → high, so wedge generation is quadratic
+    * in the O(√E)-bounded out-degree, never in hub degree — the
+    * difference between a triangle count that finishes at 100 TB and
+    * one that explodes on the first celebrity node. Edges are
+    * support-thresholded (co-occur in ≥ 2 orders) — the standard
+    * co-purchase cut that keeps the graph at its MEANINGFUL edges
+    * (unthresholded, this corpus yields avg degree ~120 and 41M
+    * wedges at sf0.1: the wedge stream, not the algorithm, is then
+    * the honest cost). Pure counting — exact integers, fully
+    * oracle-mirrored. */
+  val g02_triangles: QFn = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id1"), col("y.pk").as("id2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("id1", "id2")
+    graft.graph.Triangles.count(pairs)
+  }
+
+  val g02_sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e0 AS (SELECT x.pk AS a, y.pk AS b
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+      |  GROUP BY node),
+      |k AS (SELECT node, deg * 1000000000 + node AS okey FROM deg),
+      |o AS (SELECT CASE WHEN ka.okey < kb.okey THEN e0.a ELSE e0.b END
+      |      AS src,
+      |    CASE WHEN ka.okey < kb.okey THEN e0.b ELSE e0.a END AS dst,
+      |    CASE WHEN ka.okey < kb.okey THEN kb.okey ELSE ka.okey END
+      |      AS dstk
+      |  FROM e0 JOIN k ka ON ka.node = e0.a
+      |    JOIN k kb ON kb.node = e0.b),
+      |w AS (SELECT x.dst AS v, y.dst AS w
+      |  FROM o x JOIN o y ON x.src = y.src AND x.dstk < y.dstk)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |  (SELECT count(*) FROM o) AS n_edges,
+      |  (SELECT count(*) FROM w) AS n_wedges,
+      |  (SELECT count(*) FROM w JOIN o
+      |    ON w.v = o.src AND w.w = o.dst) AS n_triangles""".stripMargin
+
   /** CUBE over (status, priority): all four grouping-set levels in
     * one pass — Spark expands the cube into a single hash aggregate
     * (rows replicated per grouping set at the map side, partial aggs
@@ -2492,7 +2542,8 @@ object Queries {
     "q42_hll_distinct" -> q42_hll_distinct,
     "q43_grouping_sets" -> q43_grouping_sets,
     "q44_uniform_sample" -> q44_uniform_sample,
-    "g01_pagerank" -> g01_pagerank)
+    "g01_pagerank" -> g01_pagerank,
+    "g02_triangles" -> g02_triangles)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -2572,5 +2623,6 @@ object Queries {
     "q42_hll_distinct" -> q42_sql,
     "q43_grouping_sets" -> q43_sql,
     "q44_uniform_sample" -> q44_sql,
-    "g01_pagerank" -> g01_sql)
+    "g01_pagerank" -> g01_sql,
+    "g02_triangles" -> g02_sql)
 }

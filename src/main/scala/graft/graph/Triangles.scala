@@ -1,0 +1,82 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{count => sqlCount}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed triangle counting by degree-ordered orientation — the
+  * classic trick that makes the wedge join survive skew: every
+  * undirected edge is directed from its lower-(degree, id) endpoint
+  * to the higher one, so a node's out-degree is bounded by O(√|E|)
+  * REGARDLESS of its raw degree (a hub with a million neighbours
+  * receives almost all its edges inbound). Wedge generation — the
+  * self-join on the source — is therefore quadratic only in the
+  * bounded out-degree, never in hub degree; the closing-edge check is
+  * one more equi-join. Three shuffles total (degree, wedge, close),
+  * all on node/edge keys.
+  *
+  * The (deg, id) total order is packed as deg·10⁹ + id for engine
+  * portability (plain BIGINT comparisons on both sides); callers need
+  * node ids < 10⁹ — assert, don't corrupt.
+  */
+object Triangles {
+
+  /** @param edges undirected edge list, columns `id1`, `id2` (one row
+    *              per edge, any orientation, self-loops ignored)
+    * @return one row: n_nodes, n_edges, n_wedges, n_triangles
+    */
+  def count(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("id1"), col("id2")).cast("long").as("a"),
+        greatest(col("id1"), col("id2")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(sqlCount(lit(1)).as("deg"))
+    val maxId = 1000000000L
+    val okey = (col("deg") * maxId + col("node")).as("okey")
+    val keyed = deg.select(col("node"), okey)
+    // orient: src = endpoint with the SMALLER (deg, id) key
+    val withKeys = e
+      .join(keyed.select(col("node").as("a"), col("okey").as("ka")), "a")
+      .join(keyed.select(col("node").as("b"), col("okey").as("kb")), "b")
+    val oriented = withKeys.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b"))
+          .as("src"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka"))
+          .as("dstk"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a"))
+          .as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
+    e.unpersist(false)
+    // wedges from a shared source, canonicalized v ≺ w by the SAME
+    // total order so each candidate triangle is generated exactly once
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+        col("x.dstk") < col("y.dstk"))
+      .select(col("x.dst").as("v"), col("y.dst").as("w"))
+    val closing = oriented.select(col("src").as("v"),
+      col("dst").as("w"), lit(1L).as("hit"))
+    // ONE pass over the wedge stream counts wedges AND triangles
+    // (separate aggregates would run the wedge self-join twice). The
+    // closing-edge set is O(|E|); when it fits (known — we counted
+    // the edges) broadcast it so the wedge stream — the big side, up
+    // to out-deg² per source — never shuffles. Past broadcast size
+    // the equi-join on (v, w) shuffles both sides; the wedge side is
+    // then the cost, which is the algorithm's honest lower bound.
+    val nEdges = oriented.count()
+    val close = if (nEdges <= 20000000L) broadcast(closing) else closing
+    val agg2 = wedges.join(close, Seq("v", "w"), "left")
+      .agg(sqlCount(lit(1)).as("n_wedges"),
+        coalesce(sum("hit"), lit(0L)).as("n_triangles"))
+    val nNodes = deg.agg(sqlCount(lit(1)).as("n_nodes"))
+    nNodes
+      .crossJoin(oriented.agg(sqlCount(lit(1)).as("n_edges")))
+      .crossJoin(agg2)
+  }
+}

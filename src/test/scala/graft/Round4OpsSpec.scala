@@ -216,6 +216,26 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("triangle count: K4, star and path fixtures") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) =
+      graft.graph.Triangles.count(edges.toDF("id1", "id2"))
+        .as[(Long, Long, Long, Long)].head()
+    // K4: 4 nodes, 6 edges, C(4,3)=4 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == ((4L, 6L, 4L, 4L)))
+    // star: hub-heavy, zero triangles — and with orientation the hub
+    // generates ZERO wedges (all its edges point inbound)
+    val star = (2L to 7L).map(i => (1L, i))
+    val (n, e, w, t) = tri(star)
+    assert((n, e, t) == ((7L, 6L, 0L)) && w == 0L)
+    // triangle + tail
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+      ._4 == 1L)
+    // duplicate/reversed edge rows collapse
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)))
+      ._4 == 1L)
+  }
+
   test("string-id driver finish agrees with the distributed loop") {
     val nodes = Seq("n1", "n2", "n3", "n4").toDF("id")
     val edges = Seq(("n2", "n3"), ("n3", "n4")).toDF("id1", "id2")
