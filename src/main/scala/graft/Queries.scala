@@ -1629,6 +1629,34 @@ object Queries {
       |    IS NOT NULL AS full_funnel
       |FROM p2 WHERE kind = 2""".stripMargin
 
+  /** Sliding (hopping) window aggregate — 2-hour windows every hour
+    * via Spark's native `window(ts, "2 hours", "1 hour")`: each event
+    * lands in exactly 2 overlapping windows; the expansion happens
+    * map-side inside the aggregate (no pre-explode pass), one shuffle
+    * on (window, type). The same expression carries verbatim onto a
+    * Structured Streaming feed under a watermark. The oracle mirrors
+    * the expansion with a 2-element unnest of hour offsets. */
+  val e10_sliding_window: QFn = (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val e10_sql: String =
+    """WITH x AS (SELECT event_type, value,
+      |    date_trunc('hour', ts) - to_hours(off) AS ws
+      |  FROM events, unnest([0, 1]) AS u(off)),
+      |f AS (SELECT * FROM x)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM f GROUP BY ws, event_type""".stripMargin
+
   /** Gap-based sessionization via Spark's NATIVE `session_window` —
     * the same 30-minute-gap semantics as e02's manual lag+cumsum form
     * but expressed as the built-in session aggregate, which is the
@@ -2387,6 +2415,50 @@ object Queries {
       |  n_exact
       |FROM est""".stripMargin
 
+  /** Distributed Pearson correlation (value vs hour-of-day per event
+    * type) from EXACT INTEGER moments: x is cents, y is the hour, and
+    * n/Σx/Σy/Σxy/Σx²/Σy² are all exact BIGINTs — so both engines
+    * derive corr from IDENTICAL integers through an identical formula
+    * and the 6-dp round sees the same double (built-in `corr`
+    * implementations differ in pass structure and summation order,
+    * which is exactly the cross-engine drift the integer-moment form
+    * eliminates; the quotient has an irrational denominator, so no
+    * decimal-tie boundary exists). One partial-aggregated shuffle. */
+  val q45_corr: QFn = (s, d) => {
+    val e = t(s, d, "events").select(col("event_type"),
+      round(col("value") * 100, 0).cast("long").as("x"),
+      hour(col("ts")).cast("long").as("y"))
+    val m = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(col("event_type"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double"))), 6).as("corr_vh"))
+  }
+
+  val q45_sql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS x,
+      |    CAST(hour(ts) AS BIGINT) AS y
+      |  FROM events),
+      |m AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_vh
+      |FROM m""".stripMargin
+
   /** Triangle count over the part co-purchase graph (parts sharing an
     * order) via DEGREE-ORDERED ORIENTATION ([[graft.graph.Triangles]]):
     * edges point low-(deg,id) → high, so wedge generation is quadratic
@@ -2542,6 +2614,8 @@ object Queries {
     "q42_hll_distinct" -> q42_hll_distinct,
     "q43_grouping_sets" -> q43_grouping_sets,
     "q44_uniform_sample" -> q44_uniform_sample,
+    "q45_corr" -> q45_corr,
+    "e10_sliding_window" -> e10_sliding_window,
     "g01_pagerank" -> g01_pagerank,
     "g02_triangles" -> g02_triangles)
 
@@ -2623,6 +2697,8 @@ object Queries {
     "q42_hll_distinct" -> q42_sql,
     "q43_grouping_sets" -> q43_sql,
     "q44_uniform_sample" -> q44_sql,
+    "q45_corr" -> q45_sql,
+    "e10_sliding_window" -> e10_sql,
     "g01_pagerank" -> g01_sql,
     "g02_triangles" -> g02_sql)
 }

@@ -236,6 +236,22 @@ class Round4OpsSpec extends SparkSpec {
       ._4 == 1L)
   }
 
+  test("e10 sliding windows hold each event exactly twice") {
+    val total = Queries.e10_sliding_window(spark, sf)
+      .agg(sum("n_events")).as[Long].head()
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(total == 2 * events)
+  }
+
+  test("q45 correlation is bounded and carries the full row count") {
+    val rows = Queries.q45_corr(spark, sf)
+      .select("n", "corr_vh").as[(Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, c) => assert(c >= -1.0 && c <= 1.0) }
+    val events = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_._1).sum == events)
+  }
+
   test("string-id driver finish agrees with the distributed loop") {
     val nodes = Seq("n1", "n2", "n3", "n4").toDF("id")
     val edges = Seq(("n2", "n3"), ("n3", "n4")).toDF("id1", "id2")
