@@ -56,7 +56,10 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       s"\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total covers SUCCESSFUL queries only, so it always equals the
+    // sum of the reported per-query times (a crashed query's partial
+    // duration would make totals non-comparable across runs)
+    val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1650,12 +1650,11 @@ object Queries {
   val e10_sql: String =
     """WITH x AS (SELECT event_type, value,
       |    date_trunc('hour', ts) - to_hours(off) AS ws
-      |  FROM events, unnest([0, 1]) AS u(off)),
-      |f AS (SELECT * FROM x)
+      |  FROM events, unnest([0, 1]) AS u(off))
       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n_events,
       |  round(sum(value), 4) AS sum_value
-      |FROM f GROUP BY ws, event_type""".stripMargin
+      |FROM x GROUP BY ws, event_type""".stripMargin
 
   /** Gap-based sessionization via Spark's NATIVE `session_window` —
     * the same 30-minute-gap semantics as e02's manual lag+cumsum form
@@ -2300,10 +2299,14 @@ object Queries {
     * unrolled CTEs. Per round: one shuffle join + one aggregate; the
     * degree-attached edge list is persisted once and reused. */
   val g01_pagerank: QFn = (s, d) => {
+    // no distinct here: PageRank distincts its edge input anyway, and
+    // a distinct at this level would run once PER UNION BRANCH inside
+    // the edge-persist job (the subtree is consumed twice, unpersisted
+    // — the CLAUDE.md fan-out rule); the raw projection is a cheap
+    // scan either side
     val e0 = t(s, d, "lineitem")
       .select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
     val edges = e0.union(
       e0.select(col("dst").as("src"), col("src").as("dst")))
     graft.graph.PageRank.pageRank(edges, iters = 5)

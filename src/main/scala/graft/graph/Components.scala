@@ -169,7 +169,18 @@ object Components {
       Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
     case FloatType | DoubleType =>
       Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
-    case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+    case StringType => new Ordering[Any] {
+      // Catalyst compares strings as UNSIGNED UTF-8 BYTES; JVM
+      // String.compareTo is UTF-16 code units — the two disagree on
+      // supplementary-plane characters (U+1F600 sorts below U+FFFF in
+      // UTF-16, above it in UTF-8), which would make the two finish
+      // paths pick different component roots
+      private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      override def compare(x: Any, y: Any): Int =
+        java.util.Arrays.compareUnsigned(
+          x.asInstanceOf[String].getBytes(utf8),
+          y.asInstanceOf[String].getBytes(utf8))
+    }
     case _: DecimalType =>
       Ordering.by((x: Any) => x.asInstanceOf[java.math.BigDecimal])
     case other => throw new IllegalArgumentException(

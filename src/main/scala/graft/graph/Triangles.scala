@@ -34,6 +34,14 @@ object Triangles {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count()
+    // ids must fit under the okey packing factor — corrupt order keys
+    // would silently mis-orient edges, so refuse loudly instead.
+    // e is materialized, so this max is a cheap cached scan.
+    val maxNode = e.agg(max(greatest(col("a"), col("b"))))
+      .head().getLong(0)
+    require(maxNode < 1000000000L,
+      s"Triangles.count: node id $maxNode >= 1e9 breaks the packed " +
+        "(deg, id) order key — remap ids first")
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(sqlCount(lit(1)).as("deg"))
@@ -52,8 +60,12 @@ object Triangles {
         when(col("ka") < col("kb"), col("b")).otherwise(col("a"))
           .as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    oriented.count()
-    e.unpersist(false)
+    val nEdges = oriented.count()
+    // e stays persisted: the n_nodes branch below re-reads deg (and
+    // through it e) when the RESULT materializes — unpersisting here
+    // would recompute the caller's whole edge pipeline (the dominant
+    // cost of a co-occurrence graph); the session harness releases
+    // caches between queries
     // wedges from a shared source, canonicalized v ≺ w by the SAME
     // total order so each candidate triangle is generated exactly once
     val wedges = oriented.as("x").join(oriented.as("y"),
@@ -69,7 +81,6 @@ object Triangles {
     // to out-deg² per source — never shuffles. Past broadcast size
     // the equi-join on (v, w) shuffles both sides; the wedge side is
     // then the cost, which is the algorithm's honest lower bound.
-    val nEdges = oriented.count()
     val close = if (nEdges <= 20000000L) broadcast(closing) else closing
     val agg2 = wedges.join(close, Seq("v", "w"), "left")
       .agg(sqlCount(lit(1)).as("n_wedges"),

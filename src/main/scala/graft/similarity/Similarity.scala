@@ -332,13 +332,23 @@ object Similarity {
                          vecCol: String = "embedding"): DataFrame = {
     require(nLists > 0 && sampleCap >= nLists)
     val spark = corpus.sparkSession
+    val idType = corpus.schema(idCol).dataType
+    // ids stay in their NATIVE type (an unconditional long cast nulls
+    // non-numeric ids silently — the Components.driverFinish trap);
+    // the salted md5 of the id's string form is both the sample order
+    // and the engine-portable tiebreak. Duplicate id rows collapse so
+    // the traversal's not-already-chosen guard can always make
+    // progress.
     val sample = corpus
-      .select(col(idCol).cast("long").as("sid"),
+      .select(md5(col(idCol).cast("string")).as("sk"),
+        col(idCol).as("sid"),
         col(vecCol).cast("array<double>").as("sv"))
-      .orderBy(md5(col("sid").cast("string")), col("sid"))
+      .dropDuplicates("sid")
+      .orderBy(col("sk"))
       .limit(sampleCap)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getString(0), r.get(1),
+        r.getSeq[Double](2).toArray))
     require(sample.nonEmpty, "farthestFirstSeeds: empty corpus")
     def cosDist(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -350,31 +360,38 @@ object Similarity {
     }
     val chosen = scala.collection.mutable.ArrayBuffer(
       sample.minBy(_._1))
+    val picked = scala.collection.mutable.HashSet(chosen.head._1)
     // minDist(i) = distance of sample(i) to its nearest chosen seed;
     // updated incrementally so the traversal is O(k·|sample|)
-    val minDist = sample.map(p => cosDist(p._2, chosen.head._2))
+    val minDist = sample.map(p => cosDist(p._3, chosen.head._3))
     while (chosen.size < math.min(nLists, sample.length)) {
       var best = -1
       var i = 0
       while (i < sample.length) {
-        if (best < 0 || minDist(i) > minDist(best) ||
-          (minDist(i) == minDist(best) &&
-            sample(i)._1 < sample(best)._1)) {
-          if (!chosen.exists(_._1 == sample(i)._1)) best = i
-        }
+        if (!picked.contains(sample(i)._1) &&
+          (best < 0 || minDist(i) > minDist(best) ||
+            (minDist(i) == minDist(best) &&
+              sample(i)._1 < sample(best)._1))) best = i
         i += 1
       }
       chosen += sample(best)
+      picked += sample(best)._1
       i = 0
       while (i < sample.length) {
-        val d = cosDist(sample(i)._2, chosen.last._2)
+        val d = cosDist(sample(i)._3, chosen.last._3)
         if (d < minDist(i)) minDist(i) = d
         i += 1
       }
     }
-    import spark.implicits._
-    chosen.toSeq.map { case (id, v) => (id, v.toSeq) }
-      .toDF("cent_id", "cv")
+    val rows = chosen.toSeq.map { case (_, id, v) =>
+      Row(id, v.toSeq) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id", idType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
   }
 
   /** IVF ANN: assign every vector to its nearest of `nLists`

@@ -30,6 +30,11 @@ class Round4OpsSpec extends SparkSpec {
       .agg(sum("n_users")).as[Long].head()
     assert(day0 == users)
     // no cell can exceed its cohort's day-0 size
+    val day0ByCohort = ret.filter(col("day_offset") === 0)
+      .select(col("cohort"), col("n_users").as("d0"))
+    val overs = ret.join(day0ByCohort, "cohort")
+      .filter(col("n_users") > col("d0")).count()
+    assert(overs == 0)
     assert(ret.count() > 0)
   }
 
@@ -261,5 +266,22 @@ class Round4OpsSpec extends SparkSpec {
         driverFinishMaxEdges = 0L)
       .as[(String, String)].collect().toMap
     assert(a == b)
+  }
+
+  test("both finish paths agree on supplementary-plane string ids") {
+    // UTF-16 code units sort the emoji (surrogate 0xD83D) BELOW
+    // U+FFFF; Catalyst's min compares UTF-8 bytes and sorts it ABOVE.
+    // The driver finish must follow Catalyst, not String.compareTo.
+    val hi = "￿"
+    val emoji = new String(Character.toChars(0x1F600))
+    val nodes = Seq(hi, emoji).toDF("id")
+    val edges = Seq((hi, emoji)).toDF("id1", "id2")
+    val a = Components.connectedComponents(nodes, edges)
+      .as[(String, String)].collect().toMap
+    val b = Components.connectedComponents(nodes, edges,
+        driverFinishMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet == Set(hi)) // UTF-8 byte order picks U+FFFF
   }
 }
