@@ -207,4 +207,69 @@ object Streams {
           closed.iterator
       }
   }
+
+  case class HllObs(group: String, j: Int, rho: Int)
+  case class HllOut(group: String, s_scaled: Long, v_empty: Long,
+                    n_approx: Long)
+
+  /** Streaming HyperLogLog — the q42 sketch as an incremental
+    * operator: state per group is EXACTLY 64 register bytes (the
+    * sketch's whole point), merged with max on every batch and
+    * re-emitted in Update mode. Because register build and merge are
+    * identical to the batch path, the streaming estimate after
+    * feeding a corpus EQUALS the batch q42 estimate on the same rows
+    * bit-for-bit (spec-pinned) — the sketch is one artifact with two
+    * execution modes, not two approximations.
+    *
+    * Key-set state never expires (NoTimeout), same caveat as
+    * [[streamingTopK]]: unbounded group cardinality needs a timeout
+    * policy upstream.
+    */
+  def streamingHll(obs: Dataset[HllObs]): Dataset[HllOut] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.group)
+      .mapGroupsWithState[Array[Int], HllOut](
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(new Array[Int](64))
+          rows.foreach { o =>
+            if (o.rho > regs(o.j)) regs(o.j) = o.rho
+          }
+          state.update(regs)
+          var s = 0L
+          var empty = 0L
+          var i = 0
+          while (i < 64) {
+            if (regs(i) == 0) empty += 1
+            s += 1L << (40 - math.min(regs(i), 40))
+            i += 1
+          }
+          val raw = (709L * 4096L * 1099511627776L) / (1000L * s)
+          val est =
+            if (empty > 0 && raw < 160)
+              math.floor(64.0 * math.log(64.0 / empty)).toLong
+            else raw
+          HllOut(g, s, empty, est)
+      }
+  }
+
+  /** Column derivation for [[streamingHll]] — IDENTICAL md5 register
+    * index and leading-zero rank as batch q42, so the two paths build
+    * the same registers from the same values. */
+  def hllObservations(df: DataFrame, groupCol: String,
+                      valueCol: String): Dataset[HllObs] = {
+    import df.sparkSession.implicits._
+    val h = md5(col(valueCol).cast("string"))
+    val wh = substring(h, 3, 13)
+    val lz = length(regexp_extract(wh, "^(0*)", 1))
+    val nib = substring(wh, lz + lit(1), lit(1))
+    val blen = when(nib === "1", 1).when(nib.isin("2", "3"), 2)
+      .when(nib.isin("4", "5", "6", "7"), 3).otherwise(4)
+    val rho = when(lz === 13, lit(53))
+      .otherwise(lz * 4 + (lit(4) - blen) + 1)
+    df.select(col(groupCol).cast("string").as("group"),
+      (conv(substring(h, 1, 2), 16, 10).cast("int") % 64).as("j"),
+      least(rho, lit(40)).cast("int").as("rho"))
+      .as[HllObs]
+  }
 }

@@ -217,4 +217,45 @@ class StreamsSpec extends SparkSpec {
       assert(rows.contains((1L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("streamingHll matches the batch sketch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val obs = Streams.hllObservations(
+      mem.toDF().toDF("g", "v"), "g", "v")
+    val q = Streams.streamingHll(obs)
+      .writeStream.format("memory").queryName("hll")
+      .outputMode(OutputMode.Update()).start()
+    val usersA = (1L to 80L).map(("a", _))
+    val usersB = (1L to 15L).map(("b", _))
+    try {
+      mem.addData(usersA.take(40) ++ usersB)
+      q.processAllAvailable()
+      mem.addData(usersA.drop(40) ++ usersA.take(10)) // re-arrivals
+      q.processAllAvailable()
+      // last emission per group = the final sketch
+      val last = spark.table("hll")
+        .groupBy("group").agg(org.apache.spark.sql.functions
+          .last("s_scaled").as("s"), org.apache.spark.sql.functions
+          .last("n_approx").as("est"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch registers over the SAME rows via the same derivation
+      val batch = Streams.hllObservations(
+          (usersA ++ usersB).toDF("g", "v"), "g", "v")
+        .groupBy("group", "j")
+        .agg(org.apache.spark.sql.functions.max("rho").as("m"))
+        .as[(String, Int, Int)].collect()
+        .groupBy(_._1).map { case (g, rows) =>
+          val regs = new Array[Int](64)
+          rows.foreach { case (_, j, m) => regs(j) = m }
+          val s = regs.map(m => 1L << (40 - math.min(m, 40))).sum
+          g -> s
+        }
+      assert(last("a")._1 == batch("a") && last("b")._1 == batch("b"))
+      // small-range correction keeps tiny groups honest
+      assert(math.abs(last("b")._2 - 15L) <= 6L)
+      assert(math.abs(last("a")._2 - 80L) <= 30L)
+    } finally q.stop()
+  }
 }
