@@ -1179,6 +1179,111 @@ object Queries {
        |    / (t.n_shingles * 2.0)) / 10000.0 AS contaminated_frac
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
 
+  /** COUNT-MIN sketch heavy hitters with full sketch parity: 4 hash
+    * rows × 16 counters, cell = Σ counts of tokens hashing there (a
+    * pure SUM — order-independent, so partial aggregation collapses
+    * the sketch map-side and the shuffle carries ≤ 64 cells per
+    * partition REGARDLESS of corpus size; that is the whole trade vs
+    * the exact per-token groupBy). Estimates for the top-20 exact
+    * tokens = min over the 4 rows; exact counts ride along to show
+    * the one-sided error (est ≥ exact always; the 16-wide rows are
+    * sized to the 31-token synthetic vocab so collisions actually
+    * happen — width scales with vocabulary/memory, not data). Cells
+    * are derived from the exact counts table here because the query
+    * computes `exact` anyway for comparison (Σ counts per cell ≡
+    * counting the raw stream); a pure-sketch pipeline would aggregate
+    * (row, cell) keys straight off the token stream and never build
+    * the vocab. Hash = md5(row ":" token) → first 8 hex digits mod
+    * width, mirrored digit-for-digit by the oracle. */
+  val t11_countmin: QFn = (s, d) => {
+    val exact = t(s, d, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text"))))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cells + top-k both branch off exact within one job — materialize
+    exact.count()
+    val rows = explode(array((0 until 4).map(lit(_)): _*)).as("r")
+    def cellOf(r: Column, tok: Column): Column =
+      conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
+        1, 8), 16, 10).cast("long") % 16
+    val cells = exact.select(col("tok"), col("n_exact"), rows)
+      .withColumn("cell", cellOf(col("r"), col("tok")))
+      .groupBy("r", "cell").agg(sum("n_exact").as("cnt"))
+    val top = exact
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+    val probes = top.select(col("tok"), col("n_exact"), rows)
+      .withColumn("cell", cellOf(col("r"), col("tok")))
+    probes.join(cells, Seq("r", "cell"))
+      .groupBy("tok", "n_exact").agg(min("cnt").as("n_cm"))
+      .select(col("tok"), col("n_exact"), col("n_cm"))
+  }
+
+  val t11_sql: String =
+    """WITH tk AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> len(x) > 0)) AS tok FROM documents),
+      |exact AS (SELECT tok, count(*) AS n_exact FROM tk GROUP BY tok),
+      |r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (SELECT r,
+      |    ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8))::BIGINT
+      |      % 16 AS cell,
+      |    CAST(sum(n_exact) AS BIGINT) AS cnt
+      |  FROM exact CROSS JOIN r GROUP BY 1, 2),
+      |top AS (SELECT tok, n_exact FROM exact
+      |  ORDER BY n_exact DESC, tok LIMIT 20),
+      |probes AS (SELECT tok, n_exact, r,
+      |    ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8))::BIGINT
+      |      % 16 AS cell
+      |  FROM top CROSS JOIN r)
+      |SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+      |  CAST(min(cnt) AS BIGINT) AS n_cm
+      |FROM probes JOIN cells USING (r, cell)
+      |GROUP BY tok, n_exact""".stripMargin
+
+  /** SUBSTRING-level dedup — duplicated 64-char spans ACROSS documents
+    * (the fixed-stride approximation of suffix-array training-data
+    * dedup: exact-match spans, stride 32 so any duplicated region
+    * ≥ 96 chars is guaranteed to contribute at least one aligned
+    * window pair in most alignments, and verbatim copies always
+    * collide on every window). Each doc emits ⌈len/32⌉ windows inside
+    * whole-stage codegen (sequence + explode + substring); the window
+    * is reduced to a 60-bit md5 key BEFORE the shuffle, so the
+    * groupBy carries 8-byte longs, not 64-char strings — at 100 TB
+    * the span aggregate is the job, and it's one partial-aggregated
+    * shuffle keyed on the span hash. */
+  val d09_span_dedup: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"))
+    val spans = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(63),
+          lit(32))).as("p"),
+        col("text"))
+      .select(col("doc_id"),
+        conv(substring(md5(expr("substring(text, p, 64)")), 1, 15),
+          16, 10).cast("long").as("span_key"))
+    spans.groupBy("span_key")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  val d09_sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= 64),
+      |sp AS (SELECT doc_id, substr(text, CAST(p AS INT), 64) AS span
+      |  FROM docs, unnest(generate_series(1, length(text) - 63, 32))
+      |    AS t(p)),
+      |h AS (SELECT doc_id,
+      |    ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_key
+      |  FROM sp)
+      |SELECT span_key, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occ
+      |FROM h GROUP BY span_key
+      |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+
   // ---------------------------------------------------------------
   // Similarity search (embeddings)
   // ---------------------------------------------------------------
@@ -2335,6 +2440,60 @@ object Queries {
        |SELECT node, CAST(r AS BIGINT) AS rank_u FROM r5""".stripMargin
   }
 
+  /** PERSONALIZED PageRank over the same part↔supplier graph as g01:
+    * teleport mass lands only on the seed set (a deterministic 1-in-5
+    * supplier cohort — s_suppkey % 5 = 0, non-empty at every SF),
+    * so ranks measure proximity to those suppliers, not global
+    * centrality — "related to THIS collection" vs g01's "globally
+    * central" (precompute_related.py's per-collection neighbourhoods).
+    * Same exact-integer contract ([[graft.graph.PageRank]]): 1e-12
+    * mass units, floor-division contributions, five rounds
+    * bit-identical to the oracle's unrolled CTEs. The ONLY change vs
+    * g01 is the per-node teleport/init vector — the loop is shared
+    * verbatim. */
+  val g04_ppr: QFn = (s, d) => {
+    val e0 = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, d, "supplier")
+      .filter(col("s_suppkey") % 5 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.graph.PageRank.personalized(edges, seeds, iters = 5)
+  }
+
+  val g04_sql: String = {
+    def round(i: Int) =
+      s"""r$i AS (SELECT nb.node, nb.base + coalesce(s, 0) AS r
+         |  FROM nb LEFT JOIN (
+         |    SELECT ed.dst AS node,
+         |      CAST(sum((r.r * 17) // (ed.deg * 20)) AS BIGINT) AS s
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node
+         |    GROUP BY ed.dst) c USING (node))""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |sn AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+       |  WHERE s_suppkey % 5 = 0
+       |    AND s_suppkey * 2 + 1 IN (SELECT node FROM nodes)),
+       |ns AS (SELECT count(*) AS cnt FROM sn),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ed AS (SELECT edges.src, edges.dst, deg.deg
+       |  FROM edges JOIN deg ON deg.src = edges.src),
+       |nb AS (SELECT n.node,
+       |    CASE WHEN sn.node IS NOT NULL
+       |      THEN 150000000000 // ns.cnt ELSE 0 END AS base,
+       |    CASE WHEN sn.node IS NOT NULL
+       |      THEN 1000000000000 // ns.cnt ELSE 0 END AS rr
+       |  FROM nodes n CROSS JOIN ns LEFT JOIN sn ON n.node = sn.node),
+       |r0 AS (SELECT node, rr AS r FROM nb),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT node, CAST(r AS BIGINT) AS rank_u FROM r5""".stripMargin
+  }
+
   /** HyperLogLog approximate distinct with FULL cross-engine parity —
     * the classic trade at 100 TB: exact distinct shuffles every
     * (group, value) pair; the sketch shuffles at most
@@ -2487,8 +2646,12 @@ object Queries {
     graft.graph.Triangles.count(pairs)
   }
 
-  val g02_sql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  /** Shared oracle fragment for the graph queries: the support-≥2
+    * part co-purchase edge list, per-node degrees, and the
+    * degree-ordered orientation — mirrors [[graft.graph.Triangles]]'s
+    * orient() step (packed deg·1e9+id order key). */
+  private val gGraphCtesSql: String =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
       |  FROM lineitem),
       |e0 AS (SELECT x.pk AS a, y.pk AS b
       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
@@ -2503,7 +2666,10 @@ object Queries {
       |    CASE WHEN ka.okey < kb.okey THEN kb.okey ELSE ka.okey END
       |      AS dstk
       |  FROM e0 JOIN k ka ON ka.node = e0.a
-      |    JOIN k kb ON kb.node = e0.b),
+      |    JOIN k kb ON kb.node = e0.b)""".stripMargin
+
+  val g02_sql: String =
+    s"""WITH $gGraphCtesSql,
       |w AS (SELECT x.dst AS v, y.dst AS w
       |  FROM o x JOIN o y ON x.src = y.src AND x.dstk < y.dstk)
       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
@@ -2511,6 +2677,98 @@ object Queries {
       |  (SELECT count(*) FROM w) AS n_wedges,
       |  (SELECT count(*) FROM w JOIN o
       |    ON w.v = o.src AND w.w = o.dst) AS n_triangles""".stripMargin
+
+  /** Per-node triangle counts + LOCAL CLUSTERING COEFFICIENT over the
+    * same support-≥2 co-purchase graph as g02
+    * ([[graft.graph.Triangles.perNode]]): each triangle found once on
+    * the degree-ordered wedge stream, attributed to its three corners
+    * by an in-stage array explode (|corners| = 3·|triangles| rows into
+    * ONE node-keyed partial agg — no second wedge pass). The
+    * coefficient 2T/(deg·(deg−1)) is emitted as exact integer ppm,
+    * HALF_UP in integer space (CLAUDE.md rounding-tie rule: deg·(deg−1)
+    * has systematic power-of-2 factors, so a float round ties at the
+    * cut digit). Reference analog: clustering structure over the
+    * related-collections graph (precompute_related.py). */
+  val g03_local_cc: QFn = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id1"), col("y.pk").as("id2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("id1", "id2")
+    graft.graph.Triangles.perNode(pairs)
+  }
+
+  val g03_sql: String =
+    s"""WITH $gGraphCtesSql,
+      |wd AS (SELECT x.src AS u, x.dst AS v, y.dst AS ww
+      |  FROM o x JOIN o y ON x.src = y.src AND x.dstk < y.dstk),
+      |tr AS (SELECT u, v, ww
+      |  FROM wd JOIN o ON wd.v = o.src AND wd.ww = o.dst),
+      |corners AS (SELECT unnest([u, v, ww]) AS node FROM tr),
+      |tc AS (SELECT node, count(*) AS tri FROM corners GROUP BY node)
+      |SELECT d.node, d.deg,
+      |  CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+      |  (4 * coalesce(tc.tri, 0) * 1000000 + d.deg * (d.deg - 1))
+      |    // (2 * d.deg * (d.deg - 1)) AS cc_ppm
+      |FROM deg d LEFT JOIN tc ON d.node = tc.node
+      |WHERE d.deg >= 2""".stripMargin
+
+  /** k-core of the co-purchase graph ([[graft.graph.KCore]]): peel
+    * nodes with induced degree < 2 for five FIXED rounds — iterative
+    * subgraph refinement with a full hash oracle (the round count is
+    * the defined semantics, unrolled verbatim by the oracle's CTEs;
+    * convergence measured per SF: sf0.001 fixpoint at round 1, sf0.01
+    * at 3, sf0.1 exactly at 5 — the spec pins the fixpoint). Per
+    * round: two endpoint semi-joins + one degree aggregate; survivor
+    * set localCheckpoint'ed (it feeds BOTH semi-joins — the CLAUDE.md
+    * plan-doubling rule). */
+  val g05_kcore: QFn = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id1"), col("y.pk").as("id2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("id1", "id2")
+    graft.graph.KCore.kcore(pairs, k = 2, rounds = 5)
+  }
+
+  val g05_sql: String = {
+    // every a_i is consumed TWICE by round i+1 (both endpoint joins):
+    // without AS MATERIALIZED, DuckDB's CTE inlining doubles the
+    // expression tree per round — the exact SQL analog of the Spark
+    // loop's localCheckpoint rule (measured: the inlined form never
+    // finished at sf0.01; materialized, milliseconds)
+    def round(i: Int) =
+      s"""e$i AS (SELECT e0.a, e0.b FROM e0
+         |  JOIN a${i - 1} x ON e0.a = x.node
+         |  JOIN a${i - 1} y ON e0.b = y.node),
+         |d$i AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e$i UNION ALL SELECT b AS node
+         |    FROM e$i) u GROUP BY node),
+         |a$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 2)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |d1 AS (SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+       |  u GROUP BY node),
+       |a1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 2),
+       |${(2 to 5).map(round).mkString(",\n")},
+       |ef AS (SELECT e0.a, e0.b FROM e0
+       |  JOIN a5 x ON e0.a = x.node JOIN a5 y ON e0.b = y.node)
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM ef UNION ALL SELECT b AS node FROM ef) u
+       |GROUP BY node""".stripMargin
+  }
 
   /** CUBE over (status, priority): all four grouping-set levels in
     * one pass — Spark expands the cube into a single hash aggregate
@@ -2581,8 +2839,10 @@ object Queries {
     "d06_dup_clusters" -> d06_dup_clusters,
     "d07_decontaminate" -> d07_decontaminate,
     "d08_cluster_canonical" -> d08_cluster_canonical,
+    "d09_span_dedup" -> d09_span_dedup,
     "t08_tfidf" -> t08_tfidf,
     "t09_charlm" -> t09_charlm,
+    "t11_countmin" -> t11_countmin,
     "e05_asof_join" -> e05_asof_join,
     "e06_funnel" -> e06_funnel,
     "s01_cosine_topk" -> s01_cosine_topk,
@@ -2620,7 +2880,10 @@ object Queries {
     "q45_corr" -> q45_corr,
     "e10_sliding_window" -> e10_sliding_window,
     "g01_pagerank" -> g01_pagerank,
-    "g02_triangles" -> g02_triangles)
+    "g02_triangles" -> g02_triangles,
+    "g03_local_cc" -> g03_local_cc,
+    "g04_ppr" -> g04_ppr,
+    "g05_kcore" -> g05_kcore)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -2665,8 +2928,10 @@ object Queries {
     "d06_dup_clusters" -> d06_sql,
     "d07_decontaminate" -> d07_sql,
     "d08_cluster_canonical" -> d08_sql,
+    "d09_span_dedup" -> d09_sql,
     "t08_tfidf" -> t08_sql,
     "t09_charlm" -> t09_sql,
+    "t11_countmin" -> t11_sql,
     "e05_asof_join" -> e05_sql,
     "e06_funnel" -> e06_sql,
     "s01_cosine_topk" -> s01_sql,
@@ -2703,5 +2968,8 @@ object Queries {
     "q45_corr" -> q45_sql,
     "e10_sliding_window" -> e10_sql,
     "g01_pagerank" -> g01_sql,
-    "g02_triangles" -> g02_sql)
+    "g02_triangles" -> g02_sql,
+    "g03_local_cc" -> g03_sql,
+    "g04_ppr" -> g04_sql,
+    "g05_kcore" -> g05_sql)
 }

@@ -41,9 +41,29 @@ object PageRank {
     *         1e-12 mass units after `iters` rounds
     */
   def pageRank(edges: DataFrame, iters: Int = 5,
-               dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
+               dampNum: Long = 17L, dampDen: Long = 20L): DataFrame =
+    run(edges, None, iters, dampNum, dampDen)
+
+  /** Personalized PageRank: teleport mass lands ONLY on `seeds`
+    * (uniformly, in exact integer units), so ranks measure proximity
+    * to the seed set rather than global centrality — the "related to
+    * THIS collection" ranking, vs g01's "globally central". Identical
+    * arithmetic contract: 1e-12 mass units, floor-division
+    * contributions, bit-identical on any engine/partitioning.
+    *
+    * Seeds outside the node set are ignored (a seed with no out-edges
+    * would leak its teleport mass every round); at least one seed
+    * must survive the intersection.
+    *
+    * @param seeds one column `node` (any integral type)
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                   dampNum: Long = 17L, dampDen: Long = 20L): DataFrame =
+    run(edges, Some(seeds), iters, dampNum, dampDen)
+
+  private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
+                  dampNum: Long, dampDen: Long): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
-    val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long"),
         col("dst").cast("long")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -53,13 +73,32 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     ed.count()
     e.unpersist(false)
-    val nodes = ed.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
+    val nodeIds = ed.select(col("src").as("node")).distinct()
     val total = 1000000000000L // 1e12 mass units
-    val base = (total - total * dampNum / dampDen) / n
-    var ranks = nodes.withColumn("r", lit(total / n))
+    val teleport = total - total * dampNum / dampDen
+    // nodes carries each node's per-round teleport share (`base`) and
+    // initial rank — a constant for plain PageRank, seed-only for the
+    // personalized form; the loop below is shared verbatim
+    val nodes = (seeds match {
+      case None =>
+        val n = nodeIds.count()
+        require(n > 0, "pageRank: empty graph")
+        nodeIds.withColumn("base", lit(teleport / n))
+          .withColumn("r0", lit(total / n))
+      case Some(sd) =>
+        val seedSet = sd.select(col("node").cast("long")).distinct()
+        val sn = nodeIds.join(seedSet, Seq("node"), "left_semi")
+        val nSeeds = sn.count()
+        require(nSeeds > 0, "personalized pageRank: no seed is a graph node")
+        nodeIds.join(sn.withColumn("is_seed", lit(true)),
+            Seq("node"), "left")
+          .select(col("node"),
+            when(col("is_seed"), lit(teleport / nSeeds)).otherwise(0L)
+              .as("base"),
+            when(col("is_seed"), lit(total / nSeeds)).otherwise(0L)
+              .as("r0"))
+    }).localCheckpoint(true)
+    var ranks = nodes.select(col("node"), col("r0").as("r"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       // DIV = exact integral division on longs — floor(double-div)
@@ -78,7 +117,7 @@ object PageRank {
       // than one deep 5-round plan whose joins fall back to SMJ
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+          (col("base") + coalesce(col("s"), lit(0L))).as("r"))
         .localCheckpoint(true)
     }
     ed.unpersist(false)

@@ -22,11 +22,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Triangles {
 
-  /** @param edges undirected edge list, columns `id1`, `id2` (one row
-    *              per edge, any orientation, self-loops ignored)
-    * @return one row: n_nodes, n_edges, n_wedges, n_triangles
-    */
-  def count(edges: DataFrame): DataFrame = {
+  /** Canonicalize + degree-orient an undirected edge list. Returns
+    * (oriented edges persisted+materialized, per-node degrees,
+    * oriented edge count). `oriented` carries src, dst and the packed
+    * (deg, id) order key of dst (`dstk`) so wedge canonicalization
+    * needs no further join. The degree subtree keeps `e` persisted
+    * underneath it — callers re-read deg when their results
+    * materialize, and recomputing the caller's whole edge pipeline
+    * (the dominant cost of a co-occurrence graph) would dwarf the
+    * cache; the session harness releases caches between queries. */
+  private def orient(edges: DataFrame): (DataFrame, DataFrame, Long) = {
     val e = edges.select(
         least(col("id1"), col("id2")).cast("long").as("a"),
         greatest(col("id1"), col("id2")).cast("long").as("b"))
@@ -40,7 +45,7 @@ object Triangles {
     val maxNode = e.agg(max(greatest(col("a"), col("b"))))
       .head().getLong(0)
     require(maxNode < 1000000000L,
-      s"Triangles.count: node id $maxNode >= 1e9 breaks the packed " +
+      s"Triangles: node id $maxNode >= 1e9 breaks the packed " +
         "(deg, id) order key — remap ids first")
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
@@ -61,6 +66,15 @@ object Triangles {
           .as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = oriented.count()
+    (oriented, deg, nEdges)
+  }
+
+  /** @param edges undirected edge list, columns `id1`, `id2` (one row
+    *              per edge, any orientation, self-loops ignored)
+    * @return one row: n_nodes, n_edges, n_wedges, n_triangles
+    */
+  def count(edges: DataFrame): DataFrame = {
+    val (oriented, deg, nEdges) = orient(edges)
     // e stays persisted: the n_nodes branch below re-reads deg (and
     // through it e) when the RESULT materializes — unpersisting here
     // would recompute the caller's whole edge pipeline (the dominant
@@ -89,5 +103,44 @@ object Triangles {
     nNodes
       .crossJoin(oriented.agg(sqlCount(lit(1)).as("n_edges")))
       .crossJoin(agg2)
+  }
+
+  /** Per-node triangle counts and local clustering coefficient over
+    * the same degree-ordered orientation. Each triangle is found
+    * exactly once as (src, v, w) — wedge INNER-joined with its closing
+    * edge — then attributed to all three corners by exploding a
+    * 3-element array in the SAME stage as the join (no second pass
+    * over the wedge stream). Coefficient = 2·T / (deg·(deg−1)),
+    * emitted as exact integer ppm (HALF_UP in integer space — the
+    * CLAUDE.md rounding-tie rule: a small rational rounded as a float
+    * systematically ties at the cut digit).
+    *
+    * Scale shape: identical to [[count]] (the wedge stream never
+    * shuffles while the closing-edge set broadcasts) plus ONE
+    * aggregate keyed by node — |corners| = 3·|triangles| rows into a
+    * partial agg.
+    *
+    * @return (node, deg, tri, cc_ppm) for every node with deg ≥ 2
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val (oriented, deg, nEdges) = orient(edges)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+        col("x.dstk") < col("y.dstk"))
+      .select(col("x.src").as("u"), col("x.dst").as("v"),
+        col("y.dst").as("w"))
+    val closing = oriented.select(col("src").as("v"),
+      col("dst").as("w"))
+    val close = if (nEdges <= 20000000L) broadcast(closing) else closing
+    val corners = wedges.join(close, Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(sqlCount(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc_ppm",
+        expr("(4 * tri * 1000000 + deg * (deg - 1)) DIV " +
+          "(2 * deg * (deg - 1))"))
   }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import graft.graph.Triangles
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators: per-node triangle counts / local clustering
+  * coefficient (g03), and the session's later additions. */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def perNode(edges: Seq[(Long, Long)]) =
+    Triangles.perNode(edges.toDF("id1", "id2"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (n, d, t, c) => n -> ((d, t, c)) }.toMap
+
+  test("g03 per-node triangles: K4 is fully clustered") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val m = perNode(k4)
+    assert(m.size == 4)
+    m.values.foreach { case (d, t, c) =>
+      assert(d == 3L && t == 3L && c == 1000000L)
+    }
+  }
+
+  test("g03 per-node triangles: triangle + tail, deg-1 node excluded") {
+    val m = perNode(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    // node 4 has degree 1 — coefficient undefined, excluded
+    assert(m.keySet == Set(1L, 2L, 3L))
+    assert(m(1L) == ((2L, 1L, 1000000L)))
+    assert(m(2L) == ((2L, 1L, 1000000L)))
+    // 2T/(deg·(deg−1)) = 2/6 — integer-ppm HALF_UP of 1/3
+    assert(m(3L) == ((3L, 1L, 333333L)))
+  }
+
+  test("g03 per-node triangles: star hub has zero triangles") {
+    val star = (2L to 7L).map(i => (1L, i))
+    val m = perNode(star)
+    // spokes have degree 1 — only the hub survives the deg ≥ 2 cut
+    assert(m.keySet == Set(1L))
+    assert(m(1L) == ((6L, 0L, 0L)))
+  }
+
+  test("g04 personalized == plain PageRank when every node is a seed") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 1L), (1L, 3L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val plain = graft.graph.PageRank.pageRank(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val pers = graft.graph.PageRank.personalized(edges, nodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(plain == pers)
+  }
+
+  test("g04 teleport mass stays near the seed component") {
+    // two disconnected symmetric components; seeds only in {1,2}
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = graft.graph.PageRank.personalized(edges, seeds, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(3L) == 0L && r(4L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+    // integer floor losses only: sum ≤ 1e12, within n+|E| units/round
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total > 999999999900L)
+  }
+
+  test("g04 ignores seeds outside the graph, requires one inside") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = graft.graph.PageRank.personalized(edges,
+      Seq(1L, 99L).toDF("node"), iters = 2).as[(Long, Long)]
+      .collect().toMap
+    assert(r.keySet == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      graft.graph.PageRank.personalized(edges,
+        Seq(99L).toDF("node"), iters = 2).collect()
+    }
+  }
+
+  test("g05 k-core peels tails and keeps the dense core") {
+    // triangle {1,2,3} with a pendant chain 3-4-5: the 2-core is the
+    // triangle; peeling needs 2 rounds (5 drops first, THEN 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("id1", "id2")
+    val core = graft.graph.KCore.kcore(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round is NOT enough — node 4 still sees the un-peeled 5
+    val early = graft.graph.KCore.kcore(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(early.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("g05 query reaches its fixpoint within the 5 fixed rounds") {
+    import graft.graph.KCore
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("id1"), col("y.pk").as("id2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("id1", "id2")
+      .localCheckpoint(true)
+    val at5 = KCore.kcore(pairs, 2, 5).as[(Long, Long)].collect().toSet
+    val at6 = KCore.kcore(pairs, 2, 6).as[(Long, Long)].collect().toSet
+    assert(at5.nonEmpty && at5 == at6)
+    at5.foreach { case (_, deg) => assert(deg >= 2) }
+  }
+
+  test("d09 span dedup finds cross-document spans with sane counts") {
+    val rows = Queries.d09_span_dedup(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, nOcc) =>
+      assert(nDocs >= 2 && nOcc >= nDocs)
+    }
+    // exact duplicate documents (same fingerprint) must collide on
+    // their aligned windows: at least one span repeats ≥ as often as
+    // the biggest exact-dup group
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val biggestDupGroup = docs.filter(length(col("text")) >= 64)
+      .groupBy(md5(col("text"))).count()
+      .agg(max("count")).as[Long].head()
+    if (biggestDupGroup >= 2)
+      assert(rows.map(_._3).max >= biggestDupGroup)
+  }
+
+  test("t11 count-min estimates are one-sided and collide visibly") {
+    val rows = Queries.t11_countmin(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    // CM error is one-sided: the min over rows never undercounts
+    rows.foreach { case (_, exact, cm) => assert(cm >= exact) }
+    // 16-wide rows vs the ~31-token vocab: collisions must be visible
+    assert(rows.exists { case (_, exact, cm) => cm > exact })
+  }
+
+  test("g03 corner attribution sums to 3x the g02 triangle count") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val total = Triangles.count(edges)
+      .select("n_triangles").as[Long].head()
+    val perCorner = Triangles.perNode(edges)
+      .agg(sum("tri")).as[Long].head()
+    assert(perCorner == 3 * total)
+  }
+}
