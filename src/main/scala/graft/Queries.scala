@@ -1179,6 +1179,78 @@ object Queries {
        |    / (t.n_shingles * 2.0)) / 10000.0 AS contaminated_frac
        |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin
 
+  /** BLOOM-FILTER decontamination — d07's semantics at the shape 100 TB
+    * requires: the eval side's 5-gram shingles fold into a 32 768-bit
+    * filter (k=3 md5 probes) built once and shipped as a PLAN CONSTANT
+    * ([[graft.dedup.Bloom]]), so the corpus-side test is three codegen'd
+    * md5 probes per shingle — the eval semi-join's shuffle is gone
+    * entirely. The price is a one-sided false-positive rate; exact
+    * hits ride along per document so the FP count is itself part of
+    * the verified output (n_false_pos > 0 at every SF — the filter is
+    * deliberately sized so the trade is visible, not vacuous). The
+    * oracle mirrors the bitset as a distinct-position set: bitset
+    * membership ≡ position-set membership, hash-identical down to
+    * each false positive. */
+  val d10_bloom_decontaminate: QFn = (s, d) => {
+    val m = 32768
+    val post = TextFunctions.shinglePostings(t(s, d, "documents"),
+      "doc_id", "text", 5, distinct = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eval-positions, eval-set and train branches fan out — materialize
+    post.count()
+    def posOf(r: Int, sh: Column): Column =
+      conv(substring(md5(concat(lit(r.toString), lit(":"), sh)),
+        1, 8), 16, 10).cast("long") % m
+    val evalPost = post.filter(col("doc_id") % 50 === 0)
+    val bits = graft.dedup.Bloom.buildBits(
+      evalPost.select(explode(array(
+        (0 until 3).map(r => posOf(r, col("shingle"))): _*)).as("pos")),
+      m)
+    val evalSet = evalPost.select("shingle").distinct()
+      .withColumn("ex", lit(1L))
+    val train = post.filter(col("doc_id") % 50 =!= 0)
+    train
+      .withColumn("bloom_hit", graft.dedup.Bloom.mightContain(bits,
+        (0 until 3).map(r => posOf(r, col("shingle")))))
+      .join(evalSet, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact_hits"))
+      .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
+  }
+
+  val d10_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 3, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+       |      t[i+3] || ' ' || t[i+4])) AS shingles
+       |  FROM toks WHERE len(t) >= 5),
+       |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |r AS (SELECT unnest([0, 1, 2]) AS r),
+       |evp AS (SELECT DISTINCT ('0x' || substr(md5(r::VARCHAR || ':' ||
+       |    shingle), 1, 8))::BIGINT % 32768 AS pos
+       |  FROM post CROSS JOIN r WHERE doc_id % 50 = 0),
+       |ev AS (SELECT DISTINCT shingle FROM post WHERE doc_id % 50 = 0),
+       |train AS (SELECT doc_id, shingle FROM post WHERE doc_id % 50 <> 0),
+       |tp AS (SELECT doc_id, shingle, ('0x' || substr(md5(r::VARCHAR ||
+       |    ':' || shingle), 1, 8))::BIGINT % 32768 AS pos
+       |  FROM train CROSS JOIN r),
+       |bh AS (SELECT doc_id, shingle FROM tp JOIN evp USING (pos)
+       |  GROUP BY doc_id, shingle HAVING count(*) = 3)
+       |SELECT doc_id, n_shingles, n_bloom_hits, n_exact_hits,
+       |  n_bloom_hits - n_exact_hits AS n_false_pos FROM (
+       |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(CASE WHEN bh.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_bloom_hits,
+       |    CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_exact_hits
+       |  FROM train tr
+       |  LEFT JOIN bh ON tr.doc_id = bh.doc_id AND tr.shingle = bh.shingle
+       |  LEFT JOIN ev ON tr.shingle = ev.shingle
+       |  GROUP BY tr.doc_id) a""".stripMargin
+
   /** COUNT-MIN sketch heavy hitters with full sketch parity: 4 hash
     * rows × 16 counters, cell = Σ counts of tokens hashing there (a
     * pure SUM — order-independent, so partial aggregation collapses
@@ -2840,6 +2912,7 @@ object Queries {
     "d07_decontaminate" -> d07_decontaminate,
     "d08_cluster_canonical" -> d08_cluster_canonical,
     "d09_span_dedup" -> d09_span_dedup,
+    "d10_bloom_decontaminate" -> d10_bloom_decontaminate,
     "t08_tfidf" -> t08_tfidf,
     "t09_charlm" -> t09_charlm,
     "t11_countmin" -> t11_countmin,
@@ -2929,6 +3002,7 @@ object Queries {
     "d07_decontaminate" -> d07_sql,
     "d08_cluster_canonical" -> d08_sql,
     "d09_span_dedup" -> d09_sql,
+    "d10_bloom_decontaminate" -> d10_sql,
     "t08_tfidf" -> t08_sql,
     "t09_charlm" -> t09_sql,
     "t11_countmin" -> t11_sql,

@@ -7,7 +7,13 @@ import org.apache.spark.sql.functions._
 /** Streaming throughput probe: drives the watermarked operators with
   * the built-in `rate-micro-batch` source (deterministic row counts
   * per batch) and reports rows/second sustained through each pipeline.
-  * `runMain graft.tools.StreamBench [rowsPerBatch] [batches]`.
+  * `runMain graft.tools.StreamBench [rowsPerBatch] [batches] [provider]`
+  * where provider is `hdfs` (default in-memory/HDFS-backed store) or
+  * `rocksdb` (RocksDBStateStoreProvider — the store a long-running
+  * production job wants: state lives off-heap/on-disk, so multi-GB
+  * keyed state can't pressure the executor heap; the trade is
+  * per-batch commit overhead, which this tool measures rather than
+  * asserts).
   *
   * This is a tool, not part of the driver contract — it exists so
   * streaming perf claims in SURVEY are measured, like Bench does for
@@ -22,13 +28,23 @@ object StreamBench {
     // recentProgress is a capped ring buffer (default 100 entries) —
     // beyond that the processed-row sum silently undercounts
     require(batches <= 90, s"batches ($batches) must be <= 90")
+    val provider = if (args.length > 2) args(2) else "hdfs"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb") {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch upload = the delta, not a
+      // full snapshot — the production setting for frequent triggers
+      builder.config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // rate-micro-batch: exactly rowsPerBatch rows per trigger, value
@@ -76,7 +92,7 @@ object StreamBench {
       // rate from rows ACTUALLY processed — on deadline expiry the
       // intended row count would overstate throughput
       val rate = (processed / dt).toLong
-      println(s"""[streambench] {"pipeline":"$name","rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+      println(s"""[streambench] {"pipeline":"$name","provider":"$provider","rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
     }
 
     drive("windowed_type_stats",

@@ -139,6 +139,39 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.exists { case (_, exact, cm) => cm > exact })
   }
 
+  test("Bloom bitset: set bits answer true, others false") {
+    import graft.dedup.Bloom
+    val bits = Bloom.buildBits(
+      Seq(0L, 63L, 64L, 8191L).toDF("pos"), 8192)
+    val df = Seq((0L, 63L), (64L, 8191L), (1L, 63L), (0L, 62L))
+      .toDF("p1", "p2")
+      .withColumn("hit",
+        Bloom.mightContain(bits, Seq(col("p1"), col("p2"))))
+    val hits = df.select("hit").as[Boolean].collect().toSeq
+    // all-positions-set rows are true; any unset position kills it
+    assert(hits == Seq(true, true, false, false))
+  }
+
+  test("d10 bloom hits dominate exact hits; false positives visible") {
+    val rows = Queries.d10_bloom_decontaminate(spark, sf)
+      .select("n_shingles", "n_bloom_hits", "n_exact_hits", "n_false_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, b, e, fp) =>
+      assert(b >= e && fp == b - e && b <= n && e >= 0)
+    }
+    // the filter is sized so the FP trade actually shows up
+    assert(rows.map(_._4).sum > 0)
+  }
+
+  test("d10 exact hit counts agree with d07's exact decontamination") {
+    val bloom = Queries.d10_bloom_decontaminate(spark, sf)
+      .select("doc_id", "n_exact_hits").as[(Long, Long)].collect().toMap
+    val exact = Queries.d07_decontaminate(spark, sf)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
