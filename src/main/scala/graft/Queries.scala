@@ -1506,6 +1506,52 @@ object Queries {
       |      ELSE 0 END AS BIGINT)::VARCHAR), ',') AS codes
       |FROM b""".stripMargin
 
+  /** PRODUCT QUANTIZATION ([[Similarity.productQuantize]]): 64-dim
+    * embeddings → 4 subspaces × 8-entry codebooks = 4 small codes +
+    * a reconstruction error per vector — the IVF-PQ memory layout
+    * (nSub bytes/vector) that billion-scale ANN runs on. Codebooks =
+    * the 8 lowest-id vectors (deterministic, SQL-mirrorable — same
+    * convention as s04's seeding); distances via the codegen'd
+    * ‖v−c‖² = v·v − 2·v·c + c·c identity; argmin ties break to the
+    * lowest centroid id. ZERO shuffles — a pure map at any corpus
+    * size. */
+  val s06_pq: QFn = (s, d) => {
+    val e = embD(s, d)
+    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map { r =>
+        (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)
+      }.toSeq
+    Similarity.productQuantize(e, nSub = 4, cents)
+  }
+
+  val s06_sql: String = {
+    val dists = (0 until 4).map { j =>
+      val lo = j * 16 + 1
+      val hi = (j + 1) * 16
+      s"""list_dot_product(e.v[$lo:$hi], e.v[$lo:$hi])
+         |    - 2 * list_dot_product(e.v[$lo:$hi], c.cv[$lo:$hi])
+         |    + list_dot_product(c.cv[$lo:$hi], c.cv[$lo:$hi]) AS d$j"""
+        .stripMargin
+    }.mkString(",\n  ")
+    val mins = (0 until 4).map(j => s"min(d$j) AS m$j").mkString(", ")
+    val picks = (0 until 4)
+      .map(j => s"min(CASE WHEN d.d$j = m.m$j THEN d.cid END) AS c$j")
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |d AS (SELECT e.vec_id, c.cid,
+       |  $dists
+       |  FROM e CROSS JOIN c),
+       |m AS (SELECT vec_id, $mins FROM d GROUP BY vec_id),
+       |p AS (SELECT d.vec_id,
+       |    $picks,
+       |    m.m0, m.m1, m.m2, m.m3
+       |  FROM d JOIN m USING (vec_id)
+       |  GROUP BY d.vec_id, m.m0, m.m1, m.m2, m.m3)
+       |SELECT vec_id, c0, c1, c2, c3,
+       |  round(m0 + m1 + m2 + m3, 6) AS err FROM p""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Multimodal (binary columns)
   // ---------------------------------------------------------------
@@ -2923,6 +2969,7 @@ object Queries {
     "s03_ann_lsh" -> s03_ann_lsh,
     "s04_ann_ivf" -> s04_ann_ivf,
     "s05_quantize" -> s05_quantize,
+    "s06_pq" -> s06_pq,
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_stub" -> m02_feature_stub,
     "m03_tile_dedup" -> m03_tile_dedup,
@@ -3013,6 +3060,7 @@ object Queries {
     "s03_ann_lsh" -> s03_sql,
     "s04_ann_ivf" -> s04_sql,
     "s05_quantize" -> s05_sql,
+    "s06_pq" -> s06_sql,
     "m01_binary_meta" -> m01_sql,
     "m03_tile_dedup" -> m03_sql,
     "e01_window_agg" -> e01_sql,

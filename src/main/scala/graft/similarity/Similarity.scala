@@ -274,6 +274,54 @@ object Similarity {
     * in the suite carries). A list that captures no vectors drops
     * out, identically everywhere.
     */
+  /** PRODUCT QUANTIZATION: split each vector into `nSub` contiguous
+    * subvectors and code each against its own small codebook — the
+    * memory layout every billion-scale ANN index (IVF-PQ) uses:
+    * nSub bytes per vector instead of dim·8. This is a pure MAP —
+    * codebooks arrive as plan literals, every distance is the
+    * codegen'd identity ‖v−c‖² = v·v − 2·v·c + c·c over [[dot]], and
+    * the argmin is a coalesce-of-when chain (ties → lowest centroid
+    * id), so the operator has ZERO shuffles at any corpus size.
+    *
+    * Centroids are caller-provided (deterministic low-id rows here,
+    * the SQL-mirrorable choice — [[farthestFirstSeeds]] is the
+    * quality upgrade exactly as with IVF). Reconstruction error =
+    * Σ_j min-distance, summed in subspace order and 6-dp rounded so
+    * both engines see the same double.
+    *
+    * @param cents (centroidId, full-dim vector); subvector j of each
+    *              centroid is codebook j's entry
+    */
+  def productQuantize(corpus: DataFrame, nSub: Int,
+                      cents: Seq[(Int, Seq[Double])],
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty && nSub >= 1)
+    val dim = cents.head._2.length
+    require(dim % nSub == 0,
+      s"dim $dim not divisible into $nSub subspaces")
+    val sd = dim / nSub
+    val perSub = (0 until nSub).map { j =>
+      val sub = slice(col(vecCol), j * sd + 1, sd)
+      val vv = dot(sub, sub)
+      val ds = cents.map { case (cid, cv) =>
+        val cSub = cv.slice(j * sd, j * sd + sd).toArray
+        // c·c folded on the driver with the same left-to-right sum
+        // the engines use for their dot products
+        val cc = cSub.foldLeft(0.0)((a, x) => a + x * x)
+        (cid, vv - lit(2.0) * dot(sub, lit(cSub)) + lit(cc))
+      }
+      val m = least(ds.map(_._2): _*)
+      val code = coalesce(ds.map { case (cid, dc) =>
+        when(dc === m, lit(cid.toLong))
+      }: _*)
+      (code.as(s"c$j"), m)
+    }
+    val err = perSub.map(_._2).reduceLeft(_ + _)
+    corpus.select(col(idCol) +: perSub.map(_._1)
+      :+ round(err, 6).as("err"): _*)
+  }
+
   def ivfCentroids(corpus: DataFrame, nLists: Int, iters: Int,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",

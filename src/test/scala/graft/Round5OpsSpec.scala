@@ -172,6 +172,37 @@ class Round5OpsSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("s06 product quantization: fixture codes, ties to lowest id") {
+    import graft.similarity.Similarity
+    val cents = Seq(0 -> Seq(0.0, 0.0, 10.0, 10.0),
+      1 -> Seq(5.0, 5.0, 0.0, 0.0))
+    val vecs = Seq((100L, Seq(4.0, 4.0, 9.0, 9.0)),
+      (101L, Seq(2.5, 2.5, 2.5, 2.5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.productQuantize(vecs, nSub = 2, cents)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, c0, c1, e) => id -> ((c0, c1, e)) }.toMap
+    // 100: sub0 [4,4] → c1 (d=2 vs 32); sub1 [9,9] → c0 (d=2 vs 162)
+    assert(out(100L) == ((1L, 0L, 4.0)))
+    // 101: sub0 equidistant (12.5 both) → tie breaks to centroid 0
+    val (c0, _, _) = out(101L)
+    assert(c0 == 0L)
+  }
+
+  test("s06 centroid rows code to themselves with zero error") {
+    val rows = Queries.s06_pq(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == n)
+    rows.foreach { case (_, c0, c1, c2, c3, err) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 8))
+      assert(err >= 0.0)
+    }
+    rows.filter(_._1 < 8).foreach { case (id, c0, c1, c2, c3, err) =>
+      assert(Seq(c0, c1, c2, c3).forall(_ == id) && err == 0.0)
+    }
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
