@@ -6,15 +6,21 @@ import org.apache.spark.sql.SparkSession
   * so every expression actually executes (a bare count() would let
   * Catalyst prune projection-only work like hashing/formatting).
   *
-  * Methodology: one full UNTIMED pass over every query first (JIT,
-  * janino codegen, parquet footers, shuffle/buffer pools), then the
-  * timed pass — steady-state numbers, the standard JMH-style shape.
-  * On a single shared JVM the first execution of each query is
-  * dominated by cold-compile effects that a real cluster amortizes
-  * across a whole 100 TB stage, so cold numbers would measure the JIT,
-  * not the operator (measured: 0.4-3 s per query of warmup noise at
-  * sf0.1). DATA caches are still cleared between every run — each
-  * timed query reads parquet and recomputes from scratch.
+  * Methodology: each query runs UNTIMED once and is timed IMMEDIATELY
+  * after (JIT, janino codegen, parquet footers, shuffle/buffer pools
+  * warm) — steady-state numbers, the standard JMH-style shape. On a
+  * single shared JVM the first execution of each query is dominated
+  * by cold-compile effects that a real cluster amortizes across a
+  * whole 100 TB stage, so cold numbers would measure the JIT, not the
+  * operator (measured: 0.4-3 s per query of warmup noise at sf0.1).
+  * The warmup is PER QUERY, not a separate full pass: Spark's codegen
+  * class cache is LRU-capped (~100 entries), so with 90 queries a
+  * full warmup pass self-evicts — by the time a second pass reaches
+  * the wide-codegen queries their classes are gone and the "steady
+  * state" re-measures janino (observed: d04 9.3 s pass-warmed vs
+  * 2.9 s query-warmed at sf0.1). DATA caches are still cleared
+  * between every run — each timed query reads parquet and recomputes
+  * from scratch.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,13 +37,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // untimed warmup pass (see scaladoc); persisted subtrees released
-    // so the timed pass starts with zero cached data
-    names.foreach { name =>
+    val results = names.map { name =>
+      // per-query untimed warmup (see scaladoc); persisted subtrees
+      // released so the timed run starts with zero cached data
       try run(name) catch { case _: Throwable => }
       spark.sharedState.cacheManager.clearCache()
-    }
-    val results = names.map { name =>
       val t0 = System.nanoTime()
       // a crashing query must NOT read as a fast success: record the
       // failure per query and in a top-level errors list
