@@ -2909,6 +2909,106 @@ object Queries {
       |  count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Z-ORDER (Morton) clustering key — the lakehouse data-layout
+    * operator (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the bits
+    * of two dimensions so one sort key preserves locality in BOTH,
+    * letting min/max file statistics prune 2-D predicates at 100 TB.
+    * The query writes nothing; it PROVES the locality property the
+    * layout buys: per coarse z-cell (top bits of the interleave),
+    * the part-key and supp-key ranges it spans are tight rectangles —
+    * min/max spans per cell are the file-skipping statistics a
+    * z-sorted write would produce. Pure integer bit arithmetic
+    * (32 shift/mask terms, engine-portable), one aggregate. */
+  val q46_zorder: QFn = (s, d) => {
+    val x = pmod(col("l_partkey").cast("long"), lit(65536L))
+    val y = pmod(col("l_suppkey").cast("long"), lit(65536L))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        shiftright(z, 16).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .select(col("cell"), col("n"),
+        (col("max_pk") - col("min_pk")).cast("long").as("span_pk"),
+        (col("max_sk") - col("min_sk")).cast("long").as("span_sk"),
+        col("min_pk").cast("long").as("min_pk"),
+        col("min_sk").cast("long").as("min_sk"))
+  }
+
+  val q46_sql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})",
+        s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT l_partkey, l_suppkey,
+       |    l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+       |  FROM lineitem),
+       |z AS (SELECT l_partkey, l_suppkey, ($terms) >> 16 AS cell FROM b)
+       |SELECT cell, count(*) AS n,
+       |  CAST(max(l_partkey) - min(l_partkey) AS BIGINT) AS span_pk,
+       |  CAST(max(l_suppkey) - min(l_suppkey) AS BIGINT) AS span_sk,
+       |  CAST(min(l_partkey) AS BIGINT) AS min_pk,
+       |  CAST(min(l_suppkey) AS BIGINT) AS min_sk
+       |FROM z GROUP BY cell""".stripMargin
+  }
+
+  /** HISTOGRAM-SKETCH quantiles — the at-scale companion to q25's
+    * exact percentiles: two aggregate passes (per-group min/max/n,
+    * then 128 equi-width bucket counts), a |groups|×128-row cumsum,
+    * and rank-threshold picks. The shuffle carries at most
+    * |groups|·128 rows REGARDLESS of data size — vs sorting every
+    * value. Entirely in integer cents (bucket index, thresholds and
+    * bucket-boundary estimates are exact BIGINT arithmetic), so both
+    * engines agree bit-for-bit and the known error bound is the
+    * bucket width. */
+  val q47_hist_quantile: QFn = (s, d) => {
+    val o = t(s, d, "orders").select(col("o_orderpriority").as("grp"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("v"))
+    val mm = o.groupBy("grp").agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("n"))
+    val buckets = o.join(broadcast(mm), "grp")
+      .select(col("grp"), col("mn"), col("mx"), col("n"),
+        expr("(v - mn) * 128 DIV (mx - mn + 1)").as("b"))
+      .groupBy("grp", "mn", "mx", "n", "b").agg(count(lit(1)).as("c"))
+    val cum = buckets.withColumn("cum",
+      sum("c").over(Window.partitionBy("grp").orderBy("b")))
+    def pick(q: Int): Column =
+      min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("b")))
+    cum.groupBy("grp", "mn", "mx", "n")
+      .agg(pick(50).as("b50"), pick(90).as("b90"), pick(99).as("b99"))
+      .select(col("grp"), col("n"),
+        expr("mn + ((b50 * (mx - mn + 1)) DIV 128)").as("p50_est"),
+        expr("mn + ((b90 * (mx - mn + 1)) DIV 128)").as("p90_est"),
+        expr("mn + ((b99 * (mx - mn + 1)) DIV 128)").as("p99_est"))
+  }
+
+  val q47_sql: String =
+    """WITH o AS (SELECT o_orderpriority AS grp,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders),
+      |mm AS (SELECT grp, min(v) AS mn, max(v) AS mx, count(*) AS n
+      |  FROM o GROUP BY grp),
+      |bk AS (SELECT o.grp, mm.mn, mm.mx, mm.n,
+      |    (o.v - mm.mn) * 128 // (mm.mx - mm.mn + 1) AS b,
+      |    count(*) AS c
+      |  FROM o JOIN mm USING (grp) GROUP BY 1, 2, 3, 4, 5),
+      |cm AS (SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY b) AS cum
+      |  FROM bk),
+      |pk AS (SELECT grp, mn, mx, n,
+      |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN b END) AS b50,
+      |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN b END) AS b90,
+      |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN b END) AS b99
+      |  FROM cm GROUP BY 1, 2, 3, 4)
+      |SELECT grp, CAST(n AS BIGINT) AS n,
+      |  CAST(mn + ((b50 * (mx - mn + 1)) // 128) AS BIGINT) AS p50_est,
+      |  CAST(mn + ((b90 * (mx - mn + 1)) // 128) AS BIGINT) AS p90_est,
+      |  CAST(mn + ((b99 * (mx - mn + 1)) // 128) AS BIGINT) AS p99_est
+      |FROM pk""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2998,6 +3098,8 @@ object Queries {
     "q43_grouping_sets" -> q43_grouping_sets,
     "q44_uniform_sample" -> q44_uniform_sample,
     "q45_corr" -> q45_corr,
+    "q46_zorder" -> q46_zorder,
+    "q47_hist_quantile" -> q47_hist_quantile,
     "e10_sliding_window" -> e10_sliding_window,
     "g01_pagerank" -> g01_pagerank,
     "g02_triangles" -> g02_triangles,
@@ -3088,6 +3190,8 @@ object Queries {
     "q43_grouping_sets" -> q43_sql,
     "q44_uniform_sample" -> q44_sql,
     "q45_corr" -> q45_sql,
+    "q46_zorder" -> q46_sql,
+    "q47_hist_quantile" -> q47_sql,
     "e10_sliding_window" -> e10_sql,
     "g01_pagerank" -> g01_sql,
     "g02_triangles" -> g02_sql,

@@ -203,6 +203,44 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("q46 z-order cells bound BOTH dimensions (the pruning property)") {
+    val rows = Queries.q46_zorder(spark, sf)
+      .select("n", "span_pk", "span_sk").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // cell = z >> 16 keeps 8 low bits of each dim inside a cell: any
+    // cell spans at most a 256x256 rectangle — that IS the file-stat
+    // pruning guarantee a z-sorted layout gives a 2-D predicate
+    rows.foreach { case (_, spk, ssk) =>
+      assert(spk >= 0 && spk <= 255 && ssk >= 0 && ssk <= 255)
+    }
+    val total = rows.map(_._1).sum
+    assert(total == spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("q47 histogram quantiles: ordered, bounded, within bucket width") {
+    val rows = Queries.q47_hist_quantile(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val exact = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderpriority AS grp",
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v")
+      .groupBy("grp")
+      .agg(expr("min(v) AS mn"), expr("max(v) AS mx"),
+        expr("CAST(percentile(v, 0.5) AS BIGINT) AS ex50"),
+        expr("CAST(percentile(v, 0.9) AS BIGINT) AS ex90"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    rows.foreach { case (grp, _, p50, p90, p99) =>
+      val (_, mn, mx, ex50, ex90) = exact(grp)
+      val width = (mx - mn + 1) / 128 + 1
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+      // estimate = lower boundary of the bucket holding the rank →
+      // within one bucket width of the exact percentile
+      assert(math.abs(p50 - ex50) <= width)
+      assert(math.abs(p90 - ex90) <= width)
+    }
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
