@@ -1251,6 +1251,50 @@ object Queries {
        |  LEFT JOIN ev ON tr.shingle = ev.shingle
        |  GROUP BY tr.doc_id) a""".stripMargin
 
+  /** CONTENT-DEFINED CHUNKING dedup — the insertion-robust complement
+    * to d09's fixed stride: chunk boundaries are set where the
+    * content's 8-char window hash starts with nibble 0 (p = 1/16 →
+    * ~16-char expected chunks), so a duplicated region re-synchronizes
+    * on the SAME boundaries no matter how far an edit shifted it —
+    * the property FastCDC-style storage dedup is built on (fixed
+    * windows lose alignment after one inserted byte). Declarative
+    * pipeline: position explode → boundary filter → per-doc lead()
+    * window pairs consecutive boundaries → chunk hash groupBy (60-bit
+    * md5 keys, 8-byte shuffle rows). The per-position window hash is
+    * CDC's inherent cost; a codegen'd boundary-array Expression would
+    * fuse the explode+filter into one pass per doc — the upgrade
+    * path if this became the bottleneck, same judgment call as
+    * WordShinglesExpr. */
+  val d11_cdc_chunks: QFn = (s, d) =>
+    Dedup.cdcChunks(t(s, d, "documents"), "doc_id", "text")
+      .groupBy("ckey")
+      .agg(countDistinct("id").as("n_docs"),
+        count(lit(1)).as("n_occ"), min("clen").as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+
+  val d11_sql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= 8),
+      |pos AS (SELECT doc_id, text, p
+      |  FROM docs, unnest(generate_series(2, length(text) - 7, 1))
+      |    AS t(p)
+      |  WHERE substr(md5(substr(text, CAST(p AS INT), 8)), 1, 1) = '0'),
+      |b AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS bp FROM docs
+      |  UNION ALL SELECT doc_id, text, CAST(p AS BIGINT) FROM pos),
+      |ch AS (SELECT doc_id, text, bp,
+      |    coalesce(lead(bp, 1) OVER (PARTITION BY doc_id ORDER BY bp),
+      |      length(text) + 1) AS np
+      |  FROM b),
+      |ck AS (SELECT doc_id, np - bp AS clen,
+      |    ('0x' || substr(md5(substr(text, CAST(bp AS INT),
+      |      CAST(np - bp AS INT))), 1, 15))::BIGINT AS ckey
+      |  FROM ch WHERE np > bp)
+      |SELECT ckey, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(min(clen) AS BIGINT) AS chunk_len
+      |FROM ck GROUP BY ckey
+      |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+
   /** COUNT-MIN sketch heavy hitters with full sketch parity: 4 hash
     * rows × 16 counters, cell = Σ counts of tokens hashing there (a
     * pure SUM — order-independent, so partial aggregation collapses
@@ -3059,6 +3103,7 @@ object Queries {
     "d08_cluster_canonical" -> d08_cluster_canonical,
     "d09_span_dedup" -> d09_span_dedup,
     "d10_bloom_decontaminate" -> d10_bloom_decontaminate,
+    "d11_cdc_chunks" -> d11_cdc_chunks,
     "t08_tfidf" -> t08_tfidf,
     "t09_charlm" -> t09_charlm,
     "t11_countmin" -> t11_countmin,
@@ -3152,6 +3197,7 @@ object Queries {
     "d08_cluster_canonical" -> d08_sql,
     "d09_span_dedup" -> d09_sql,
     "d10_bloom_decontaminate" -> d10_sql,
+    "d11_cdc_chunks" -> d11_sql,
     "t08_tfidf" -> t08_sql,
     "t09_charlm" -> t09_sql,
     "t11_countmin" -> t11_sql,

@@ -386,4 +386,40 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .select("id1", "id2", "hamming")
   }
+
+  /** CONTENT-DEFINED chunking (FastCDC's core idea, declaratively):
+    * a chunk boundary sits wherever the 8-char window STARTING at a
+    * position hashes to a 0 nibble (p = 1/16 → ~16-char expected
+    * chunks), so chunk boundaries are a function of content alone —
+    * a duplicated region re-synchronizes on the same boundaries no
+    * matter how far an edit shifted it, which is exactly what d09's
+    * fixed-stride windows lose after one inserted character.
+    * Position 1 is always a boundary; docs shorter than the window
+    * are skipped. Returns (id, ckey, clen): 60-bit md5 chunk key +
+    * chunk length. One per-doc window pass (bounded by doc length),
+    * then the caller aggregates chunk keys — 8-byte shuffle rows. */
+  def cdcChunks(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val base = docs.filter(length(col(textCol)) >= 8)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val bpos = base
+      .select(col("id"), col("text"),
+        explode(sequence(lit(2), length(col("text")) - lit(7)))
+          .as("p"))
+      .filter(substring(md5(expr("substring(text, p, 8)")), 1, 1)
+        === "0")
+      .select(col("id"), col("text"), col("p").cast("long").as("bp"))
+    val bounds = base
+      .select(col("id"), col("text"), lit(1L).as("bp"))
+      .unionByName(bpos)
+    val w = Window.partitionBy("id").orderBy("bp")
+    bounds
+      .withColumn("np", coalesce(lead(col("bp"), 1).over(w),
+        length(col("text")).cast("long") + 1))
+      .filter(col("np") > col("bp"))
+      .select(col("id"), (col("np") - col("bp")).as("clen"),
+        conv(substring(md5(expr(
+          "substring(text, CAST(bp AS INT), CAST(np - bp AS INT))")),
+          1, 15), 16, 10).cast("long").as("ckey"))
+  }
 }

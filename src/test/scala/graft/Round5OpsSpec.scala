@@ -241,6 +241,38 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("d11 CDC chunks re-synchronize after an insertion (d09 can't)") {
+    import graft.dedup.Dedup
+    val shared = "the quick brown fox jumps over the lazy dog again " * 8
+    val docs = Seq((1L, "AAAA " + shared),
+      (2L, "a completely different and much longer prefix ... " + shared))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val byDoc = chunks.groupBy(_._1).view
+      .mapValues(_.map(c => (c._3, c._2)).toSet).toMap
+    val common = byDoc(1L).intersect(byDoc(2L))
+    // content-defined boundaries realign inside the shared region
+    // despite the different-length prefixes — most of its chunks
+    // must be keyed identically in both docs
+    assert(common.size >= 3)
+    // chunks tile each doc exactly: lengths sum to doc length
+    val lens = chunks.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    docs.collect().foreach { r =>
+      assert(lens(r.getLong(0)) == r.getString(1).length)
+    }
+  }
+
+  test("d11 query: cross-doc duplicated chunks with sane counts") {
+    val rows = Queries.d11_cdc_chunks(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nDocs, nOcc, clen) =>
+      assert(nDocs >= 2 && nOcc >= nDocs && clen >= 1)
+    }
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
