@@ -41,8 +41,9 @@ object PageRank {
     *         1e-12 mass units after `iters` rounds
     */
   def pageRank(edges: DataFrame, iters: Int = 5,
-               dampNum: Long = 17L, dampDen: Long = 20L): DataFrame =
-    run(edges, None, iters, dampNum, dampDen)
+               dampNum: Long = 17L, dampDen: Long = 20L,
+               driverFinishMaxEdges: Long = 2000000L): DataFrame =
+    run(edges, None, iters, dampNum, dampDen, driverFinishMaxEdges)
 
   /** Personalized PageRank: teleport mass lands ONLY on `seeds`
     * (uniformly, in exact integer units), so ranks measure proximity
@@ -58,11 +59,14 @@ object PageRank {
     * @param seeds one column `node` (any integral type)
     */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
-                   dampNum: Long = 17L, dampDen: Long = 20L): DataFrame =
-    run(edges, Some(seeds), iters, dampNum, dampDen)
+                   dampNum: Long = 17L, dampDen: Long = 20L,
+                   driverFinishMaxEdges: Long = 2000000L): DataFrame =
+    run(edges, Some(seeds), iters, dampNum, dampDen,
+      driverFinishMaxEdges)
 
   private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
-                  dampNum: Long, dampDen: Long): DataFrame = {
+                  dampNum: Long, dampDen: Long,
+                  driverFinishMaxEdges: Long): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
     val e = edges.select(col("src").cast("long"),
         col("dst").cast("long")).distinct()
@@ -71,7 +75,7 @@ object PageRank {
     // edge list with out-degree attached, reused every round
     val ed = e.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    ed.count()
+    val nEdges = ed.count()
     e.unpersist(false)
     val nodeIds = ed.select(col("src").as("node")).distinct()
     val total = 1000000000000L // 1e12 mass units
@@ -98,6 +102,40 @@ object PageRank {
             when(col("is_seed"), lit(total / nSeeds)).otherwise(0L)
               .as("r0"))
     }).localCheckpoint(true)
+    // Exact driver finish when the degree-attached edge list fits
+    // comfortably on the driver (tens of MB at the 2M default) —
+    // the same broadcast-join economics as Components.driverFinish:
+    // five rounds of per-round job scheduling, AQE planning and
+    // broadcast builds cost more than iterating a long array. The
+    // arithmetic is IDENTICAL (nonneg Long division = floor DIV),
+    // integer adds are order-independent, so both paths are
+    // bit-identical — a spec pins them equal; the distributed loop
+    // below is the general path past the bound.
+    if (nEdges <= driverFinishMaxEdges) {
+      import scala.collection.mutable.LongMap
+      val nb = nodes.select("node", "base", "r0").collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      val base = LongMap.from(nb.iterator.map(t => t._1 -> t._2))
+      var r = LongMap.from(nb.iterator.map(t => t._1 -> t._3))
+      val es = ed.select("src", "dst", "deg").collect()
+        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      for (_ <- 0 until iters) {
+        val acc = new LongMap[Long](nb.length * 2)
+        es.foreach { case (s0, d0, dg) =>
+          acc(d0) = acc.getOrElse(d0, 0L) +
+            (r(s0) * dampNum) / (dg * dampDen)
+        }
+        val nr = new LongMap[Long](nb.length * 2)
+        nb.foreach { t =>
+          nr(t._1) = base(t._1) + acc.getOrElse(t._1, 0L)
+        }
+        r = nr
+      }
+      ed.unpersist(false)
+      val ses = edges.sparkSession
+      import ses.implicits._
+      return r.toSeq.map(identity).toDF("node", "rank_u")
+    }
     var ranks = nodes.select(col("node"), col("r0").as("r"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {

@@ -273,6 +273,26 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank driver finish is bit-identical to the distributed loop") {
+    import graft.graph.PageRank
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 1L), (1L, 3L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val a = PageRank.pageRank(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = PageRank.pageRank(edges, iters = 4,
+        driverFinishMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val seeds = Seq(1L).toDF("node")
+    val c = PageRank.personalized(edges, seeds, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val e = PageRank.personalized(edges, seeds, iters = 4,
+        driverFinishMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(c == e)
+    assert(a != c) // personalization actually changes the ranking
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
