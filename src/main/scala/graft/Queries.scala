@@ -2783,6 +2783,31 @@ object Queries {
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_vh
       |FROM m""".stripMargin
 
+  /** Support-≥2 co-purchase edges (parts sharing ≥ 2 orders) — the
+    * graph behind g02/g03/g05. Pair generation by IN-ROW sorted-array
+    * combinations (the q17 lesson): ONE shuffle groups each order's
+    * distinct parts (collect_list is bounded — an order has ≤ 7
+    * lines by construction; an unbounded container would need q17's
+    * fanout cap first), the ordered pairs explode map-side and flow
+    * straight into the support aggregate's partial combine. The
+    * self-join form shuffled the distinct'd lineitem TWICE more and
+    * the joined pair stream besides. */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val byOrder = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok")
+      .agg(sort_array(array_distinct(collect_list(col("pk"))))
+        .as("ps"))
+    byOrder
+      .select(posexplode(col("ps")).as(Seq("i", "id1")), col("ps"))
+      .select(col("id1"),
+        explode(slice(col("ps"), col("i") + 2,
+          size(col("ps")) - col("i") - 1)).as("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("id1", "id2")
+  }
+
   /** Triangle count over the part co-purchase graph (parts sharing an
     * order) via DEGREE-ORDERED ORIENTATION ([[graft.graph.Triangles]]):
     * edges point low-(deg,id) → high, so wedge generation is quadratic
@@ -2796,15 +2821,7 @@ object Queries {
     * the honest cost). Pure counting — exact integers, fully
     * oracle-mirrored. */
   val g02_triangles: QFn = (s, d) => {
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id1"), col("y.pk").as("id2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("id1", "id2")
+    val pairs = coPurchasePairs(s, d)
     graft.graph.Triangles.count(pairs)
   }
 
@@ -2852,15 +2869,7 @@ object Queries {
     * cut digit). Reference analog: clustering structure over the
     * related-collections graph (precompute_related.py). */
   val g03_local_cc: QFn = (s, d) => {
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id1"), col("y.pk").as("id2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("id1", "id2")
+    val pairs = coPurchasePairs(s, d)
     graft.graph.Triangles.perNode(pairs)
   }
 
@@ -2889,15 +2898,7 @@ object Queries {
     * set localCheckpoint'ed (it feeds BOTH semi-joins — the CLAUDE.md
     * plan-doubling rule). */
   val g05_kcore: QFn = (s, d) => {
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("id1"), col("y.pk").as("id2"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("id1", "id2")
+    val pairs = coPurchasePairs(s, d)
     graft.graph.KCore.kcore(pairs, k = 2, rounds = 5)
   }
 
