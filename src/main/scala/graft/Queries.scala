@@ -1476,6 +1476,44 @@ object Queries {
        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) >= 0.3""".stripMargin
   }
 
+  /** MULTI-PROBE LSH ([[Similarity.multiProbeLshPairs]]): same 8
+    * deterministic hyperplanes as s03, but each vector also probes
+    * the 8 buckets one sign-flip away — recovering the near-neighbor
+    * pairs a single boundary plane split apart (ham_bits=1 rows are
+    * exactly the pairs s03 misses) for a constant 9× probe fanout
+    * instead of more tables. Same scale shape: one bucket-keyed
+    * equi-join, exact cosine within candidates only. */
+  val s07_multiprobe: QFn = (s, d) =>
+    Similarity.multiProbeLshPairs(embD(s, d), planes = 8, dim = 64,
+      minCos = 0.3)
+
+  val s07_sql: String = {
+    val signs = Similarity.planeSigns(8, 64)
+    val bucketExpr = (0 until 8).map { h =>
+      val arr = signs(h).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $arr::DOUBLE[]) >= 0 " +
+        s"THEN ${1 << h} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until 8).map(h =>
+      s"xor(bucket, ${1L << h})")).mkString("[", ", ", "]")
+    val cos = "round(list_dot_product(a.v, b2.v) / " +
+      "(sqrt(list_dot_product(a.v, a.v)) * " +
+      "sqrt(list_dot_product(b2.v, b2.v))), 6)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM e),
+       |p AS (SELECT vec_id, v, bucket,
+       |    unnest($probeList) AS probe FROM b)
+       |SELECT a.vec_id AS id1, b2.vec_id AS id2,
+       |  CAST(bit_count(xor(a.bucket, b2.bucket)) AS BIGINT)
+       |    AS ham_bits,
+       |  $cos AS cos
+       |FROM p a JOIN b b2
+       |  ON a.probe = b2.bucket AND a.vec_id < b2.vec_id
+       |WHERE $cos >= 0.3""".stripMargin
+  }
+
   val s04_ann_ivf: QFn = (s, d) => {
     val e = embD(s, d)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
@@ -2783,6 +2821,53 @@ object Queries {
       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_vh
       |FROM m""".stripMargin
 
+  /** TIME-SERIES GAP FILL + LOCF — the grid-completion operator every
+    * metrics pipeline needs before ML featurization: per user,
+    * materialize EVERY hour between their first and last activity
+    * (sequence + explode — map-side, bounded by the time span), left
+    * join the real hourly aggregates, and carry the last observation
+    * forward over the gaps with last(…, ignoreNulls) on a per-user
+    * running frame. One aggregate + one per-user window; at 100 TB
+    * the grid explode stays proportional to users × span, never to
+    * events. Gaps are flagged so downstream can tell imputed from
+    * observed. */
+  val e11_gap_fill: QFn = (s, d) => {
+    val base = t(s, d, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"),
+        expr("unix_millis(ts) DIV 3600000").as("h"), col("value"))
+      .groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("hsum"))
+    val grid = base.groupBy("user_id")
+      .agg(min("h").as("mnh"), max("h").as("mxh"))
+      .select(col("user_id"),
+        explode(sequence(col("mnh"), col("mxh"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        when(col("n").isNull, 1L).otherwise(0L).as("is_gap"),
+        last("hsum", ignoreNulls = true).over(w).as("locf_sum"))
+  }
+
+  val e11_sql: String =
+    """WITH b AS (SELECT user_id, epoch_ms(ts) // 3600000 AS h,
+      |    count(*) AS n, round(sum(value), 4) AS hsum
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |sp AS (SELECT user_id, min(h) AS mnh, max(h) AS mxh
+      |  FROM b GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(mnh, mxh)) AS h
+      |  FROM sp),
+      |j AS (SELECT g.user_id, g.h, b.n, b.hsum
+      |  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+      |SELECT user_id, h, CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+      |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+      |  last_value(hsum IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS locf_sum
+      |FROM j""".stripMargin
+
   /** Support-≥2 co-purchase edges (parts sharing ≥ 2 orders) — the
     * graph behind g02/g03/g05. Pair generation by IN-ROW sorted-array
     * combinations (the q17 lesson): ONE shuffle groups each order's
@@ -3116,6 +3201,7 @@ object Queries {
     "s04_ann_ivf" -> s04_ann_ivf,
     "s05_quantize" -> s05_quantize,
     "s06_pq" -> s06_pq,
+    "s07_multiprobe" -> s07_multiprobe,
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_stub" -> m02_feature_stub,
     "m03_tile_dedup" -> m03_tile_dedup,
@@ -3147,6 +3233,7 @@ object Queries {
     "q46_zorder" -> q46_zorder,
     "q47_hist_quantile" -> q47_hist_quantile,
     "e10_sliding_window" -> e10_sliding_window,
+    "e11_gap_fill" -> e11_gap_fill,
     "g01_pagerank" -> g01_pagerank,
     "g02_triangles" -> g02_triangles,
     "g03_local_cc" -> g03_local_cc,
@@ -3210,6 +3297,7 @@ object Queries {
     "s04_ann_ivf" -> s04_sql,
     "s05_quantize" -> s05_sql,
     "s06_pq" -> s06_sql,
+    "s07_multiprobe" -> s07_sql,
     "m01_binary_meta" -> m01_sql,
     "m03_tile_dedup" -> m03_sql,
     "e01_window_agg" -> e01_sql,
@@ -3240,6 +3328,7 @@ object Queries {
     "q46_zorder" -> q46_sql,
     "q47_hist_quantile" -> q47_sql,
     "e10_sliding_window" -> e10_sql,
+    "e11_gap_fill" -> e11_sql,
     "g01_pagerank" -> g01_sql,
     "g02_triangles" -> g02_sql,
     "g03_local_cc" -> g03_sql,

@@ -210,6 +210,45 @@ object Similarity {
         col("cos"))
   }
 
+  /** MULTI-PROBE hyperplane LSH: each vector probes its own bucket
+    * AND the `planes` buckets at Hamming distance 1 (one sign bit
+    * flipped) — the standard recall lever that trades a constant
+    * probe fanout (planes+1 keys) for the table blowup more planes
+    * or more tables would cost. A near-neighbor pair that a single
+    * boundary plane split apart (the common miss: the two vectors
+    * project onto opposite sides of ONE hyperplane) is recovered
+    * here; the scale shape is unchanged — one equi-join keyed on the
+    * probed bucket, exact cosine only within candidates, no
+    * all-pairs anywhere. Returns the [[lshNeighborPairs]] superset
+    * with `ham_bits` (0 = same bucket, 1 = recovered by probing).
+    */
+  def multiProbeLshPairs(corpus: DataFrame, planes: Int, dim: Int,
+                         minCos: Double, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe and index sides both read b — materialize once
+    b.count()
+    val probes = b.select(col("vec_id"), col("v"), col("bucket"),
+      explode(array(col("bucket") +:
+        (0 until planes).map(h =>
+          col("bucket").bitwiseXOR(lit(1L << h))): _*)).as("probe"))
+    // each qualifying pair matches on EXACTLY one probe of the
+    // smaller id (hamming 0 → the identity probe, hamming 1 → the
+    // single flipped bit), so no dedup shuffle is needed
+    probes.as("a").join(b.as("b"),
+        col("a.probe") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        bit_count(col("a.bucket").bitwiseXOR(col("b.bucket")))
+          .cast("long").as("ham_bits"),
+        col("cos"))
+  }
+
   /** Banded (OR-amplified) hyperplane-LSH near-neighbor pairs — the
     * semantic-dedup scale path. `bands * bandBits` deterministic
     * hyperplanes are split into `bands` groups; two vectors become

@@ -293,6 +293,39 @@ class Round5OpsSpec extends SparkSpec {
     assert(a != c) // personalization actually changes the ranking
   }
 
+  test("e11 gap fill tiles each user's span; LOCF never null") {
+    val rows = Queries.e11_gap_fill(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, rs) =>
+      val hs = rs.map(_._2).sorted
+      // the grid is contiguous: every hour between min and max present
+      assert(hs.last - hs.head + 1 == hs.length)
+      assert(hs.distinct.length == hs.length)
+      // first grid hour is observed by construction; LOCF fills gaps
+      rs.foreach { case (_, _, n, gap, locf) =>
+        assert((gap == 1L) == (n == 0L))
+        assert(!locf.isNaN)
+      }
+    }
+    // the fill actually fills something
+    assert(rows.exists(_._4 == 1L))
+  }
+
+  test("s07 multi-probe is a superset of s03; extras are 1-bit splits") {
+    val s03 = Queries.s03_ann_lsh(spark, sf)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val s07 = Queries.s07_multiprobe(spark, sf)
+      .select("id1", "id2", "ham_bits").as[(Long, Long, Long)]
+      .collect()
+    val same = s07.filter(_._3 == 0L).map(t => (t._1, t._2)).toSet
+    val extra = s07.filter(_._3 == 1L).map(t => (t._1, t._2)).toSet
+    assert(same == s03)
+    // probing must recover pairs the single-bucket form missed
+    assert(extra.nonEmpty && extra.intersect(s03).isEmpty)
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
