@@ -29,6 +29,24 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** NATIVE session_window sessionization on a streaming feed — the
+    * e07 batch form carried verbatim onto a stream: state is one open
+    * session struct per ACTIVE user, closed and emitted (Append mode)
+    * once the watermark passes the session end + gap. This is the
+    * form that ages state out by itself, vs [[sessionize]]'s
+    * hand-rolled flatMapGroupsWithState whose NoTimeout state tracks
+    * every key ever seen (that one exists to handle late-event
+    * merging the native operator doesn't expose). */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         lateness: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop repeats of `keyCols` with bounded
     * state — the watermark ages out old keys, which is the only way
     * dedup state survives an unbounded stream. The batch analog is

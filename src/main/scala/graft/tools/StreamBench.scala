@@ -102,6 +102,11 @@ object StreamBench {
       Streams.streamDedup(syntheticEvents()
         .withColumn("dup_key", pmod(col("event_id"), lit(10000L))),
         "ts", "30 seconds", "dup_key"), "append")
+    // native session_window: one open session struct per ACTIVE user,
+    // watermark-aged — the e07 batch form on a live feed
+    drive("session_window",
+      Streams.sessionWindowStats(syntheticEvents(),
+        gap = "5 seconds", lateness = "10 seconds"), "append")
     // keyed mapGroupsWithState: state = k pairs x 1000 users, flat
     locally {
       import spark.implicits._

@@ -198,6 +198,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowStats emits closed sessions under the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.sessionWindowStats(df, gap = "10 minutes",
+        lateness = "1 minute")
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(3), 2L, 7.0))
+      q.processAllAvailable()
+      // 45 min later: both sessions are gap-closed and watermark-past
+      mem.addData((ts(45), 3L, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("swin")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 3.0)))
+      assert(rows.contains((2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
