@@ -958,6 +958,94 @@ object Queries {
        |FROM scored
        |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.5""".stripMargin
 
+  /** MinHash-Jaccard ESTIMATE vs exact — the sketch-accuracy table
+    * for the dedup family (the q42/t11/q47 theme applied to d03's
+    * sketch): for every LSH candidate pair, the estimate is the
+    * fraction of equal signature components (matches·1e6 DIV 12 —
+    * quantized to twelfths, exactly what a 12-hash signature can
+    * resolve) next to the exact shingle-set Jaccard (integer-ppm
+    * HALF_UP). At 100 TB the exact column is computed ONLY within
+    * candidates (postings semi-joined to candidate docs first) —
+    * the sketch is what makes that affordable. 12 equality terms are
+    * unrolled comparisons, not an interpreted lambda (CLAUDE.md
+    * hot-path rule). */
+  val d12_minhash_est: QFn = (s, d) => {
+    val post = TextFunctions.shinglePostings(t(s, d, "documents"),
+      "doc_id", "text", 3, distinct = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    post.count() // sigs, sizes and intersection branches fan out
+    val sigs = Dedup.minhashSignatures(post, 12)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // banding + two est joins
+    val banded = sigs.select(col("doc_id"),
+      explode(Dedup.lshBandKeys(col("sig"), 4, 3)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // est join + exact-intersection branches
+    val matches = (0 until 12).map(i =>
+      when(element_at(col("s1"), i + 1) === element_at(col("s2"), i + 1),
+        1L).otherwise(0L)).reduce(_ + _)
+    val est = cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")),
+        "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")),
+        "id2")
+      .select(col("id1"), col("id2"), matches.as("matches"))
+    val candDocs = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2").as("doc_id"))).distinct()
+    val cpost = post.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = cpost.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cpost.as("x").join(cpost.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("id1", "id2"), "left_semi")
+    est
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")),
+        "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")),
+        "id2")
+      .select(col("id1"), col("id2"),
+        expr("(matches * 1000000) DIV 12").as("est_ppm"),
+        expr("(coalesce(inter, 0) * 2000000 + (n1 + n2 - coalesce(inter, 0))) DIV " +
+          "(2 * (n1 + n2 - coalesce(inter, 0)))").as("exact_ppm"))
+  }
+
+  val d12_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+       |    s -> list_min(list_transform(shingles,
+       |      x -> md5(s::VARCHAR || ':' || x)))) AS sig
+       |  FROM sh),
+       |banded AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+       |    b -> b::VARCHAR || '|' ||
+       |      md5(array_to_string(sig[b*3+1 : b*3+3], ',')))) AS band
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |m AS (SELECT id1, id2,
+       |    len(list_filter(range(1, 13),
+       |      i -> g1.sig[i] = g2.sig[i])) AS matches,
+       |    len(list_intersect(s1.shingles, s2.shingles)) AS inter,
+       |    len(s1.shingles) AS n1, len(s2.shingles) AS n2
+       |  FROM cand
+       |  JOIN sig g1 ON id1 = g1.doc_id JOIN sig g2 ON id2 = g2.doc_id
+       |  JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id)
+       |SELECT id1, id2,
+       |  CAST((matches * 1000000) // 12 AS BIGINT) AS est_ppm,
+       |  CAST((inter * 2000000 + (n1 + n2 - inter))
+       |    // (2 * (n1 + n2 - inter)) AS BIGINT) AS exact_ppm
+       |FROM m""".stripMargin
+
   val d04_simhash: QFn = (s, d) =>
     Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
       shingleSize = 3, maxHamming = 6)
@@ -3190,6 +3278,7 @@ object Queries {
     "d09_span_dedup" -> d09_span_dedup,
     "d10_bloom_decontaminate" -> d10_bloom_decontaminate,
     "d11_cdc_chunks" -> d11_cdc_chunks,
+    "d12_minhash_est" -> d12_minhash_est,
     "t08_tfidf" -> t08_tfidf,
     "t09_charlm" -> t09_charlm,
     "t11_countmin" -> t11_countmin,
@@ -3286,6 +3375,7 @@ object Queries {
     "d09_span_dedup" -> d09_sql,
     "d10_bloom_decontaminate" -> d10_sql,
     "d11_cdc_chunks" -> d11_sql,
+    "d12_minhash_est" -> d12_sql,
     "t08_tfidf" -> t08_sql,
     "t09_charlm" -> t09_sql,
     "t11_countmin" -> t11_sql,

@@ -326,6 +326,22 @@ class Round5OpsSpec extends SparkSpec {
     assert(extra.nonEmpty && extra.intersect(s03).isEmpty)
   }
 
+  test("d12 minhash estimate: twelfth-quantized, near exact Jaccard") {
+    val rows = Queries.d12_minhash_est(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, est, exact) =>
+      assert(est >= 0L && est <= 1000000L)
+      assert(exact >= 0L && exact <= 1000000L)
+      // est is k/12 for integer k — exactly the sketch's resolution
+      assert((0 to 12).map(k => k * 1000000L / 12).contains(est))
+      // 12-hash concentration: |est − exact| within ~3σ ≈ 0.45
+      assert(math.abs(est - exact) <= 450000L)
+    }
+    // the sketch is an estimate, not the exact value
+    assert(rows.exists { case (_, _, est, exact) => est != exact })
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
