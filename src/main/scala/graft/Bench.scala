@@ -18,9 +18,11 @@ import org.apache.spark.sql.SparkSession
   * full warmup pass self-evicts — by the time a second pass reaches
   * the wide-codegen queries their classes are gone and the "steady
   * state" re-measures janino (observed: d04 9.3 s pass-warmed vs
-  * 2.9 s query-warmed at sf0.1). DATA caches are still cleared
-  * between every run — each timed query reads parquet and recomputes
-  * from scratch.
+  * 2.9 s query-warmed at sf0.1). Each query is then timed TWICE and
+  * the MINIMUM reported — single timings on a shared box swing 2-5x
+  * from scheduler/GC interference, and interference only ever adds
+  * time. DATA caches are still cleared between every run — each
+  * timed query reads parquet and recomputes from scratch.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,20 +41,30 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       // per-query untimed warmup (see scaladoc); persisted subtrees
-      // released so the timed run starts with zero cached data
+      // released so every timed run starts with zero cached data
       try run(name) catch { case _: Throwable => }
       spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      // a crashing query must NOT read as a fast success: record the
-      // failure per query and in a top-level errors list
-      val err = try { run(name); None } catch {
-        case t: Throwable => Some(t.getClass.getSimpleName)
+      // TWO timed runs, report the MIN: single measurements on this
+      // box swing 2-5x from scheduler/GC interference (observed: the
+      // same g02 read 2.5 s and 38 s in consecutive benches) — the
+      // minimum is the reproducible steady-state cost, interference
+      // can only ADD time. Caches are cleared between runs, so both
+      // recompute from parquet.
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // a crashing query must NOT read as a fast success: record
+        // the failure per query and in a top-level errors list
+        val err = try { run(name); None } catch {
+          case t: Throwable => Some(t.getClass.getSimpleName)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators persist shared subtrees; release between runs so
+        // cached partitions don't accumulate across the whole bench
+        spark.sharedState.cacheManager.clearCache()
+        (dt, err)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist shared subtrees; release between queries so
-      // cached partitions don't accumulate across the whole run
-      spark.sharedState.cacheManager.clearCache()
-      (name, dt, err)
+      val err = timed.collectFirst { case (_, Some(e)) => e }
+      (name, timed.map(_._1).min, err)
     }
     val qs = results.map { case (k, v, err) =>
       s"\"" + k + "\":" + err.fold(v.toString)(_ => "null")
