@@ -972,47 +972,44 @@ object Queries {
   val d12_minhash_est: QFn = (s, d) => {
     val post = TextFunctions.shinglePostings(t(s, d, "documents"),
       "doc_id", "text", 3, distinct = true)
+    // ONE doc_id shuffle carries the signature minima AND the
+    // verification shingle set (the d03 fusion lesson); candidates
+    // then join this table twice and BOTH columns come from the same
+    // two rows — exact Jaccard is an in-row array_intersect, no
+    // postings self-join, no second aggregate pass
+    val mins = (0 until 12).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
+        .as(s"h$i"))
+    val combined = post.groupBy("doc_id")
+      .agg(mins.head,
+        (mins.tail :+ collect_list(col("shingle")).as("sh")): _*)
+      .select(col("doc_id"),
+        array((0 until 12).map(i => col(s"h$i")): _*).as("sig"),
+        col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    post.count() // sigs, sizes and intersection branches fan out
-    val sigs = Dedup.minhashSignatures(post, 12)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count() // banding + two est joins
-    val banded = sigs.select(col("doc_id"),
+    combined.count() // band explode + two candidate joins fan out
+    val banded = combined.select(col("doc_id"),
       explode(Dedup.lshBandKeys(col("sig"), 4, 3)).as("band"))
     val cand = banded.as("a").join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand.count() // est join + exact-intersection branches
     val matches = (0 until 12).map(i =>
       when(element_at(col("s1"), i + 1) === element_at(col("s2"), i + 1),
         1L).otherwise(0L)).reduce(_ + _)
-    val est = cand
-      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")),
-        "id1")
-      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")),
-        "id2")
-      .select(col("id1"), col("id2"), matches.as("matches"))
-    val candDocs = cand.select(col("id1").as("doc_id"))
-      .union(cand.select(col("id2").as("doc_id"))).distinct()
-    val cpost = post.join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = cpost.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cpost.as("x").join(cpost.as("y"), Seq("shingle"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("id1", "id2"), "left_semi")
-    est
-      .join(inter, Seq("id1", "id2"), "left")
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")),
-        "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")),
-        "id2")
+    cand
+      .join(combined.select(col("doc_id").as("id1"),
+        col("sig").as("s1"), col("sh").as("sh1")), "id1")
+      .join(combined.select(col("doc_id").as("id2"),
+        col("sig").as("s2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), matches.as("matches"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("long").as("ns"))
       .select(col("id1"), col("id2"),
         expr("(matches * 1000000) DIV 12").as("est_ppm"),
-        expr("(coalesce(inter, 0) * 2000000 + (n1 + n2 - coalesce(inter, 0))) DIV " +
-          "(2 * (n1 + n2 - coalesce(inter, 0)))").as("exact_ppm"))
+        expr("(inter * 2000000 + (ns - inter)) DIV " +
+          "(2 * (ns - inter))").as("exact_ppm"))
   }
 
   val d12_sql: String =
