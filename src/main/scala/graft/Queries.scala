@@ -1091,6 +1091,51 @@ object Queries {
        |SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 6""".stripMargin
 
+  /** SimHash ACCURACY audit (d12's theme for the other sketch): for
+    * every d04 near-dup pair, the hamming distance sits next to the
+    * exact 3-gram-set Jaccard (integer-ppm) — the monotone
+    * hamming↔similarity relationship the banding recall argument
+    * rests on, as a hash-verified table instead of an assumption.
+    * Exact intersections are in-row array_intersects over the
+    * candidate pairs only. */
+  val d13_simhash_est: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      shingleSize = 3, maxHamming = 6)
+    val sets = TextFunctions.shinglePostings(docs, "doc_id", "text",
+      3, distinct = true)
+      .groupBy("doc_id").agg(collect_list(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // both pair-side joins read it
+    pairs
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .select(col("id1"), col("id2"), col("hamming"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("long").as("ns"))
+      .select(col("id1"), col("id2"), col("hamming"),
+        expr("(inter * 2000000 + (ns - inter)) DIV (2 * (ns - inter))")
+          .as("exact_ppm"))
+  }
+
+  val d13_sql: String =
+    s"""WITH $simhashCtesSql,
+       |p AS (SELECT id1, id2,
+       |    CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(sig1, sig2)) <= 6),
+       |x AS (SELECT p.id1, p.id2, p.hamming,
+       |    len(list_intersect(s1.shingles, s2.shingles)) AS inter,
+       |    len(s1.shingles) + len(s2.shingles) AS ns
+       |  FROM p JOIN sh s1 ON p.id1 = s1.doc_id
+       |  JOIN sh s2 ON p.id2 = s2.doc_id)
+       |SELECT id1, id2, hamming,
+       |  CAST((inter * 2000000 + (ns - inter)) // (2 * (ns - inter))
+       |    AS BIGINT) AS exact_ppm
+       |FROM x""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (the modern semantic-dedup
     * path) through banded hyperplane LSH: candidates only from shared
     * (band, bucket) keys — ids-only shuffles, exact cosine verify
@@ -3224,6 +3269,43 @@ object Queries {
       |  CAST(mn + ((b99 * (mx - mn + 1)) // 128) AS BIGINT) AS p99_est
       |FROM pk""".stripMargin
 
+  /** EWMA (α = 1/2) decayed engagement score over each user's last
+    * 10 events — ENTIRELY in integer space: cents × binary weights
+    * 2⁹…2⁰ (newest → oldest), summed exactly, presented in
+    * milli-units via one integral division. A float-recursive EWMA
+    * could never hash-match cross-engine (error compounds per row);
+    * binary weights + a bounded frame make the decayed score as
+    * deterministic as a sum. One per-user window pass, 10 unrolled
+    * lag() terms sharing a single Exchange+Sort. */
+  val q48_ewma: QFn = (s, d) => {
+    val e = t(s, d, "events").filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val scaled = (col("cents") * lit(512L)) +: (1 to 9).map(k =>
+      coalesce(lag(col("cents"), k).over(w), lit(0L)) *
+        lit(1L << (9 - k)))
+    e.select(col("user_id"), col("event_id"),
+        scaled.reduce(_ + _).as("scaled"))
+      .select(col("user_id"), col("event_id"),
+        expr("(scaled * 1000) DIV 1024").as("ewma_milli"))
+  }
+
+  val q48_sql: String = {
+    val terms = ("cents * 512" +: (1 to 9).map(k =>
+      s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (9 - k)}"))
+      .mkString(" + ")
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 20),
+      |s AS (SELECT user_id, event_id, TERMS AS scaled
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      |SELECT user_id, event_id,
+      |  CAST((scaled * 1000) // 1024 AS BIGINT) AS ewma_milli
+      |FROM s""".stripMargin.replace("TERMS", terms)
+  }
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3276,6 +3358,7 @@ object Queries {
     "d10_bloom_decontaminate" -> d10_bloom_decontaminate,
     "d11_cdc_chunks" -> d11_cdc_chunks,
     "d12_minhash_est" -> d12_minhash_est,
+    "d13_simhash_est" -> d13_simhash_est,
     "t08_tfidf" -> t08_tfidf,
     "t09_charlm" -> t09_charlm,
     "t11_countmin" -> t11_countmin,
@@ -3318,6 +3401,7 @@ object Queries {
     "q45_corr" -> q45_corr,
     "q46_zorder" -> q46_zorder,
     "q47_hist_quantile" -> q47_hist_quantile,
+    "q48_ewma" -> q48_ewma,
     "e10_sliding_window" -> e10_sliding_window,
     "e11_gap_fill" -> e11_gap_fill,
     "g01_pagerank" -> g01_pagerank,
@@ -3373,6 +3457,7 @@ object Queries {
     "d10_bloom_decontaminate" -> d10_sql,
     "d11_cdc_chunks" -> d11_sql,
     "d12_minhash_est" -> d12_sql,
+    "d13_simhash_est" -> d13_sql,
     "t08_tfidf" -> t08_sql,
     "t09_charlm" -> t09_sql,
     "t11_countmin" -> t11_sql,
@@ -3414,6 +3499,7 @@ object Queries {
     "q45_corr" -> q45_sql,
     "q46_zorder" -> q46_sql,
     "q47_hist_quantile" -> q47_sql,
+    "q48_ewma" -> q48_sql,
     "e10_sliding_window" -> e10_sql,
     "e11_gap_fill" -> e11_sql,
     "g01_pagerank" -> g01_sql,

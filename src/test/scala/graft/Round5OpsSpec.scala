@@ -342,6 +342,48 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.exists { case (_, _, est, exact) => est != exact })
   }
 
+  test("d13 simhash audit: low hamming means high exact similarity") {
+    val rows = Queries.d13_simhash_est(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, h, ppm) =>
+      assert(h >= 0L && h <= 6L && ppm >= 0L && ppm <= 1000000L)
+    }
+    // the pairs the 8-bit banding surfaces at hamming <= 6 are real
+    // near-dups: mean exact Jaccard across them is high
+    val mean = rows.map(_._4).sum / rows.length
+    assert(mean >= 500000L)
+  }
+
+  test("q48 EWMA: bounded by frame max, exact on a hand fixture") {
+    val rows = Queries.q48_ewma(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the decayed score can never exceed the max event value: the
+    // frame weights sum to 1023/1024 < 1
+    val maxCents = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("max(CAST(round(value * 100, 0) AS BIGINT))")
+      .as[Long].head()
+    rows.foreach { case (_, _, m) =>
+      assert(m >= 0L && m <= maxCents * 1000L)
+    }
+    // hand check: cents c at weights [512, 256] over two events:
+    // newest event's ewma_milli = (c*512 + prev*256)*1000 DIV 1024
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") === 0)
+      .select(col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .orderBy("ms", "event_id").limit(2)
+      .as[(Long, Long, Long)].collect()
+    if (e.length == 2) {
+      val expect = (e(1)._3 * 512 + e(0)._3 * 256) * 1000 / 1024
+      val byEvent = rows.map(r => r._2 -> r._3).toMap
+      assert(byEvent(e(1)._1) == expect)
+    }
+  }
+
   test("g03 corner attribution sums to 3x the g02 triangle count") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (5L, 3L), (1L, 4L)).toDF("id1", "id2")
