@@ -76,7 +76,17 @@ object Bench {
     // sum of the reported per-query times (a crashed query's partial
     // duration would make totals non-comparable across runs)
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line is one huge JSON record and pipes have truncated
+    // it (round-4 BENCH artifact lost its per-query times); the file
+    // copy survives any capture problem
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"bench: could not write $out: $e") }
     spark.stop()
   }
 }

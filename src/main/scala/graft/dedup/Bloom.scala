@@ -51,8 +51,13 @@ object Bloom {
     * — stays inside whole-stage codegen. */
   def mightContain(bits: Array[Long], positions: Seq[Column]): Column = {
     require(positions.nonEmpty)
+    // ONE literal shared by all k probes: a fresh lit(bits) per probe
+    // would put k independent copies of the array in the plan (k × m/8
+    // bytes serialized to every task); k references to the same
+    // Literal instance serialize the array once
+    val bitsLit = lit(bits)
     positions.map { p =>
-      val word = element_at(lit(bits), shiftright(p, 6).cast("int") + 1)
+      val word = element_at(bitsLit, shiftright(p, 6).cast("int") + 1)
       val bit = p.bitwiseAND(lit(63L)).cast("int")
       ColumnBridge.column(CatShiftRight(
         ColumnBridge.expression(word),

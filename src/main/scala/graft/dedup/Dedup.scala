@@ -403,8 +403,13 @@ object Dedup {
     val base = docs.filter(length(col(textCol)) >= 8)
       .select(col(idCol).as("id"), col(textCol).as("text"))
     val bpos = base
+      // the candidate range [2, len-7] exists only for len >= 9: at
+      // len = 8 sequence(2, 1) would step BACKWARDS to [2, 1] and
+      // emit phantom boundaries the oracle's empty generate_series
+      // never sees; explode(null) emits no rows, which matches
       .select(col("id"), col("text"),
-        explode(sequence(lit(2), length(col("text")) - lit(7)))
+        explode(when(length(col("text")) >= 9,
+          sequence(lit(2), length(col("text")) - lit(7))))
           .as("p"))
       .filter(substring(md5(expr("substring(text, p, 8)")), 1, 1)
         === "0")

@@ -69,11 +69,27 @@ object Triangles {
     (oriented, deg, nEdges)
   }
 
+  /** The closing-edge broadcast is a SIZE decision, not a row count:
+    * a 1000-executor cluster pays |closing| × ~48 B (two long keys +
+    * hashed-relation row/map overhead) on every executor, so the gate
+    * is estimated bytes against a ~100 MB cap (≈2M edges) — past it
+    * the equi-join shuffles both sides, which is the honest cost. */
+  val defaultBroadcastBytes: Long = 100L << 20
+  private[graft] val bytesPerClosingEdge: Long = 48L
+  private[graft] def shouldBroadcastClosing(
+      nEdges: Long, maxBroadcastBytes: Long): Boolean =
+    nEdges * bytesPerClosingEdge <= maxBroadcastBytes
+  private def maybeBroadcast(closing: DataFrame, nEdges: Long,
+                             maxBroadcastBytes: Long): DataFrame =
+    if (shouldBroadcastClosing(nEdges, maxBroadcastBytes))
+      broadcast(closing) else closing
+
   /** @param edges undirected edge list, columns `id1`, `id2` (one row
     *              per edge, any orientation, self-loops ignored)
     * @return one row: n_nodes, n_edges, n_wedges, n_triangles
     */
-  def count(edges: DataFrame): DataFrame = {
+  def count(edges: DataFrame,
+            maxBroadcastBytes: Long = defaultBroadcastBytes): DataFrame = {
     val (oriented, deg, nEdges) = orient(edges)
     // e stays persisted: the n_nodes branch below re-reads deg (and
     // through it e) when the RESULT materializes — unpersisting here
@@ -95,7 +111,7 @@ object Triangles {
     // to out-deg² per source — never shuffles. Past broadcast size
     // the equi-join on (v, w) shuffles both sides; the wedge side is
     // then the cost, which is the algorithm's honest lower bound.
-    val close = if (nEdges <= 20000000L) broadcast(closing) else closing
+    val close = maybeBroadcast(closing, nEdges, maxBroadcastBytes)
     val agg2 = wedges.join(close, Seq("v", "w"), "left")
       .agg(sqlCount(lit(1)).as("n_wedges"),
         coalesce(sum("hit"), lit(0L)).as("n_triangles"))
@@ -122,7 +138,8 @@ object Triangles {
     *
     * @return (node, deg, tri, cc_ppm) for every node with deg ≥ 2
     */
-  def perNode(edges: DataFrame): DataFrame = {
+  def perNode(edges: DataFrame,
+              maxBroadcastBytes: Long = defaultBroadcastBytes): DataFrame = {
     val (oriented, deg, nEdges) = orient(edges)
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") &&
@@ -131,7 +148,7 @@ object Triangles {
         col("y.dst").as("w"))
     val closing = oriented.select(col("src").as("v"),
       col("dst").as("w"))
-    val close = if (nEdges <= 20000000L) broadcast(closing) else closing
+    val close = maybeBroadcast(closing, nEdges, maxBroadcastBytes)
     val corners = wedges.join(close, Seq("v", "w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(sqlCount(lit(1)).as("tri"))
