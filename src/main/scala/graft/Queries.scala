@@ -3306,6 +3306,111 @@ object Queries {
       |FROM s""".stripMargin.replace("TERMS", terms)
   }
 
+  /** Subtype-reachability member validation — the ParentFinder /
+    * validate_members analog (create_collections.py:548-638): a
+    * member is valid iff any of its (redirect-resolved) seed types
+    * reaches an allowed target type walking up the subclass_of DAG,
+    * with one-hop same_as fallback for nodes without entries
+    * (create_collections.py:571-577). Distributed shape: reverse BFS
+    * from the targets over the TYPE graph once (Reachability), then
+    * ONE broadcast semi-join validates the corpus-scale member side.
+    *
+    * The type hierarchy is synthesized deterministically so DuckDB
+    * can mirror it: 64 type ids, binary-tree subclass edges
+    * (tid → tid DIV 2) plus div-3 cross edges (a DAG, not a tree),
+    * redirect-only nodes every 11th id borrowing their predecessor's
+    * edges, and members seeded with two custkey-derived types
+    * (members ≡ 5 mod 13 are entry-less and resolve through their
+    * successor customer). Oracle: the BFS unrolled as 8 MATERIALIZED
+    * CTE rounds — ≥ the DAG's ~5-hop depth, so both sides sit at the
+    * same fixpoint (the g05 lesson: twice-referenced round CTEs must
+    * materialize or the oracle's expression tree doubles per round).
+    */
+  val q49_reachability: QFn = (s, d) => {
+    import graft.graph.Reachability
+    val tids = s.range(64).select(col("id").as("tid"))
+    val typed = col("tid") % 11 =!= 7
+    val subclass = tids.filter(col("tid") >= 2 && typed)
+      .select(col("tid").as("child"), expr("tid DIV 2").as("parent"))
+      .union(tids.filter(col("tid") >= 3 && col("tid") % 7 === 0 && typed)
+        .select(col("tid").as("child"), expr("tid DIV 3").as("parent")))
+    val sameAs = tids.filter(col("tid") % 11 === 7)
+      .select(col("tid").as("from"), (col("tid") - 1).as("to"))
+    val targets = s.range(1)
+      .select(explode(array(lit(3L), lit(10L))).as("node"))
+    val reach = Reachability.reachingSet(
+      Reachability.effectiveEdges(subclass, sameAs), targets)
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey").cast("long").as("m"))
+    val typedM = cust.filter(col("m") % 13 =!= 5)
+    val redirM = cust.filter(col("m") % 13 === 5)
+      .select(col("m").as("member"), (col("m") + 1).as("p"))
+      .join(cust.select(col("m").as("p")), Seq("p"))
+    def seeds(df: DataFrame, member: Column, key: Column): DataFrame =
+      df.select(member.as("member"), (key % 64).as("tid"))
+        .union(df.select(member.as("member"),
+          ((key * 7 + 3) % 64).as("tid")))
+    val memberTypes = seeds(typedM, col("m"), col("m"))
+      .union(seeds(redirM, col("member"), col("p")))
+    val valid = Reachability.validMembers(memberTypes, reach)
+      .withColumn("ok", lit(1L))
+    cust.select(col("m").as("member"),
+        (col("m") % 13 === 5).cast("long").as("via_redirect"))
+      .join(valid, Seq("member"), "left")
+      .select(col("member"), col("via_redirect"),
+        coalesce(col("ok"), lit(0L)).as("is_valid"))
+  }
+
+  val q49_sql: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT node FROM r${k - 1} UNION
+         |  SELECT e.child FROM e_eff e JOIN r${k - 1} r
+         |  ON e.parent = r.node)""".stripMargin
+    }.mkString(",\n")
+    """WITH tids AS (SELECT range AS tid FROM range(64)),
+      |e_base AS (
+      |  SELECT tid AS child, tid // 2 AS parent FROM tids
+      |  WHERE tid >= 2 AND tid % 11 <> 7
+      |  UNION ALL
+      |  SELECT tid, tid // 3 FROM tids
+      |  WHERE tid >= 3 AND tid % 7 = 0 AND tid % 11 <> 7),
+      |same_as AS (SELECT tid AS f, tid - 1 AS t FROM tids
+      |  WHERE tid % 11 = 7),
+      |e_eff AS (
+      |  SELECT DISTINCT child, parent FROM (
+      |    SELECT child, parent FROM e_base
+      |    UNION ALL
+      |    SELECT s.f, b.parent FROM same_as s
+      |    LEFT JOIN (SELECT DISTINCT child FROM e_base) hs
+      |      ON s.f = hs.child
+      |    JOIN e_base b ON s.t = b.child
+      |    WHERE hs.child IS NULL)),
+      |r0 AS MATERIALIZED (SELECT 3::BIGINT AS node UNION SELECT 10),
+      |ROUNDS,
+      |mt AS (
+      |  SELECT c_custkey AS member, c_custkey % 64 AS tid
+      |  FROM customer WHERE c_custkey % 13 <> 5
+      |  UNION ALL
+      |  SELECT c_custkey, (c_custkey * 7 + 3) % 64
+      |  FROM customer WHERE c_custkey % 13 <> 5
+      |  UNION ALL
+      |  SELECT c.c_custkey, p.c_custkey % 64
+      |  FROM customer c JOIN customer p ON p.c_custkey = c.c_custkey + 1
+      |  WHERE c.c_custkey % 13 = 5
+      |  UNION ALL
+      |  SELECT c.c_custkey, (p.c_custkey * 7 + 3) % 64
+      |  FROM customer c JOIN customer p ON p.c_custkey = c.c_custkey + 1
+      |  WHERE c.c_custkey % 13 = 5),
+      |v AS (SELECT DISTINCT member FROM mt JOIN r8 ON mt.tid = r8.node)
+      |SELECT CAST(c.c_custkey AS BIGINT) AS member,
+      |  CAST(CASE WHEN c.c_custkey % 13 = 5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS via_redirect,
+      |  CAST(CASE WHEN v.member IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_valid
+      |FROM customer c LEFT JOIN v ON c.c_custkey = v.member"""
+      .stripMargin.replace("ROUNDS,", rounds + ",")
+  }
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3408,7 +3513,8 @@ object Queries {
     "g02_triangles" -> g02_triangles,
     "g03_local_cc" -> g03_local_cc,
     "g04_ppr" -> g04_ppr,
-    "g05_kcore" -> g05_kcore)
+    "g05_kcore" -> g05_kcore,
+    "q49_reachability" -> q49_reachability)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -3506,5 +3612,6 @@ object Queries {
     "g02_triangles" -> g02_sql,
     "g03_local_cc" -> g03_sql,
     "g04_ppr" -> g04_sql,
-    "g05_kcore" -> g05_sql)
+    "g05_kcore" -> g05_sql,
+    "q49_reachability" -> q49_sql)
 }

@@ -55,4 +55,71 @@ class Round6OpsSpec extends SparkSpec {
     assert(chunks.length == 256)
     assert(chunks.forall(_._2 == 8L))
   }
+
+  test("reachability: cycles, redirects, entry-wins on a hand-built DAG") {
+    import graft.graph.Reachability
+    // 2 ⇄ 3 is a CYCLE (real Wikidata subclass data has them);
+    // 4 → 2; 5 has NO entry and redirects to 4 (borrows 4's edges);
+    // 6 is isolated; 7 HAS its own entry (7 → 6) AND a redirect to 4
+    // — per the reference's try/except order the entry must win, so 7
+    // only reaches 6
+    val subclass = Seq((2L, 1L), (3L, 2L), (2L, 3L), (4L, 2L), (7L, 6L))
+      .toDF("child", "parent")
+    val sameAs = Seq((5L, 4L), (7L, 4L)).toDF("from", "to")
+    val eff = Reachability.effectiveEdges(subclass, sameAs)
+      .as[(Long, Long)].collect().toSet
+    assert(eff.contains((5L, 2L)))   // borrowed through the redirect
+    assert(!eff.contains((7L, 2L)))  // entry wins over redirect
+    val targets = Seq(1L).toDF("node")
+    val reach = Reachability.reachingSet(eff.toSeq.toDF("child", "parent"),
+      targets).as[Long].collect().toSet
+    assert(reach == Set(1L, 2L, 3L, 4L, 5L))
+    // member A's second type reaches; B types onto the isolated node
+    val memberTypes = Seq(("a", 6L), ("a", 4L), ("b", 6L))
+      .toDF("member", "tid")
+    val valid = Reachability.validMembers(
+      memberTypes, reach.toSeq.toDF("node")).as[String].collect().toSet
+    assert(valid == Set("a"))
+  }
+
+  test("q49: validity matches a driver-side DFS re-implementation") {
+    val rows = Queries.q49_reachability(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // both outcomes occur — the check is non-vacuous
+    assert(rows.exists(_._3 == 1L) && rows.exists(_._3 == 0L))
+    assert(rows.exists(r => r._2 == 1L && r._3 == 1L))
+    // independent oracle: literal DFS over the same synthetic
+    // hierarchy, reference-style (per-source stack walk)
+    val typedT = (0L until 64L).filter(_ % 11 != 7).toSet
+    val eBase = ((2L until 64L).filter(typedT).map(i => i -> i / 2) ++
+      (3L until 64L).filter(i => i % 7 == 0 && typedT(i))
+        .map(i => i -> i / 3)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def parents(n: Long): Set[Long] =
+      if (typedT(n)) eBase.getOrElse(n, Set.empty)
+      else eBase.getOrElse(n - 1, Set.empty)
+    def dfs(src: Long, targets: Set[Long]): Boolean = {
+      var visited = Set(src); var stack = List(src)
+      while (stack.nonEmpty) {
+        val cur = stack.head; stack = stack.tail
+        if (targets(cur)) return true
+        for (p <- parents(cur) if !visited(p)) {
+          visited += p; stack = p :: stack
+        }
+      }
+      false
+    }
+    val maxKey = rows.map(_._1).max
+    rows.foreach { case (m, viaRedirect, isValid) =>
+      assert(viaRedirect == (if (m % 13 == 5) 1L else 0L))
+      val seedKey = if (m % 13 == 5) m + 1 else m
+      val expected =
+        if (m % 13 == 5 && seedKey > maxKey) false
+        else Set(seedKey % 64, (seedKey * 7 + 3) % 64)
+          .exists(dfs(_, Set(3L, 10L)))
+      assert(isValid == (if (expected) 1L else 0L),
+        s"member $m: got $isValid, dfs says $expected")
+    }
+  }
 }
