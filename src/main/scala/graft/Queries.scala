@@ -306,6 +306,21 @@ object Queries {
   val q16_sql: String =
     "SELECT c_custkey, md5(lower(trim(c_name))) AS name_hash FROM customer"
 
+  /** The REAL ENS id (q16's md5 was a stand-in): ERC-137 namehash —
+    * recursive keccak-256 label fold — of the curated name under
+    * .eth, via the codegen'd [[org.apache.spark.sql.graft
+    * .NamehashExpr]]. Byte-for-byte the ids the reference exports
+    * (create_merged.py:807-826). No SQL engine mirrors keccak, so
+    * this entry is rows-only; correctness is spec-pinned to the
+    * published ERC-137 / Keccak test vectors (the q24 precedent). */
+  val q16b_namehash: QFn = (s, d) => {
+    val label = graft.text.Normalize.curatedName(col("c_name"))
+    t(s, d, "customer")
+      .select(col("c_custkey"), label.as("label"),
+        graft.text.Normalize.namehash(concat(label, lit(".eth")))
+          .as("node"))
+  }
+
   val q17_related_overlap: QFn = (s, d) =>
     Relational.topK(
       Relational.relatedByOverlap(
@@ -3514,7 +3529,8 @@ object Queries {
     "g03_local_cc" -> g03_local_cc,
     "g04_ppr" -> g04_ppr,
     "g05_kcore" -> g05_kcore,
-    "q49_reachability" -> q49_reachability)
+    "q49_reachability" -> q49_reachability,
+    "q16b_namehash" -> q16b_namehash)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,

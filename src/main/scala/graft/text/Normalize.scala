@@ -28,4 +28,16 @@ object Normalize {
     * removed — what the reference hashes into a namehash. */
   def curatedName(c: Column, suffix: String = ".eth"): Column =
     stripSuffix(canonicalLabel(c), suffix)
+
+  /** keccak256 of the UTF-8 text, lowercase hex (label_to_hash,
+    * create_merged.py:807 — Ethereum's pre-FIPS Keccak, not SHA3). */
+  def keccak256(c: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.Keccak256Hex(ColumnBridge.expression(c)))
+
+  /** ERC-137 namehash of a dot-separated name, 0x-prefixed hex
+    * (normal_name_to_hash, create_merged.py:814-826). */
+  def namehash(c: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graft.NamehashExpr(ColumnBridge.expression(c)))
 }

@@ -48,5 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"word_shingles(text, n): n must be an integer literal, got $other")
         })))
+    ext.injectFunction((
+      new FunctionIdentifier("keccak256"),
+      new ExpressionInfo(classOf[Keccak256Hex].getName, "keccak256"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Keccak256Hex(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("namehash"),
+      new ExpressionInfo(classOf[NamehashExpr].getName, "namehash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NamehashExpr(children.head)))
   }
 }

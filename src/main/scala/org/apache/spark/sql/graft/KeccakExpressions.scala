@@ -1,0 +1,218 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes,
+  Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Keccak-256 — the ORIGINAL Keccak submission padding (0x01 … 0x80),
+  * not FIPS-202 SHA3's 0x06 — over Keccak-f[1600] with rate 1088 /
+  * capacity 512, which is the hash every Ethereum/ENS identifier
+  * uses. Implemented from the public Keccak specification; the specs
+  * pin the published test vectors (keccak256("") =
+  * c5d2…a470, the ERC-137 namehash vectors).
+  *
+  * Reference analog: create_merged.py:807-826 — `label_to_hash` is
+  * `keccak(text=label)`, `normal_name_to_hash` folds the dot-separated
+  * labels right-to-left as `node = keccak(node ++ keccak(label))`
+  * from a 32-zero-byte root (ERC-137). With this expression the ids
+  * this engine emits match the reference's ENS namehashes byte for
+  * byte — the md5 stand-in (q16) could never.
+  *
+  * No SQL engine mirrors keccak, so namehash queries verify via
+  * spec-pinned public vectors (rows-only oracle), the q24 precedent.
+  */
+object KeccakUtil {
+
+  private val RC: Array[Long] = Array(
+    0x0000000000000001L, 0x0000000000008082L, 0x800000000000808AL,
+    0x8000000080008000L, 0x000000000000808BL, 0x0000000080000001L,
+    0x8000000080008081L, 0x8000000000008009L, 0x000000000000008AL,
+    0x0000000000000088L, 0x0000000080008009L, 0x000000008000000AL,
+    0x000000008000808BL, 0x800000000000008BL, 0x8000000000008089L,
+    0x8000000000008003L, 0x8000000000008002L, 0x8000000000000080L,
+    0x000000000000800AL, 0x800000008000000AL, 0x8000000080008081L,
+    0x8000000000008080L, 0x0000000080000001L, 0x8000000080008008L)
+
+  // rotation offsets r[x][y], laid out as index = x + 5y
+  private val ROT: Array[Int] = Array(
+    0, 1, 62, 28, 27,
+    36, 44, 6, 55, 20,
+    3, 10, 43, 25, 39,
+    41, 45, 15, 21, 8,
+    18, 2, 61, 56, 14)
+
+  private def keccakF(a: Array[Long]): Unit = {
+    val c = new Array[Long](5)
+    val b = new Array[Long](25)
+    var round = 0
+    while (round < 24) {
+      // theta
+      var x = 0
+      while (x < 5) {
+        c(x) = a(x) ^ a(x + 5) ^ a(x + 10) ^ a(x + 15) ^ a(x + 20)
+        x += 1
+      }
+      x = 0
+      while (x < 5) {
+        val d = c((x + 4) % 5) ^
+          java.lang.Long.rotateLeft(c((x + 1) % 5), 1)
+        var y = 0
+        while (y < 25) { a(x + y) ^= d; y += 5 }
+        x += 1
+      }
+      // rho + pi: B[y, 2x+3y] = rotl(A[x, y], r[x, y])
+      x = 0
+      while (x < 5) {
+        var y = 0
+        while (y < 5) {
+          b(y + 5 * ((2 * x + 3 * y) % 5)) =
+            java.lang.Long.rotateLeft(a(x + 5 * y), ROT(x + 5 * y))
+          y += 1
+        }
+        x += 1
+      }
+      // chi
+      x = 0
+      while (x < 5) {
+        var y = 0
+        while (y < 5) {
+          a(x + 5 * y) = b(x + 5 * y) ^
+            (~b((x + 1) % 5 + 5 * y) & b((x + 2) % 5 + 5 * y))
+          y += 1
+        }
+        x += 1
+      }
+      // iota
+      a(0) ^= RC(round)
+      round += 1
+    }
+  }
+
+  private def absorbBlock(a: Array[Long], block: Array[Byte],
+                          off: Int): Unit = {
+    // little-endian byte-to-lane mapping, 17 lanes = the 1088-bit rate
+    var i = 0
+    while (i < 17) {
+      var lane = 0L
+      var j = 7
+      while (j >= 0) {
+        lane = (lane << 8) | (block(off + i * 8 + j) & 0xFFL)
+        j -= 1
+      }
+      a(i) ^= lane
+      i += 1
+    }
+  }
+
+  def keccak256(input: Array[Byte]): Array[Byte] = {
+    val rate = 136
+    val a = new Array[Long](25)
+    var off = 0
+    while (input.length - off >= rate) {
+      absorbBlock(a, input, off)
+      keccakF(a)
+      off += rate
+    }
+    val last = new Array[Byte](rate)
+    System.arraycopy(input, off, last, 0, input.length - off)
+    last(input.length - off) = 0x01
+    last(rate - 1) = (last(rate - 1) | 0x80).toByte
+    absorbBlock(a, last, 0)
+    keccakF(a)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 8) {
+        out(i * 8 + j) = (a(i) >>> (8 * j)).toByte
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte], prefix: Boolean): UTF8String = {
+    val sb = new java.lang.StringBuilder(2 + bytes.length * 2)
+    if (prefix) sb.append("0x")
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(HEX((bytes(i) >> 4) & 0xF)).append(HEX(bytes(i) & 0xF))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def keccak256Hex(s: UTF8String): UTF8String =
+    toHex(keccak256(s.getBytes), prefix = false)
+
+  /** ERC-137 namehash: namehash('') = 32 zero bytes; otherwise fold
+    * the dot-separated labels right-to-left as
+    * `node := keccak256(node ++ keccak256(label))`. Emitted
+    * 0x-prefixed like the reference's `node.hex()`. Empty labels
+    * ('a..b', trailing dots) hash like Python's split — as
+    * keccak(''). */
+  def namehash(name: UTF8String): UTF8String = {
+    var node = new Array[Byte](32)
+    val s = name.toString
+    if (s.nonEmpty) {
+      val labels = s.split("\\.", -1)
+      var i = labels.length - 1
+      while (i >= 0) {
+        val lh = keccak256(
+          labels(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val buf = new Array[Byte](64)
+        System.arraycopy(node, 0, buf, 0, 32)
+        System.arraycopy(lh, 0, buf, 32, 32)
+        node = keccak256(buf)
+        i -= 1
+      }
+    }
+    toHex(node, prefix = true)
+  }
+}
+
+/** `keccak256(text)` → lowercase hex (no prefix), codegen'd. */
+case class Keccak256Hex(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "keccak256"
+
+  override def nullSafeEval(input: Any): Any =
+    KeccakUtil.keccak256Hex(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+    : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.KeccakUtil.keccak256Hex($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+    : Expression = copy(child = newChild)
+}
+
+/** `namehash(name)` → 0x-prefixed ERC-137 node hash, codegen'd. */
+case class NamehashExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "namehash"
+
+  override def nullSafeEval(input: Any): Any =
+    KeccakUtil.namehash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+    : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.KeccakUtil.namehash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+    : Expression = copy(child = newChild)
+}
