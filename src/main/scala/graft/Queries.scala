@@ -3426,6 +3426,105 @@ object Queries {
       .stripMargin.replace("ROUNDS,", rounds + ",")
   }
 
+  /** Spearman rank correlation between two member orderings — the
+    * reference compares sortings with scipy.stats.spearmanr
+    * (research/sort_members/sort.py:16-21). Both orderings are made
+    * TOTAL (value + unique tiebreak → row_number), so ranks are exact
+    * integer permutations and ρ = 1 − 6Σd²/(n(n²−1)) computes
+    * ENTIRELY in integer space — emitted as sign-aware HALF_UP ppm
+    * (a float ρ is rational here and can tie at any rounding digit;
+    * the integer form can't). The two windows share one p_brand
+    * Exchange; n is bounded by the compared-list length (the ppm
+    * scaling overflows past n ≈ 16k — list evals, not corpora). */
+  val q50_spearman: QFn = (s, d) =>
+    RankingMetrics.spearmanPpm(t(s, d, "part"), "p_brand",
+      orderA = Seq(col("p_retailprice").asc, col("p_partkey").asc),
+      orderB = Seq(col("p_size").asc, col("p_partkey").asc))
+
+  val q50_sql: String =
+    """WITH r AS (SELECT p_brand,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice, p_partkey) AS ra,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_size, p_partkey) AS rb
+      |  FROM part),
+      |a AS (SELECT p_brand, count(*) AS n,
+      |    CAST(sum((ra-rb)*(ra-rb)) AS BIGINT) AS sd2
+      |  FROM r GROUP BY p_brand HAVING count(*) >= 2)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN n*(n*n-1) - 6*sd2 >= 0
+      |    THEN (2*1000000*(n*(n*n-1) - 6*sd2) + n*(n*n-1))
+      |      // (2*n*(n*n-1))
+      |    ELSE -((2*1000000*(6*sd2 - n*(n*n-1)) + n*(n*n-1))
+      |      // (2*n*(n*n-1))) END AS BIGINT) AS spearman_ppm
+      |FROM a""".stripMargin
+
+  /** The reference eval suite's full metric row — graded NDCG@5,
+    * binary NDCG@5 and Recall@5 per customer, with
+    * evaluate_endpoints.py's exact quirks (ideal-side max(score,
+    * default) clamp, short-group default padding, strict-> recall
+    * over a fixed k denominator). Relevance grades order priority
+    * onto the reference's 0-5 annotation scale. See
+    * [[RankingMetrics.evalAtK]]. */
+  val q51_rank_eval: QFn = (s, d) => {
+    val rel = when(col("o_orderpriority") === "1-URGENT", 5.0)
+      .when(col("o_orderpriority") === "2-HIGH", 4.0)
+      .when(col("o_orderpriority") === "3-MEDIUM", 2.0)
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", 1.0)
+      .otherwise(0.0)
+    RankingMetrics.evalAtK(
+      t(s, d, "orders"), "o_custkey", rel,
+      predictedOrder = Seq(col("o_totalprice").desc,
+        col("o_orderkey").asc),
+      tiebreak = Seq(col("o_orderkey").asc), k = 5)
+  }
+
+  val q51_sql: String = {
+    val ws = RankingMetrics.discountWeights(5)
+    val cum = RankingMetrics.cumWeights(5)
+    def wCase(rn: String): String =
+      (1 to 5).map(i => s"WHEN $rn = $i THEN ${ws(i - 1)}")
+        .mkString("CASE ", " ", " ELSE 0.0 END")
+    // default-score padding for groups shorter than k:
+    // 2·(W(5) − W(n)), exact decimal literals
+    val pad = (1 to 4).map(n =>
+      s"WHEN n = $n THEN ${(BigDecimal(2) *
+        (BigDecimal(cum(5)) - BigDecimal(cum(n)))).toDouble}")
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+       |    CASE o_orderpriority WHEN '1-URGENT' THEN 5.0
+       |      WHEN '2-HIGH' THEN 4.0 WHEN '3-MEDIUM' THEN 2.0
+       |      WHEN '4-NOT SPECIFIED' THEN 1.0 ELSE 0.0 END AS rel
+       |  FROM orders),
+       |r AS (SELECT o_custkey, rel,
+       |    CASE WHEN rel >= 4.0 THEN 1.0 ELSE 0.0 END AS bin,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS rn_pred,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY rel DESC, o_orderkey) AS rn_ideal
+       |  FROM o),
+       |w AS (SELECT o_custkey, rel, bin, rn_pred,
+       |    ${wCase("rn_pred")} AS w_pred,
+       |    ${wCase("rn_ideal")} AS w_ideal
+       |  FROM r),
+       |a AS (SELECT o_custkey, count(*) AS n,
+       |    round(sum(rel * w_pred), 6) AS dcg,
+       |    round(sum(greatest(rel, 2.0) * w_ideal), 6) AS idcg_real,
+       |    round(sum(bin * w_pred), 6) AS bdcg,
+       |    round(sum(bin * w_ideal), 6) AS bidcg,
+       |    CAST(sum(CASE WHEN rn_pred <= 5 AND rel > 4.0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM w GROUP BY o_custkey),
+       |b AS (SELECT *, round(idcg_real + ($pad), 6) AS idcg FROM a)
+       |SELECT o_custkey, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 4)
+       |    ELSE 0.0 END AS ndcg,
+       |  CASE WHEN bidcg > 0 THEN round(bdcg / bidcg, 4)
+       |    ELSE 0.0 END AS binary_ndcg,
+       |  round(CAST(hits AS DOUBLE) / 5, 4) AS recall_at_k
+       |FROM b""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3530,7 +3629,9 @@ object Queries {
     "g04_ppr" -> g04_ppr,
     "g05_kcore" -> g05_kcore,
     "q49_reachability" -> q49_reachability,
-    "q16b_namehash" -> q16b_namehash)
+    "q16b_namehash" -> q16b_namehash,
+    "q50_spearman" -> q50_spearman,
+    "q51_rank_eval" -> q51_rank_eval)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -3629,5 +3730,7 @@ object Queries {
     "g03_local_cc" -> g03_sql,
     "g04_ppr" -> g04_sql,
     "g05_kcore" -> g05_sql,
-    "q49_reachability" -> q49_sql)
+    "q49_reachability" -> q49_sql,
+    "q50_spearman" -> q50_sql,
+    "q51_rank_eval" -> q51_sql)
 }

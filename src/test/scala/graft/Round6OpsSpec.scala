@@ -113,6 +113,64 @@ class Round6OpsSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.length == rows.length)
   }
 
+  test("spearman ppm: identity, reversal, and a hand-computed permutation") {
+    import graft.ranking.RankingMetrics
+    def rho(items: Seq[(Long, Long, Long)]): Long =
+      RankingMetrics.spearmanPpm(
+        items.toDF("g", "a", "b").withColumn("grp", lit(1)),
+        "grp", Seq(col("a").asc, col("g").asc),
+        Seq(col("b").asc, col("g").asc))
+        .select("spearman_ppm").as[Long].head()
+    val ids = (1L to 5L)
+    assert(rho(ids.map(i => (i, i, i))) == 1000000L)
+    assert(rho(ids.map(i => (i, i, 6 - i))) == -1000000L)
+    // ranks a = [1,2,3,4,5] vs b = [3,1,2,5,4]: sum(d^2) = 8,
+    // rho = 1 - 48/120 = 0.6 exactly
+    val perm = Seq((1L, 1L, 3L), (2L, 2L, 1L), (3L, 3L, 2L),
+      (4L, 4L, 5L), (5L, 5L, 4L))
+    assert(rho(perm) == 600000L)
+    // negative, non-extreme: swap to get rho < 0
+    val neg = Seq((1L, 1L, 5L), (2L, 2L, 4L), (3L, 3L, 3L),
+      (4L, 4L, 1L), (5L, 5L, 2L))
+    // d^2: (1-5)^2+(2-4)^2+0+(4-1)^2+(5-2)^2 = 16+4+0+9+9 = 38
+    // rho = 1 - 228/120 = -0.9 exactly
+    assert(rho(neg) == -900000L)
+  }
+
+  test("rank eval @5: hand-computed graded/binary NDCG and recall") {
+    import graft.ranking.RankingMetrics
+    // group 1 (6 rows, predicted = price desc): rel [5,0,4,2,1,1]
+    // group 2 (2 rows, short — exercises the default-score padding):
+    // rel [5,4]
+    val rows = Seq(
+      (1L, 1L, 600.0, 5.0), (1L, 2L, 500.0, 0.0), (1L, 3L, 400.0, 4.0),
+      (1L, 4L, 300.0, 2.0), (1L, 5L, 200.0, 1.0), (1L, 6L, 100.0, 1.0),
+      (2L, 7L, 600.0, 5.0), (2L, 8L, 500.0, 4.0))
+      .toDF("cust", "ord", "price", "rel")
+    val got = RankingMetrics.evalAtK(rows, "cust", col("rel"),
+      predictedOrder = Seq(col("price").desc, col("ord").asc),
+      tiebreak = Seq(col("ord").asc), k = 5)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // weights [1.0, .63093, .5, .43068, .38685], W5 = 2.94846
+    // g1: dcg = 5 + 0 + 2 + .86136 + .38685 = 8.24821
+    //     idcg (ideal [5,4,2,1,1] clamped to >= 2 -> [5,4,2,2,2])
+    //          = 5 + 2.52372 + 1 + .86136 + .7737 = 10.15878
+    //     binary pred [1,0,1,0,0] -> 1.5; ideal [1,1,0,0,0] -> 1.63093
+    val (_, n1, ndcg1, bndcg1, rec1) = got(1L)
+    assert(n1 == 6L)
+    assert(ndcg1 == math.rint(8.24821 / 10.15878 * 1e4) / 1e4)
+    assert(bndcg1 == math.rint(1.5 / 1.63093 * 1e4) / 1e4)
+    assert(rec1 == 0.2) // only rel=5 is STRICTLY > 4
+    // g2: dcg = idcg_real = 5 + 4*.63093 = 7.52372;
+    //     pad = 2*(W5 - W2) = 2*1.31753 = 2.63506 -> idcg = 10.15878
+    val (_, n2, ndcg2, bndcg2, rec2) = got(2L)
+    assert(n2 == 2L)
+    assert(ndcg2 == math.rint(7.52372 / 10.15878 * 1e4) / 1e4)
+    assert(bndcg2 == 1.0)
+    assert(rec2 == 0.2)
+  }
+
   test("reachability: cycles, redirects, entry-wins on a hand-built DAG") {
     import graft.graph.Reachability
     // 2 ⇄ 3 is a CYCLE (real Wikidata subclass data has them);
