@@ -1456,6 +1456,16 @@ object Queries {
     * (row, cell) keys straight off the token stream and never build
     * the vocab. Hash = md5(row ":" token) → first 8 hex digits mod
     * width, mirrored digit-for-digit by the oracle. */
+  /** Count-Min cell index shared by t11 and t12: md5(row ":" token)
+    * first 8 hex digits mod width, mirrored digit-for-digit by the
+    * oracles. */
+  private def cmCell(r: Column, tok: Column): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
+      1, 8), 16, 10).cast("long") % 16
+
+  private def cmRows: Column =
+    explode(array((0 until 4).map(lit(_)): _*))
+
   val t11_countmin: QFn = (s, d) => {
     val exact = t(s, d, "documents")
       .select(explode(TextFunctions.tokens(lower(col("text"))))
@@ -1464,10 +1474,8 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cells + top-k both branch off exact within one job — materialize
     exact.count()
-    val rows = explode(array((0 until 4).map(lit(_)): _*)).as("r")
-    def cellOf(r: Column, tok: Column): Column =
-      conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
-        1, 8), 16, 10).cast("long") % 16
+    val rows = cmRows.as("r")
+    def cellOf(r: Column, tok: Column): Column = cmCell(r, tok)
     val cells = exact.select(col("tok"), col("n_exact"), rows)
       .withColumn("cell", cellOf(col("r"), col("tok")))
       .groupBy("r", "cell").agg(sum("n_exact").as("cnt"))
@@ -1501,6 +1509,33 @@ object Queries {
       |  CAST(min(cnt) AS BIGINT) AS n_cm
       |FROM probes JOIN cells USING (r, cell)
       |GROUP BY tok, n_exact""".stripMargin
+
+  /** The PURE-sketch Count-Min pipeline — the form a 100 TB job
+    * actually runs: (row, cell) keys aggregate STRAIGHT off the token
+    * stream, no exact-vocab table ever materializes. The cells are
+    * order-independent sums, so partial aggregation collapses the
+    * sketch map-side and the shuffle carries ≤ 4×16 = 64 cells per
+    * partition regardless of corpus size (t11 derives the same cells
+    * from its audit vocab — a spec pins both cell sets identical;
+    * the oracle here also counts the raw stream). */
+  val t12_countmin_pure: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text"))))
+        .as("tok"))
+      .select(col("tok"), cmRows.as("r"))
+      .withColumn("cell", cmCell(col("r"), col("tok")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+
+  val t12_sql: String =
+    """WITH tk AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> len(x) > 0)) AS tok FROM documents),
+      |r AS (SELECT unnest([0, 1, 2, 3]) AS r)
+      |SELECT r,
+      |  ('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8))::BIGINT
+      |    % 16 AS cell,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM tk CROSS JOIN r GROUP BY 1, 2""".stripMargin
 
   /** SUBSTRING-level dedup — duplicated 64-char spans ACROSS documents
     * (the fixed-stride approximation of suffix-array training-data
@@ -3631,7 +3666,8 @@ object Queries {
     "q49_reachability" -> q49_reachability,
     "q16b_namehash" -> q16b_namehash,
     "q50_spearman" -> q50_spearman,
-    "q51_rank_eval" -> q51_rank_eval)
+    "q51_rank_eval" -> q51_rank_eval,
+    "t12_countmin_pure" -> t12_countmin_pure)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -3732,5 +3768,6 @@ object Queries {
     "g05_kcore" -> g05_sql,
     "q49_reachability" -> q49_sql,
     "q50_spearman" -> q50_sql,
-    "q51_rank_eval" -> q51_sql)
+    "q51_rank_eval" -> q51_sql,
+    "t12_countmin_pure" -> t12_sql)
 }

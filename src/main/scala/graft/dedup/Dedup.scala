@@ -400,6 +400,21 @@ object Dedup {
     * then the caller aggregates chunk keys — 8-byte shuffle rows. */
   def cdcChunks(docs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.{CdcChunksExpr, ColumnBridge}
+    docs.filter(length(col(textCol)) >= 8)
+      .select(col(idCol).as("id"),
+        explode(ColumnBridge.column(CdcChunksExpr(
+          ColumnBridge.expression(col(textCol))))).as("ch"))
+      .select(col("id"), col("ch.clen").as("clen"),
+        col("ch.ckey").as("ckey"))
+  }
+
+  /** The declarative (explode + filter + lead-window) form of
+    * [[cdcChunks]] — kept as the cross-engine reference shape the
+    * fused expression is spec-pinned against; the oracle SQL mirrors
+    * THIS pipeline step for step. */
+  private[graft] def cdcChunksDeclarative(docs: DataFrame, idCol: String,
+                                          textCol: String): DataFrame = {
     val base = docs.filter(length(col(textCol)) >= 8)
       .select(col(idCol).as("id"), col(textCol).as("text"))
     val bpos = base

@@ -171,6 +171,71 @@ class Round6OpsSpec extends SparkSpec {
     assert(rec2 == 0.2)
   }
 
+  test("t12 pure-sketch cells == t11's vocab-derived cells; map-side collapse") {
+    val dir = sf("sf0.001")
+    val pure = Queries.t12_countmin_pure(spark, dir)
+    val pureRows = pure.as[(Int, Long, Long)].collect().toSet
+    // re-derive the cells the t11 way: exact vocab, then sum counts
+    // into cells — associativity says they must be identical
+    val exact = Queries.t11_countmin(spark, dir) // warms nothing; just
+    // t11 outputs top-k, so rebuild the derived cells directly:
+    import graft.text.TextFunctions
+    val derived = graft.sources.Tables(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .select(col("tok"), col("n"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("r"))
+      .withColumn("cell",
+        conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("tok"))), 1, 8), 16, 10).cast("long") % 16)
+      .groupBy("r", "cell").agg(sum("n").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(pureRows == derived)
+    assert(pureRows.size <= 64)
+    // the sketch collapses map-side: the aggregate is partial+final
+    val plan = pure.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") ||
+      plan.contains("Partial") || plan.contains("partial"),
+      s"expected a partial aggregate in:\n$plan")
+    // consistency with the audit query: every t11 estimate is the min
+    // over cells that exist in the pure sketch
+    val cellMap = pureRows.map { case (r, c, n) => (r.toLong, c) -> n }
+      .toMap
+    exact.as[(String, Long, Long)].collect().foreach {
+      case (tok, _, nCm) =>
+        val est = (0L until 4L).map { r =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$r:$tok".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          cellMap((r, java.lang.Long.parseLong(h, 16) % 16))
+        }.min
+        assert(est == nCm, s"token $tok")
+    }
+  }
+
+  test("d11 fused CDC expression == declarative pipeline, row for row") {
+    import graft.dedup.Dedup
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val fused = Dedup.cdcChunks(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val decl = Dedup.cdcChunksDeclarative(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(fused.nonEmpty && fused == decl)
+    // multi-byte text: code-point window semantics must agree too
+    val uni = Seq(
+      (1L, "café au lait café au lait café brioche et confiture"),
+      (2L, "日本語のテキストです" * 4),
+      (3L, "exactly8"), (4L, "short"))
+      .toDF("doc_id", "text")
+    val f2 = Dedup.cdcChunks(uni, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val d2 = Dedup.cdcChunksDeclarative(uni, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(f2 == d2)
+    assert(!f2.exists(_._1 == 4L)) // len < 8 emits nothing
+  }
+
   test("reachability: cycles, redirects, entry-wins on a hand-built DAG") {
     import graft.graph.Reachability
     // 2 ⇄ 3 is a CYCLE (real Wikidata subclass data has them);
