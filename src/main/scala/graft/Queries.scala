@@ -3560,6 +3560,106 @@ object Queries {
        |FROM b""".stripMargin
   }
 
+  /** Collection-level member statistics — the reference's PUBLIC
+    * scoring surface (create_merged.py:966-977: members_rank_mean /
+    * _median, members_system_interesting_score_mean / _median, the
+    * MIN_VALUE = 1e-8 positivity clamps, nonavailable_members_ratio;
+    * :871's max(rank, 1) rank_feature clamp). The per-label
+    * interesting score itself comes from an external model library —
+    * what IS public, and what this mirrors exactly, is how member
+    * scores aggregate into collection features.
+    *
+    * Hash-exact re-expression of np.mean / np.median: means as
+    * HALF_UP micro-units (integer space), medians as rank-picked
+    * value SUMS — the lower+upper middle values picked by row_number
+    * (even n interpolates to a half, so lo+hi IS the exact median
+    * in half-units; odd n picks the same row twice). Positivity
+    * clamps become `greatest(x, 1)` in the emitted integer unit —
+    * the smallest representable positive value, preserving
+    * MIN_VALUE's rank-feature-must-be-positive intent. One window +
+    * one aggregate sharing the custkey Exchange. */
+  val q52_collection_stats: QFn = (s, d) => {
+    val grade = when(col("o_orderpriority") === "1-URGENT", 5L)
+      .when(col("o_orderpriority") === "2-HIGH", 4L)
+      .when(col("o_orderpriority") === "3-MEDIUM", 2L)
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", 1L)
+      .otherwise(0L)
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+      grade.as("score"),
+      (col("o_orderstatus") =!= "O").cast("long").as("nonavail"))
+    val wR = Window.partitionBy("o_custkey").orderBy("cents")
+    val wS = Window.partitionBy("o_custkey").orderBy("score")
+    val ranked = o
+      .withColumn("rr", row_number().over(wR).cast("long"))
+      .withColumn("rs", row_number().over(wS).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("o_custkey")))
+    def pick2(v: String, rn: String): Column =
+      sum(when(col(rn) === expr("(n + 1) DIV 2"), col(v)).otherwise(0L)) +
+        sum(when(col(rn) === expr("n DIV 2 + 1"), col(v)).otherwise(0L))
+    ranked.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_members"),
+        sum("cents").as("sc"), sum("score").as("ss"),
+        sum("nonavail").as("sn"),
+        pick2("cents", "rr").as("rank_median_half"),
+        pick2("score", "rs").as("score_median_half"),
+        max("cents").as("mx"))
+      .select(col("o_custkey"), col("n_members"),
+        // mean(dollars) in micro-units: 1e6·(sc/100)/n = 1e4·sc/n
+        greatest(expr("(2 * 10000 * sc + n_members) DIV (2 * n_members)"),
+          lit(1L)).as("rank_mean_micro"),
+        greatest(col("rank_median_half"), lit(1L))
+          .as("rank_median_half"),
+        greatest(expr("(2 * 1000000 * ss + n_members) DIV (2 * n_members)"),
+          lit(1L)).as("score_mean_micro"),
+        greatest(col("score_median_half"), lit(1L))
+          .as("score_median_half"),
+        greatest(expr("(2 * 1000000 * sn + n_members) DIV (2 * n_members)"),
+          lit(1L)).as("nonavail_ppm"),
+        greatest(col("mx"), lit(1L)).as("collection_rank"))
+  }
+
+  val q52_sql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 5
+      |      WHEN '2-HIGH' THEN 4 WHEN '3-MEDIUM' THEN 2
+      |      WHEN '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS BIGINT) AS score,
+      |    CAST(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END
+      |      AS BIGINT) AS nonavail
+      |  FROM orders),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY cents)
+      |      AS rr,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY score)
+      |      AS rs,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n
+      |  FROM o),
+      |a AS (SELECT o_custkey, count(*) AS n_members,
+      |    CAST(sum(cents) AS BIGINT) AS sc,
+      |    CAST(sum(score) AS BIGINT) AS ss,
+      |    CAST(sum(nonavail) AS BIGINT) AS sn,
+      |    CAST(sum(CASE WHEN rr = (n + 1) // 2 THEN cents ELSE 0 END)
+      |      + sum(CASE WHEN rr = n // 2 + 1 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS rank_median_half,
+      |    CAST(sum(CASE WHEN rs = (n + 1) // 2 THEN score ELSE 0 END)
+      |      + sum(CASE WHEN rs = n // 2 + 1 THEN score ELSE 0 END)
+      |      AS BIGINT) AS score_median_half,
+      |    max(cents) AS mx
+      |  FROM r GROUP BY o_custkey)
+      |SELECT o_custkey, CAST(n_members AS BIGINT) AS n_members,
+      |  greatest((2 * 10000 * sc + n_members) // (2 * n_members), 1)
+      |    AS rank_mean_micro,
+      |  greatest(rank_median_half, 1) AS rank_median_half,
+      |  greatest((2 * 1000000 * ss + n_members) // (2 * n_members), 1)
+      |    AS score_mean_micro,
+      |  greatest(score_median_half, 1) AS score_median_half,
+      |  greatest((2 * 1000000 * sn + n_members) // (2 * n_members), 1)
+      |    AS nonavail_ppm,
+      |  greatest(mx, 1) AS collection_rank
+      |FROM a""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3667,7 +3767,8 @@ object Queries {
     "q16b_namehash" -> q16b_namehash,
     "q50_spearman" -> q50_spearman,
     "q51_rank_eval" -> q51_rank_eval,
-    "t12_countmin_pure" -> t12_countmin_pure)
+    "t12_countmin_pure" -> t12_countmin_pure,
+    "q52_collection_stats" -> q52_collection_stats)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -3769,5 +3870,6 @@ object Queries {
     "q49_reachability" -> q49_sql,
     "q50_spearman" -> q50_sql,
     "q51_rank_eval" -> q51_sql,
-    "t12_countmin_pure" -> t12_sql)
+    "t12_countmin_pure" -> t12_sql,
+    "q52_collection_stats" -> q52_sql)
 }

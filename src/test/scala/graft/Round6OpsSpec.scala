@@ -236,6 +236,38 @@ class Round6OpsSpec extends SparkSpec {
     assert(!f2.exists(_._1 == 4L)) // len < 8 emits nothing
   }
 
+  test("q52 collection stats match a driver-side recomputation") {
+    val got = Queries.q52_collection_stats(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val raw = graft.sources.Tables(spark, sf("sf0.001"), "orders")
+      .select(col("o_custkey").cast("long"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .as[(Long, Long, String, String)].collect()
+    assert(raw.nonEmpty && got.nonEmpty)
+    val grade = Map("1-URGENT" -> 5L, "2-HIGH" -> 4L, "3-MEDIUM" -> 2L,
+      "4-NOT SPECIFIED" -> 1L).withDefaultValue(0L)
+    raw.groupBy(_._1).foreach { case (cust, rows) =>
+      val cents = rows.map(_._2).sorted
+      val scores = rows.map(r => grade(r._3)).sorted
+      val n = rows.length
+      // exact median in half-units: lower + upper middle of the
+      // sorted values (odd n picks the same value twice)
+      def med2(v: Seq[Long]): Long = v((n - 1) / 2) + v(n / 2)
+      def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+      val sn = rows.count(_._4 != "O").toLong
+      val (_, nm, rmean, rmed, smean, smed, nav, crank) = got(cust)
+      assert(nm == n.toLong)
+      assert(rmean == math.max(halfUp(10000L * cents.sum, n), 1L))
+      assert(rmed == math.max(med2(cents), 1L))
+      assert(smean == math.max(halfUp(1000000L * scores.sum, n), 1L))
+      assert(smed == math.max(med2(scores), 1L))
+      assert(nav == math.max(halfUp(1000000L * sn, n), 1L))
+      assert(crank == math.max(cents.max, 1L))
+    }
+  }
+
   test("reachability: cycles, redirects, entry-wins on a hand-built DAG") {
     import graft.graph.Reachability
     // 2 ⇄ 3 is a CYCLE (real Wikidata subclass data has them);
