@@ -1,7 +1,8 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Type-hierarchy reachability validation — the reference's
@@ -61,12 +62,22 @@ object Reachability {
     *
     * @param edges   columns `child`, `parent`
     * @param targets column `node`
+    * @param driverFinishMaxEdges when the type graph is at most this
+    *   many edges, solve the closure EXACTLY in one task (collect +
+    *   DFS + parallelize the set back) — the Components/PageRank
+    *   broadcast-join economics: below ~2M edges, per-round job
+    *   scheduling costs more than walking an adjacency map on the
+    *   driver. Both paths are spec-pinned identical; set 0 to force
+    *   the distributed loop.
     */
   def reachingSet(edges: DataFrame, targets: DataFrame,
-                  maxRounds: Int = 20): DataFrame = {
-    val e = edges.select(col("child"), col("parent"))
+                  maxRounds: Int = 20,
+                  driverFinishMaxEdges: Long = 2000000L): DataFrame = {
+    val e0 = edges.select(col("child"), col("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nEdges = e0.count()
+    if (nEdges <= driverFinishMaxEdges) return driverFinish(e0, targets)
+    val e = e0
     var reach = targets.select(col("node")).distinct()
       .localCheckpoint(true)
     var size = reach.count()
@@ -89,6 +100,39 @@ object Reachability {
     if (!converged) throw new IllegalStateException(
       s"reachingSet: not converged after $maxRounds rounds")
     reach
+  }
+
+  /** Exact single-task closure for a bounded type graph: reverse
+    * adjacency map + stack DFS from the targets — the identical
+    * fixpoint, computed without per-round job scheduling. Ids keep
+    * their NATIVE type (the Components lesson: a silent cast nulls
+    * non-numeric ids). */
+  private def driverFinish(e: DataFrame, targets: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val idType = e.schema("child").dataType
+    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    e.unpersist(false)
+    val children =
+      scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    pairs.foreach { case (c, p) =>
+      children.getOrElseUpdate(p,
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += c
+    }
+    val seeds = targets.select(col("node")).distinct()
+      .collect().map(_.get(0))
+    val visited = scala.collection.mutable.HashSet[Any](seeds.toSeq: _*)
+    var stack = seeds.toList
+    while (stack.nonEmpty) {
+      val cur = stack.head
+      stack = stack.tail
+      children.getOrElse(cur, Nil).foreach { c =>
+        if (!visited(c)) { visited += c; stack = c :: stack }
+      }
+    }
+    val rows = visited.iterator.map(Row(_)).toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("node", idType))))
   }
 
   /** validate_members, distributed: keep the members whose

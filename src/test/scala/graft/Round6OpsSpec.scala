@@ -286,6 +286,16 @@ class Round6OpsSpec extends SparkSpec {
     val reach = Reachability.reachingSet(eff.toSeq.toDF("child", "parent"),
       targets).as[Long].collect().toSet
     assert(reach == Set(1L, 2L, 3L, 4L, 5L))
+    // the bounded driver finish and the distributed loop are the
+    // same fixpoint (the Components/PageRank pinning discipline)
+    val loop = Reachability.reachingSet(eff.toSeq.toDF("child", "parent"),
+      targets, driverFinishMaxEdges = 0L).as[Long].collect().toSet
+    assert(loop == reach)
+    // string-typed ids survive the driver path (no silent cast)
+    val sEdges = Seq(("Q2", "Q1"), ("Q3", "Q2")).toDF("child", "parent")
+    val sReach = Reachability.reachingSet(sEdges,
+      Seq("Q1").toDF("node")).as[String].collect().toSet
+    assert(sReach == Set("Q1", "Q2", "Q3"))
     // member A's second type reaches; B types onto the isolated node
     val memberTypes = Seq(("a", 6L), ("a", 4L), ("b", 6L))
       .toDF("member", "tid")
