@@ -1814,6 +1814,80 @@ object Queries {
        |  round(m0 + m1 + m2 + m3, 6) AS err FROM p""".stripMargin
   }
 
+  /** IVF-PQ search — s04's routing composed with s06's codes into
+    * the query path every billion-scale ANN index runs: probes route
+    * to nProbe lists, candidates score by ASYMMETRIC distance (probe
+    * subvectors vs codebook entries resolved through each
+    * candidate's 4 PQ codes) — the candidate's raw vector is never
+    * read at query time. Routing centroids = 16 lowest ids (0 Lloyd
+    * iterations — the SQL-mirrorable choice), codebooks = 8 lowest
+    * ids, both deterministic. See [[Similarity.ivfPqTopK]]. */
+  val s08_ivfpq: QFn = (s, d) => {
+    val e = embD(s, d)
+    val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .collect().map { r =>
+        (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)
+      }.toSeq
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), k = 10,
+      nLists = 16, nProbe = 4, nSub = 4, cents)
+  }
+
+  val s08_sql: String = {
+    val dists = (0 until 4).map { j =>
+      val lo = j * 16 + 1
+      val hi = (j + 1) * 16
+      s"""list_dot_product(e.v[$lo:$hi], e.v[$lo:$hi])
+         |    - 2 * list_dot_product(e.v[$lo:$hi], c.cv[$lo:$hi])
+         |    + list_dot_product(c.cv[$lo:$hi], c.cv[$lo:$hi]) AS d$j"""
+        .stripMargin
+    }.mkString(",\n  ")
+    val mins = (0 until 4).map(j => s"min(d$j) AS m$j").mkString(", ")
+    val picks = (0 until 4)
+      .map(j => s"min(CASE WHEN d.d$j = m.m$j THEN d.cid END) AS c$j")
+      .mkString(",\n    ")
+    val adcTerms = (0 until 4).map { j =>
+      val lo = j * 16 + 1
+      val hi = (j + 1) * 16
+      s"""list_dot_product(p.pv[$lo:$hi], p.pv[$lo:$hi])
+         |    - 2 * list_dot_product(p.pv[$lo:$hi], b$j.cv[$lo:$hi])
+         |    + list_dot_product(b$j.cv[$lo:$hi], b$j.cv[$lo:$hi])"""
+        .stripMargin
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |d AS (SELECT e.vec_id, c.cid,
+       |  $dists
+       |  FROM e CROSS JOIN cb AS c),
+       |m AS (SELECT vec_id, $mins FROM d GROUP BY vec_id),
+       |codes AS (SELECT d.vec_id,
+       |    $picks
+       |  FROM d JOIN m USING (vec_id) GROUP BY d.vec_id),
+       |r0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT 16),
+       |s1 AS (SELECT e.vec_id, e.v, r0.cent_id, $centCos AS cs
+       |  FROM e, r0),
+       |lists AS (SELECT vec_id AS cand_id, cent_id FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+       |    FROM s1) WHERE r = 1),
+       |probes AS (SELECT vec_id AS probe_id, v AS pv, cent_id FROM (
+       |    SELECT vec_id, v, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+       |    FROM s1 WHERE vec_id < 5) WHERE r <= 4),
+       |cand AS (SELECT l.cand_id, l.cent_id, k.c0, k.c1, k.c2, k.c3
+       |  FROM lists l JOIN codes k ON k.vec_id = l.cand_id),
+       |adc AS (SELECT p.probe_id, c.cand_id, round(
+       |    $adcTerms, 6) AS adc
+       |  FROM probes p JOIN cand c USING (cent_id)
+       |  JOIN cb b0 ON b0.cid = c.c0 JOIN cb b1 ON b1.cid = c.c1
+       |  JOIN cb b2 ON b2.cid = c.c2 JOIN cb b3 ON b3.cid = c.c3
+       |  WHERE p.probe_id <> c.cand_id)
+       |SELECT probe_id, cand_id, adc, rnk FROM (
+       |  SELECT probe_id, cand_id, adc, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY adc, cand_id) AS rnk
+       |  FROM adc) WHERE rnk <= 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Multimodal (binary columns)
   // ---------------------------------------------------------------
@@ -3772,7 +3846,8 @@ object Queries {
     "q50_spearman" -> q50_spearman,
     "q51_rank_eval" -> q51_rank_eval,
     "t12_countmin_pure" -> t12_countmin_pure,
-    "q52_collection_stats" -> q52_collection_stats)
+    "q52_collection_stats" -> q52_collection_stats,
+    "s08_ivfpq" -> s08_ivfpq)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -3875,5 +3950,6 @@ object Queries {
     "q50_spearman" -> q50_sql,
     "q51_rank_eval" -> q51_sql,
     "t12_countmin_pure" -> t12_sql,
-    "q52_collection_stats" -> q52_sql)
+    "q52_collection_stats" -> q52_sql,
+    "s08_ivfpq" -> s08_sql)
 }

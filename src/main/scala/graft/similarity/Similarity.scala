@@ -524,4 +524,84 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** IVF-PQ search — the COMPOSED layout every billion-scale ANN
+    * index runs, assembled from the two pieces this library already
+    * verifies separately (s04's IVF routing, s06's PQ codes): probes
+    * route to their nProbe nearest lists, and candidates in those
+    * lists are scored by ASYMMETRIC distance (ADC) — the probe's raw
+    * subvectors against each candidate's CODEBOOK ENTRIES. The
+    * candidate's raw vector is never touched at query time, which is
+    * the point of the layout: a candidate row is nSub small codes,
+    * so the index side of the join carries bytes per vector, not
+    * dim·8.
+    *
+    * Scale shape: centroid routing is a broadcast argmax (map-side);
+    * the candidate join is ONE equi-join keyed on the list id; ADC
+    * is a per-row coalesce-of-when over plan-literal codebooks (zero
+    * extra shuffles); the final top-k is one per-probe window over
+    * candidates already thinned by routing. Codebooks/centroids are
+    * deterministic low-id rows by default — the SQL-mirrorable
+    * choice, [[farthestFirstSeeds]] being the quality upgrade.
+    *
+    * ADC sums the per-subspace ‖q_j − cb_j[code_j]‖² identities in
+    * subspace order and rounds to 6 dp BEFORE ranking (ties → lowest
+    * candidate id), the s04/s06 hash-stability discipline.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                nLists: Int, nProbe: Int, nSub: Int,
+                cents: Seq[(Int, Seq[Double])],
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                kmeansIters: Int = 0): DataFrame = {
+    require(cents.nonEmpty && nSub >= 1)
+    val dim = cents.head._2.length
+    require(dim % nSub == 0)
+    val sd = dim / nSub
+    val route = ivfCentroids(corpus, nLists, kmeansIters, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    route.count() // feeds corpus AND probe assignment
+    def assign(df: DataFrame, id: String, v: String, keep: Int)
+      : DataFrame = {
+      val scored = df.select(col(id), col(v))
+        .join(broadcast(route))
+        .withColumn("cs", cosine(col(v), col("cv")))
+      val w = Window.partitionBy(id)
+        .orderBy(col("cs").desc, col("cent_id"))
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= keep)
+        .select(col(id), col(v), col("cent_id"))
+    }
+    // index side: list assignment + PQ codes; the raw vector is
+    // DROPPED here — candidates carry (list, codes) only
+    val coded = assign(corpus.select(col(idCol).as("cand_id"),
+        col(vecCol).as("cand_v")), "cand_id", "cand_v", 1)
+      .join(productQuantize(corpus, nSub, cents, idCol, vecCol)
+        .select(col(idCol).as("cand_id") +:
+          (0 until nSub).map(j => col(s"c$j")): _*), Seq("cand_id"))
+      .select(col("cand_id") +: col("cent_id") +:
+        (0 until nSub).map(j => col(s"c$j")): _*)
+    val probed = assign(probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_v")), "probe_id", "probe_v", nProbe)
+    // ADC per subspace: ‖q_j − cb_j[c_j]‖² resolved by a when-chain
+    // over the literal codebook (same identity as productQuantize)
+    def adcSub(j: Int): Column = {
+      val sub = slice(col("probe_v"), j * sd + 1, sd)
+      val vv = dot(sub, sub)
+      coalesce(cents.map { case (cid, cv) =>
+        val cSub = cv.slice(j * sd, j * sd + sd).toArray
+        val cc = cSub.foldLeft(0.0)((a, x) => a + x * x)
+        when(col(s"c$j") === cid.toLong,
+          vv - lit(2.0) * dot(sub, lit(cSub)) + lit(cc))
+      }: _*)
+    }
+    val adc = (0 until nSub).map(adcSub).reduceLeft(_ + _)
+    val scored = probed.join(coded, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("adc", round(adc, 6))
+      .select("probe_id", "cand_id", "adc")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").asc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

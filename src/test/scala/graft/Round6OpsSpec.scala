@@ -236,6 +236,46 @@ class Round6OpsSpec extends SparkSpec {
     assert(!f2.exists(_._1 == 4L)) // len < 8 emits nothing
   }
 
+  test("s08 IVF-PQ: ADC matches a driver recomputation from s06's codes") {
+    val dir = sf("sf0.001")
+    val rows = Queries.s08_ivfpq(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    // per-probe invariants: rnk contiguous from 1, adc non-decreasing
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRnk = g.sortBy(_._4)
+      assert(byRnk.map(_._4).toSeq == (1L to byRnk.length).toSeq)
+      assert(byRnk.map(_._3).toSeq == byRnk.map(_._3).sorted.toSeq)
+      assert(byRnk.length <= 10)
+    }
+    // recompute every emitted ADC from raw vectors + s06's PQ codes
+    // with the same operation order (slice dot, driver-folded c·c)
+    val vecs = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val codes = Queries.s06_pq(spark, dir)
+      .select("vec_id", "c0", "c1", "c2", "c3")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    def dotLR(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    rows.foreach { case (pid, cid, adc, _) =>
+      val q = vecs(pid)
+      val expect = (0 until 4).map { j =>
+        val sub = q.slice(j * 16, j * 16 + 16)
+        val cb = vecs(codes(cid)(j)).slice(j * 16, j * 16 + 16)
+        dotLR(sub, sub) - 2.0 * dotLR(sub, cb) + dotLR(cb, cb)
+      }.reduceLeft(_ + _)
+      val rounded = java.math.BigDecimal.valueOf(expect)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(adc == rounded, s"probe $pid cand $cid")
+    }
+  }
+
   test("q52 collection stats match a driver-side recomputation") {
     val got = Queries.q52_collection_stats(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
