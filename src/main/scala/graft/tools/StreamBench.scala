@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
 /** Streaming throughput probe: drives the watermarked operators with
   * the built-in `rate-micro-batch` source (deterministic row counts
   * per batch) and reports rows/second sustained through each pipeline.
-  * `runMain graft.tools.StreamBench [rowsPerBatch] [batches] [provider]`
-  * where provider is `hdfs` (default in-memory/HDFS-backed store) or
-  * `rocksdb` (RocksDBStateStoreProvider — the store a long-running
-  * production job wants: state lives off-heap/on-disk, so multi-GB
-  * keyed state can't pressure the executor heap; the trade is
-  * per-batch commit overhead, which this tool measures rather than
-  * asserts).
+  * `runMain graft.tools.StreamBench [rowsPerBatch] [batches] [provider]
+  * [keys]` where provider is `hdfs` (default in-memory/HDFS-backed
+  * store) or `rocksdb` (RocksDBStateStoreProvider — the store a
+  * long-running production job wants: state lives off-heap/on-disk,
+  * so multi-GB keyed state can't pressure the executor heap; the
+  * trade is per-batch commit overhead, which this tool measures
+  * rather than asserts). `keys` (default 1000) sets the keyed
+  * cardinality: user_id spans [0, keys) and the dedup key space is
+  * 10 × keys — pass 100000 to measure the stores at 1M+ live state
+  * keys, where the in-heap store's per-commit map copy is the
+  * documented cliff.
   *
   * This is a tool, not part of the driver contract — it exists so
   * streaming perf claims in SURVEY are measured, like Bench does for
@@ -29,6 +33,7 @@ object StreamBench {
     // beyond that the processed-row sum silently undercounts
     require(batches <= 90, s"batches ($batches) must be <= 90")
     val provider = if (args.length > 2) args(2) else "hdfs"
+    val keys = if (args.length > 3) args(3).toLong else 1000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,7 +60,7 @@ object StreamBench {
       .load()
       .select(col("value").as("event_id"),
         col("timestamp").as("ts"),
-        pmod(col("value"), lit(1000L)).as("user_id"),
+        pmod(col("value"), lit(keys)).as("user_id"),
         element_at(
           array(lit("click"), lit("view"), lit("purchase")),
           (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
@@ -92,7 +97,7 @@ object StreamBench {
       // rate from rows ACTUALLY processed — on deadline expiry the
       // intended row count would overstate throughput
       val rate = (processed / dt).toLong
-      println(s"""[streambench] {"pipeline":"$name","provider":"$provider","rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+      println(s"""[streambench] {"pipeline":"$name","provider":"$provider","keys":$keys,"rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
     }
 
     drive("windowed_type_stats",
@@ -100,7 +105,7 @@ object StreamBench {
         "30 seconds"), "update")
     drive("stream_dedup",
       Streams.streamDedup(syntheticEvents()
-        .withColumn("dup_key", pmod(col("event_id"), lit(10000L))),
+        .withColumn("dup_key", pmod(col("event_id"), lit(keys * 10))),
         "ts", "30 seconds", "dup_key"), "append")
     // native session_window: one open session struct per ACTIVE user,
     // watermark-aged — the e07 batch form on a live feed
