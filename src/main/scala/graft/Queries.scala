@@ -3738,6 +3738,71 @@ object Queries {
       |  greatest(mx, 1) AS collection_rank
       |FROM a""".stripMargin
 
+  /** Per-cohort related-node rankings: BLOCK-personalized PageRank —
+    * three supplier cohorts' proximity rankings computed through ONE
+    * shared exact-integer loop (sparse (cohort, node, rank) state,
+    * zero rows pruned losslessly), then top-10 per cohort. The
+    * "related to THIS collection" product shape
+    * (precompute_related.py) at fleet scale: one edge-list scan per
+    * round serves every cohort. See
+    * [[graft.graph.PageRank.blockPersonalized]]. */
+  val g06_ppr_topk: QFn = (s, d) => {
+    val e0 = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, d, "supplier")
+      .filter(col("s_suppkey") % 5 === 0)
+      .select((col("s_nationkey") % 3).as("cohort"),
+        (col("s_suppkey") * 2 + 1).as("node"))
+    val ranks = graft.graph.PageRank.blockPersonalized(
+      edges, seeds, iters = 5)
+    val w = Window.partitionBy("cohort")
+      .orderBy(col("rank_u").desc, col("node").asc)
+    ranks.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
+  val g06_sql: String = {
+    def round(i: Int) =
+      s"""r$i AS MATERIALIZED (SELECT cohort, node, r FROM (
+         |  SELECT coalesce(b.cohort, c.cohort) AS cohort,
+         |    coalesce(b.node, c.node) AS node,
+         |    coalesce(b.base, 0) + coalesce(c.s, 0) AS r
+         |  FROM nb b FULL JOIN (
+         |    SELECT r.cohort, ed.dst AS node,
+         |      CAST(sum((r.r * 17) // (ed.deg * 20)) AS BIGINT) AS s
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node
+         |    GROUP BY r.cohort, ed.dst) c
+         |  ON b.cohort = c.cohort AND b.node = c.node)
+         |  WHERE r > 0)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |sv AS (SELECT DISTINCT s_nationkey % 3 AS cohort,
+       |    s_suppkey * 2 + 1 AS node
+       |  FROM supplier WHERE s_suppkey % 5 = 0),
+       |sn AS (SELECT sv.cohort, sv.node FROM sv
+       |  JOIN nodes USING (node)),
+       |cn AS (SELECT cohort, count(*) AS ns FROM sn GROUP BY cohort),
+       |nb AS MATERIALIZED (SELECT sn.cohort, sn.node,
+       |    CAST(150000000000 // ns AS BIGINT) AS base,
+       |    CAST(1000000000000 // ns AS BIGINT) AS r0
+       |  FROM sn JOIN cn USING (cohort)),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ed AS MATERIALIZED (SELECT edges.src, edges.dst, deg.deg
+       |  FROM edges JOIN deg USING (src)),
+       |r0 AS MATERIALIZED (SELECT cohort, node, r0 AS r FROM nb),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT cohort, node, rank_u, rn FROM (
+       |  SELECT cohort, node, r AS rank_u, row_number() OVER (
+       |    PARTITION BY cohort ORDER BY r DESC, node) AS rn
+       |  FROM r5) WHERE rn <= 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3847,7 +3912,8 @@ object Queries {
     "q51_rank_eval" -> q51_rank_eval,
     "t12_countmin_pure" -> t12_countmin_pure,
     "q52_collection_stats" -> q52_collection_stats,
-    "s08_ivfpq" -> s08_ivfpq)
+    "s08_ivfpq" -> s08_ivfpq,
+    "g06_ppr_topk" -> g06_ppr_topk)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -3951,5 +4017,6 @@ object Queries {
     "q51_rank_eval" -> q51_sql,
     "t12_countmin_pure" -> t12_sql,
     "q52_collection_stats" -> q52_sql,
-    "s08_ivfpq" -> s08_sql)
+    "s08_ivfpq" -> s08_sql,
+    "g06_ppr_topk" -> g06_sql)
 }

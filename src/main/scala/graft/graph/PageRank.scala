@@ -64,6 +64,108 @@ object PageRank {
     run(edges, Some(seeds), iters, dampNum, dampDen,
       driverFinishMaxEdges)
 
+  /** BLOCK-personalized PageRank: many seed cohorts through ONE
+    * shared loop. Rank state is SPARSE — a (cohort, node, rank) row
+    * exists only while rank > 0, and the exact integer arithmetic
+    * makes that pruning LOSSLESS (a zero rank contributes exactly
+    * zero next round — no float residue), so state grows with each
+    * cohort's mass-reached neighbourhood, never |cohorts| × |nodes|.
+    * Per round: ONE shuffle join on the edge source and ONE
+    * aggregate keyed (cohort, dst) for every cohort together — k
+    * separate PPR runs would scan the edge list k times and pay k×
+    * the round scheduling. Cohorts whose seeds all fall outside the
+    * node set simply vanish (no surviving teleport mass). Below the
+    * edge bound, the same exact driver finish as [[pageRank]], per
+    * cohort over one collected edge array; spec-pinned identical.
+    *
+    * @param seeds columns `cohort`, `node`
+    * @return (cohort, node, rank_u), rows with rank_u > 0 only
+    */
+  def blockPersonalized(edges: DataFrame, seeds: DataFrame,
+                        iters: Int = 5,
+                        dampNum: Long = 17L, dampDen: Long = 20L,
+                        driverFinishMaxEdges: Long = 2000000L)
+    : DataFrame = {
+    require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
+    val e = edges.select(col("src").cast("long"),
+        col("dst").cast("long")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = ed.count()
+    e.unpersist(false)
+    val sources = ed.select(col("src").as("node")).distinct()
+    val total = 1000000000000L
+    val teleport = total - total * dampNum / dampDen
+    val sv = seeds.select(col("cohort").cast("long"),
+        col("node").cast("long")).distinct()
+      .join(sources, Seq("node"), "left_semi")
+    val bases = sv
+      .join(sv.groupBy("cohort").agg(count(lit(1)).as("ns")), "cohort")
+      .select(col("cohort"), col("node"),
+        expr(s"$teleport DIV ns").as("base"),
+        expr(s"$total DIV ns").as("r0"))
+      .localCheckpoint(true) // feeds EVERY round's full-outer join
+    require(bases.limit(1).count() > 0,
+      "blockPersonalized: no cohort has a seed inside the graph")
+    if (nEdges <= driverFinishMaxEdges) {
+      import scala.collection.mutable.LongMap
+      val nb = bases.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val es = ed.select("src", "dst", "deg").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      ed.unpersist(false)
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      nb.groupBy(_._1).foreach { case (cohort, rows) =>
+        val base = LongMap.from(rows.iterator.map(t => t._2 -> t._3))
+        var r = LongMap.from(rows.iterator.map(t => t._2 -> t._4))
+        for (_ <- 0 until iters) {
+          val acc = new LongMap[Long]()
+          es.foreach { case (s0, d0, dg) =>
+            val rs = r.getOrElse(s0, 0L)
+            if (rs > 0L)
+              acc(d0) = acc.getOrElse(d0, 0L) +
+                (rs * dampNum) / (dg * dampDen)
+          }
+          val nr = new LongMap[Long]()
+          base.foreach { case (n, b) =>
+            nr(n) = b + acc.getOrElse(n, 0L)
+          }
+          acc.foreach { case (n, s0) =>
+            if (!base.contains(n) && s0 > 0L) nr(n) = s0
+          }
+          r = nr
+        }
+        r.foreach { case (n, v) => if (v > 0L) out += ((cohort, n, v)) }
+      }
+      val ses = edges.sparkSession
+      import ses.implicits._
+      return out.result().toDF("cohort", "node", "rank_u")
+    }
+    var ranks = bases.select(col("cohort"), col("node"),
+      col("r0").as("r")).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("cohort"), col("dst").as("node"),
+          expr(s"(r * $dampNum) DIV (deg * $dampDen)").as("c"))
+        .groupBy("cohort", "node").agg(sum("c").as("s"))
+      // full outer: seeds keep their base even when unreached;
+      // reached non-seeds appear with contribution only; exact zeros
+      // are dropped — lossless under integer arithmetic
+      ranks = bases.select(col("cohort"), col("node"), col("base"))
+        .join(contrib, Seq("cohort", "node"), "full_outer")
+        .select(col("cohort"), col("node"),
+          (coalesce(col("base"), lit(0L)) +
+            coalesce(col("s"), lit(0L))).as("r"))
+        .filter(col("r") > 0)
+        .localCheckpoint(true)
+    }
+    ed.unpersist(false)
+    ranks.select(col("cohort"), col("node"), col("r").as("rank_u"))
+  }
+
   private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
                   dampNum: Long, dampDen: Long,
                   driverFinishMaxEdges: Long): DataFrame = {

@@ -276,6 +276,35 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("g06 block PPR: cohorts are independent, paths pinned equal") {
+    import graft.graph.PageRank
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 1L), (1L, 3L), (3L, 4L), (4L, 3L), (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq((0L, 1L), (0L, 4L), (1L, 5L))
+      .toDF("cohort", "node")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val driver = asMap(PageRank.blockPersonalized(edges, seeds, iters = 4))
+    val dist = asMap(PageRank.blockPersonalized(edges, seeds, iters = 4,
+      driverFinishMaxEdges = 0L))
+    assert(driver == dist && driver.nonEmpty)
+    // each cohort equals its own standalone personalized run
+    // (restricted to the > 0 rows the sparse block form keeps)
+    for (c <- Seq(0L, 1L)) {
+      val solo = PageRank.personalized(edges,
+        seeds.filter(col("cohort") === c).select("node"), iters = 4)
+        .as[(Long, Long)].collect().filter(_._2 > 0)
+        .map(t => (c, t._1) -> t._2).toMap
+      assert(driver.filter(_._1._1 == c) == solo, s"cohort $c")
+    }
+    // cohort 1 is seeded in the {5,6} component only — no mass may
+    // appear on the other component (sparsity is semantic, not just
+    // an optimization)
+    assert(!driver.keySet.exists(k => k._1 == 1L && k._2 <= 4L))
+  }
+
   test("q52 collection stats match a driver-side recomputation") {
     val got = Queries.q52_collection_stats(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
