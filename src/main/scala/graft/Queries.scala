@@ -3803,6 +3803,31 @@ object Queries {
        |  FROM r5) WHERE rn <= 10""".stripMargin
   }
 
+  /** Diversified related-retrieval: top-5 orders per customer with at
+    * most 2 per priority type — the reference's related-collections
+    * API contract (`max_per_type = 2`, "so that first 3 will not be
+    * of the same type"). See [[Relational.diversifiedTopK]]. */
+  val q53_diverse_topk: QFn = (s, d) =>
+    Relational.diversifiedTopK(
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice")),
+      k = 5, quota = 2, groupBy = Seq(col("o_custkey")),
+      typeCol = col("o_orderpriority"),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+
+  val q53_sql: String =
+    """WITH tq AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+      |    o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS tr
+      |  FROM orders),
+      |sv AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM tq WHERE tr <= 2)
+      |SELECT o_custkey, o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(tr AS BIGINT) AS tr, CAST(rn AS BIGINT) AS rn
+      |FROM sv WHERE rn <= 5""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3913,7 +3938,8 @@ object Queries {
     "t12_countmin_pure" -> t12_countmin_pure,
     "q52_collection_stats" -> q52_collection_stats,
     "s08_ivfpq" -> s08_ivfpq,
-    "g06_ppr_topk" -> g06_ppr_topk)
+    "g06_ppr_topk" -> g06_ppr_topk,
+    "q53_diverse_topk" -> q53_diverse_topk)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -4018,5 +4044,6 @@ object Queries {
     "t12_countmin_pure" -> t12_sql,
     "q52_collection_stats" -> q52_sql,
     "s08_ivfpq" -> s08_sql,
-    "g06_ppr_topk" -> g06_sql)
+    "g06_ppr_topk" -> g06_sql,
+    "q53_diverse_topk" -> q53_sql)
 }

@@ -33,6 +33,29 @@ object Relational {
       .filter(col("rn") <= k)
   }
 
+  /** DIVERSIFIED per-group top-k: at most `quota` results per
+    * (group, type) before the top-k cut — the reference's related-
+    * collections retrieval contract (`max_per_type = 2, "so that
+    * first 3 will not be of the same type"` —
+    * research/related-collections/precompute-related-collections.py
+    * and the evaluate_endpoints API surface). Two row_number
+    * windows: the per-type quota rank, then the final rank over
+    * survivors; both partitioned, and Spark's WindowGroupLimit
+    * pushes each rank's filter below its sort. Emits `tr` (rank
+    * within type) and `rn` (final rank), both BIGINT.
+    */
+  def diversifiedTopK(df: DataFrame, k: Int, quota: Int,
+                      groupBy: Seq[Column], typeCol: Column,
+                      order: Seq[Column]): DataFrame = {
+    val wType = Window.partitionBy((groupBy :+ typeCol): _*)
+      .orderBy(order: _*)
+    val wAll = Window.partitionBy(groupBy: _*).orderBy(order: _*)
+    df.withColumn("tr", row_number().over(wType).cast("long"))
+      .filter(col("tr") <= quota)
+      .withColumn("rn", row_number().over(wAll).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Snapshot diff: classify keys of `current` vs `previous` into
     * insert / delete / update / noop, like the reference's
     * Elasticsearch update-op generator (update_es.py:249

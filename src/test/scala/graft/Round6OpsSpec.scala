@@ -305,6 +305,27 @@ class Round6OpsSpec extends SparkSpec {
     assert(!driver.keySet.exists(k => k._1 == 1L && k._2 <= 4L))
   }
 
+  test("diversified top-k honors the per-type quota before the cut") {
+    import graft.operators.Relational
+    // one group, scores descending 10..1; types: two dominant 'a's
+    // at the top would crowd out diversity without the quota
+    val rows = Seq(
+      (1L, 10L, "a", 100.0), (1L, 11L, "a", 90.0), (1L, 12L, "a", 80.0),
+      (1L, 13L, "b", 70.0), (1L, 14L, "b", 60.0), (1L, 15L, "b", 50.0),
+      (1L, 16L, "c", 40.0))
+      .toDF("g", "id", "typ", "score")
+    val got = Relational.diversifiedTopK(rows, k = 5, quota = 2,
+      groupBy = Seq(col("g")), typeCol = col("typ"),
+      order = Seq(col("score").desc, col("id").asc))
+      .orderBy("rn").as[(Long, Long, String, Double, Long, Long)]
+      .collect()
+    // the third 'a' (id 12) and third 'b' (id 15) are quota'd out;
+    // survivors ranked by score: 10,11,13,14,16
+    assert(got.map(_._2).toSeq == Seq(10L, 11L, 13L, 14L, 16L))
+    assert(got.map(_._6).toSeq == (1L to 5L))
+    assert(got.count(_._3 == "a") == 2 && got.count(_._3 == "b") == 2)
+  }
+
   test("q52 collection stats match a driver-side recomputation") {
     val got = Queries.q52_collection_stats(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
