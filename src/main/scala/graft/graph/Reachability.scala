@@ -137,17 +137,25 @@ object Reachability {
 
   /** validate_members, distributed: keep the members whose
     * (redirect-resolved) seed types intersect the reaching set. The
-    * reaching set is |type graph|-bounded — broadcast it so the
-    * member side (the corpus-scale side) never shuffles.
+    * reaching set is |type graph|-bounded — broadcast it while its
+    * estimated bytes fit (one long key + hashed-relation overhead,
+    * ~16 B/row against a ~100 MB cap ≈ 6M types) so the member side
+    * (the corpus-scale side) never shuffles; past the cap the
+    * semi-join shuffles both sides, which is the honest cost — the
+    * size decision mirrors the Triangles closing-edge gate.
     *
     * @param memberTypes columns `member`, `tid` (seed type
     *                    assignments, already redirect-resolved)
     * @param reach       column `node` (from [[reachingSet]])
     * @return distinct `member` keys that validate
     */
-  def validMembers(memberTypes: DataFrame, reach: DataFrame): DataFrame =
-    memberTypes
-      .join(broadcast(reach.select(col("node").as("tid"))),
-        Seq("tid"), "left_semi")
+  def validMembers(memberTypes: DataFrame, reach: DataFrame,
+                   maxBroadcastBytes: Long = 100L << 20): DataFrame = {
+    val r = reach.select(col("node").as("tid"))
+    // reachingSet returns a materialized set — this count is cheap
+    val keyed = if (r.count() * 16L <= maxBroadcastBytes)
+      broadcast(r) else r
+    memberTypes.join(keyed, Seq("tid"), "left_semi")
       .select("member").distinct()
+  }
 }

@@ -392,6 +392,18 @@ class Round6OpsSpec extends SparkSpec {
     val valid = Reachability.validMembers(
       memberTypes, reach.toSeq.toDF("node")).as[String].collect().toSet
     assert(valid == Set("a"))
+    // past the broadcast cap the semi-join falls back to a shuffle
+    // plan with identical output (the Triangles size-gate discipline)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fb = Reachability.validMembers(memberTypes,
+        reach.toSeq.toDF("node"), maxBroadcastBytes = 1L)
+      val fbRows = fb.as[String].collect().toSet
+      assert(fbRows == valid)
+      assert(!fb.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q49: validity matches a driver-side DFS re-implementation") {
