@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Partition-count invariance — the property a 1000-executor
+  * scale-out actually rests on: every query's RESULT must be
+  * byte-identical whether the shuffle ran with 4 partitions or 7.
+  * The DuckDB parity gate proves correctness under ONE partitioning;
+  * this spec varies the partitioning and would catch any
+  * order-dependent aggregation, float summation drift, partition-
+  * local ranking, or driver-finish/distributed divergence that
+  * parity alone could mask. Targets are the queries whose plans are
+  * most partition-sensitive: iterative graph loops, dedup/sketch
+  * aggregates, global range-partition arithmetic, window families.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val targets = Seq(
+    "q29_ntile", "q38_pack_sequences", "q44_uniform_sample",
+    "q47_hist_quantile", "q50_spearman", "q52_collection_stats",
+    "t12_countmin_pure", "d03_minhash_lsh", "d06_dup_clusters",
+    "d11_cdc_chunks", "g01_pagerank", "g05_kcore", "g06_ppr_topk",
+    "q49_reachability", "e02_sessionize", "s08_ivfpq")
+
+  test("results are identical under 4 vs 7 shuffle partitions") {
+    val dir = sf("sf0.001")
+    def runWith(name: String, parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val df = Queries.all(name)(spark, dir)
+        df.select(df.columns.sorted.map(col).toSeq: _*)
+          .collect().map(_.toString).sorted.toSeq
+      } finally spark.sharedState.cacheManager.clearCache()
+    }
+    try {
+      targets.foreach { name =>
+        val a = runWith(name, "4")
+        val b = runWith(name, "7")
+        assert(a.nonEmpty && a == b,
+          s"$name differs between 4 and 7 shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+}
