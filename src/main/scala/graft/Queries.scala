@@ -3828,6 +3828,58 @@ object Queries {
       |  CAST(tr AS BIGINT) AS tr, CAST(rn AS BIGINT) AS rn
       |FROM sv WHERE rn <= 5""".stripMargin
 
+  /** TEMPERATURE-flattened mixture sampling (T = 2) — the data-mixing
+    * step q39's fixed per-language rates don't express: keep rates
+    * are DERIVED from the corpus so the sampled mixture's expected
+    * proportions follow n^(1/T) (rare languages upsampled relative
+    * to their share, dominant ones flattened), with a total budget of
+    * half the corpus. Hash-exact construction: weights are integer
+    * sqrt (floor(sqrt(n)) — IEEE sqrt is correctly rounded, so both
+    * engines get the identical integer), the weight sum is an
+    * order-independent BIGINT sum, and each rate is one HALF_UP
+    * integer division to ppm; rows are then kept by the q39 md5
+    * bucket against rate_ppm. Scale shape: one map-side count
+    * aggregate over the corpus, a |languages|-row broadcast rate dim,
+    * and a pure map-side filter — a scan whose selectivity is the
+    * blended rate. (The ppm numerator bounds the in-query arithmetic
+    * at ~2^63/(2e6·w) docs; a true 100 TB run computes the
+    * |languages|-row rate table driver-side in BigDecimal — the
+    * corpus-side plan is unchanged.) */
+  val q54_temp_mixture: QFn = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+    val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+    val tot = stats.agg(sum("n").as("total"), sum("w").as("wsum"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", expr(
+        """least(1000000, (2 * 1000000 * (total DIV 2) * w + n * wsum)
+          | DIV (2 * n * wsum))""".stripMargin.replace("\n", "")))
+      .select("lang", "rate_ppm")
+    docs.join(broadcast(rates), "lang")
+      .withColumn("bucket",
+        md5Bucket(concat(lit("mix:"), col("doc_id").cast("string")))
+          % 1000000)
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("rate_ppm"))
+  }
+
+  val q54_sql: String =
+    """WITH s AS (SELECT lang, count(*) AS n FROM documents
+      |  GROUP BY lang),
+      |w AS (SELECT lang, CAST(n AS BIGINT) AS n,
+      |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM s),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+      |    CAST(sum(w) AS BIGINT) AS wsum FROM w),
+      |r AS (SELECT lang,
+      |    least(1000000, (2 * 1000000 * (total // 2) * w + n * wsum)
+      |      // (2 * n * wsum)) AS rate_ppm
+      |  FROM w, t)
+      |SELECT d.doc_id, d.lang, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+      |FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))
+      |    ::BIGINT % 1000000 < r.rate_ppm""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3939,7 +3991,8 @@ object Queries {
     "q52_collection_stats" -> q52_collection_stats,
     "s08_ivfpq" -> s08_ivfpq,
     "g06_ppr_topk" -> g06_ppr_topk,
-    "q53_diverse_topk" -> q53_diverse_topk)
+    "q53_diverse_topk" -> q53_diverse_topk,
+    "q54_temp_mixture" -> q54_temp_mixture)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -4045,5 +4098,6 @@ object Queries {
     "q52_collection_stats" -> q52_sql,
     "s08_ivfpq" -> s08_sql,
     "g06_ppr_topk" -> g06_sql,
-    "q53_diverse_topk" -> q53_sql)
+    "q53_diverse_topk" -> q53_sql,
+    "q54_temp_mixture" -> q54_sql)
 }

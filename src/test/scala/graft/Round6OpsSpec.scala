@@ -326,6 +326,44 @@ class Round6OpsSpec extends SparkSpec {
     assert(got.count(_._3 == "a") == 2 && got.count(_._3 == "b") == 2)
   }
 
+  test("q54 temperature mixture: rates and membership recompute exactly") {
+    val dir = sf("sf0.001")
+    val got = Queries.q54_temp_mixture(spark, dir)
+      .as[(Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect()
+    val byLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = docs.length.toLong
+    val w = byLang.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val wsum = w.values.sum
+    def ratePpm(lang: String): Long = {
+      val n = byLang(lang)
+      math.min(1000000L,
+        (2L * 1000000L * (total / 2) * w(lang) + n * wsum) /
+          (2L * n * wsum))
+    }
+    got.foreach { case (_, lang, r) => assert(r == ratePpm(lang)) }
+    // membership is exactly the md5-bucket rule — no more, no less
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 1000000L
+    }
+    val expected = docs.filter { case (id, lang) =>
+      bucket(id) < ratePpm(lang)
+    }.map(_._1).toSet
+    assert(got.map(_._1).toSet == expected)
+    // flattening direction: the dominant language's keep rate is
+    // strictly below the rarest language's
+    val maxL = byLang.maxBy(_._2)._1
+    val minL = byLang.minBy(_._2)._1
+    if (byLang(maxL) > 4 * byLang(minL))
+      assert(ratePpm(maxL) < ratePpm(minL))
+  }
+
   test("q52 collection stats match a driver-side recomputation") {
     val got = Queries.q52_collection_stats(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
