@@ -3880,6 +3880,125 @@ object Queries {
       |WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))
       |    ::BIGINT % 1000000 < r.rate_ppm""".stripMargin
 
+  /** The end-to-end CORPUS-CLEANING pipeline — what q19 is for
+    * collections, for training data: quality gate (t02's score) →
+    * exact-dup removal (d01's fingerprint, keep lowest id) →
+    * benchmark decontamination (d07's 5-gram eval semi-join, integer
+    * ppm, drop > 20% contaminated) → deterministic 80% sample (q39's
+    * md5 bucket), as ONE declarative job. Each stage's semantics are
+    * the already-verified component's; the composite proves they
+    * CHAIN — the oracle re-derives the entire pipeline. Shuffles:
+    * the dedup window, the shingle postings' doc keying, and the
+    * totals/hits aggregates; the quality gate and the sample are
+    * map-side. */
+  val t13_clean_pipeline: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val scored = docs.select(col("doc_id"), col("text"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"))
+      .withColumn("quality",
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - least(col("punct_ratio") * 5, lit(1.0))) * 0.25 +
+          least(col("stop_ratio") * 4, lit(1.0)) * 0.25, 4))
+    // ≥ 5 tokens also guarantees every survivor owns ≥ 1 5-gram, so
+    // the decontamination totals cover every remaining doc
+    val q = scored.filter(col("quality") >= 0.5 && col("n_tokens") >= 5)
+    val keep = q
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("keep_id",
+        min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id"))
+    // train side: eval docs leave the corpus AND define the eval set
+    val surv = keep.filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id", "text", "n_tokens", "quality")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    surv.count() // feeds the postings AND the final join
+    val post = TextFunctions.shinglePostings(
+        surv.select("doc_id", "text"), "doc_id", "text", 5,
+        distinct = true)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    post.count() // totals + hits branch off
+    val evalSet = TextFunctions.shinglePostings(
+        docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text"),
+        "doc_id", "text", 5, distinct = true)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val totals = post.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = post.join(evalSet, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val contam = totals.join(hits, Seq("doc_id"), "left")
+      .withColumn("frac_ppm", expr(
+        "(2 * 1000000 * coalesce(n_hits, 0) + n_shingles)" +
+          " DIV (2 * n_shingles)"))
+      .filter(col("frac_ppm") <= 200000)
+      .select("doc_id", "frac_ppm")
+    surv.join(contam, "doc_id")
+      .withColumn("bucket",
+        md5Bucket(concat(lit("clean:"), col("doc_id").cast("string")))
+          % 100)
+      .filter(col("bucket") < 80)
+      .select("doc_id", "n_tokens", "quality", "frac_ppm")
+  }
+
+  val t13_sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> len(x) > 0))::BIGINT AS n_tokens,
+       |    round((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))
+       |      / greatest(len(text), 1), 4) AS punct_ratio,
+       |    round(len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> len(x) > 0),
+       |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+       |      / greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |        x -> len(x) > 0)), 1), 4) AS stop_ratio
+       |  FROM documents),
+       |q AS (SELECT doc_id, text, n_tokens,
+       |    round(least(n_tokens / 100.0, 1.0) * 0.5 +
+       |      (1.0 - least(punct_ratio * 5, 1.0)) * 0.25 +
+       |      least(stop_ratio * 4, 1.0) * 0.25, 4) AS quality
+       |  FROM base),
+       |qk AS (SELECT * FROM q WHERE quality >= 0.5 AND n_tokens >= 5),
+       |fp AS (SELECT *,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM qk),
+       |keep AS (SELECT doc_id, text, n_tokens, quality FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id
+       |    FROM fp) WHERE doc_id = keep_id),
+       |surv AS (SELECT * FROM keep WHERE doc_id % 50 <> 0),
+       |toks AS (SELECT doc_id, $shingleToksSql AS t FROM surv),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 3, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+       |      t[i+3] || ' ' || t[i+4])) AS shingles
+       |  FROM toks WHERE len(t) >= 5),
+       |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |etoks AS (SELECT doc_id, $shingleToksSql AS t FROM documents
+       |  WHERE doc_id % 50 = 0),
+       |esh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 3, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+       |      t[i+3] || ' ' || t[i+4])) AS shingles
+       |  FROM etoks WHERE len(t) >= 5),
+       |ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM esh),
+       |totals AS (SELECT doc_id, count(*) AS n_shingles
+       |  FROM post GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*) AS n_hits FROM post
+       |  WHERE shingle IN (SELECT shingle FROM ev) GROUP BY doc_id),
+       |contam AS (SELECT t.doc_id,
+       |    (2 * 1000000 * coalesce(h.n_hits, 0) + t.n_shingles)
+       |      // (2 * t.n_shingles) AS frac_ppm
+       |  FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+       |SELECT s.doc_id, s.n_tokens, s.quality,
+       |  CAST(c.frac_ppm AS BIGINT) AS frac_ppm
+       |FROM surv s JOIN contam c USING (doc_id)
+       |WHERE c.frac_ppm <= 200000
+       |  AND ('0x' || substr(md5('clean:' || s.doc_id::VARCHAR), 1, 8))
+       |    ::BIGINT % 100 < 80""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -3992,7 +4111,8 @@ object Queries {
     "s08_ivfpq" -> s08_ivfpq,
     "g06_ppr_topk" -> g06_ppr_topk,
     "q53_diverse_topk" -> q53_diverse_topk,
-    "q54_temp_mixture" -> q54_temp_mixture)
+    "q54_temp_mixture" -> q54_temp_mixture,
+    "t13_clean_pipeline" -> t13_clean_pipeline)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -4099,5 +4219,6 @@ object Queries {
     "s08_ivfpq" -> s08_sql,
     "g06_ppr_topk" -> g06_sql,
     "q53_diverse_topk" -> q53_sql,
-    "q54_temp_mixture" -> q54_sql)
+    "q54_temp_mixture" -> q54_sql,
+    "t13_clean_pipeline" -> t13_sql)
 }

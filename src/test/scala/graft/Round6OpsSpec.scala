@@ -364,6 +364,42 @@ class Round6OpsSpec extends SparkSpec {
       assert(ratePpm(maxL) < ratePpm(minL))
   }
 
+  test("t13 clean pipeline: every stage's rule holds on the survivors") {
+    val dir = sf("sf0.001")
+    val out = Queries.t13_clean_pipeline(spark, dir)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    // quality gate matches t02's published scores
+    val t02 = Queries.t02_quality_score(spark, dir)
+      .select("doc_id", "n_tokens", "quality")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    out.foreach { case (id, n, qual, frac) =>
+      val (_, n2, q2) = t02(id)
+      assert(n == n2 && qual == q2 && q2 >= 0.5 && n2 >= 5)
+      assert(frac <= 200000L)
+      assert(id % 50 != 0)
+    }
+    // dedup: no two survivors share d01's fingerprint
+    val fps = graft.sources.Tables(spark, dir, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("fp"))
+      .as[(Long, String)].collect()
+    assert(fps.map(_._2).distinct.length == fps.length)
+    // sampling: survivors are exactly the sub-80 md5 buckets of the
+    // pre-sample set, so every id must satisfy the bucket rule
+    out.foreach { case (id, _, _, _) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"clean:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      assert(java.lang.Long.parseLong(h, 16) % 100 < 80)
+    }
+    // the pipeline is non-vacuous: it dropped documents
+    assert(ids.size < t02.size)
+  }
+
   test("q52 collection stats match a driver-side recomputation") {
     val got = Queries.q52_collection_stats(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
