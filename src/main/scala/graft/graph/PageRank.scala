@@ -90,48 +90,42 @@ object PageRank {
     val e = edges.select(col("src").cast("long"),
         col("dst").cast("long")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = ed.count()
-    e.unpersist(false)
-    val sources = ed.select(col("src").as("node")).distinct()
+    val nEdges = e.count()
     val total = 1000000000000L
     val teleport = total - total * dampNum / dampDen
-    val sv = seeds.select(col("cohort").cast("long"),
-        col("node").cast("long")).distinct()
-      .join(sources, Seq("node"), "left_semi")
-    val bases = sv
-      .join(sv.groupBy("cohort").agg(count(lit(1)).as("ns")), "cohort")
-      .select(col("cohort"), col("node"),
-        expr(s"$teleport DIV ns").as("base"),
-        expr(s"$total DIV ns").as("r0"))
-      .localCheckpoint(true) // feeds EVERY round's full-outer join
-    require(bases.limit(1).count() > 0,
-      "blockPersonalized: no cohort has a seed inside the graph")
     if (nEdges <= driverFinishMaxEdges) {
+      // raw-edge driver finish (see run()): degrees, the source set
+      // and per-cohort teleport shares all derive on the driver —
+      // no deg aggregate, no attach join, a 2-column collect
       import scala.collection.mutable.LongMap
-      val nb = bases.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3)))
-      val es = ed.select("src", "dst", "deg").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      ed.unpersist(false)
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val degM = new LongMap[Long](es.length * 2)
+      es.foreach { case (s0, _) => degM(s0) = degM.getOrElse(s0, 0L) + 1L }
+      val seedRows = seeds.select(col("cohort").cast("long"),
+          col("node").cast("long")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(t => degM.contains(t._2))
+      require(seedRows.nonEmpty,
+        "blockPersonalized: no cohort has a seed inside the graph")
       val out = Seq.newBuilder[(Long, Long, Long)]
-      nb.groupBy(_._1).foreach { case (cohort, rows) =>
-        val base = LongMap.from(rows.iterator.map(t => t._2 -> t._3))
-        var r = LongMap.from(rows.iterator.map(t => t._2 -> t._4))
+      seedRows.groupBy(_._1).foreach { case (cohort, rows) =>
+        val ns = rows.length.toLong
+        val b = teleport / ns
+        val r0 = total / ns
+        val base = LongMap.from(rows.iterator.map(t => t._2 -> b))
+        var r = LongMap.from(rows.iterator.map(t => t._2 -> r0))
         for (_ <- 0 until iters) {
           val acc = new LongMap[Long]()
-          es.foreach { case (s0, d0, dg) =>
+          es.foreach { case (s0, d0) =>
             val rs = r.getOrElse(s0, 0L)
             if (rs > 0L)
               acc(d0) = acc.getOrElse(d0, 0L) +
-                (rs * dampNum) / (dg * dampDen)
+                (rs * dampNum) / (degM(s0) * dampDen)
           }
           val nr = new LongMap[Long]()
-          base.foreach { case (n, b) =>
-            nr(n) = b + acc.getOrElse(n, 0L)
+          base.foreach { case (n, bb) =>
+            nr(n) = bb + acc.getOrElse(n, 0L)
           }
           acc.foreach { case (n, s0) =>
             if (!base.contains(n) && s0 > 0L) nr(n) = s0
@@ -144,6 +138,23 @@ object PageRank {
       import ses.implicits._
       return out.result().toDF("cohort", "node", "rank_u")
     }
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count()
+    e.unpersist(false)
+    val sources = ed.select(col("src").as("node")).distinct()
+    val sv = seeds.select(col("cohort").cast("long"),
+        col("node").cast("long")).distinct()
+      .join(sources, Seq("node"), "left_semi")
+    val bases = sv
+      .join(sv.groupBy("cohort").agg(count(lit(1)).as("ns")), "cohort")
+      .select(col("cohort"), col("node"),
+        expr(s"$teleport DIV ns").as("base"),
+        expr(s"$total DIV ns").as("r0"))
+      .localCheckpoint(true) // feeds EVERY round's full-outer join
+    require(bases.limit(1).count() > 0,
+      "blockPersonalized: no cohort has a seed inside the graph")
     var ranks = bases.select(col("cohort"), col("node"),
       col("r0").as("r")).localCheckpoint(true)
     for (_ <- 0 until iters) {
@@ -173,15 +184,70 @@ object PageRank {
     val e = edges.select(col("src").cast("long"),
         col("dst").cast("long")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val total = 1000000000000L // 1e12 mass units
+    val teleport = total - total * dampNum / dampDen
+    // Exact driver finish on RAW edges: degrees, the node set and
+    // the teleport/init vector are all derivable on the driver, so
+    // the bounded path skips the deg aggregate, the attach join and
+    // the 3-column collect entirely — two whole shuffles less than
+    // finishing from the degree-attached list (measured ~1 s per
+    // graph query at sf0.1). Arithmetic identical to the distributed
+    // loop; the pinning specs cover every variant.
+    if (nEdges <= driverFinishMaxEdges) {
+      import scala.collection.mutable.LongMap
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val degM = new LongMap[Long](es.length * 2)
+      es.foreach { case (s0, _) => degM(s0) = degM.getOrElse(s0, 0L) + 1L }
+      val nodeArr = degM.keys.toArray
+      val (baseM, r0M) = seeds match {
+        case None =>
+          val n = nodeArr.length.toLong
+          require(n > 0, "pageRank: empty graph")
+          val b = teleport / n
+          val r0 = total / n
+          (LongMap.from(nodeArr.iterator.map(_ -> b)),
+            LongMap.from(nodeArr.iterator.map(_ -> r0)))
+        case Some(sd) =>
+          val seedSet = sd.select(col("node").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          val sn = nodeArr.filter(seedSet)
+          val nSeeds = sn.length.toLong
+          require(nSeeds > 0,
+            "personalized pageRank: no seed is a graph node")
+          val b = teleport / nSeeds
+          val r0 = total / nSeeds
+          val inSeed = sn.toSet
+          (LongMap.from(nodeArr.iterator.map(n =>
+            n -> (if (inSeed(n)) b else 0L))),
+            LongMap.from(nodeArr.iterator.map(n =>
+              n -> (if (inSeed(n)) r0 else 0L))))
+      }
+      var r = r0M
+      for (_ <- 0 until iters) {
+        val acc = new LongMap[Long](nodeArr.length * 2)
+        es.foreach { case (s0, d0) =>
+          acc(d0) = acc.getOrElse(d0, 0L) +
+            (r(s0) * dampNum) / (degM(s0) * dampDen)
+        }
+        val nr = new LongMap[Long](nodeArr.length * 2)
+        nodeArr.foreach { n =>
+          nr(n) = baseM(n) + acc.getOrElse(n, 0L)
+        }
+        r = nr
+      }
+      val ses = edges.sparkSession
+      import ses.implicits._
+      return r.toSeq.map(identity).toDF("node", "rank_u")
+    }
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // edge list with out-degree attached, reused every round
     val ed = e.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = ed.count()
+    ed.count()
     e.unpersist(false)
     val nodeIds = ed.select(col("src").as("node")).distinct()
-    val total = 1000000000000L // 1e12 mass units
-    val teleport = total - total * dampNum / dampDen
     // nodes carries each node's per-round teleport share (`base`) and
     // initial rank — a constant for plain PageRank, seed-only for the
     // personalized form; the loop below is shared verbatim
@@ -204,40 +270,6 @@ object PageRank {
             when(col("is_seed"), lit(total / nSeeds)).otherwise(0L)
               .as("r0"))
     }).localCheckpoint(true)
-    // Exact driver finish when the degree-attached edge list fits
-    // comfortably on the driver (tens of MB at the 2M default) —
-    // the same broadcast-join economics as Components.driverFinish:
-    // five rounds of per-round job scheduling, AQE planning and
-    // broadcast builds cost more than iterating a long array. The
-    // arithmetic is IDENTICAL (nonneg Long division = floor DIV),
-    // integer adds are order-independent, so both paths are
-    // bit-identical — a spec pins them equal; the distributed loop
-    // below is the general path past the bound.
-    if (nEdges <= driverFinishMaxEdges) {
-      import scala.collection.mutable.LongMap
-      val nb = nodes.select("node", "base", "r0").collect()
-        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
-      val base = LongMap.from(nb.iterator.map(t => t._1 -> t._2))
-      var r = LongMap.from(nb.iterator.map(t => t._1 -> t._3))
-      val es = ed.select("src", "dst", "deg").collect()
-        .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
-      for (_ <- 0 until iters) {
-        val acc = new LongMap[Long](nb.length * 2)
-        es.foreach { case (s0, d0, dg) =>
-          acc(d0) = acc.getOrElse(d0, 0L) +
-            (r(s0) * dampNum) / (dg * dampDen)
-        }
-        val nr = new LongMap[Long](nb.length * 2)
-        nb.foreach { t =>
-          nr(t._1) = base(t._1) + acc.getOrElse(t._1, 0L)
-        }
-        r = nr
-      }
-      ed.unpersist(false)
-      val ses = edges.sparkSession
-      import ses.implicits._
-      return r.toSeq.map(identity).toDF("node", "rank_u")
-    }
     var ranks = nodes.select(col("node"), col("r0").as("r"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
