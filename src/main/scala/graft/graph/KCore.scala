@@ -36,7 +36,8 @@ object KCore {
     *         round-`rounds` survivor set; at a fixpoint every
     *         deg ≥ k
     */
-  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, rounds: Int,
+            driverFinishMaxEdges: Long = 2000000L): DataFrame = {
     require(k >= 1 && rounds >= 0)
     val e = edges.select(
         least(col("id1"), col("id2")).cast("long").as("a"),
@@ -44,7 +45,35 @@ object KCore {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nEdges = e.count()
+    // bounded exact driver finish (the PageRank/Components raw-edge
+    // economics): each peel round is 3 jobs distributed; in-memory
+    // the whole peel is one pass per round over an edge array.
+    // Identical fixed-round semantics — spec-pinned to the loop.
+    if (nEdges <= driverFinishMaxEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      import scala.collection.mutable.LongMap
+      def degrees(alive: Long => Boolean): LongMap[Long] = {
+        val d = new LongMap[Long](es.length)
+        es.foreach { case (a, b) =>
+          if (alive(a) && alive(b)) {
+            d(a) = d.getOrElse(a, 0L) + 1L
+            d(b) = d.getOrElse(b, 0L) + 1L
+          }
+        }
+        d
+      }
+      var alive: Long => Boolean = _ => true
+      for (_ <- 0 until rounds) {
+        val surv = degrees(alive).filter(_._2 >= k).keySet
+        alive = surv
+      }
+      val fin = degrees(alive)
+      val ses = edges.sparkSession
+      import ses.implicits._
+      return fin.toSeq.map(identity).toDF("node", "deg")
+    }
     // degrees of the subgraph induced on `alive` — nodes with zero
     // induced edges simply don't appear (and could never reach k)
     def degrees(alive: DataFrame): DataFrame = {

@@ -400,6 +400,22 @@ class Round6OpsSpec extends SparkSpec {
     assert(ids.size < t02.size)
   }
 
+  test("kcore driver finish is identical to the distributed peel") {
+    import graft.graph.KCore
+    // K4 core {1,2,3,4} with a tail 4-5-6 that peels away at k=2,
+    // and an isolated edge 7-8 that dies in round one
+    val edges = ((for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      ++ Seq((4L, 5L), (5L, 6L), (7L, 8L))).toDF("id1", "id2")
+    def run(bound: Long) = KCore.kcore(edges, k = 2, rounds = 4,
+      driverFinishMaxEdges = bound)
+      .as[(Long, Long)].collect().toMap
+    val driver = run(2000000L)
+    val dist = run(0L)
+    assert(driver == dist)
+    assert(driver.keySet == Set(1L, 2L, 3L, 4L))
+    assert(driver.values.forall(_ == 3L))
+  }
+
   test("q52 collection stats match a driver-side recomputation") {
     val got = Queries.q52_collection_stats(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
