@@ -4000,6 +4000,197 @@ object Queries {
        |    ::BIGINT % 100 < 80""".stripMargin
 
   // ---------------------------------------------------------------
+  // Round-7 surface (link prediction, asymmetric dedup, robust stats)
+  // ---------------------------------------------------------------
+
+  /** Link prediction over the co-purchase graph
+    * ([[graft.graph.LinkPrediction]]): top-50 NON-adjacent part pairs
+    * by neighborhood-Jaccard ppm — the one-hop-beyond completion of
+    * precompute_related.py's direct co-membership signal. Wedge
+    * generation is hub-capped (maxCenterDegree, mirrored by the
+    * oracle — part of the declared semantics, so parity holds at any
+    * SF), everything downstream is one (p, q) aggregate, an edge
+    * anti-join, two degree attaches and a TakeOrderedAndProject. */
+  val g07_jaccard_link: QFn = (s, d) => {
+    val pairs = coPurchasePairs(s, d)
+    graft.graph.LinkPrediction.jaccardCandidates(pairs, topK = 50,
+      maxCenterDegree = 10000L)
+  }
+
+  val g07_sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT a AS u, b AS v FROM e0
+      |  UNION ALL SELECT b AS u, a AS v FROM e0),
+      |deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM adj
+      |  GROUP BY u),
+      |ctr AS (SELECT adj.u, adj.v FROM adj
+      |  JOIN deg ON adj.u = deg.u AND deg.deg <= 10000),
+      |w AS (SELECT x.v AS p, y.v AS q
+      |  FROM ctr x JOIN ctr y ON x.u = y.u AND x.v < y.v),
+      |cn AS (SELECT p, q, count(*) AS cn FROM w GROUP BY p, q),
+      |na AS (SELECT * FROM cn WHERE NOT EXISTS (
+      |  SELECT 1 FROM e0 WHERE e0.a = cn.p AND e0.b = cn.q))
+      |SELECT p AS id1, q AS id2, CAST(cn AS BIGINT) AS common,
+      |  CAST(dp.deg AS BIGINT) AS deg1, CAST(dq.deg AS BIGINT) AS deg2,
+      |  CAST((2 * 1000000 * cn + (dp.deg + dq.deg - cn))
+      |    // (2 * (dp.deg + dq.deg - cn)) AS BIGINT) AS jaccard_ppm
+      |FROM na JOIN deg dp ON na.p = dp.u JOIN deg dq ON na.q = dq.u
+      |ORDER BY jaccard_ppm DESC, id1, id2 LIMIT 50""".stripMargin
+
+  /** Asymmetric containment near-dup pairs
+    * ([[Dedup.containmentPairs]]): partial-duplicate detection — a
+    * doc quoted inside another has containment ≈ 1 while Jaccard is
+    * tiny. Pruned-universe semantics, exact-rational 7/10 threshold
+    * by integer cross-multiplication, prefix-filter candidates. */
+  val d14_containment: QFn = (s, d) =>
+    Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleSize = 3, tauNum = 7, tauDen = 10, maxDf = 200)
+
+  val d14_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM posting GROUP BY shingle
+       |  HAVING count(*) <= 200),
+       |p AS (SELECT posting.doc_id, posting.shingle FROM posting
+       |  JOIN keep USING (shingle)),
+       |np AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+       |iv AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+       |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, CAST(s1.n AS BIGINT) AS n1,
+       |  CAST(s2.n AS BIGINT) AS n2, CAST(inter AS BIGINT) AS inter,
+       |  CAST((2 * 1000000 * inter + s1.n) // (2 * s1.n) AS BIGINT)
+       |    AS cont1_ppm,
+       |  CAST((2 * 1000000 * inter + s2.n) // (2 * s2.n) AS BIGINT)
+       |    AS cont2_ppm
+       |FROM iv JOIN np s1 ON id1 = s1.doc_id
+       |JOIN np s2 ON id2 = s2.doc_id
+       |WHERE inter * 10 >= s1.n * 7 OR inter * 10 >= s2.n * 7""".stripMargin
+
+  /** Robust dispersion stats: per-returnflag median + median absolute
+    * deviation (MAD) + |x − med| > 3·MAD outlier counts, ENTIRELY in
+    * integer space — medians are rank-picked lo+hi sums (q52's exact
+    * even-n machinery: half-cents for the median, quarter-cents for
+    * the MAD), the outlier cut is the cross-multiplied exact rational
+    * 2·dev_half > 3·mad_quarter. No float touches any emitted value,
+    * so the hash match is by construction (CLAUDE.md rounding-tie
+    * rule). Two window passes (one Exchange+Sort each) + tiny
+    * broadcast med/mad dims — the at-scale robust-stats shape. */
+  val q55_mad: QFn = (s, d) => {
+    val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+      expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    li.count() // feeds the ranked pass + two dev branches
+    val wG = Window.partitionBy("flag")
+    def pick2(v: String): Column =
+      sum(when(col("rn") === expr("(n + 1) DIV 2"), col(v))
+        .otherwise(0L)) +
+        sum(when(col("rn") === expr("n DIV 2 + 1"), col(v))
+          .otherwise(0L))
+    val med = li
+      .withColumn("rn", row_number().over(wG.orderBy("c")).cast("long"))
+      .withColumn("n", count(lit(1)).over(wG))
+      .groupBy("flag")
+      .agg(max(col("n")).as("n"), pick2("c").as("median_halfcents"))
+    val dev = li.join(broadcast(med), "flag")
+      .select(col("flag"), abs(col("c") * 2 - col("median_halfcents"))
+        .as("dv"))
+    val mad = dev
+      .withColumn("rn", row_number().over(wG.orderBy("dv")).cast("long"))
+      .withColumn("n", count(lit(1)).over(wG))
+      .groupBy("flag")
+      .agg(pick2("dv").as("mad_quartercents"))
+    val outliers = dev.join(broadcast(mad), "flag")
+      .groupBy("flag")
+      .agg(sum((col("dv") * 2 > col("mad_quartercents") * 3)
+        .cast("long")).as("n_outliers"))
+    med.join(mad, "flag").join(outliers, "flag")
+      .select(col("flag"), col("n").cast("long").as("n"),
+        col("median_halfcents").cast("long").as("median_halfcents"),
+        col("mad_quartercents").cast("long").as("mad_quartercents"),
+        col("n_outliers"))
+  }
+
+  val q55_sql: String =
+    """WITH li AS (SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem),
+      |r1 AS (SELECT flag, c,
+      |    row_number() OVER (PARTITION BY flag ORDER BY c) AS rn,
+      |    count(*) OVER (PARTITION BY flag) AS n FROM li),
+      |med AS (SELECT flag, CAST(max(n) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END) +
+      |      sum(CASE WHEN rn = n // 2 + 1 THEN c ELSE 0 END) AS BIGINT)
+      |      AS median_halfcents
+      |  FROM r1 GROUP BY flag),
+      |dev AS (SELECT li.flag, abs(li.c * 2 - med.median_halfcents) AS dv
+      |  FROM li JOIN med USING (flag)),
+      |r2 AS (SELECT flag, dv,
+      |    row_number() OVER (PARTITION BY flag ORDER BY dv) AS rn,
+      |    count(*) OVER (PARTITION BY flag) AS n FROM dev),
+      |mad AS (SELECT flag,
+      |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dv ELSE 0 END) +
+      |      sum(CASE WHEN rn = n // 2 + 1 THEN dv ELSE 0 END) AS BIGINT)
+      |      AS mad_quartercents
+      |  FROM r2 GROUP BY flag),
+      |outl AS (SELECT dev.flag, CAST(sum(CASE
+      |      WHEN dev.dv * 2 > mad.mad_quartercents * 3 THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_outliers
+      |  FROM dev JOIN mad USING (flag) GROUP BY dev.flag)
+      |SELECT flag, n, median_halfcents, mad_quartercents, n_outliers
+      |FROM med JOIN mad USING (flag) JOIN outl USING (flag)""".stripMargin
+
+  /** Per-user 3σ anomaly detection over the event stream with the
+    * z-score cut computed ENTIRELY in integer space: |x − μ| > 3σ
+    * ⇔ (c·n − s)² > 9·(n·q − s²) where (n, s, q) are the user's
+    * exact BIGINT count/sum/sum-of-squares of value cents — both
+    * engines compare identical integers, where a float z-score's
+    * division/sqrt would drift at the boundary (the q45 exact-moments
+    * discipline applied to outlier FLAGGING). One user-keyed window
+    * pass; users with < 20 events are skipped (no stable baseline).
+    * Magnitude audit: |c| ≤ ~6e4 at sf0.1 ⇒ (c·n − s)² ≤ ~1.4e13 —
+    * five orders below BIGINT overflow even at 100× the per-user
+    * event count. */
+  val e12_outliers: QFn = (s, d) => {
+    val wU = Window.partitionBy("user_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("n", count(lit(1)).over(wU))
+      .withColumn("sc", sum(col("cents")).over(wU))
+      .withColumn("q", sum(col("cents") * col("cents")).over(wU))
+      .filter(col("n") >= 20 &&
+        (col("cents") * col("n") - col("sc")) *
+          (col("cents") * col("n") - col("sc")) >
+          (col("n") * col("q") - col("sc") * col("sc")) * 9)
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n").cast("long").as("n_user"),
+        expr("CAST((2 * 1000 * sc + n) DIV (2 * n) AS BIGINT)")
+          .as("mean_millicents"))
+  }
+
+  val e12_sql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |w AS (SELECT user_id, event_id, cents,
+      |    count(*) OVER (PARTITION BY user_id) AS n,
+      |    sum(cents) OVER (PARTITION BY user_id) AS s,
+      |    sum(cents * cents) OVER (PARTITION BY user_id) AS q
+      |  FROM e)
+      |SELECT user_id, event_id, cents, CAST(n AS BIGINT) AS n_user,
+      |  CAST((2 * 1000 * s + n) // (2 * n) AS BIGINT) AS mean_millicents
+      |FROM w WHERE n >= 20 AND
+      |  (cents * n - s) * (cents * n - s) > (n * q - s * s) * 9""".stripMargin
+
+  // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
 
@@ -4112,7 +4303,11 @@ object Queries {
     "g06_ppr_topk" -> g06_ppr_topk,
     "q53_diverse_topk" -> q53_diverse_topk,
     "q54_temp_mixture" -> q54_temp_mixture,
-    "t13_clean_pipeline" -> t13_clean_pipeline)
+    "t13_clean_pipeline" -> t13_clean_pipeline,
+    "g07_jaccard_link" -> g07_jaccard_link,
+    "d14_containment" -> d14_containment,
+    "q55_mad" -> q55_mad,
+    "e12_outliers" -> e12_outliers)
 
   val oracles: Map[String, String] = Map(
     "q01_filter_project" -> q01_sql,
@@ -4220,5 +4415,9 @@ object Queries {
     "g06_ppr_topk" -> g06_sql,
     "q53_diverse_topk" -> q53_sql,
     "q54_temp_mixture" -> q54_sql,
-    "t13_clean_pipeline" -> t13_sql)
+    "t13_clean_pipeline" -> t13_sql,
+    "g07_jaccard_link" -> g07_sql,
+    "d14_containment" -> d14_sql,
+    "q55_mad" -> q55_sql,
+    "e12_outliers" -> e12_sql)
 }

@@ -254,6 +254,91 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** ASYMMETRIC containment near-dup pairs — the partial-duplicate
+    * detector exact Jaccard misses: a short document wholly quoted
+    * inside a long one has containment |A∩B|/|A| ≈ 1 while its
+    * Jaccard |A∩B|/|A∪B| is tiny (bounded by |A|/|B|). Containment is
+    * the standard corpus-dedup companion metric (Broder's original
+    * resemblance/containment pair) for catching quote inclusion,
+    * boilerplate wrapping and excerpt reposts in LLM training data.
+    *
+    * Semantics are declared over the PRUNED shingle universe
+    * (document-frequency ≤ `maxDf`, exactly as [[ngramJaccardPairs]]):
+    * sizes, intersections and thresholds all use pruned sets,
+    * mirrored verbatim by the oracle. The threshold is the exact
+    * rational `tauNum/tauDen` and every comparison is pure-integer
+    * cross-multiplication — no float, no ceil, no rounding tie
+    * anywhere in the cut (CLAUDE.md rounding-tie rule taken to its
+    * limit: don't round at all).
+    *
+    * Candidate generation is the prefix-filter adapted to the
+    * containment bound: a qualifying pair has overlap ≥ τ·min(n_a,
+    * n_b), so the SMALLER doc's prefix (its first n − ⌈τ·n⌉ + 1
+    * shingles in the global (df, h) order) must hit the other doc's
+    * postings — prefix-vs-full is recall-complete, and prefixes live
+    * in the rare-shingle buckets, so the join never sees the
+    * frequent-shingle quadratic blowup. The PPJoin positional filter
+    * carries over with α = ⌈τ·min(np_a, np_b)⌉ (compared by
+    * cross-multiplication). Reported containments are HALF_UP integer
+    * ppm per side.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, tauNum: Int = 7,
+                       tauDen: Int = 10, maxDf: Int = 200): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"containment threshold $tauNum/$tauDen must be in (0, 1]")
+    val posting = TextFunctions.shinglePostings(docs, idCol, textCol,
+      shingleSize, distinct = true)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    posting.count()
+    val df = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    // pruned universe FIRST (df ≤ maxDf), then one doc_id window pass
+    // attaches rank-in-global-order and pruned size to every posting
+    val wDoc = Window.partitionBy("doc_id")
+    val pruned = posting.join(df, Seq("h"))
+      .filter(col("df") <= maxDf)
+      .withColumn("r", row_number()
+        .over(wDoc.orderBy(col("df").asc, col("h").asc)).cast("long"))
+      .withColumn("np", count(lit(1)).over(wDoc))
+      .select("doc_id", "h", "r", "np")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pruned.count()
+    posting.unpersist(false)
+    // r ≤ np − ⌈τ·np⌉ + 1  ⇔  τ·np ≤ np − r + 1 (RHS integer)
+    //                      ⇔  np·tauNum ≤ (np − r + 1)·tauDen
+    val prefix = pruned.filter(
+      col("np") * tauNum <= (col("np") - col("r") + 1) * tauDen)
+    // positional filter: remaining-overlap bound vs α = ⌈τ·min(np)⌉,
+    // integer X ≥ ⌈q⌉ ⇔ X·tauDen ≥ q·tauDen — cross-multiplied exact
+    val cand = prefix.as("a")
+      .join(pruned.as("b"), Seq("h"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        (lit(1) + least(col("a.np") - col("a.r"),
+          col("b.np") - col("b.r"))) * tauDen >=
+          least(col("a.np"), col("b.np")) * tauNum)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+      .distinct()
+    val sets = pruned.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("sh"), max(col("np")).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1"),
+        col("n").as("n1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2"),
+        col("n").as("n2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .filter(col("inter") * tauDen >= col("n1") * tauNum ||
+        col("inter") * tauDen >= col("n2") * tauNum)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        col("inter"),
+        expr("CAST((2 * 1000000 * inter + n1) DIV (2 * n1) AS BIGINT)")
+          .as("cont1_ppm"),
+        expr("CAST((2 * 1000000 * inter + n2) DIV (2 * n2) AS BIGINT)")
+          .as("cont2_ppm"))
+  }
+
   /** Distinct word-shingle sets per doc; documents shorter than one
     * full shingle are dropped (mirrors the oracle's `len(toks) >= n`
     * guard so both engines see the same doc set). */

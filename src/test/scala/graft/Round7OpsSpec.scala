@@ -1,0 +1,190 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.graph.LinkPrediction
+import org.apache.spark.sql.functions._
+
+/** Round-7 session specs: link prediction, containment dedup, robust
+  * MAD stats, integer z-score outliers. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- g07: neighborhood-Jaccard link prediction -------------------
+
+  test("link prediction scores non-adjacent pairs by exact Jaccard") {
+    // path + hub:  1-2, 2-3, 3-4, and 5 connected to 2 and 3.
+    // Non-adjacent pairs with common neighbors (union = d1+d2-cn):
+    //   (1,3): N(1)={2}, N(3)={2,4,5} -> cn=1, union=3 -> 333333
+    //   (2,4): N(2)={1,3,5}, N(4)={3} -> cn=1, union=3 -> 333333
+    //   (1,5): N(1)={2}, N(5)={2,3}  -> cn=1, union=2  -> 500000
+    //   (4,5): N(4)={3}, N(5)={2,3}  -> cn=1, union=2  -> 500000
+    //   (1,4): no common neighbor — absent
+    //   (2,3): adjacent — must be excluded even though cn=1 (node 5)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (3L, 5L))
+      .toDF("id1", "id2")
+    val got = LinkPrediction.jaccardCandidates(edges, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 500000L), (4L, 5L, 1L, 500000L),
+      (1L, 3L, 1L, 333333L), (2L, 4L, 1L, 333333L)))
+  }
+
+  test("link prediction hub cap drops wedges centered on hubs only") {
+    // star: hub 1 connected to 2..6; plus edge 2-3. With the hub (deg
+    // 5) capped out, only centers 2 and 3 (deg 2) emit wedges:
+    // via 2: (1,3) adjacent? 1-3 is an edge -> excluded; via 3: (1,2)
+    // adjacent -> excluded. So capped run is EMPTY; uncapped finds
+    // the C(5,2)-minus-adjacent pairs among leaves.
+    val edges = ((2L to 6L).map(v => (1L, v)) :+ (2L, 3L))
+      .toDF("id1", "id2")
+    val uncapped = LinkPrediction.jaccardCandidates(edges, topK = 100)
+      .collect()
+    // leaves 2..6 pairwise share hub 1; (2,3) adjacent -> 9 pairs
+    assert(uncapped.length == 9)
+    val capped = LinkPrediction
+      .jaccardCandidates(edges, topK = 100, maxCenterDegree = 4L)
+      .collect()
+    assert(capped.isEmpty)
+  }
+
+  test("link prediction jaccard_ppm is HALF_UP in integer space") {
+    // cn=1, union=3 -> 333333.33 -> 333333; cn=2, union=3 -> 666667
+    // triangle-free: 1-2,1-3 (cn({2,3})=1, deg2=deg3=1, union=1)
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val got = LinkPrediction.jaccardCandidates(edges, topK = 10)
+      .collect()
+    assert(got.length == 1)
+    // (2,3): cn=1, deg=1 each, union = 1+1-1 = 1 -> 1000000 ppm
+    assert(got.head.getLong(5) == 1000000L)
+  }
+
+  // --- d14: containment pairs --------------------------------------
+
+  test("containment catches a quote inclusion Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated words only"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    // small doc: 4 shingles, all inside big -> cont1 = 1000000
+    assert(r.getLong(5) == 1000000L)
+    // jaccard = 4 / (4 + 64 - 4) = 0.0625 — far below d02's 0.5 cut
+    val jacc = r.getLong(4).toDouble /
+      (r.getLong(2) + r.getLong(3) - r.getLong(4))
+    assert(jacc < 0.1)
+  }
+
+  test("containment prefix filter is recall-complete vs brute force") {
+    // 40 docs with overlapping sliding windows over a shared word
+    // stream — many boundary pairs right at the 7/10 threshold
+    val words = (1 to 80).map(i => s"t${i % 23}x$i")
+    val docs = (0 until 40).map { i =>
+      val len = 6 + (i % 9)
+      val start = (i * 2) % (words.length - len)
+      (i.toLong, words.slice(start, start + len).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(docs, "doc_id", "text")
+      .select("id1", "id2", "inter", "n1", "n2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // brute force: all-pairs exact intersection over distinct
+    // 3-shingle sets (df pruning is a no-op at this scale)
+    val sets = Dedup.shingleDocs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[String](1).toSet)).sortBy(_._1)
+    val brute = (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      inter = (a & b).size
+      if inter * 10 >= a.size * 7 || inter * 10 >= b.size * 7
+    } yield (i, j, inter.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must generate qualifying pairs")
+    assert(fast == brute)
+  }
+
+  // --- q55: median absolute deviation ------------------------------
+
+  test("q55 MAD machinery matches driver-side computation") {
+    val rows = Queries.q55_mad(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val cents = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def med2(xs: Seq[Long]): Long = { // lo+hi rank-picked, exact
+      val n = xs.length
+      xs((n + 1) / 2 - 1) + xs(n / 2 + 1 - 1)
+    }
+    rows.foreach { case (flag, n, medHalf, madQuarter, nOut) =>
+      val xs = cents(flag)
+      assert(n == xs.length)
+      assert(medHalf == med2(xs))
+      val dev = xs.map(c => math.abs(2 * c - medHalf)).sorted
+      assert(madQuarter == med2(dev))
+      assert(nOut == dev.count(d => 2 * d > 3 * madQuarter))
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q55 outlier cut is strict and tie-free at the exact boundary") {
+    // xs = 0,10,20,30,100 cents: median_half = 2*20 = 40;
+    // dev_half = |2c-40| = {40,20,0,20,160}, sorted 0,20,20,40,160
+    // -> mad_quarter = 20+20 = 40. A value c=50 has dev_half = 60 =
+    // EXACTLY 1.5*MAD (2*60 == 3*40): the strict integer cut excludes
+    // it deterministically — no float epsilon, no rounding tie.
+    val xs = Seq(0L, 10L, 20L, 30L, 100L)
+    val medHalf = 40L
+    val dev = xs.map(c => math.abs(2 * c - medHalf)).sorted
+    assert(dev == Seq(0L, 20L, 20L, 40L, 160L))
+    val madQuarter = dev(2) + dev(3 - 1) // lo+hi picks on n=5 -> 20+20
+    assert(madQuarter == 40L)
+    assert(!(2 * 60L > 3 * madQuarter)) // boundary value excluded
+    assert(2 * 61L > 3 * madQuarter)    // one half-cent past: included
+  }
+
+  // --- e12: integer z-score outliers -------------------------------
+
+  test("e12 z-cut matches float z-score away from the boundary") {
+    val got = Queries.e12_outliers(spark, sf("sf0.001"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .select(col("user_id"),
+        col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // note .toSeq: Map.flatMap over tuple results would resolve to
+    // the Map overload and collapse to ONE outlier per user key
+    val byUser = ev.groupBy(_._1).toSeq
+    val want = byUser.flatMap { case (u, rows) =>
+      val n = rows.length
+      if (n < 20) Seq.empty[(Long, Long)] else {
+        val cs = rows.map(_._3)
+        val mean = cs.sum.toDouble / n
+        val varp = cs.map(c => (c - mean) * (c - mean)).sum / n
+        rows.filter { case (_, _, c) =>
+          (c - mean) * (c - mean) > 9.0 * varp }
+          .map(r => (r._1, r._2)).toSeq
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("e12 magnitudes stay far below BIGINT overflow at 100x scale") {
+    // worst case audit: |c| <= 1e5 cents, n <= 1e4 events/user
+    val c = 100000L; val n = 10000L
+    val s = c * n; val q = c * c * n
+    // (c*n - s)^2 extreme: one event at +c, rest at -c
+    val num = BigInt(2L * c * n) * BigInt(2L * c * n)
+    val den = BigInt(9) * (BigInt(n) * q)
+    assert(num < BigInt(Long.MaxValue) / 2,
+      s"z numerator $num would overflow")
+    assert(den < BigInt(Long.MaxValue),
+      s"z denominator $den would overflow")
+  }
+}
