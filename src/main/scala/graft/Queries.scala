@@ -4148,6 +4148,67 @@ object Queries {
       |SELECT flag, n, median_halfcents, mad_quartercents, n_outliers
       |FROM med JOIN mad USING (flag) JOIN outl USING (flag)""".stripMargin
 
+  /** Degree assortativity of the co-purchase graph — "do high-degree
+    * parts co-occur with high-degree parts?" —
+    * [[graft.graph.GraphStats.assortativityPpm]]: the symmetrized
+    * marginals make Pearson's sqrt denominator collapse, so unlike
+    * q45's general float corr this never leaves integer space
+    * (sign-aware HALF_UP ppm, q50's idiom). */
+  val g08_assortativity: QFn = (s, d) =>
+    graft.graph.GraphStats.assortativityPpm(coPurchasePairs(s, d))
+
+  val g08_sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |e0 AS (SELECT x.pk AS a, y.pk AS b
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT a AS u, b AS v FROM e0
+      |  UNION ALL SELECT b AS u, a AS v FROM e0),
+      |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+      |xy AS (SELECT da.deg AS dx, db.deg AS dy FROM adj
+      |  JOIN deg da ON adj.u = da.u JOIN deg db ON adj.v = db.u),
+      |m AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+      |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+      |    CAST(sum(dx * dx) AS BIGINT) AS sxx
+      |  FROM xy)
+      |SELECT n, sx, sxy, sxx,
+      |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+      |    WHEN n * sxy - sx * sx >= 0
+      |    THEN (2 * 1000000 * (n * sxy - sx * sx) + (n * sxx - sx * sx))
+      |      // (2 * (n * sxx - sx * sx))
+      |    ELSE -((2 * 1000000 * (sx * sx - n * sxy) + (n * sxx - sx * sx))
+      |      // (2 * (n * sxx - sx * sx))) END AS BIGINT)
+      |    AS assortativity_ppm
+      |FROM m""".stripMargin
+
+  /** Skew-resistant fact⋈dim revenue rollup through
+    * [[Relational.saltedJoin]] — the hot-key machinery in the
+    * ORACLE-VERIFIED surface (salting is result-invariant, so the
+    * oracle is the plain join): the fact side salts each key over 8
+    * deterministic buckets (xxhash64 of row content — stable under
+    * retries), the dim side replicates 8×, the join shuffle spreads
+    * any hot supplier over 8 reducers instead of pinning one
+    * executor. Use over AQE skew-split when the skew source is an
+    * upstream aggregate AQE can't re-split. */
+  val q56_skew_join: QFn = (s, d) => {
+    val li = t(s, d, "lineitem").select(col("l_suppkey").as("suppkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val sup = t(s, d, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Relational.saltedJoin(li, sup, "suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"))
+  }
+
+  val q56_sql: String =
+    """SELECT s_nationkey, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey""".stripMargin
+
   /** Per-user 3σ anomaly detection over the event stream with the
     * z-score cut computed ENTIRELY in integer space: |x − μ| > 3σ
     * ⇔ (c·n − s)² > 9·(n·q − s²) where (n, s, q) are the user's
@@ -4305,6 +4366,8 @@ object Queries {
     "q54_temp_mixture" -> q54_temp_mixture,
     "t13_clean_pipeline" -> t13_clean_pipeline,
     "g07_jaccard_link" -> g07_jaccard_link,
+    "g08_assortativity" -> g08_assortativity,
+    "q56_skew_join" -> q56_skew_join,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -4417,6 +4480,8 @@ object Queries {
     "q54_temp_mixture" -> q54_sql,
     "t13_clean_pipeline" -> t13_sql,
     "g07_jaccard_link" -> g07_sql,
+    "g08_assortativity" -> g08_sql,
+    "q56_skew_join" -> q56_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

@@ -1,0 +1,49 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph summary statistics with exact integer arithmetic. */
+object GraphStats {
+
+  /** Degree assortativity — Pearson correlation of endpoint degrees
+    * over the SYMMETRIZED directed edge list. Symmetrization makes
+    * the x and y marginals identical, so the sqrt denominator
+    * collapses: r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — a pure
+    * rational of exact BIGINT moments, emitted sign-aware HALF_UP as
+    * integer ppm. Degenerate regular graphs (zero variance) emit 0.
+    *
+    * One degree aggregate + two degree attaches + one global moment
+    * aggregate (partial agg collapses map-side — the shuffle carries
+    * four numbers per partition at any graph size). BIGINT holds
+    * while 2e6·n·Σdx² < 9.2e18 (e.g. 1e8 directed edges at max
+    * degree 200); past that cast the four moments to DECIMAL(38,0)
+    * (the DuckDB oracle mirrors in HUGEINT either way).
+    */
+  def assortativityPpm(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("id1"), col("id2")).cast("long").as("a"),
+        greatest(col("id1"), col("id2")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("deg"))
+    dir
+      .join(deg.select(col("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+      .agg(count(lit(1)).as("n"), sum("dx").as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("n"), col("sx").cast("long").as("sx"),
+        col("sxy").cast("long").as("sxy"),
+        col("sxx").cast("long").as("sxx"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 THEN 0
+          |WHEN n * sxy - sx * sx >= 0
+          |THEN (2 * 1000000 * (n * sxy - sx * sx) + (n * sxx - sx * sx))
+          |  DIV (2 * (n * sxx - sx * sx))
+          |ELSE -((2 * 1000000 * (sx * sx - n * sxy) + (n * sxx - sx * sx))
+          |  DIV (2 * (n * sxx - sx * sx))) END""".stripMargin)
+          .as("assortativity_ppm"))
+  }
+}

@@ -147,6 +147,52 @@ class Round7OpsSpec extends SparkSpec {
     assert(2 * 61L > 3 * madQuarter)    // one half-cent past: included
   }
 
+  // --- g08: degree assortativity -----------------------------------
+
+  test("assortativity: star graph is exactly -1, regular graph is 0") {
+    // K1,4 star: hub deg 4, leaves deg 1 — perfectly disassortative.
+    // moments: n=8, sx=20, sxy=32, sxx=68 -> num=8*32-400=-144,
+    // den=8*68-400=144 -> r = -1 exactly
+    val star = (2L to 5L).map(v => (1L, v)).toDF("id1", "id2")
+    val r1 = graph.GraphStats.assortativityPpm(star).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2),
+      r1.getLong(3)) == (8L, 20L, 32L, 68L))
+    assert(r1.getLong(4) == -1000000L)
+    // 1-regular graph (two disjoint edges): zero degree variance —
+    // r undefined, emitted as 0 by convention
+    val reg = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    assert(graph.GraphStats.assortativityPpm(reg).head().getLong(4)
+      == 0L)
+  }
+
+  test("assortativity HALF_UP is sign-aware around zero") {
+    // P4 path 1-2-3-4: degs 1,2,2,1; dirs (1,2),(2,1),(2,3),(3,2),
+    // (3,4),(4,3): dx*dy = 2,2,4,4,2,2 -> n=6, sx=1+2+2+2+2+1=10,
+    // sxy=16, sxx=1+4+4+4+4+1=18 -> num=96-100=-4, den=108-100=8
+    // -> r = -0.5 -> -500000 ppm (exact, no tie)
+    val p4 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val r = graph.GraphStats.assortativityPpm(p4).head()
+    assert(r.getLong(4) == -500000L)
+  }
+
+  // --- q56: salted skew join ---------------------------------------
+
+  test("salted join equals plain join on a skewed fixture") {
+    import graft.operators.Relational
+    // hot key: 900 of 1000 fact rows hit supplier 7
+    val fact = (1 to 1000).map(i =>
+      (if (i <= 900) 7L else (i % 10).toLong, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L to 9L).map(k => (k, s"d$k")).toDF("k", "name")
+    val salted = Relational.saltedJoin(fact, dim, "k", 8)
+    assert(!salted.columns.contains("graft_salt"))
+    val plain = fact.join(dim, "k")
+    assert(salted.groupBy("k").count().collect().toSet ==
+      plain.groupBy("k").count().collect().toSet)
+    assert(salted.agg(sum("v")).head().getLong(0) ==
+      plain.agg(sum("v")).head().getLong(0))
+  }
+
   // --- e12: integer z-score outliers -------------------------------
 
   test("e12 z-cut matches float z-score away from the boundary") {
