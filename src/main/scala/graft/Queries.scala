@@ -4209,6 +4209,134 @@ object Queries {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey""".stripMargin
 
+  /** HyperLogLog SET OPERATIONS — the property that makes sketches
+    * the 100 TB answer: q42's 64-register scheme built once per
+    * customer segment ('O' vs 'F' orders), then the union cardinality
+    * comes from MAX-MERGING the two register sets (64 rows each — no
+    * re-scan of the data) and the intersection from inclusion-
+    * exclusion over the three estimates (signed — IE can go negative
+    * on small sketches, and the exact column shows it). Exact
+    * distincts per set ride along from one custkey-flag aggregate, so
+    * the sketch error is itself part of the verified output (the
+    * q42/t11/q47/d12 sketch-parity theme). Tall 4-row result keeps
+    * the small-range-correction logic single. Register math is
+    * identical to q42 (integer-scaled harmonic sum, floor-of-
+    * irrational linear counting) — hash-exact cross-engine. */
+  val q57_hll_setops: QFn = (s, d) => {
+    val h = md5(col("o_custkey").cast("string"))
+    val j = conv(substring(h, 1, 2), 16, 10).cast("long") % 64
+    val wh = substring(h, 3, 13)
+    val lz = length(regexp_extract(wh, "^(0*)", 1))
+    val nib = substring(wh, lz + lit(1), lit(1))
+    val blen = when(nib === "1", 1).when(nib.isin("2", "3"), 2)
+      .when(nib.isin("4", "5", "6", "7"), 3).otherwise(4)
+    val rho = when(lz === 13, lit(53))
+      .otherwise(lz * 4 + (lit(4) - blen) + 1)
+    val base = t(s, d, "orders")
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("seg"), col("o_custkey"),
+        j.as("j"), least(rho, lit(40)).cast("long").as("rho"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // feeds the register build AND the exact-flag agg
+    val segRegs = base.groupBy("seg", "j").agg(max("rho").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    segRegs.count() // feeds per-seg sketches AND the union merge
+    val sScaled =
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - m AS INT))"))
+        + (lit(64) - count(lit(1))) * lit(1L << 40)).as("s_scaled")
+    val vEmpty = (lit(64) - count(lit(1))).cast("long").as("v_empty")
+    val segSk = segRegs.groupBy("seg").agg(sScaled, vEmpty)
+      .select(col("seg").as("set_name"), col("s_scaled"),
+        col("v_empty"))
+    val uniSk = segRegs.groupBy("j").agg(max("m").as("m"))
+      .agg(sScaled, vEmpty)
+      .select(lit("union").as("set_name"), col("s_scaled"),
+        col("v_empty"))
+    val est = segSk.unionByName(uniSk)
+      .withColumn("raw",
+        expr("(709 * 4096 * 1099511627776) DIV (1000 * s_scaled)"))
+      .select(col("set_name"), col("s_scaled"), col("v_empty"),
+        when(col("v_empty") > 0 && col("raw") < 160,
+          floor(lit(64.0) * log(lit(64.0) / col("v_empty")))
+            .cast("long"))
+          .otherwise(col("raw")).as("n_approx"))
+    val inter = est.agg(
+        sum(when(col("set_name") === "O", col("n_approx"))).as("eo"),
+        sum(when(col("set_name") === "F", col("n_approx"))).as("ef"),
+        sum(when(col("set_name") === "union", col("n_approx"))).as("eu"))
+      .select(lit("intersect").as("set_name"), lit(0L).as("s_scaled"),
+        lit(0L).as("v_empty"),
+        (col("eo") + col("ef") - col("eu")).cast("long").as("n_approx"))
+    val exact = base.groupBy("o_custkey")
+      .agg(max((col("seg") === "O").cast("long")).as("ho"),
+        max((col("seg") === "F").cast("long")).as("hf"))
+      .agg(sum("ho").as("no"), sum("hf").as("nf"),
+        count(lit(1)).as("nu"), sum(col("ho") * col("hf")).as("ni"))
+      .selectExpr("stack(4, 'O', no, 'F', nf, 'union', nu, " +
+        "'intersect', ni) AS (set_name, n_exact)")
+    est.unionByName(inter).join(exact, "set_name")
+  }
+
+  val q57_sql: String =
+    """WITH base AS (SELECT o_orderstatus AS seg, o_custkey,
+      |    md5(o_custkey::VARCHAR) AS hx
+      |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+      |r AS (SELECT seg, o_custkey,
+      |    ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS j,
+      |    length(regexp_extract(substr(hx, 3, 13), '^(0*)', 1)) AS lz,
+      |    substr(hx, 3 + length(regexp_extract(substr(hx, 3, 13),
+      |      '^(0*)', 1)), 1) AS nib
+      |  FROM base),
+      |rho AS (SELECT seg, o_custkey, j,
+      |    least(CASE WHEN lz = 13 THEN 53
+      |      ELSE lz * 4 + (4 - (CASE WHEN nib = '1' THEN 1
+      |        WHEN nib IN ('2', '3') THEN 2
+      |        WHEN nib IN ('4', '5', '6', '7') THEN 3
+      |        ELSE 4 END)) + 1 END, 40) AS rho
+      |  FROM r),
+      |segregs AS (SELECT seg, j, max(rho) AS m FROM rho GROUP BY 1, 2),
+      |uregs AS (SELECT j, max(m) AS m FROM segregs GROUP BY j),
+      |sks AS (SELECT seg AS set_name,
+      |    CAST(sum(1::BIGINT << (40 - m)) +
+      |      (64 - count(*)) * (1::BIGINT << 40) AS BIGINT) AS s_scaled,
+      |    CAST(64 - count(*) AS BIGINT) AS v_empty
+      |  FROM segregs GROUP BY seg
+      |  UNION ALL
+      |  SELECT 'union',
+      |    CAST(sum(1::BIGINT << (40 - m)) +
+      |      (64 - count(*)) * (1::BIGINT << 40) AS BIGINT),
+      |    CAST(64 - count(*) AS BIGINT)
+      |  FROM uregs),
+      |est AS (SELECT *,
+      |    (709 * 4096 * 1099511627776) // (1000 * s_scaled) AS raw
+      |  FROM sks),
+      |estc AS (SELECT set_name, s_scaled, v_empty,
+      |    CASE WHEN v_empty > 0 AND raw < 160
+      |      THEN CAST(floor(64 * ln(64.0 / v_empty)) AS BIGINT)
+      |      ELSE raw END AS n_approx
+      |  FROM est),
+      |ia AS (SELECT 'intersect' AS set_name, 0::BIGINT AS s_scaled,
+      |    0::BIGINT AS v_empty,
+      |    CAST((SELECT n_approx FROM estc WHERE set_name = 'O') +
+      |      (SELECT n_approx FROM estc WHERE set_name = 'F') -
+      |      (SELECT n_approx FROM estc WHERE set_name = 'union')
+      |      AS BIGINT) AS n_approx),
+      |allsets AS (SELECT * FROM estc UNION ALL SELECT * FROM ia),
+      |flags AS (SELECT o_custkey,
+      |    max(CASE WHEN seg = 'O' THEN 1 ELSE 0 END) AS ho,
+      |    max(CASE WHEN seg = 'F' THEN 1 ELSE 0 END) AS hf
+      |  FROM base GROUP BY o_custkey),
+      |ex AS (SELECT CAST(sum(ho) AS BIGINT) AS no,
+      |    CAST(sum(hf) AS BIGINT) AS nf,
+      |    CAST(count(*) AS BIGINT) AS nu,
+      |    CAST(sum(ho * hf) AS BIGINT) AS ni FROM flags),
+      |ext AS (SELECT 'O' AS set_name, no AS n_exact FROM ex
+      |  UNION ALL SELECT 'F', nf FROM ex
+      |  UNION ALL SELECT 'union', nu FROM ex
+      |  UNION ALL SELECT 'intersect', ni FROM ex)
+      |SELECT a.set_name, a.s_scaled, a.v_empty, a.n_approx, e.n_exact
+      |FROM allsets a JOIN ext e USING (set_name)""".stripMargin
+
   /** Per-user 3σ anomaly detection over the event stream with the
     * z-score cut computed ENTIRELY in integer space: |x − μ| > 3σ
     * ⇔ (c·n − s)² > 9·(n·q − s²) where (n, s, q) are the user's
@@ -4368,6 +4496,7 @@ object Queries {
     "g07_jaccard_link" -> g07_jaccard_link,
     "g08_assortativity" -> g08_assortativity,
     "q56_skew_join" -> q56_skew_join,
+    "q57_hll_setops" -> q57_hll_setops,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -4482,6 +4611,7 @@ object Queries {
     "g07_jaccard_link" -> g07_sql,
     "g08_assortativity" -> g08_sql,
     "q56_skew_join" -> q56_sql,
+    "q57_hll_setops" -> q57_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

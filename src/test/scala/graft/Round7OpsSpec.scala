@@ -193,6 +193,35 @@ class Round7OpsSpec extends SparkSpec {
       plain.agg(sum("v")).head().getLong(0))
   }
 
+  // --- q57: HLL set operations -------------------------------------
+
+  test("q57 set algebra: exact IE identity, merge monotonicity") {
+    val rows = Queries.q57_hll_setops(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("O", "F", "union", "intersect"))
+    val (no, nf) = (rows("O")._4, rows("F")._4)
+    val (nu, ni) = (rows("union")._4, rows("intersect")._4)
+    // exact inclusion-exclusion identity
+    assert(ni == no + nf - nu)
+    assert(nu >= math.max(no, nf) && nu <= no + nf)
+    // approx union from MERGED registers is monotone: at least each
+    // side's approx (register-wise max can only raise rho values,
+    // which can only raise the estimate)
+    val (ao, af) = (rows("O")._3, rows("F")._3)
+    val au = rows("union")._3
+    assert(au >= math.max(ao, af))
+    // IE approx intersect consistent with the three estimates
+    assert(rows("intersect")._3 == ao + af - au)
+    // sketches are honest: estimates within 35% of exact at m=64
+    Seq(("O", ao, no), ("F", af, nf), ("union", au, nu)).foreach {
+      case (k, a, e) =>
+        assert(math.abs(a - e).toDouble / e < 0.35,
+          s"$k estimate $a vs exact $e")
+    }
+  }
+
   // --- e12: integer z-score outliers -------------------------------
 
   test("e12 z-cut matches float z-score away from the boundary") {
