@@ -290,4 +290,50 @@ object Streams {
       least(rho, lit(40)).cast("int").as("rho"))
       .as[HllObs]
   }
+
+  case class CentEvent(user_id: Long, event_id: Long,
+                       ts: java.sql.Timestamp, cents: Long)
+  case class MomentState(n: Long, s: Long, q: Long)
+  case class OutlierOut(user_id: Long, event_id: Long, cents: Long,
+                        n_seen: Long)
+
+  /** ONLINE per-user anomaly detection — the streaming form of batch
+    * e12_outliers: state per user is just the exact integer moments
+    * (n, Σc, Σc²) — three longs, CONSTANT-size regardless of how long
+    * the user's history grows (where a naive approach would buffer
+    * the window). Each event folds into the moments in (ts, event_id)
+    * order, then tests |x − μ| > 3σ against the history INCLUDING
+    * itself via the same pure-integer cross-multiplication as the
+    * batch query: (c·n − s)² > 9·(n·q − s²). Flagging starts at
+    * n ≥ 20 (no stable baseline before).
+    *
+    * Semantics note: the batch query judges each event against the
+    * FULL window's stats; the online form judges against the trailing
+    * history at arrival — the honest streaming semantics (no
+    * lookahead). The spec pins the online form against a driver-side
+    * replay, not against e12. Keys never expire (NoTimeout) — on an
+    * unbounded-cardinality feed add a timeout policy upstream. */
+  def streamingOutliers(events: Dataset[CentEvent])
+    : Dataset[OutlierOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, OutlierOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = Seq.newBuilder[OutlierOut]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .foreach { r =>
+              st = MomentState(st.n + 1, st.s + r.cents,
+                st.q + r.cents * r.cents)
+              if (st.n >= 20) {
+                val num = r.cents * st.n - st.s
+                if (num * num > 9L * (st.n * st.q - st.s * st.s))
+                  out += OutlierOut(uid, r.event_id, r.cents, st.n)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

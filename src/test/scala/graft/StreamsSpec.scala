@@ -280,4 +280,50 @@ class StreamsSpec extends SparkSpec {
       assert(math.abs(last("a")._2 - 80L) <= 30L)
     } finally q.stop()
   }
+
+  test("streamingOutliers flags online anomalies with moment state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.CentEvent]
+    val q = Streams.streamingOutliers(mem.toDS())
+      .writeStream.format("memory").queryName("souts")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: 25 calm events (cents 100±5) then one spike, then more
+    // calm events in a SECOND batch plus another spike — state must
+    // carry the moments across batches
+    val calm1 = (1 to 25).map(i =>
+      Streams.CentEvent(1L, i.toLong, ts(i % 50), 100L + i % 5))
+    val spike1 = Streams.CentEvent(1L, 26L, ts(26), 5000L)
+    val calm2 = (27 to 40).map(i =>
+      Streams.CentEvent(1L, i.toLong, ts(i), 100L + i % 5))
+    val spike2 = Streams.CentEvent(1L, 41L, ts(41), 4000L)
+    // user 2: never reaches 20 events — must never flag, even with a
+    // huge spike
+    val shortU = (1 to 10).map(i =>
+      Streams.CentEvent(2L, (100 + i).toLong, ts(i), 100L)) :+
+      Streams.CentEvent(2L, 111L, ts(11), 99999L)
+    try {
+      mem.addData(calm1 :+ spike1: _*)
+      q.processAllAvailable()
+      mem.addData((calm2 :+ spike2) ++ shortU: _*)
+      q.processAllAvailable()
+      val got = spark.table("souts")
+        .select("user_id", "event_id", "n_seen")
+        .as[(Long, Long, Long)].collect().toSet
+      // driver-side replay of the SAME online semantics
+      val all = (calm1 :+ spike1) ++ (calm2 :+ spike2)
+      var (n, s, qq) = (0L, 0L, 0L)
+      val want = all.sortBy(e => (e.ts.getTime, e.event_id)).flatMap {
+        e =>
+          n += 1; s += e.cents; qq += e.cents * e.cents
+          val num = e.cents * n - s
+          if (n >= 20 && num * num > 9L * (n * qq - s * s))
+            Some((e.user_id, e.event_id, n))
+          else None
+      }.toSet
+      assert(got == want)
+      // both spikes flagged, nothing from the short user
+      assert(want.exists(_._2 == 26L) && want.exists(_._2 == 41L))
+      assert(!got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
