@@ -4085,10 +4085,13 @@ object Queries {
     * rule). Two window passes (one Exchange+Sort each) + tiny
     * broadcast med/mad dims — the at-scale robust-stats shape. */
   val q55_mad: QFn = (s, d) => {
+    // li feeds three branches but is a pushed-down 2-column parquet
+    // scan — rereading it is CHEAPER than a persist+count round trip
+    // (measured: the persisted form benched 3.6 s, unpersisted 1.9 s
+    // at sf0.1; the CLAUDE.md persist rule's "non-trivial subtree"
+    // qualifier doing real work)
     val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
       expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    li.count() // feeds the ranked pass + two dev branches
     val wG = Window.partitionBy("flag")
     def pick2(v: String): Column =
       sum(when(col("rn") === expr("(n + 1) DIV 2"), col(v))
