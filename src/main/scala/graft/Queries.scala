@@ -4382,6 +4382,46 @@ object Queries {
       |FROM w WHERE n >= 20 AND
       |  (cents * n - s) * (cents * n - s) > (n * q - s * s) * 9""".stripMargin
 
+  /** First-order Markov transition matrix over user event streams —
+    * the behavioral-pathing aggregate (which action follows which):
+    * per-user lag over the (ms, event_id) total order gives
+    * transition pairs, one hash aggregate counts them, and row
+    * probabilities are HALF_UP integer ppm against a broadcast
+    * |types|-row marginal. Scale shape: ONE user-keyed Exchange+Sort
+    * (the lag window) feeding a |types|²-bounded aggregate — the
+    * shuffle after the window carries at most |types|² rows per
+    * partition thanks to partial aggregation. */
+  val q58_markov: QFn = (s, d) => {
+    val wU = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val trans = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(wU))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("prev").agg(sum("n").as("tot"))
+    trans.join(broadcast(tot), "prev")
+      .select(col("prev"), col("next"), col("n"),
+        expr("CAST((2 * 1000000 * n + tot) DIV (2 * tot) AS BIGINT)")
+          .as("p_ppm"))
+  }
+
+  val q58_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    event_type FROM events),
+      |l AS (SELECT event_type AS next, lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ms, event_id) AS prev
+      |  FROM e),
+      |tr AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+      |  FROM l WHERE prev IS NOT NULL GROUP BY prev, next),
+      |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM tr
+      |  GROUP BY prev)
+      |SELECT tr.prev, tr.next, tr.n,
+      |  CAST((2 * 1000000 * tr.n + tot.tot) // (2 * tot.tot) AS BIGINT)
+      |    AS p_ppm
+      |FROM tr JOIN tot ON tr.prev = tot.prev""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -4500,6 +4540,7 @@ object Queries {
     "g08_assortativity" -> g08_assortativity,
     "q56_skew_join" -> q56_skew_join,
     "q57_hll_setops" -> q57_hll_setops,
+    "q58_markov" -> q58_markov,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -4615,6 +4656,7 @@ object Queries {
     "g08_assortativity" -> g08_sql,
     "q56_skew_join" -> q56_sql,
     "q57_hll_setops" -> q57_sql,
+    "q58_markov" -> q58_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

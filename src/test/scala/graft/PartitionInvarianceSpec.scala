@@ -20,7 +20,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q47_hist_quantile", "q50_spearman", "q52_collection_stats",
     "t12_countmin_pure", "d03_minhash_lsh", "d06_dup_clusters",
     "d11_cdc_chunks", "g01_pagerank", "g05_kcore", "g06_ppr_topk",
-    "q49_reachability", "e02_sessionize", "s08_ivfpq")
+    "q49_reachability", "e02_sessionize", "s08_ivfpq",
+    // round-7: wedge-aggregate top-k, prefix-filter candidate set,
+    // two-pass rank-picked medians, global moment aggregate, register
+    // max-merge + inclusion-exclusion
+    "g07_jaccard_link", "d14_containment", "q55_mad",
+    "g08_assortativity", "q57_hll_setops")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")
