@@ -4422,6 +4422,206 @@ object Queries {
       |    AS p_ppm
       |FROM tr JOIN tot ON tr.prev = tot.prev""".stripMargin
 
+  /** Sorting-strategy comparison matrix — the reference's member-
+    * ordering research (research/sort_members/sort.py) as one
+    * distributed query: four candidate orderings per group (rank
+    * desc; interest-score desc; length-then-rank; a two-segment
+    * rank-threshold split — sort.py's 'R' / 'I' / 'len,rank' / '4';
+    * sort.py cuts at rank 100000, here 91000 cents so the cut
+    * actually straddles the fixture price range at every SF),
+    * each scored by Spearman ρ against BOTH baselines (R and
+    * len,rank) plus sort.py's harmonic-mean combination
+    * harmonic(ρ_a+1, ρ_b+1) − 1. Every ordering key is an exact
+    * integer (price cents, size, name length) with a unique
+    * tiebreak, so ranks are integer permutations and every ρ and
+    * the harmonic combination are exact rationals → sign-aware
+    * HALF_UP ppm, hash-exact cross-engine (sort.py's float
+    * spearmanr can tie at any rounding digit). Scale shape: the
+    * four row_number windows share ONE group Exchange (four sorts,
+    * zero extra shuffles), the Σd² aggregate collapses map-side,
+    * and the 4-row-per-group unpivot runs on |groups| rows.
+    * Declared simplification: ρ over the FULL group ordering
+    * (sort.py compares [:30] name-list prefixes, which is not a
+    * permutation metric when prefix membership differs). */
+  val q59_sort_compare: QFn = (s, d) => {
+    val g = col("p_brand")
+    def w(cols: Column*) =
+      Window.partitionBy(g).orderBy(cols: _*)
+    val p = t(s, d, "part").select(
+      g, col("p_partkey"),
+      round(col("p_retailprice") * 100, 0).cast("long").as("rank_c"),
+      col("p_size").cast("long").as("score"),
+      length(col("p_name")).cast("long").as("len"))
+    val lessFlag = when(col("rank_c") < 91000L, 1L).otherwise(0L)
+    val splitKey = when(lessFlag === 0L, -col("score"))
+      .otherwise(-col("rank_c"))
+    val ranked = p.select(g,
+      row_number().over(w(col("rank_c").desc, col("p_partkey")))
+        .cast("long").as("r_rank"),
+      row_number().over(w(col("len"), col("rank_c").desc,
+        col("p_partkey"))).cast("long").as("r_lenrank"),
+      row_number().over(w(col("score").desc, col("p_partkey")))
+        .cast("long").as("r_score"),
+      row_number().over(w(lessFlag, splitKey, col("p_partkey")))
+        .cast("long").as("r_split"))
+    def d2(a: String, b: String): Column =
+      sum((col(a) - col(b)) * (col(a) - col(b)))
+    val agg = ranked.groupBy(g).agg(
+      count(lit(1)).as("n"),
+      d2("r_score", "r_rank").as("d_i_r"),
+      d2("r_score", "r_lenrank").as("d_i_lr"),
+      d2("r_lenrank", "r_rank").as("d_lr_r"),
+      d2("r_split", "r_rank").as("d_s_r"),
+      d2("r_split", "r_lenrank").as("d_s_lr"))
+      .filter(col("n") >= 2)
+    val rows = agg.select(g, col("n"), expr(
+      """stack(4,
+        |  'R',        CAST(0 AS BIGINT), d_lr_r,
+        |  'I',        d_i_r,  d_i_lr,
+        |  'len_rank', d_lr_r, CAST(0 AS BIGINT),
+        |  'split',    d_s_r,  d_s_lr)
+        |  AS (sorting, d2a, d2b)""".stripMargin))
+    def rho(dc: String): String =
+      s"""CASE WHEN n*(n*n-1) - 6*$dc >= 0
+         |  THEN (2*1000000*(n*(n*n-1) - 6*$dc) + n*(n*n-1))
+         |    DIV (2*n*(n*n-1))
+         |  ELSE -((2*1000000*(6*$dc - n*(n*n-1)) + n*(n*n-1))
+         |    DIV (2*n*(n*n-1))) END""".stripMargin
+    rows
+      .withColumn("rho_rank_ppm", expr(rho("d2a")))
+      .withColumn("rho_lenrank_ppm", expr(rho("d2b")))
+      .select(g, col("sorting"), col("n"),
+        col("rho_rank_ppm"), col("rho_lenrank_ppm"),
+        expr("""CASE WHEN rho_rank_ppm + rho_lenrank_ppm
+          |    + 2000000 > 0
+          |  THEN (2*(2*(rho_rank_ppm + 1000000)
+          |      *(rho_lenrank_ppm + 1000000))
+          |      + (rho_rank_ppm + rho_lenrank_ppm + 2000000))
+          |    DIV (2*(rho_rank_ppm + rho_lenrank_ppm + 2000000))
+          |    - 1000000
+          |  ELSE -1000000 END""".stripMargin).as("combined_ppm"))
+  }
+
+  val q59_sql: String = {
+    def rho(dc: String): String =
+      s"""CASE WHEN n*(n*n-1) - 6*$dc >= 0
+         | THEN (2*1000000*(n*(n*n-1) - 6*$dc) + n*(n*n-1))
+         |   // (2*n*(n*n-1))
+         | ELSE -((2*1000000*(6*$dc - n*(n*n-1)) + n*(n*n-1))
+         |   // (2*n*(n*n-1))) END""".stripMargin
+    s"""WITH p AS (SELECT p_brand, p_partkey,
+       |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS rank_c,
+       |    CAST(p_size AS BIGINT) AS score,
+       |    CAST(length(p_name) AS BIGINT) AS len
+       |  FROM part),
+       |r AS (SELECT p_brand,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY rank_c DESC, p_partkey) AS BIGINT) AS r_rank,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY len, rank_c DESC, p_partkey) AS BIGINT)
+       |      AS r_lenrank,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY score DESC, p_partkey) AS BIGINT) AS r_score,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY CASE WHEN rank_c < 91000 THEN 1 ELSE 0 END,
+       |        CASE WHEN rank_c < 91000 THEN -rank_c
+       |          ELSE -score END, p_partkey) AS BIGINT) AS r_split
+       |  FROM p),
+       |a AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum((r_score-r_rank)*(r_score-r_rank)) AS BIGINT)
+       |      AS d_i_r,
+       |    CAST(sum((r_score-r_lenrank)*(r_score-r_lenrank))
+       |      AS BIGINT) AS d_i_lr,
+       |    CAST(sum((r_lenrank-r_rank)*(r_lenrank-r_rank))
+       |      AS BIGINT) AS d_lr_r,
+       |    CAST(sum((r_split-r_rank)*(r_split-r_rank)) AS BIGINT)
+       |      AS d_s_r,
+       |    CAST(sum((r_split-r_lenrank)*(r_split-r_lenrank))
+       |      AS BIGINT) AS d_s_lr
+       |  FROM r GROUP BY p_brand HAVING count(*) >= 2),
+       |u AS (
+       |  SELECT p_brand, n, 'R' AS sorting,
+       |    CAST(0 AS BIGINT) AS d2a, d_lr_r AS d2b FROM a
+       |  UNION ALL SELECT p_brand, n, 'I', d_i_r, d_i_lr FROM a
+       |  UNION ALL SELECT p_brand, n, 'len_rank', d_lr_r,
+       |    CAST(0 AS BIGINT) FROM a
+       |  UNION ALL SELECT p_brand, n, 'split', d_s_r, d_s_lr
+       |    FROM a),
+       |rr AS (SELECT p_brand, sorting, n,
+       |    CAST(${rho("d2a")} AS BIGINT) AS rho_rank_ppm,
+       |    CAST(${rho("d2b")} AS BIGINT) AS rho_lenrank_ppm
+       |  FROM u)
+       |SELECT p_brand, sorting, n, rho_rank_ppm, rho_lenrank_ppm,
+       |  CAST(CASE WHEN rho_rank_ppm + rho_lenrank_ppm
+       |      + 2000000 > 0
+       |    THEN (2*(2*(rho_rank_ppm + 1000000)
+       |        *(rho_lenrank_ppm + 1000000))
+       |        + (rho_rank_ppm + rho_lenrank_ppm + 2000000))
+       |      // (2*(rho_rank_ppm + rho_lenrank_ppm + 2000000))
+       |      - 1000000
+       |    ELSE -1000000 END AS BIGINT) AS combined_ppm
+       |FROM rr""".stripMargin
+  }
+
+  /** Per-user lag-1 autocorrelation of spend — the behavioral-
+    * persistence metric (does a big event predict the next one):
+    * adjacent-event value pairs over the (ms, event_id) total order,
+    * then Pearson via EXACT BIGINT moments (the q45 discipline —
+    * count/sums/cross-moments are order-independent integers, the
+    * one float step is the final sqrt quotient, deterministic
+    * cross-engine from identical integer inputs; zero-variance
+    * groups are filtered on the exact integer moments, not a float
+    * epsilon). Users below 20 pairs drop. Scale shape: ONE
+    * user-keyed Exchange+Sort (the lag window) feeding a per-user
+    * aggregate that collapses map-side — six numbers per user
+    * regardless of event count. */
+  val e13_autocorr: QFn = (s, d) => {
+    val wU = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val pairs = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .withColumn("prev", lag("c", 1).over(wU))
+      .filter(col("prev").isNotNull)
+    val m = pairs.groupBy("user_id").agg(count(lit(1)).as("n"),
+      sum("prev").as("sx"), sum("c").as("sy"),
+      sum(col("prev") * col("c")).as("sxy"),
+      sum(col("prev") * col("prev")).as("sxx"),
+      sum(col("c") * col("c")).as("syy"))
+      .filter(col("n") >= 20 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+    m.select(col("user_id"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double"))), 6).as("autocorr"))
+  }
+
+  val e13_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS c
+      |  FROM events),
+      |l AS (SELECT user_id, c, lag(c) OVER (PARTITION BY user_id
+      |    ORDER BY ms, event_id) AS prev FROM e),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(prev) AS BIGINT) AS sx,
+      |    CAST(sum(c) AS BIGINT) AS sy,
+      |    CAST(sum(prev * c) AS BIGINT) AS sxy,
+      |    CAST(sum(prev * prev) AS BIGINT) AS sxx,
+      |    CAST(sum(c * c) AS BIGINT) AS syy
+      |  FROM l WHERE prev IS NOT NULL GROUP BY user_id
+      |  HAVING count(*) >= 20)
+      |SELECT user_id, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+      |FROM m
+      |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""
+      .stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -4541,6 +4741,8 @@ object Queries {
     "q56_skew_join" -> q56_skew_join,
     "q57_hll_setops" -> q57_hll_setops,
     "q58_markov" -> q58_markov,
+    "q59_sort_compare" -> q59_sort_compare,
+    "e13_autocorr" -> e13_autocorr,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -4657,6 +4859,8 @@ object Queries {
     "q56_skew_join" -> q56_sql,
     "q57_hll_setops" -> q57_sql,
     "q58_markov" -> q58_sql,
+    "q59_sort_compare" -> q59_sql,
+    "e13_autocorr" -> e13_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

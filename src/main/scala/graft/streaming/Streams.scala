@@ -336,4 +336,47 @@ object Streams {
           out.result().iterator
       }
   }
+
+  case class TypedEvent(user_id: Long, event_id: Long,
+                        ts: java.sql.Timestamp, event_type: String)
+  case class LastEvent(ms: Long, event_id: Long, event_type: String)
+  case class TransOut(user_id: Long, prev: String, next: String)
+
+  /** ONLINE event-type transitions — the streaming form of batch
+    * q58_markov's pair extraction: state per user is just the LAST
+    * event seen ((ms, event_id, type) — constant-size regardless of
+    * history length), each arriving event emits one (prev, next)
+    * transition row against it. Within a batch, rows fold in
+    * (ts, event_id) order — the same total order as the batch lag
+    * window, so replaying a log through this operator yields
+    * EXACTLY the batch query's transition multiset (spec-pinned);
+    * a downstream `groupBy(prev, next).count()` in Update mode
+    * maintains the live transition matrix. Keys never expire
+    * (NoTimeout) — on an unbounded-cardinality feed add a timeout
+    * policy upstream, as with [[streamingOutliers]].
+    *
+    * Late-data caveat (declared): an event older than its user's
+    * stored last event still transitions FROM that stored state —
+    * the online no-lookahead semantics; batch equivalence holds
+    * when per-user arrival respects event-time order (true of a
+    * replayed log, approximately true of a live feed). */
+  def streamingTransitions(events: Dataset[TypedEvent])
+    : Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[LastEvent]) =>
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[TransOut]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .foreach { r =>
+              if (last != null)
+                out += TransOut(uid, last.event_type, r.event_type)
+              last = LastEvent(r.ts.getTime, r.event_id, r.event_type)
+            }
+          state.update(last)
+          out.result().iterator
+      }
+  }
 }

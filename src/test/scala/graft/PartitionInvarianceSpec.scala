@@ -25,7 +25,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // two-pass rank-picked medians, global moment aggregate, register
     // max-merge + inclusion-exclusion
     "g07_jaccard_link", "d14_containment", "q55_mad",
-    "g08_assortativity", "q57_hll_setops")
+    "g08_assortativity", "q57_hll_setops",
+    // round-8: lag-window transition counts, four-way shared-
+    // Exchange rank windows
+    "q58_markov", "q59_sort_compare")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

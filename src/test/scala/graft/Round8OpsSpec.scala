@@ -1,0 +1,157 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-8 session specs: Markov transition matrix, sorting-strategy
+  * comparison. Both verified against literal driver-side replays of
+  * the declared semantics (the e12 pattern).
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- q58: event-type Markov transitions --------------------------
+
+  test("q58 transitions and ppm match a driver-side replay") {
+    val got = Queries.q58_markov(spark, sf("sf0.001"))
+      .select("prev", "next", "n", "p_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val inOrder = rows.sortBy(r => (r._2, r._3))
+      inOrder.iterator.sliding(2).withPartial(false)
+        .map { case Seq(a, b) => (a._4, b._4) }.toSeq
+    }
+    val counts = trans.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val tots = counts.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val want = counts.map { case ((p, nx), n) =>
+      val tot = tots(p)
+      ((p, nx), (n, (2L * 1000000L * n + tot) / (2L * tot)))
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q58 row probabilities sum to 1e6 within rounding per state") {
+    val rows = Queries.q58_markov(spark, sf("sf0.001"))
+      .groupBy("prev")
+      .agg(sum("p_ppm").as("s"), count(lit(1)).as("k"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, sppm, k) =>
+      // each ppm is within 0.5 of exact, so the row sum sits within
+      // k/2 of exactly 1e6
+      assert(math.abs(sppm - 1000000L) <= k, s"prev=$p sum=$sppm")
+    }
+  }
+
+  // --- q59: sorting-strategy comparison ----------------------------
+
+  private case class P(key: Long, rankC: Long, score: Long, len: Long)
+
+  private def ranksBy(ps: Seq[P])(key: P => (Long, Long, Long))
+    : Map[Long, Long] =
+    ps.sortBy(key).zipWithIndex
+      .map { case (p, i) => p.key -> (i + 1L) }.toMap
+
+  test("q59 sorting comparison matches a float driver replay") {
+    val got = Queries.q59_sort_compare(spark, sf("sf0.001"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val parts = spark.read.parquet(sf("sf0.001") + "/part.parquet")
+      .select(col("p_brand"), col("p_partkey").cast("long"),
+        expr("CAST(round(p_retailprice*100,0) AS BIGINT)"),
+        col("p_size").cast("long"),
+        length(col("p_name")).cast("long"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, P(r._2, r._3, r._4, r._5)))
+    val byBrand = parts.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (brand, sorting, n, rhoA, rhoB, comb) =>
+      val ps = byBrand(brand)
+      assert(n == ps.length)
+      val rRank = ranksBy(ps)(p => (-p.rankC, p.key, 0L))
+      val rLenRank = ranksBy(ps)(p => (p.len, -p.rankC, p.key))
+      val rSorting: Map[Long, Long] = sorting match {
+        case "R" => rRank
+        case "I" => ranksBy(ps)(p => (-p.score, p.key, 0L))
+        case "len_rank" => rLenRank
+        case "split" => ranksBy(ps) { p =>
+          val less = if (p.rankC < 91000L) 1L else 0L
+          (less, if (less == 0L) -p.score else -p.rankC, p.key)
+        }
+      }
+      def rho(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+        val sd2 = ps.map(p => {
+          val dd = a(p.key) - b(p.key); dd.toDouble * dd
+        }).sum
+        1.0 - 6.0 * sd2 / (n.toDouble * (n.toDouble * n - 1))
+      }
+      // HALF_UP ppm of an exact rational is within 0.5 of the float
+      assert(math.abs(rhoA - rho(rSorting, rRank) * 1e6) <= 1.0,
+        s"$brand/$sorting rho_rank")
+      assert(math.abs(rhoB - rho(rSorting, rLenRank) * 1e6) <= 1.0,
+        s"$brand/$sorting rho_lenrank")
+      // combined recomputes exactly from the emitted ppm columns
+      val a = rhoA + 1000000L; val b = rhoB + 1000000L
+      val wantComb =
+        if (a + b > 0) (2L * (2L * a * b) + (a + b)) / (2L * (a + b)) -
+          1000000L
+        else -1000000L
+      assert(comb == wantComb, s"$brand/$sorting combined")
+    }
+  }
+
+  // --- e13: lag-1 autocorrelation ----------------------------------
+
+  test("e13 autocorr matches a driver-side float replay") {
+    val got = Queries.e13_autocorr(spark, sf("sf0.001"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+      .as[(Long, Long, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val cs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      val pairs = cs.zip(cs.tail)
+      val n = pairs.length.toLong
+      if (n < 20) None else {
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        if (vx <= 0 || vy <= 0) None
+        else Some(u -> (n, (n * sxy - sx * sy).toDouble /
+          (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))))
+      }
+    }
+    assert(got.keySet == want.keySet)
+    assert(got.nonEmpty)
+    want.foreach { case (u, (n, r)) =>
+      assert(got(u)._1 == n, s"user $u n")
+      assert(math.abs(got(u)._2 - r) < 1e-6, s"user $u corr")
+    }
+  }
+
+  test("q59 split ordering is non-vacuous on the fixture data") {
+    // at least one brand must straddle the 91000-cent threshold,
+    // otherwise the 'split' sorting degenerates to one segment
+    val straddles = spark.read
+      .parquet(sf("sf0.001") + "/part.parquet")
+      .groupBy("p_brand")
+      .agg(sum(when(expr("p_retailprice*100 < 91000"), 1L)
+        .otherwise(0L)).as("less"), count(lit(1)).as("n"))
+      .filter(col("less") > 0 && col("less") < col("n"))
+      .count()
+    assert(straddles > 0)
+  }
+}

@@ -326,4 +326,32 @@ class StreamsSpec extends SparkSpec {
       assert(!got.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("streamingTransitions emits the batch lag pairs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.TypedEvent]
+    val q = Streams.streamingTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("strans")
+      .outputMode(OutputMode.Append()).start()
+    val b1 = Seq(
+      Streams.TypedEvent(1L, 1L, ts(1), "view"),
+      Streams.TypedEvent(1L, 2L, ts(2), "cart"),
+      Streams.TypedEvent(2L, 3L, ts(1), "view"))
+    // second batch: user 1's transition must cross the batch
+    // boundary through the stored state; user 2 chains two more
+    val b2 = Seq(
+      Streams.TypedEvent(1L, 4L, ts(3), "buy"),
+      Streams.TypedEvent(2L, 5L, ts(2), "view"),
+      Streams.TypedEvent(2L, 6L, ts(3), "buy"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("strans").as[Streams.TransOut].collect()
+        .map(t => (t.user_id, t.prev, t.next)).toSeq.sorted
+      // the batch-q58 pair extraction over the same log
+      val want = Seq((1L, "view", "cart"), (1L, "cart", "buy"),
+        (2L, "view", "view"), (2L, "view", "buy")).sorted
+      assert(got == want)
+    } finally q.stop()
+  }
 }
