@@ -4622,6 +4622,149 @@ object Queries {
       |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""
       .stripMargin
 
+  /** Multi-field weighted search scoring — the reference's actual
+    * serving semantics (the ES LTR_QUERY, compare_window_sizes.py:
+    * 16-80: `most_fields` BM25 over boosted text fields plus
+    * additive `rank_feature` saturation boosts) re-expressed as a
+    * Spark batch ranker. Fields here: "title" = first 8 tokens
+    * (boost 3, the collection_name^3 analog) and "body" = all
+    * tokens (boost 1); rank feature = n_chars saturation
+    * boost·x/(x+pivot) (the collection_rank analog). Scoring is
+    * Lucene BM25 (k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5)))
+    * — public formula, Lucene docs.
+    *
+    * Hash-stability: every PER-TERM contribution is rounded to
+    * integer NANO-units before the per-(query,doc) sum, so the
+    * score is an order-independent BIGINT sum (float Σ over shuffle
+    * order would be nondeterministic); ln of the rational idf ratio
+    * never terminates in decimal, so the nano round cannot hit the
+    * exact-tie trap; ranking and top-10 use (score_nano, doc_id) —
+    * a total order. avg field lengths are computed as one exact
+    * integer sum ÷ count (not a streaming float avg) so both
+    * engines derive the identical double.
+    *
+    * Scale shape: tokenize → ONE (doc_id, term) aggregate builds
+    * the postings; the tiny distinct-query-term set broadcast-
+    * filters the postings BEFORE the term-keyed Exchange (at 100 TB
+    * the index for 8 queries is a few thousand rows — df stats via
+    * a term-partitioned window, no self-join, no persist); corpus
+    * totals ride a scalar broadcast cross join; the final window
+    * partitions on qid over the already-pruned candidate set. */
+  val q60_search_score: QFn = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        TextFunctions.tokens(lower(col("text"))).as("toks"))
+      .withColumn("blen", size(col("toks")).cast("long"))
+      .withColumn("tlen", least(col("blen"), lit(8L)))
+    val tots = docs.agg(
+      count(lit(1)).as("nd"), sum("blen").as("sb"),
+      sum("tlen").as("st_sum"))
+    val post = docs
+      .select(col("doc_id"), col("n_chars"), col("blen"), col("tlen"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy("doc_id", "n_chars", "blen", "tlen", "term")
+      .agg(count(lit(1)).as("tf_b"),
+        sum(when(col("pos") < 8, 1L).otherwise(0L)).as("tf_t"))
+    val qterms = searchQueries.toDF("qid", "qtext")
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+    val wT = Window.partitionBy("term")
+    val scored = post
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .withColumn("df_b", count(lit(1)).over(wT))
+      .withColumn("df_t",
+        sum(when(col("tf_t") > 0, 1L).otherwise(0L)).over(wT))
+      .crossJoin(broadcast(tots))
+      .withColumn("contrib",
+        expr(s"CAST(round($bm25Body * 1e9) AS BIGINT)") +
+        expr(s"""CASE WHEN tf_t > 0
+                |  THEN CAST(round(3 * $bm25Title * 1e9) AS BIGINT)
+                |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    val perq = scored.join(broadcast(qterms), "term")
+      .groupBy("qid", "doc_id")
+      .agg(sum("contrib").as("bm25_nano"),
+        max("n_chars").as("n_chars"))
+      .withColumn("score_nano", col("bm25_nano") +
+        expr("CAST(round(2 * (n_chars / (n_chars + 300.0)) * 1e9)" +
+          " AS BIGINT)"))
+    perq
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("score_nano").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("qid", "rank", "doc_id", "score_nano")
+  }
+
+  /** The fixed annotated-query set (the eval suite's analog). */
+  private val searchQueries: Seq[(Long, String)] = Seq(
+    (1L, "spark window"), (2L, "hash join stream"),
+    (3L, "customer order"), (4L, "fast merge"),
+    (5L, "slow query filter"), (6L, "vector scan"),
+    (7L, "table batch"), (8L, "key value column"))
+
+  // BM25 term factors — IDENTICAL text on both engines (IEEE ops are
+  // deterministic given the same expression shape).
+  private val bm25Body: String =
+    "ln(1 + (nd - df_b + 0.5) / (df_b + 0.5)) * (tf_b * 2.2)" +
+      " / (tf_b + 1.2 * (1 - 0.75 + 0.75 * blen" +
+      " / (CAST(sb AS DOUBLE) / nd)))"
+  private val bm25Title: String =
+    "ln(1 + (nd - df_t + 0.5) / (df_t + 0.5)) * (tf_t * 2.2)" +
+      " / (tf_t + 1.2 * (1 - 0.75 + 0.75 * tlen" +
+      " / (CAST(st_sum AS DOUBLE) / nd)))"
+
+  val q60_sql: String = {
+    val values = searchQueries
+      .map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+    s"""WITH d2 AS (SELECT doc_id, n_chars,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |d3 AS (SELECT doc_id, n_chars, toks,
+       |    CAST(len(toks) AS BIGINT) AS blen,
+       |    CAST(least(len(toks), 8) AS BIGINT) AS tlen FROM d2),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(blen) AS BIGINT) AS sb,
+       |    CAST(sum(tlen) AS BIGINT) AS st_sum FROM d3),
+       |post AS (SELECT doc_id, n_chars, blen, tlen, term,
+       |    CAST(count(*) AS BIGINT) AS tf_b,
+       |    CAST(sum(CASE WHEN pos <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tf_t
+       |  FROM (SELECT doc_id, n_chars, blen, tlen,
+       |      unnest(toks) AS term,
+       |      unnest(range(1, len(toks) + 1)) AS pos FROM d3)
+       |  GROUP BY doc_id, n_chars, blen, tlen, term),
+       |q AS (SELECT CAST(qid AS BIGINT) AS qid,
+       |    unnest(string_split(qtext, ' ')) AS term
+       |  FROM (VALUES $values) AS v(qid, qtext)),
+       |qp AS (SELECT p.* FROM post p
+       |  JOIN (SELECT DISTINCT term FROM q) u USING (term)),
+       |stat AS (SELECT *,
+       |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df_b,
+       |    CAST(sum(CASE WHEN tf_t > 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY term) AS BIGINT) AS df_t
+       |  FROM qp),
+       |c AS (SELECT doc_id, n_chars, term,
+       |    CAST(round($bm25Body * 1e9) AS BIGINT)
+       |    + CASE WHEN tf_t > 0
+       |        THEN CAST(round(3 * $bm25Title * 1e9) AS BIGINT)
+       |        ELSE CAST(0 AS BIGINT) END AS contrib
+       |  FROM stat CROSS JOIN tot),
+       |pq AS (SELECT qid, doc_id,
+       |    CAST(sum(contrib) AS BIGINT) AS bm25_nano,
+       |    max(n_chars) AS n_chars
+       |  FROM c JOIN q USING (term) GROUP BY qid, doc_id),
+       |fin AS (SELECT qid, doc_id, bm25_nano
+       |    + CAST(round(2 * (n_chars / (n_chars + 300.0)) * 1e9)
+       |        AS BIGINT) AS score_nano
+       |  FROM pq),
+       |r AS (SELECT qid, doc_id, score_nano,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fin)
+       |SELECT qid, rank, doc_id, score_nano FROM r
+       |WHERE rank <= 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -4743,6 +4886,7 @@ object Queries {
     "q58_markov" -> q58_markov,
     "q59_sort_compare" -> q59_sort_compare,
     "e13_autocorr" -> e13_autocorr,
+    "q60_search_score" -> q60_search_score,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -4861,6 +5005,7 @@ object Queries {
     "q58_markov" -> q58_sql,
     "q59_sort_compare" -> q59_sql,
     "e13_autocorr" -> e13_sql,
+    "q60_search_score" -> q60_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

@@ -27,8 +27,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g07_jaccard_link", "d14_containment", "q55_mad",
     "g08_assortativity", "q57_hll_setops",
     // round-8: lag-window transition counts, four-way shared-
-    // Exchange rank windows
-    "q58_markov", "q59_sort_compare")
+    // Exchange rank windows, nano-integer BM25 sums
+    "q58_markov", "q59_sort_compare", "q60_search_score")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

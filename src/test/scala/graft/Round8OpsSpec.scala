@@ -142,6 +142,72 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  // --- q60: multi-field BM25 search scoring ------------------------
+
+  test("q60 search scores match a driver-side BM25 replay") {
+    val got = Queries.q60_search_score(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)].collect()
+      .map { case (id, nc, text) =>
+        (id, nc, text.trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).toSeq)
+      }
+    val nd = docs.length.toLong
+    val avgB = docs.map(_._3.length.toLong).sum.toDouble / nd
+    val avgT = docs.map(d => math.min(d._3.length, 8).toLong)
+      .sum.toDouble / nd
+    val queries = Seq(1L -> "spark window", 2L -> "hash join stream",
+      3L -> "customer order", 4L -> "fast merge",
+      5L -> "slow query filter", 6L -> "vector scan",
+      7L -> "table batch", 8L -> "key value column")
+    val qt = queries.flatMap { case (q, s) =>
+      s.split(" ").map(q -> _)
+    }
+    val terms = qt.map(_._2).distinct
+    val dfB = terms.map(t =>
+      t -> docs.count(_._3.contains(t)).toLong).toMap
+    val dfT = terms.map(t =>
+      t -> docs.count(_._3.take(8).contains(t)).toLong).toMap
+    def bm25(tf: Long, df: Long, len: Long, avg: Double): Double =
+      math.log(1 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg))
+    val want = queries.flatMap { case (qid, qs) =>
+      val ts = qs.split(" ").toSeq
+      docs.flatMap { case (id, nc, toks) =>
+        val contrib = ts.filter(toks.contains).map { tm =>
+          val tfB = toks.count(_ == tm).toLong
+          val tfT = toks.take(8).count(_ == tm).toLong
+          math.round(bm25(tfB, dfB(tm), toks.length.toLong, avgB)
+            * 1e9) +
+            (if (tfT > 0)
+              math.round(3 * bm25(tfT, dfT(tm),
+                math.min(toks.length, 8).toLong, avgT) * 1e9)
+            else 0L)
+        }.sum
+        if (contrib == 0L) None
+        else Some((qid, id, contrib +
+          math.round(2 * (nc / (nc + 300.0)) * 1e9)))
+      }.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex
+        .map { case ((q, id, sc), i) => (q, id) -> (i + 1L, sc) }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got.nonEmpty)
+    want.foreach { case (k, (rank, sc)) =>
+      assert(got(k)._1 == rank, s"$k rank")
+      assert(math.abs(got(k)._2 - sc) <= 5, s"$k score")
+    }
+    // non-vacuous: every query returns hits with distinct scores
+    queries.foreach { case (qid, _) =>
+      val scores = got.collect { case ((q, _), (_, s)) if q == qid => s }
+      assert(scores.nonEmpty, s"query $qid empty")
+      assert(scores.toSeq.distinct.size > 1, s"query $qid flat")
+    }
+  }
+
   test("q59 split ordering is non-vacuous on the fixture data") {
     // at least one brand must straddle the 91000-cent threshold,
     // otherwise the 'split' sorting degenerates to one segment
