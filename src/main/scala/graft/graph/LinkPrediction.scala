@@ -50,7 +50,15 @@ object LinkPrediction {
     e.count()
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
+    // deg feeds FOUR consumers (the center cap and both wedge-join
+    // sides through it, plus the dp/dq attaches) — uncached, each
+    // consumer replays the union+aggregate as its own AQE stage
+    // chain, and the stage-scheduling latency dwarfs the tiny
+    // aggregate itself (measured 3.3 s → ~2 s at sf0.1). One node
+    // per row, bounded by |V| ≪ cached e.
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
     // hub cap: both wedge-join sides are the SAME capped subtree, so
     // the exchange is planned once and reused across the self-join
     val centers = adj
