@@ -4687,11 +4687,19 @@ object Queries {
       .withColumn("score_nano", col("bm25_nano") +
         expr("CAST(round(2 * (n_chars / (n_chars + 300.0)) * 1e9)" +
           " AS BIGINT)"))
-    perq
-      .withColumn("rank", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("score_nano").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= 10)
-      .select("qid", "rank", "doc_id", "score_nano")
+    // top-10 per query through the bounded-heap TopKBy aggregate: a
+    // qid window would funnel EVERY candidate of a query into one of
+    // 8 partitions and sort it; the aggregate keeps k rows of state
+    // per partition, combines map-side, and shuffles |queries|×10
+    // rows total. nano scores are < 2^53, so the double round-trip
+    // is exact and (score desc, id asc) matches the oracle ordering.
+    perq.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKBy.topKBy(
+        col("score_nano").cast("double"), col("doc_id"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"),
+        col("t.score").cast("long").as("score_nano"))
   }
 
   /** The fixed annotated-query set (the eval suite's analog). */
