@@ -4773,6 +4773,121 @@ object Queries {
        |WHERE rank <= 10""".stripMargin
   }
 
+  /** DSIR-style importance resampling for training-data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" — public method): estimate target vs
+    * raw distributions over HASHED n-gram buckets (unigrams +
+    * bigrams → 4096 md5 buckets, add-1 smoothing), weight every
+    * document by its summed log-likelihood ratio, and draw the
+    * top-100 by Gumbel-top-k (key = importance + Gumbel noise —
+    * sampling ∝ exp(importance), the published trick, with the
+    * Gumbel uniform derived from an md5 hash so selection is
+    * deterministic and cross-engine). Target distribution here:
+    * source = 'src0' (5% of the corpus).
+    *
+    * Hash-stability: per-BUCKET log-ratios round to integer
+    * nano-nats once (4096 values), so each doc's importance is an
+    * order-independent BIGINT sum (the q60 discipline); ln of
+    * smoothed count ratios never terminates in decimal; top-k
+    * carries the (key, doc_id) total order.
+    *
+    * Scale shape: gram work is the codegen'd WordShinglesExpr; the
+    * bucket table is PLAN-BOUNDED (≤ 4096 rows) so its stats
+    * collapse map-side and it broadcasts to the per-doc pass; the
+    * global top-100 runs through the bounded-heap TopKBy aggregate
+    * (|partitions|×100 partial rows, no global sort); per-doc
+    * results persist once for the TopKBy + re-attach fan-out. At
+    * 100 TB nothing here scales with the corpus except two linear
+    * passes over the grams. */
+  val q61_importance_resample: QFn = (s, d) => {
+    import org.apache.spark.sql.graft.{ColumnBridge, TopKBy, WordShinglesExpr}
+    def grams(n: Int) = ColumnBridge.column(
+      WordShinglesExpr(ColumnBridge.expression(col("text")), n))
+    val feats = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(concat(grams(1), grams(2))).as("gram"))
+      .withColumn("bucket",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long") % 4096)
+      .select("doc_id", "source", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count() // feeds the bucket stats AND the per-doc pass
+    val btab = feats.groupBy("bucket").agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"))
+    val bw = btab
+      .crossJoin(broadcast(btab.agg(sum("rc").as("r_tot"),
+        sum("tc").as("t_tot"))))
+      .withColumn("contrib",
+        expr(s"CAST(round(($dsirLogRatio) * 1e9) AS BIGINT)"))
+      .select("bucket", "contrib")
+    val perdoc = feats.join(broadcast(bw), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("contrib").as("imp_nano"))
+      .withColumn("u",
+        (conv(substring(md5(concat(lit("g:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") + lit(0.5)) / lit(4294967296.0))
+      .withColumn("gumbel_nano",
+        expr("CAST(round(-ln(-ln(u)) * 1e9) AS BIGINT)"))
+      .withColumn("key_nano", col("imp_nano") + col("gumbel_nano"))
+      .select("doc_id", "n_grams", "imp_nano", "gumbel_nano",
+        "key_nano")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perdoc.count() // feeds the top-k AND the re-attach join
+    val selected = perdoc.groupBy()
+      .agg(TopKBy.topKBy(col("key_nano").cast("double"),
+        col("doc_id"), 100).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("i", "t")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"))
+    perdoc.join(broadcast(selected), "doc_id")
+      .select(col("rank"), col("doc_id"), col("n_grams"),
+        col("imp_nano"), col("gumbel_nano"), col("key_nano"))
+  }
+
+  // add-1 smoothed log-likelihood ratio per bucket — IDENTICAL text
+  // on both engines (contrib is exactly 0 when the ratios tie, so
+  // the nano round has no decimal-terminating tie to hit).
+  private val dsirLogRatio: String =
+    "ln((tc + 1.0) / (t_tot + 4096)) - ln((rc + 1.0) / (r_tot + 4096))"
+
+  val q61_sql: String =
+    s"""WITH base AS (SELECT doc_id, source, $shingleToksSql AS t
+       |  FROM documents),
+       |g1 AS (SELECT doc_id, source, unnest(t) AS gram FROM base),
+       |g2 AS (SELECT doc_id, source,
+       |    unnest(list_transform(range(1, greatest(len(t), 1)),
+       |      i -> t[i] || ' ' || t[i+1])) AS gram FROM base),
+       |feats AS (SELECT doc_id, source,
+       |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS bucket
+       |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+       |btab AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc,
+       |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tc
+       |  FROM feats GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS r_tot,
+       |    CAST(sum(tc) AS BIGINT) AS t_tot FROM btab),
+       |bw AS (SELECT bucket,
+       |    CAST(round(($dsirLogRatio) * 1e9) AS BIGINT) AS contrib
+       |  FROM btab CROSS JOIN tot),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(contrib) AS BIGINT) AS imp_nano
+       |  FROM feats JOIN bw USING (bucket) GROUP BY doc_id),
+       |gd AS (SELECT *,
+       |    (('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)),
+       |      1, 8))::BIGINT + 0.5) / 4294967296.0 AS u
+       |  FROM perdoc),
+       |kd AS (SELECT doc_id, n_grams, imp_nano,
+       |    CAST(round(-ln(-ln(u)) * 1e9) AS BIGINT) AS gumbel_nano,
+       |    imp_nano + CAST(round(-ln(-ln(u)) * 1e9) AS BIGINT)
+       |      AS key_nano
+       |  FROM gd),
+       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY key_nano
+       |    DESC, doc_id) AS BIGINT) AS rank FROM kd)
+       |SELECT rank, doc_id, n_grams, imp_nano, gumbel_nano, key_nano
+       |FROM r WHERE rank <= 100""".stripMargin
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -4895,6 +5010,7 @@ object Queries {
     "q59_sort_compare" -> q59_sort_compare,
     "e13_autocorr" -> e13_autocorr,
     "q60_search_score" -> q60_search_score,
+    "q61_importance_resample" -> q61_importance_resample,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -5014,6 +5130,7 @@ object Queries {
     "q59_sort_compare" -> q59_sql,
     "e13_autocorr" -> e13_sql,
     "q60_search_score" -> q60_sql,
+    "q61_importance_resample" -> q61_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

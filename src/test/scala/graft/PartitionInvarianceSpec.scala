@@ -28,7 +28,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g08_assortativity", "q57_hll_setops",
     // round-8: lag-window transition counts, four-way shared-
     // Exchange rank windows, nano-integer BM25 sums
-    "q58_markov", "q59_sort_compare", "q60_search_score")
+    "q58_markov", "q59_sort_compare", "q60_search_score",
+    "q61_importance_resample")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

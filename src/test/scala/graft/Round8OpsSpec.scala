@@ -208,6 +208,64 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  // --- q61: DSIR importance resampling -----------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q61 importance resampling matches a driver-side replay") {
+    val got = Queries.q61_importance_resample(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % 4096L
+    val feats = docs.flatMap { case (id, src, text) =>
+      val t = text.trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+      val grams = t ++ t.iterator.sliding(2).withPartial(false)
+        .map(_.mkString(" "))
+      grams.map(g => (id, src, bucket(g)))
+    }
+    val rc = feats.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tc = feats.filter(_._2 == "src0").groupBy(_._3).view
+      .mapValues(_.size.toLong).toMap
+    val rTot = rc.values.sum; val tTot = tc.values.sum
+    val contrib = rc.map { case (b, r) =>
+      val tcb = tc.getOrElse(b, 0L)
+      b -> math.round((math.log((tcb + 1.0) / (tTot + 4096)) -
+        math.log((r + 1.0) / (rTot + 4096))) * 1e9)
+    }
+    val perdoc = feats.groupBy(_._1).map { case (id, fs) =>
+      val imp = fs.map(f => contrib(f._3)).sum
+      val u = (java.lang.Long.parseLong(
+        md5hex("g:" + id).take(8), 16) + 0.5) / 4294967296.0
+      val g = math.round(-math.log(-math.log(u)) * 1e9)
+      (id, fs.size.toLong, imp, g, imp + g)
+    }.toSeq
+    val want = perdoc.sortBy(r => (-r._5, r._1)).take(100)
+      .zipWithIndex
+      .map { case ((id, n, imp, g, k), i) =>
+        id -> (i + 1L, id, n, imp, g, k)
+      }.toMap
+    assert(got.keySet == want.keySet)
+    assert(got.size == 100)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id")
+    }
+    // the point of DSIR: target-source docs are enriched — their own
+    // grams define the target distribution
+    val bySrc = docs.map(d => d._1 -> d._2).toMap
+    val impBy = perdoc.groupBy(r => bySrc(r._1) == "src0").view
+      .mapValues(rs => rs.map(_._3).sum.toDouble / rs.size).toMap
+    assert(impBy(true) > impBy(false),
+      s"src0 mean ${impBy(true)} not above rest ${impBy(false)}")
+  }
+
   test("q59 split ordering is non-vacuous on the fixture data") {
     // at least one brand must straddle the 91000-cent threshold,
     // otherwise the 'split' sorting degenerates to one segment
