@@ -4846,6 +4846,44 @@ object Queries {
         col("imp_nano"), col("gumbel_nano"), col("key_nano"))
   }
 
+  /** SemDeDup over the embeddings table ([[Dedup.semDedup]]): 16
+    * clusters (one Lloyd round, low-id seeds — the s04 machinery),
+    * within-cluster cosine > 0.4 against a lower id drops the
+    * vector. Output = kept vectors with their cluster. The pairwise
+    * quadratic is bounded by cluster size by construction — the
+    * published reason semantic dedup works at corpus scale. */
+  val d15_semdedup: QFn = (s, d) =>
+    Dedup.semDedup(embD(s, d), nLists = 16, tau = 0.4)
+
+  val d15_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT 16),
+       |s1 AS (SELECT e.vec_id, e.v, c0.cent_id, $centCos AS cs
+       |  FROM e, c0),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT vec_id, v, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+       |    FROM s1) WHERE r = 1),
+       |u1 AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
+       |  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+       |cents AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM u1
+       |  GROUP BY cent_id),
+       |asg AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, cents.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY $centCos DESC, cent_id)
+       |      AS r
+       |    FROM e, cents) WHERE r = 1),
+       |drops AS (SELECT DISTINCT a.vec_id AS did
+       |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id
+       |    AND a.vec_id > b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) *
+       |     sqrt(list_dot_product(b.v, b.v))), 6) > 0.4)
+       |SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster FROM asg
+       |WHERE vec_id NOT IN (SELECT did FROM drops)""".stripMargin
+
   // add-1 smoothed log-likelihood ratio per bucket — IDENTICAL text
   // on both engines (contrib is exactly 0 when the ratios tie, so
   // the nano round has no decimal-terminating tie to hit).
@@ -5011,6 +5049,7 @@ object Queries {
     "e13_autocorr" -> e13_autocorr,
     "q60_search_score" -> q60_search_score,
     "q61_importance_resample" -> q61_importance_resample,
+    "d15_semdedup" -> d15_semdedup,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -5131,6 +5170,7 @@ object Queries {
     "e13_autocorr" -> e13_sql,
     "q60_search_score" -> q60_sql,
     "q61_importance_resample" -> q61_sql,
+    "d15_semdedup" -> d15_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

@@ -527,4 +527,50 @@ object Dedup {
           "substring(text, CAST(bp AS INT), CAST(np - bp AS INT))")),
           1, 15), 16, 10).cast("long").as("ckey"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, public method): SEMANTIC
+    * deduplication via clustering — k-means the embedding space,
+    * then compare pairs only WITHIN a cluster; a vector is dropped
+    * when a lower-id cluster-mate sits above the cosine threshold
+    * (the deterministic keep-lowest-id variant of the paper's
+    * representative choice). The clustering is the whole trick: the
+    * pairwise quadratic is bounded by cluster size, never corpus
+    * size — scale nLists with the corpus (clusters of ~10-100k rows)
+    * and the within-cluster join stays tractable at any N, which is
+    * exactly why the published method exists.
+    *
+    * Reuses [[graft.similarity.Similarity.ivfCentroids]] (low-id
+    * seeds + Lloyd, the SQL-mirrorable path). Assignments persist
+    * once (they feed both sides of the pair join and the final
+    * anti-join); the threshold compares the 6-dp ROUNDED cosine on
+    * both engines, so the boundary is hash-stable. */
+  def semDedup(corpus: DataFrame, nLists: Int, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+    : DataFrame = {
+    import graft.similarity.Similarity
+    val cents = Similarity.ivfCentroids(corpus, nLists, iters = 1,
+      idCol = idCol, vecCol = vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cents.count()
+    val scored = corpus.select(col(idCol).as("vid"),
+        col(vecCol).as("v"))
+      .join(broadcast(cents))
+      .withColumn("cs", Similarity.cosine(col("v"), col("cv")))
+    val w = Window.partitionBy("vid")
+      .orderBy(col("cs").desc, col("cent_id"))
+    val assigned = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vid"), col("v"), col("cent_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vid") > col("b.vid"))
+      .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 6)
+        > tau)
+      .select(col("a.vid").as("drop_id")).distinct()
+    assigned.join(drops, col("vid") === col("drop_id"), "left_anti")
+      .select(col("vid").as(idCol),
+        col("cent_id").cast("long").as("cluster"))
+  }
 }

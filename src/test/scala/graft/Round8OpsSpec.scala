@@ -266,6 +266,57 @@ class Round8OpsSpec extends SparkSpec {
       s"src0 mean ${impBy(true)} not above rest ${impBy(false)}")
   }
 
+  // --- d15: SemDeDup -----------------------------------------------
+
+  test("d15 semdedup keeps only the lowest id among identical vectors") {
+    val v = Seq(0.6, 0.8, 0.0, 0.0)
+    val df = (1L to 6L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val kept = graft.dedup.Dedup.semDedup(df, nLists = 2, tau = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("d15 semdedup matches a driver-side replay on fixtures") {
+    val got = Queries.d15_semdedup(spark, sf("sf0.001"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = spark.read
+      .parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    def assign(cents: Seq[(Long, Seq[Double])]) =
+      vecs.map { case (id, v) =>
+        val best = cents
+          .map { case (cid, cv) => (cid, cos(v, cv)) }
+          .sortBy { case (cid, cs) => (-cs, cid) }.head._1
+        (id, v, best)
+      }
+    val seeds = vecs.take(16).map { case (id, v) => (id, v) }
+    val a1 = assign(seeds)
+    val cents = a1.groupBy(_._3).toSeq.map { case (cid, rows) =>
+      val dim = rows.head._2.length
+      (cid, (0 until dim).map { i =>
+        BigDecimal(rows.map(_._2(i)).sum / rows.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      })
+    }
+    val asg = assign(cents)
+    val byCluster = asg.groupBy(_._3)
+    val keptWant = asg.filter { case (id, v, c) =>
+      !byCluster(c).exists { case (id2, v2, _) =>
+        id2 < id && BigDecimal(cos(v, v2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) > 0.4
+      }
+    }.map(r => r._1 -> r._3).toMap
+    assert(got == keptWant)
+    assert(got.size < vecs.length, "no drops — vacuous fixture")
+  }
+
   test("q59 split ordering is non-vacuous on the fixture data") {
     // at least one brand must straddle the 91000-cent threshold,
     // otherwise the 'split' sorting degenerates to one segment
