@@ -4846,6 +4846,67 @@ object Queries {
         col("imp_nano"), col("gumbel_nano"), col("key_nano"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    * method): per LANGUAGE, split the corpus into head/middle/tail
+    * thirds by language-model fit — the published pretraining-data
+    * quality triage. The LM score is t09's char-trigram avg log-prob
+    * (4-dp integer micro-units, already hash-exact); bucketing is by
+    * VALUE THRESHOLDS, not global ranks: per-language (value, count)
+    * rollup (bounded by the 4-dp value grid, collapses map-side),
+    * running cumulative over the value stream, tercile cut values
+    * t1/t2 = max value whose cumulative count reaches ⌈n/3⌉ / ⌈2n/3⌉,
+    * then one broadcast join labels every doc — CCNet itself cuts on
+    * sampled percentile thresholds for exactly this reason; a
+    * per-language global rank would sort the corpus. Ties at a
+    * threshold share the better bucket (declared). Docs too short to
+    * score (len < 3) carry no bucket. The threshold table is one row
+    * per language — bounded by the language domain, broadcast-safe. */
+  val t14_ccnet_buckets: QFn = (s, d) => {
+    val scored = t09_charlm(s, d)
+      .select(col("doc_id"),
+        expr("CAST(round(avg_logp * 10000) AS BIGINT)").as("v"))
+    val dv = scored
+      .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dv.count() // feeds the value rollup, the counts AND the labeling
+    val counts = dv.groupBy("lang", "v").agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum("c").over(Window.partitionBy("lang")
+        .orderBy(col("v").desc)))
+    val nl = dv.groupBy("lang").agg(count(lit(1)).as("n"))
+    val th = cum.join(nl, "lang").groupBy("lang")
+      .agg(max(when(col("cum") >= expr("(n + 2) DIV 3"), col("v")))
+        .as("t1"),
+        max(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("v")))
+          .as("t2"))
+    dv.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("v").as("avg_micro"),
+        when(col("v") >= col("t1"), "head")
+          .when(col("v") >= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val t14_sql: String =
+    s"""WITH t09 AS ($t09_sql),
+       |dv AS (SELECT t09.doc_id, documents.lang,
+       |    CAST(round(avg_logp * 10000) AS BIGINT) AS v
+       |  FROM t09 JOIN documents USING (doc_id)),
+       |counts AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS c
+       |  FROM dv GROUP BY 1, 2),
+       |cum AS (SELECT lang, v, sum(c) OVER (PARTITION BY lang
+       |    ORDER BY v DESC) AS cum FROM counts),
+       |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM dv
+       |  GROUP BY lang),
+       |th AS (SELECT cum.lang,
+       |    max(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS t1,
+       |    max(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS t2
+       |  FROM cum JOIN nl USING (lang) GROUP BY cum.lang)
+       |SELECT doc_id, dv.lang, v AS avg_micro,
+       |  CASE WHEN v >= t1 THEN 'head' WHEN v >= t2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket
+       |FROM dv JOIN th ON dv.lang = th.lang""".stripMargin
+
   /** SemDeDup over the embeddings table ([[Dedup.semDedup]]): 16
     * clusters (one Lloyd round, low-id seeds — the s04 machinery),
     * within-cluster cosine > 0.4 against a lower id drops the
@@ -5050,6 +5111,7 @@ object Queries {
     "q60_search_score" -> q60_search_score,
     "q61_importance_resample" -> q61_importance_resample,
     "d15_semdedup" -> d15_semdedup,
+    "t14_ccnet_buckets" -> t14_ccnet_buckets,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -5171,6 +5233,7 @@ object Queries {
     "q60_search_score" -> q60_sql,
     "q61_importance_resample" -> q61_sql,
     "d15_semdedup" -> d15_sql,
+    "t14_ccnet_buckets" -> t14_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

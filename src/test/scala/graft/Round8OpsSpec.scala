@@ -317,6 +317,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.size < vecs.length, "no drops — vacuous fixture")
   }
 
+  // --- t14: CCNet perplexity buckets -------------------------------
+
+  test("t14 buckets match driver-side tercile thresholds per language") {
+    val got = Queries.t14_ccnet_buckets(spark, sf("sf0.001"))
+      .as[(Long, String, Long, String)].collect()
+    val byLang = got.groupBy(_._2)
+    assert(byLang.size > 1)
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length
+      val vs = rows.map(_._3).sortBy(-_)
+      val k1 = (n + 2) / 3; val k2 = (2 * n + 2) / 3
+      // the threshold is the k-th value in desc order; ties share
+      // the better bucket
+      val t1 = vs(k1 - 1); val t2 = vs(k2 - 1)
+      rows.foreach { case (id, _, v, b) =>
+        val want = if (v >= t1) "head"
+          else if (v >= t2) "middle" else "tail"
+        assert(b == want, s"$lang doc $id v=$v")
+      }
+      // bucket sizes are exact terciles up to threshold ties
+      val head = rows.count(_._4 == "head")
+      assert(head >= k1 && head - rows.count(_._3 == t1) < k1, lang)
+      assert(rows.count(_._4 == "tail") > 0, s"$lang tail empty")
+    }
+  }
+
   test("q59 split ordering is non-vacuous on the fixture data") {
     // at least one brand must straddle the 91000-cent threshold,
     // otherwise the 'split' sorting degenerates to one segment
