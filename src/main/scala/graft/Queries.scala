@@ -4846,6 +4846,90 @@ object Queries {
         col("imp_nano"), col("gumbel_nano"), col("key_nano"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A — public
+    * rule set): the classic rule-based pretraining filter battery,
+    * emitted as per-rule flags plus the conjunction so the filter is
+    * auditable (which rule rejected a doc matters operationally).
+    * Rules here: word count in [50, 100000]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# / …) ≤ 0.1; ≥ 80% of words
+    * contain an alphabetic char; ≥ 2 distinct stop words. Two
+    * declared adaptations: the line-level rules (bullet/ellipsis
+    * line starts) are omitted (this corpus is single-line), and the
+    * stop-word LIST is the corpus's established one (t02's —
+    * Gopher's own list shares only 'the' with this synthetic vocab,
+    * which would make the presence rule constant-false; the RULE,
+    * ≥ 2 distinct, is Gopher's).
+    * EVERY rule evaluates by integer cross-multiplication (3·n ≤
+    * Σchars ≤ 10·n, 10·sym ≤ n, 5·alpha ≥ 4·n) — no float ratio, no
+    * rounding boundary, hash-exact by construction. Pure per-row
+    * map work in whole-stage codegen; zero shuffles. */
+  val t15_gopher_rules: QFn = (s, d) => {
+    val toks = TextFunctions.tokens(lower(trim(col("text"))))
+    val stops = array(Seq("the", "a", "an", "and", "or", "of", "to",
+      "in", "is", "it").map(lit): _*)
+    val base = t(s, d, "documents").select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+        .cast("long").as("sum_chars"),
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
+        .as("n_alpha"),
+      size(filter(toks, x =>
+        instr(x, "#") > 0 || instr(x, "...") > 0)).cast("long")
+        .as("n_sym"),
+      size(array_intersect(array_distinct(toks), stops)).cast("long")
+        .as("n_stop"))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    base
+      .withColumn("r_count",
+        flag(col("n_words") >= 50 && col("n_words") <= 100000))
+      .withColumn("r_wordlen",
+        flag(lit(3) * col("n_words") <= col("sum_chars") &&
+          col("sum_chars") <= lit(10) * col("n_words")))
+      .withColumn("r_symbol",
+        flag(lit(10) * col("n_sym") <= col("n_words")))
+      .withColumn("r_alpha",
+        flag(lit(5) * col("n_alpha") >= lit(4) * col("n_words")))
+      .withColumn("r_stop", flag(col("n_stop") >= 2))
+      .withColumn("passes",
+        col("r_count") * col("r_wordlen") * col("r_symbol") *
+          col("r_alpha") * col("r_stop"))
+  }
+
+  val t15_sql: String =
+    """WITH b AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0) AS t,
+      |    CAST(len(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+      |      AS BIGINT) AS sum_chars
+      |  FROM documents),
+      |c AS (SELECT doc_id, sum_chars,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(t, x -> contains(x, '#')
+      |      OR contains(x, '...'))) AS BIGINT) AS n_sym,
+      |    CAST(len(list_filter(list_distinct(t),
+      |      x -> list_contains(['the','a','an','and','or','of','to',
+      |        'in','is','it'], x))) AS BIGINT) AS n_stop
+      |  FROM b),
+      |f AS (SELECT doc_id, n_words, sum_chars, n_alpha, n_sym, n_stop,
+      |    CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1
+      |      ELSE 0 END AS BIGINT) AS r_count,
+      |    CAST(CASE WHEN 3 * n_words <= sum_chars
+      |      AND sum_chars <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+      |      AS r_wordlen,
+      |    CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END
+      |      AS BIGINT) AS r_symbol,
+      |    CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END
+      |      AS BIGINT) AS r_alpha,
+      |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS r_stop
+      |  FROM c)
+      |SELECT doc_id, n_words, sum_chars, n_alpha, n_sym, n_stop,
+      |  r_count, r_wordlen, r_symbol, r_alpha, r_stop,
+      |  r_count * r_wordlen * r_symbol * r_alpha * r_stop AS passes
+      |FROM f""".stripMargin
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * method): per LANGUAGE, split the corpus into head/middle/tail
     * thirds by language-model fit — the published pretraining-data
@@ -5112,6 +5196,7 @@ object Queries {
     "q61_importance_resample" -> q61_importance_resample,
     "d15_semdedup" -> d15_semdedup,
     "t14_ccnet_buckets" -> t14_ccnet_buckets,
+    "t15_gopher_rules" -> t15_gopher_rules,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -5234,6 +5319,7 @@ object Queries {
     "q61_importance_resample" -> q61_sql,
     "d15_semdedup" -> d15_sql,
     "t14_ccnet_buckets" -> t14_sql,
+    "t15_gopher_rules" -> t15_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

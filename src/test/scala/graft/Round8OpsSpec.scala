@@ -343,6 +343,47 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  // --- t15: Gopher quality rules -----------------------------------
+
+  test("t15 gopher rules match a driver-side replay and discriminate") {
+    val got = Queries.t15_gopher_rules(spark, sf("sf0.001"))
+      .select("doc_id", "n_words", "sum_chars", "n_alpha", "n_sym",
+        "n_stop", "r_count", "r_wordlen", "r_symbol", "r_alpha",
+        "r_stop", "passes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val stops = Set("the", "a", "an", "and", "or", "of", "to", "in",
+      "is", "it")
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val t = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = t.length.toLong
+      val sumChars = t.map(_.length.toLong).sum
+      val nAlpha = t.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nSym = t.count(w =>
+        w.contains("#") || w.contains("...")).toLong
+      val nStop = t.toSet.count(stops).toLong
+      val r = got(id)
+      assert(r.getLong(1) == n && r.getLong(2) == sumChars &&
+        r.getLong(3) == nAlpha && r.getLong(4) == nSym &&
+        r.getLong(5) == nStop, s"doc $id counts")
+      val rc = if (n >= 50 && n <= 100000) 1L else 0L
+      val rw = if (3 * n <= sumChars && sumChars <= 10 * n) 1L else 0L
+      val rs = if (10 * nSym <= n) 1L else 0L
+      val ra = if (5 * nAlpha >= 4 * n) 1L else 0L
+      val rst = if (nStop >= 2) 1L else 0L
+      assert(r.getLong(6) == rc && r.getLong(7) == rw &&
+        r.getLong(8) == rs && r.getLong(9) == ra &&
+        r.getLong(10) == rst, s"doc $id flags")
+      assert(r.getLong(11) == rc * rw * rs * ra * rst, s"doc $id pass")
+    }
+    // the battery must discriminate on the fixture corpus
+    val passed = got.values.count(_.getLong(11) == 1L)
+    assert(passed > 0 && passed < docs.length)
+  }
+
   test("q59 split ordering is non-vacuous on the fixture data") {
     // at least one brand must straddle the 91000-cent threshold,
     // otherwise the 'split' sorting degenerates to one segment
