@@ -47,9 +47,15 @@ object Triangles {
     require(maxNode < 1000000000L,
       s"Triangles: node id $maxNode >= 1e9 breaks the packed " +
         "(deg, id) order key — remap ids first")
+    // deg feeds THREE consumers (both orientation key joins and the
+    // callers' n_nodes branch) — uncached, each replays the
+    // union+aggregate as its own AQE stage chain (the g07 lesson:
+    // stage-scheduling latency dwarfs the tiny aggregate). |V| rows.
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy("node").agg(sqlCount(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
     val maxId = 1000000000L
     val okey = (col("deg") * maxId + col("node")).as("okey")
     val keyed = deg.select(col("node"), okey)
