@@ -121,6 +121,21 @@ object StreamBench {
             col("value").as("score"))
           .as[Streams.Scored], k = 10).toDF(), "update")
     }
+    // constant-size keyed state families: one moment triple / one
+    // last-event per user regardless of history length
+    locally {
+      import spark.implicits._
+      drive("online_outliers",
+        Streams.streamingOutliers(syntheticEvents()
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[Streams.CentEvent]).toDF(), "append")
+      drive("transitions",
+        Streams.streamingTransitions(syntheticEvents()
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"))
+          .as[Streams.TypedEvent]).toDF(), "append")
+    }
     // minhash-LSH banding + watermarked band dedup + windowed count:
     // the heaviest per-row stateful pipeline (shingle + md5 x hashes)
     drive("near_dup_signal",
