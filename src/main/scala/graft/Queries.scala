@@ -4076,79 +4076,99 @@ object Queries {
        |WHERE inter * 10 >= s1.n * 7 OR inter * 10 >= s2.n * 7""".stripMargin
 
   /** Robust dispersion stats: per-returnflag median + median absolute
-    * deviation (MAD) + |x − med| > 3·MAD outlier counts, ENTIRELY in
-    * integer space — medians are rank-picked lo+hi sums (q52's exact
-    * even-n machinery: half-cents for the median, quarter-cents for
-    * the MAD), the outlier cut is the cross-multiplied exact rational
-    * 2·dev_half > 3·mad_quarter. No float touches any emitted value,
-    * so the hash match is by construction (CLAUDE.md rounding-tie
-    * rule). Two window passes (one Exchange+Sort each) + tiny
-    * broadcast med/mad dims — the at-scale robust-stats shape. */
+    * deviation (MAD) + |x − med| > 3·MAD outlier counts — SKETCHED,
+    * not sorted. The earlier exact form rank-picked both medians
+    * through `row_number` windows partitioned on the THREE-value
+    * returnflag key: at 100 TB each pass funnels ~a third of lineitem
+    * through one task's sort. This form derives both medians from
+    * q47's histogram machinery instead — per-group min/max/n, 128
+    * equi-width BIGINT bucket counts (map-side combined), a
+    * |groups|·128-row cumsum, rank-threshold pick — so every shuffle
+    * is bounded by |groups|·128 rows regardless of data size and no
+    * window ever touches a data-sized input. The 3·MAD outlier count
+    * stays an EXACT integer comparison (dv > 3·mad_est, both BIGINT
+    * cents) against the sketched cut; estimates are bucket lower
+    * bounds (exact BIGINT arithmetic), so both engines agree
+    * bit-for-bit and the error bound is one bucket width, audited by
+    * spec against the exact medians. */
   val q55_mad: QFn = (s, d) => {
-    // li feeds three branches but is a pushed-down 2-column parquet
-    // scan — rereading it is CHEAPER than a persist+count round trip
-    // (measured: the persisted form benched 3.6 s, unpersisted 1.9 s
-    // at sf0.1; the CLAUDE.md persist rule's "non-trivial subtree"
-    // qualifier doing real work)
+    // li feeds five aggregate passes but is a pushed-down 2-column
+    // parquet scan — rereading beats a persist+count round trip here
+    // (CLAUDE.md persist rule's "non-trivial subtree" qualifier)
     val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
       expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
-    val wG = Window.partitionBy("flag")
-    def pick2(v: String): Column =
-      sum(when(col("rn") === expr("(n + 1) DIV 2"), col(v))
-        .otherwise(0L)) +
-        sum(when(col("rn") === expr("n DIV 2 + 1"), col(v))
-          .otherwise(0L))
-    val med = li
-      .withColumn("rn", row_number().over(wG.orderBy("c")).cast("long"))
-      .withColumn("n", count(lit(1)).over(wG))
-      .groupBy("flag")
-      .agg(max(col("n")).as("n"), pick2("c").as("median_halfcents"))
-    val dev = li.join(broadcast(med), "flag")
-      .select(col("flag"), abs(col("c") * 2 - col("median_halfcents"))
-        .as("dv"))
-    val mad = dev
-      .withColumn("rn", row_number().over(wG.orderBy("dv")).cast("long"))
-      .withColumn("n", count(lit(1)).over(wG))
-      .groupBy("flag")
-      .agg(pick2("dv").as("mad_quartercents"))
+    // q47's histogram pick: min/max/n, 128 buckets, cumsum on the
+    // tiny bucket table, first bucket whose cumcount reaches rank
+    // ceil(n/2); estimate = bucket lower bound. All BIGINT.
+    def sketchMedian(v: DataFrame, vc: String): DataFrame = {
+      val mm = v.groupBy("flag").agg(min(vc).as("mn"), max(vc).as("mx"),
+        count(lit(1)).as("n"))
+      val buckets = v.join(broadcast(mm), "flag")
+        .select(col("flag"), col("mn"), col("mx"), col("n"),
+          expr(s"($vc - mn) * 128 DIV (mx - mn + 1)").as("b"))
+        .groupBy("flag", "mn", "mx", "n", "b")
+        .agg(count(lit(1)).as("cnt"))
+      buckets
+        .withColumn("cum",
+          sum("cnt").over(Window.partitionBy("flag").orderBy("b")))
+        .groupBy("flag", "mn", "mx", "n")
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("b")))
+          .as("bm"))
+        .select(col("flag"), col("n"),
+          expr("mn + ((bm * (mx - mn + 1)) DIV 128)").as("est"))
+    }
+    val med = sketchMedian(li, "c")
+      .select(col("flag"), col("n"), col("est").as("median_est"))
+    val dev = li.join(broadcast(med.select("flag", "median_est")), "flag")
+      .select(col("flag"), abs(col("c") - col("median_est")).as("dv"))
+    val mad = sketchMedian(dev, "dv")
+      .select(col("flag"), col("est").as("mad_est"))
     val outliers = dev.join(broadcast(mad), "flag")
       .groupBy("flag")
-      .agg(sum((col("dv") * 2 > col("mad_quartercents") * 3)
-        .cast("long")).as("n_outliers"))
+      .agg(sum((col("dv") > col("mad_est") * 3).cast("long"))
+        .as("n_outliers"))
     med.join(mad, "flag").join(outliers, "flag")
       .select(col("flag"), col("n").cast("long").as("n"),
-        col("median_halfcents").cast("long").as("median_halfcents"),
-        col("mad_quartercents").cast("long").as("mad_quartercents"),
-        col("n_outliers"))
+        col("median_est"), col("mad_est"), col("n_outliers"))
   }
 
   val q55_sql: String =
     """WITH li AS (SELECT l_returnflag AS flag,
       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
       |  FROM lineitem),
-      |r1 AS (SELECT flag, c,
-      |    row_number() OVER (PARTITION BY flag ORDER BY c) AS rn,
-      |    count(*) OVER (PARTITION BY flag) AS n FROM li),
-      |med AS (SELECT flag, CAST(max(n) AS BIGINT) AS n,
-      |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END) +
-      |      sum(CASE WHEN rn = n // 2 + 1 THEN c ELSE 0 END) AS BIGINT)
-      |      AS median_halfcents
-      |  FROM r1 GROUP BY flag),
-      |dev AS (SELECT li.flag, abs(li.c * 2 - med.median_halfcents) AS dv
+      |mm1 AS (SELECT flag, min(c) AS mn, max(c) AS mx, count(*) AS n
+      |  FROM li GROUP BY flag),
+      |bk1 AS (SELECT li.flag, mm1.mn, mm1.mx, mm1.n,
+      |    (li.c - mm1.mn) * 128 // (mm1.mx - mm1.mn + 1) AS b,
+      |    count(*) AS cnt
+      |  FROM li JOIN mm1 USING (flag) GROUP BY 1, 2, 3, 4, 5),
+      |cm1 AS (SELECT *, sum(cnt) OVER (PARTITION BY flag ORDER BY b)
+      |    AS cum FROM bk1),
+      |med AS (SELECT flag, n,
+      |    mn + ((min(CASE WHEN cum >= (n + 1) // 2 THEN b END)
+      |      * (mx - mn + 1)) // 128) AS median_est
+      |  FROM cm1 GROUP BY flag, mn, mx, n),
+      |dev AS (SELECT li.flag, abs(li.c - med.median_est) AS dv
       |  FROM li JOIN med USING (flag)),
-      |r2 AS (SELECT flag, dv,
-      |    row_number() OVER (PARTITION BY flag ORDER BY dv) AS rn,
-      |    count(*) OVER (PARTITION BY flag) AS n FROM dev),
+      |mm2 AS (SELECT flag, min(dv) AS mn, max(dv) AS mx, count(*) AS n
+      |  FROM dev GROUP BY flag),
+      |bk2 AS (SELECT dev.flag, mm2.mn, mm2.mx, mm2.n,
+      |    (dev.dv - mm2.mn) * 128 // (mm2.mx - mm2.mn + 1) AS b,
+      |    count(*) AS cnt
+      |  FROM dev JOIN mm2 USING (flag) GROUP BY 1, 2, 3, 4, 5),
+      |cm2 AS (SELECT *, sum(cnt) OVER (PARTITION BY flag ORDER BY b)
+      |    AS cum FROM bk2),
       |mad AS (SELECT flag,
-      |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dv ELSE 0 END) +
-      |      sum(CASE WHEN rn = n // 2 + 1 THEN dv ELSE 0 END) AS BIGINT)
-      |      AS mad_quartercents
-      |  FROM r2 GROUP BY flag),
-      |outl AS (SELECT dev.flag, CAST(sum(CASE
-      |      WHEN dev.dv * 2 > mad.mad_quartercents * 3 THEN 1 ELSE 0
+      |    mn + ((min(CASE WHEN cum >= (n + 1) // 2 THEN b END)
+      |      * (mx - mn + 1)) // 128) AS mad_est
+      |  FROM cm2 GROUP BY flag, mn, mx, n),
+      |outl AS (SELECT dev.flag,
+      |    CAST(sum(CASE WHEN dev.dv > mad.mad_est * 3 THEN 1 ELSE 0
       |    END) AS BIGINT) AS n_outliers
       |  FROM dev JOIN mad USING (flag) GROUP BY dev.flag)
-      |SELECT flag, n, median_halfcents, mad_quartercents, n_outliers
+      |SELECT flag, CAST(n AS BIGINT) AS n,
+      |  CAST(median_est AS BIGINT) AS median_est,
+      |  CAST(mad_est AS BIGINT) AS mad_est, n_outliers
       |FROM med JOIN mad USING (flag) JOIN outl USING (flag)""".stripMargin
 
   /** Degree assortativity of the co-purchase graph — "do high-degree

@@ -107,7 +107,23 @@ class Round7OpsSpec extends SparkSpec {
 
   // --- q55: median absolute deviation ------------------------------
 
-  test("q55 MAD machinery matches driver-side computation") {
+  // Driver-side mirror of the q47-style histogram-median sketch:
+  // 128 equi-width BIGINT buckets, cumcount, first bucket reaching
+  // rank ceil(n/2), estimate = bucket lower bound.
+  private def sketchMed(xs: Seq[Long]): Long = {
+    val mn = xs.min; val mx = xs.max; val n = xs.length.toLong
+    val width = mx - mn + 1
+    val counts = xs.groupBy(x => (x - mn) * 128 / width)
+      .view.mapValues(_.size.toLong).toMap
+    val target = (n + 1) / 2
+    var cum = 0L
+    val bm = counts.keys.toSeq.sorted.find { b =>
+      cum += counts(b); cum >= target
+    }.get
+    mn + bm * width / 128
+  }
+
+  test("q55 sketched MAD matches driver-side sketch, bounds exact") {
     val rows = Queries.q55_mad(spark, sf("sf0.001")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).sortBy(_._1)
@@ -116,35 +132,37 @@ class Round7OpsSpec extends SparkSpec {
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    def med2(xs: Seq[Long]): Long = { // lo+hi rank-picked, exact
-      val n = xs.length
-      xs((n + 1) / 2 - 1) + xs(n / 2 + 1 - 1)
-    }
-    rows.foreach { case (flag, n, medHalf, madQuarter, nOut) =>
+    rows.foreach { case (flag, n, medEst, madEst, nOut) =>
       val xs = cents(flag)
       assert(n == xs.length)
-      assert(medHalf == med2(xs))
-      val dev = xs.map(c => math.abs(2 * c - medHalf)).sorted
-      assert(madQuarter == med2(dev))
-      assert(nOut == dev.count(d => 2 * d > 3 * madQuarter))
+      assert(medEst == sketchMed(xs))
+      val dev = xs.map(c => math.abs(c - medEst)).sorted
+      assert(madEst == sketchMed(dev))
+      // outlier count is EXACT against the sketched cut
+      assert(nOut == dev.count(_ > 3 * madEst))
+      // accuracy audit: the sketch estimate is a bucket lower bound,
+      // so the true rank-ceil(n/2) median lies within one bucket width
+      def exactMed(v: Seq[Long]): Long = v((v.length + 1) / 2 - 1)
+      val w1 = (xs.max - xs.min + 1 + 127) / 128
+      assert(math.abs(exactMed(xs) - medEst) <= w1)
+      val w2 = (dev.max - dev.min + 1 + 127) / 128
+      assert(math.abs(exactMed(dev) - madEst) <= w2)
     }
     assert(rows.nonEmpty)
   }
 
   test("q55 outlier cut is strict and tie-free at the exact boundary") {
-    // xs = 0,10,20,30,100 cents: median_half = 2*20 = 40;
-    // dev_half = |2c-40| = {40,20,0,20,160}, sorted 0,20,20,40,160
-    // -> mad_quarter = 20+20 = 40. A value c=50 has dev_half = 60 =
-    // EXACTLY 1.5*MAD (2*60 == 3*40): the strict integer cut excludes
-    // it deterministically — no float epsilon, no rounding tie.
-    val xs = Seq(0L, 10L, 20L, 30L, 100L)
-    val medHalf = 40L
-    val dev = xs.map(c => math.abs(2 * c - medHalf)).sorted
-    assert(dev == Seq(0L, 20L, 20L, 40L, 160L))
-    val madQuarter = dev(2) + dev(3 - 1) // lo+hi picks on n=5 -> 20+20
-    assert(madQuarter == 40L)
-    assert(!(2 * 60L > 3 * madQuarter)) // boundary value excluded
-    assert(2 * 61L > 3 * madQuarter)    // one half-cent past: included
+    // The cut dv > 3*mad_est compares two BIGINTs: a deviation landing
+    // EXACTLY on 3*mad_est is excluded deterministically — no float
+    // epsilon, no rounding tie (CLAUDE.md rounding-tie rule).
+    val madEst = 40L
+    assert(!(120L > 3 * madEst)) // boundary value excluded
+    assert(121L > 3 * madEst)    // one cent past: included
+    // and the sketch mirror's lower-bound estimate brackets the true
+    // rank-ceil(n/2) median (20) within one bucket width: range 101
+    // over 128 buckets -> width ceil = 1, estimate 19 = floor of the
+    // median bucket's lower boundary
+    assert(sketchMed(Seq(0L, 10L, 20L, 30L, 100L)) == 19L)
   }
 
   // --- g08: degree assortativity -----------------------------------
