@@ -4644,63 +4644,130 @@ object Queries {
 
   /** Multi-field weighted search scoring — the reference's actual
     * serving semantics (the ES LTR_QUERY, compare_window_sizes.py:
-    * 16-80: `most_fields` BM25 over boosted text fields plus
+    * 22-31: `most_fields` BM25 over SIX boosted text fields plus
     * additive `rank_feature` saturation boosts) re-expressed as a
-    * Spark batch ranker. Fields here: "title" = first 8 tokens
-    * (boost 3, the collection_name^3 analog) and "body" = all
-    * tokens (boost 1); rank feature = n_chars saturation
-    * boost·x/(x+pivot) (the collection_rank analog). Scoring is
-    * Lucene BM25 (k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5)))
-    * — public formula, Lucene docs.
+    * Spark batch ranker, field-for-field:
     *
-    * Hash-stability: every PER-TERM contribution is rounded to
-    * integer NANO-units before the per-(query,doc) sum, so the
-    * score is an order-independent BIGINT sum (float Σ over shuffle
-    * order would be nondeterministic); ln of the rational idf ratio
-    * never terminates in decimal, so the nano round cannot hit the
-    * exact-tie trap; ranking and top-10 use (score_nano, doc_id) —
-    * a total order. avg field lengths are computed as one exact
-    * integer sum ÷ count (not a streaming float avg) so both
-    * engines derive the identical double.
+    *   - `name`  (collection_name^3): first 8 lowercase tokens
+    *   - `exact` (collection_name.exact^3): first 8 RAW tokens —
+    *     the stricter no-lowercase analyzer of an `.exact`
+    *     subfield; a doc token matches only case-identically
+    *   - `desc`  (collection_description): all lowercase tokens
+    *   - `kw`    (collection_keywords^2): the doc's keyword set =
+    *     terms with in-doc tf ≥ 3; ES keyword fields carry
+    *     `norms: false`, so BM25 degenerates to boost·idf
+    *     (tf = 1, no length normalization) — modeled exactly
+    *   - `norm`  (names.normalized_name): tokens with
+    *     non-alphanumerics stripped (the normalizing analyzer)
+    *   - `tok`   (names.tokenized_name): tokens re-split on
+    *     non-alphanumeric boundaries (the sub-token analyzer)
+    *   - `ph2`   (^2): adjacent-token 2-gram shingles — the
+    *     standard ES phrase/shingle subfield, so multi-word
+    *     queries reward adjacency (round-9 phrase matching)
     *
-    * Scale shape: tokenize → ONE (doc_id, term) aggregate builds
-    * the postings; the tiny distinct-query-term set broadcast-
-    * filters the postings BEFORE the term-keyed Exchange (at 100 TB
-    * the index for 8 queries is a few thousand rows — df stats via
-    * a term-partitioned window, no self-join, no persist); corpus
-    * totals ride a scalar broadcast cross join; the final window
-    * partitions on qid over the already-pruned candidate set. */
+    * `most_fields` = the per-field BM25 scores SUM (Lucene BM25:
+    * k1=1.2, b=0.75, idf = ln(1+(N−df+0.5)/(df+0.5)) — public
+    * formula, Lucene docs); rank feature = n_chars saturation
+    * boost·x/(x+pivot) (the collection_rank analog).
+    *
+    * Hash-stability: every PER-(field,term) contribution is rounded
+    * to integer NANO-units before the per-(query,doc) sum, so the
+    * score is an order-independent BIGINT sum; ln of the rational
+    * idf ratio never terminates in decimal, so the nano round
+    * cannot hit the exact-tie trap; ranking and top-10 use
+    * (score_nano, doc_id) — a total order. Avg field lengths are
+    * exact integer sums ÷ count so both engines derive identical
+    * doubles.
+    *
+    * Scale shape: ONE pass tags every token with its field (a
+    * struct-array concat inside the row — no per-field rescan), the
+    * tiny distinct (field,term) query set broadcast-filters the
+    * exploded stream BEFORE the (doc,field,term) aggregate (at
+    * 100 TB the postings for 8 queries are a few thousand rows —
+    * non-matching terms never reach an Exchange); df stats via a
+    * (field,term)-partitioned window over that pruned set; the `kw`
+    * field derives from the `desc` postings (tf ≥ 3) without
+    * another pass; corpus totals ride a scalar broadcast cross
+    * join; top-10 through the bounded-heap TopKBy aggregate
+    * (|queries|×10 rows, no qid-window sort). */
   val q60_search_score: QFn = (s, d) => {
     import s.implicits._
-    val docs = t(s, d, "documents").select(
+    val base = t(s, d, "documents").select(
         col("doc_id"), col("n_chars"),
-        TextFunctions.tokens(lower(col("text"))).as("toks"))
-      .withColumn("blen", size(col("toks")).cast("long"))
-      .withColumn("tlen", least(col("blen"), lit(8L)))
-    val tots = docs.agg(
-      count(lit(1)).as("nd"), sum("blen").as("sb"),
-      sum("tlen").as("st_sum"))
-    val post = docs
-      .select(col("doc_id"), col("n_chars"), col("blen"), col("tlen"),
-        posexplode(col("toks")).as(Seq("pos", "term")))
-      .groupBy("doc_id", "n_chars", "blen", "tlen", "term")
-      .agg(count(lit(1)).as("tf_b"),
-        sum(when(col("pos") < 8, 1L).otherwise(0L)).as("tf_t"))
-    val qterms = searchQueries.toDF("qid", "qtext")
-      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
-    val wT = Window.partitionBy("term")
+        TextFunctions.tokens(col("text")).as("raw"))
+      .withColumn("toks", transform(col("raw"), x => lower(x)))
+      .withColumn("nrm", filter(transform(col("toks"),
+        x => regexp_replace(x, "[^a-z0-9]", "")), x => length(x) > 0))
+      .withColumn("sub", filter(flatten(transform(col("toks"),
+        x => split(x, "[^a-z0-9]+"))), x => length(x) > 0))
+      .withColumn("big", expr("transform(" +
+        "slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+        "(x, i) -> concat(x, ' ', toks[i + 1]))"))
+      .withColumn("name_len", least(size(col("toks")), lit(8))
+        .cast("long"))
+      .withColumn("desc_len", size(col("toks")).cast("long"))
+      .withColumn("norm_len", size(col("nrm")).cast("long"))
+      .withColumn("tok_len", size(col("sub")).cast("long"))
+      .withColumn("ph_len", size(col("big")).cast("long"))
+    val tots = base.agg(count(lit(1)).as("nd"),
+      sum("name_len").as("s_name"), sum("desc_len").as("s_desc"),
+      sum("norm_len").as("s_norm"), sum("tok_len").as("s_tok"),
+      sum("ph_len").as("s_ph"))
+    // one struct-array concat tags every token with its field: the
+    // six analyzer outputs explode in a single generator pass
+    val tagged = base.select(col("doc_id"), col("n_chars"),
+        col("name_len"), col("desc_len"), col("norm_len"),
+        col("tok_len"), col("ph_len"),
+        explode(concat(
+          expr("transform(slice(toks, 1, 8), " +
+            "x -> struct('name' AS field, x AS term))"),
+          expr("transform(slice(raw, 1, 8), " +
+            "x -> struct('exact' AS field, x AS term))"),
+          expr("transform(toks, " +
+            "x -> struct('desc' AS field, x AS term))"),
+          expr("transform(nrm, " +
+            "x -> struct('norm' AS field, x AS term))"),
+          expr("transform(sub, " +
+            "x -> struct('tok' AS field, x AS term))"),
+          expr("transform(big, " +
+            "x -> struct('ph2' AS field, x AS term))"))).as("ft"))
+      .select(col("doc_id"), col("n_chars"),
+        col("ft.field").as("field"), col("ft.term").as("term"),
+        expr("CASE ft.field WHEN 'name' THEN name_len " +
+          "WHEN 'exact' THEN name_len WHEN 'desc' THEN desc_len " +
+          "WHEN 'norm' THEN norm_len WHEN 'tok' THEN tok_len " +
+          "ELSE ph_len END").as("len"))
+    val qdf = searchQueries.toDF("qid", "qtext")
+      .withColumn("qt", split(col("qtext"), " "))
+    val qterms = Seq("name", "exact", "desc", "kw", "norm", "tok")
+      .map(f => qdf.select(col("qid"), lit(f).as("field"),
+        explode(col("qt")).as("term")))
+      .reduce(_ union _)
+      .union(qdf.select(col("qid"), lit("ph2").as("field"),
+        explode(expr("transform(" +
+          "slice(qt, 1, greatest(size(qt) - 1, 0)), " +
+          "(x, i) -> concat(x, ' ', qt[i + 1]))")).as("term")))
+      .distinct()
+    val post0 = tagged
+      .join(broadcast(qterms.select("field", "term").distinct()),
+        Seq("field", "term"))
+      .groupBy("doc_id", "field", "term")
+      .agg(max("n_chars").as("n_chars"), max("len").as("len"),
+        count(lit(1)).as("tf"))
+    // kw = keyword-set membership, derived from the desc postings
+    val postKw = post0
+      .filter(col("field") === "desc" && col("tf") >= 3)
+      .select(col("doc_id"), lit("kw").as("field"), col("term"),
+        col("n_chars"), lit(1L).as("len"), lit(1L).as("tf"))
+    val post = post0
+      .select("doc_id", "field", "term", "n_chars", "len", "tf")
+      .unionByName(postKw)
+    val wFT = Window.partitionBy("field", "term")
     val scored = post
-      .join(broadcast(qterms.select("term").distinct()), "term")
-      .withColumn("df_b", count(lit(1)).over(wT))
-      .withColumn("df_t",
-        sum(when(col("tf_t") > 0, 1L).otherwise(0L)).over(wT))
+      .withColumn("df", count(lit(1)).over(wFT))
       .crossJoin(broadcast(tots))
-      .withColumn("contrib",
-        expr(s"CAST(round($bm25Body * 1e9) AS BIGINT)") +
-        expr(s"""CASE WHEN tf_t > 0
-                |  THEN CAST(round(3 * $bm25Title * 1e9) AS BIGINT)
-                |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
-    val perq = scored.join(broadcast(qterms), "term")
+      .withColumn("contrib", expr(q60Contrib))
+    val perq = scored.join(broadcast(qterms), Seq("field", "term"))
       .groupBy("qid", "doc_id")
       .agg(sum("contrib").as("bm25_nano"),
         max("n_chars").as("n_chars"))
@@ -4729,58 +4796,104 @@ object Queries {
     (5L, "slow query filter"), (6L, "vector scan"),
     (7L, "table batch"), (8L, "key value column"))
 
-  // BM25 term factors — IDENTICAL text on both engines (IEEE ops are
-  // deterministic given the same expression shape).
-  private val bm25Body: String =
-    "ln(1 + (nd - df_b + 0.5) / (df_b + 0.5)) * (tf_b * 2.2)" +
-      " / (tf_b + 1.2 * (1 - 0.75 + 0.75 * blen" +
-      " / (CAST(sb AS DOUBLE) / nd)))"
-  private val bm25Title: String =
-    "ln(1 + (nd - df_t + 0.5) / (df_t + 0.5)) * (tf_t * 2.2)" +
-      " / (tf_t + 1.2 * (1 - 0.75 + 0.75 * tlen" +
-      " / (CAST(st_sum AS DOUBLE) / nd)))"
+  // BM25 factors — IDENTICAL text on both engines (IEEE ops are
+  // deterministic given the same expression shape). Boost per the
+  // LTR_QUERY field list; kw is a norms-off keyword field (tf = 1,
+  // no length normalization -> the tf factor is exactly 1).
+  private val q60Boost: String =
+    "CASE field WHEN 'name' THEN 3.0 WHEN 'exact' THEN 3.0" +
+      " WHEN 'kw' THEN 2.0 WHEN 'ph2' THEN 2.0 ELSE 1.0 END"
+  private val q60AvgLen: String =
+    "(CASE field WHEN 'name' THEN CAST(s_name AS DOUBLE)" +
+      " WHEN 'exact' THEN CAST(s_name AS DOUBLE)" +
+      " WHEN 'desc' THEN CAST(s_desc AS DOUBLE)" +
+      " WHEN 'norm' THEN CAST(s_norm AS DOUBLE)" +
+      " WHEN 'tok' THEN CAST(s_tok AS DOUBLE)" +
+      " ELSE CAST(s_ph AS DOUBLE) END / nd)"
+  private val q60Contrib: String =
+    s"CAST(round(($q60Boost)" +
+      " * ln(1 + (nd - df + 0.5) / (df + 0.5))" +
+      " * (CASE WHEN field = 'kw' THEN 1.0 ELSE (tf * 2.2)" +
+      s" / (tf + 1.2 * (1 - 0.75 + 0.75 * len / $q60AvgLen)) END)" +
+      " * 1e9) AS BIGINT)"
 
   val q60_sql: String = {
     val values = searchQueries
       .map { case (i, q) => s"($i, '$q')" }.mkString(", ")
-    s"""WITH d2 AS (SELECT doc_id, n_chars,
-       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-       |      x -> len(x) > 0) AS toks
+    s"""WITH d0 AS (SELECT doc_id, n_chars,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> len(x) > 0) AS raw
        |  FROM documents),
-       |d3 AS (SELECT doc_id, n_chars, toks,
-       |    CAST(len(toks) AS BIGINT) AS blen,
-       |    CAST(least(len(toks), 8) AS BIGINT) AS tlen FROM d2),
+       |d1 AS (SELECT doc_id, n_chars, raw,
+       |    list_transform(raw, x -> lower(x)) AS toks FROM d0),
+       |d2 AS (SELECT doc_id, n_chars, raw, toks,
+       |    list_filter(list_transform(toks,
+       |      x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+       |      x -> len(x) > 0) AS nrm,
+       |    list_filter(flatten(list_transform(toks,
+       |      x -> regexp_split_to_array(x, '[^a-z0-9]+'))),
+       |      x -> len(x) > 0) AS sub,
+       |    list_transform(range(1, greatest(len(toks), 1)),
+       |      i -> toks[i] || ' ' || toks[i + 1]) AS big
+       |  FROM d1),
+       |d3 AS (SELECT doc_id, n_chars, raw, toks, nrm, sub, big,
+       |    CAST(least(len(toks), 8) AS BIGINT) AS name_len,
+       |    CAST(len(toks) AS BIGINT) AS desc_len,
+       |    CAST(len(nrm) AS BIGINT) AS norm_len,
+       |    CAST(len(sub) AS BIGINT) AS tok_len,
+       |    CAST(len(big) AS BIGINT) AS ph_len
+       |  FROM d2),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-       |    CAST(sum(blen) AS BIGINT) AS sb,
-       |    CAST(sum(tlen) AS BIGINT) AS st_sum FROM d3),
-       |post AS (SELECT doc_id, n_chars, blen, tlen, term,
-       |    CAST(count(*) AS BIGINT) AS tf_b,
-       |    CAST(sum(CASE WHEN pos <= 8 THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS tf_t
-       |  FROM (SELECT doc_id, n_chars, blen, tlen,
-       |      unnest(toks) AS term,
-       |      unnest(range(1, len(toks) + 1)) AS pos FROM d3)
-       |  GROUP BY doc_id, n_chars, blen, tlen, term),
-       |q AS (SELECT CAST(qid AS BIGINT) AS qid,
-       |    unnest(string_split(qtext, ' ')) AS term
+       |    CAST(sum(name_len) AS BIGINT) AS s_name,
+       |    CAST(sum(desc_len) AS BIGINT) AS s_desc,
+       |    CAST(sum(norm_len) AS BIGINT) AS s_norm,
+       |    CAST(sum(tok_len) AS BIGINT) AS s_tok,
+       |    CAST(sum(ph_len) AS BIGINT) AS s_ph FROM d3),
+       |tall AS (
+       |  SELECT doc_id, n_chars, 'name' AS field,
+       |      unnest(toks[1:8]) AS term, name_len AS len FROM d3
+       |  UNION ALL SELECT doc_id, n_chars, 'exact',
+       |      unnest(raw[1:8]), name_len FROM d3
+       |  UNION ALL SELECT doc_id, n_chars, 'desc',
+       |      unnest(toks), desc_len FROM d3
+       |  UNION ALL SELECT doc_id, n_chars, 'norm',
+       |      unnest(nrm), norm_len FROM d3
+       |  UNION ALL SELECT doc_id, n_chars, 'tok',
+       |      unnest(sub), tok_len FROM d3
+       |  UNION ALL SELECT doc_id, n_chars, 'ph2',
+       |      unnest(big), ph_len FROM d3),
+       |qv AS (SELECT CAST(qid AS BIGINT) AS qid,
+       |    string_split(qtext, ' ') AS qt
        |  FROM (VALUES $values) AS v(qid, qtext)),
-       |qp AS (SELECT p.* FROM post p
-       |  JOIN (SELECT DISTINCT term FROM q) u USING (term)),
-       |stat AS (SELECT *,
-       |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df_b,
-       |    CAST(sum(CASE WHEN tf_t > 0 THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY term) AS BIGINT) AS df_t
-       |  FROM qp),
-       |c AS (SELECT doc_id, n_chars, term,
-       |    CAST(round($bm25Body * 1e9) AS BIGINT)
-       |    + CASE WHEN tf_t > 0
-       |        THEN CAST(round(3 * $bm25Title * 1e9) AS BIGINT)
-       |        ELSE CAST(0 AS BIGINT) END AS contrib
+       |qe AS (SELECT qid, unnest(qt) AS term FROM qv),
+       |qb AS (SELECT qid, unnest(
+       |    list_transform(range(1, greatest(len(qt), 1)),
+       |      i -> qt[i] || ' ' || qt[i + 1])) AS term FROM qv),
+       |q AS (SELECT DISTINCT qid, f.field, qe.term
+       |  FROM qe CROSS JOIN (SELECT unnest(['name', 'exact', 'desc',
+       |      'kw', 'norm', 'tok']) AS field) f
+       |  UNION
+       |  SELECT DISTINCT qid, 'ph2' AS field, term FROM qb),
+       |qf AS (SELECT DISTINCT field, term FROM q),
+       |p0 AS (SELECT tall.doc_id, tall.field, tall.term,
+       |    max(n_chars) AS n_chars, max(len) AS len,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tall JOIN qf USING (field, term)
+       |  GROUP BY 1, 2, 3),
+       |post AS (SELECT * FROM p0
+       |  UNION ALL
+       |  SELECT doc_id, 'kw' AS field, term, n_chars,
+       |      CAST(1 AS BIGINT) AS len, CAST(1 AS BIGINT) AS tf
+       |    FROM p0 WHERE field = 'desc' AND tf >= 3),
+       |stat AS (SELECT *, CAST(count(*) OVER
+       |    (PARTITION BY field, term) AS BIGINT) AS df FROM post),
+       |c AS (SELECT doc_id, n_chars, field, term,
+       |    $q60Contrib AS contrib
        |  FROM stat CROSS JOIN tot),
        |pq AS (SELECT qid, doc_id,
        |    CAST(sum(contrib) AS BIGINT) AS bm25_nano,
        |    max(n_chars) AS n_chars
-       |  FROM c JOIN q USING (term) GROUP BY qid, doc_id),
+       |  FROM c JOIN q USING (field, term) GROUP BY qid, doc_id),
        |fin AS (SELECT qid, doc_id, bm25_nano
        |    + CAST(round(2 * (n_chars / (n_chars + 300.0)) * 1e9)
        |        AS BIGINT) AS score_nano

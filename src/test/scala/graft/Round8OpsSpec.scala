@@ -148,49 +148,74 @@ class Round8OpsSpec extends SparkSpec {
     val got = Queries.q60_search_score(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long)].collect()
       .map(r => (r._1, r._3) -> (r._2, r._4)).toMap
+    // per-doc analyzer outputs, mirroring the seven fields
+    case class D(id: Long, nc: Long,
+      fields: Map[String, Seq[String]], lens: Map[String, Long])
     val docs = spark.read
       .parquet(sf("sf0.001") + "/documents.parquet")
       .select(col("doc_id"), col("n_chars"), col("text"))
       .as[(Long, Long, String)].collect()
       .map { case (id, nc, text) =>
-        (id, nc, text.trim.toLowerCase.split("\\s+")
-          .filter(_.nonEmpty).toSeq)
+        val raw = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val toks = raw.map(_.toLowerCase)
+        val nrm = toks.map(_.replaceAll("[^a-z0-9]", ""))
+          .filter(_.nonEmpty)
+        val sub = toks.flatMap(_.split("[^a-z0-9]+", -1))
+          .filter(_.nonEmpty)
+        val big = toks.iterator.sliding(2).withPartial(false)
+          .map(_.mkString(" ")).toSeq
+        val kw = toks.groupBy(identity).collect {
+          case (t, o) if o.size >= 3 => t
+        }.toSet
+        val f = Map("name" -> toks.take(8), "exact" -> raw.take(8),
+          "desc" -> toks, "norm" -> nrm, "tok" -> sub, "ph2" -> big,
+          "kw" -> kw.toSeq)
+        val l = Map("name" -> math.min(toks.length, 8).toLong,
+          "exact" -> math.min(toks.length, 8).toLong,
+          "desc" -> toks.length.toLong, "norm" -> nrm.length.toLong,
+          "tok" -> sub.length.toLong, "ph2" -> big.length.toLong,
+          "kw" -> 1L)
+        D(id, nc, f, l)
       }
     val nd = docs.length.toLong
-    val avgB = docs.map(_._3.length.toLong).sum.toDouble / nd
-    val avgT = docs.map(d => math.min(d._3.length, 8).toLong)
-      .sum.toDouble / nd
+    val avg = Seq("name", "exact", "desc", "norm", "tok", "ph2")
+      .map(f => f -> docs.map(_.lens(f)).sum.toDouble / nd).toMap
+    val boost = Map("name" -> 3.0, "exact" -> 3.0, "desc" -> 1.0,
+      "kw" -> 2.0, "norm" -> 1.0, "tok" -> 1.0, "ph2" -> 2.0)
     val queries = Seq(1L -> "spark window", 2L -> "hash join stream",
       3L -> "customer order", 4L -> "fast merge",
       5L -> "slow query filter", 6L -> "vector scan",
       7L -> "table batch", 8L -> "key value column")
-    val qt = queries.flatMap { case (q, s) =>
-      s.split(" ").map(q -> _)
-    }
-    val terms = qt.map(_._2).distinct
-    val dfB = terms.map(t =>
-      t -> docs.count(_._3.contains(t)).toLong).toMap
-    val dfT = terms.map(t =>
-      t -> docs.count(_._3.take(8).contains(t)).toLong).toMap
-    def bm25(tf: Long, df: Long, len: Long, avg: Double): Double =
-      math.log(1 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
-        (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg))
-    val want = queries.flatMap { case (qid, qs) =>
+    // query terms per field: plain terms for the six text fields,
+    // adjacent bigrams for ph2
+    def qft(qs: String): Seq[(String, String)] = {
       val ts = qs.split(" ").toSeq
-      docs.flatMap { case (id, nc, toks) =>
-        val contrib = ts.filter(toks.contains).map { tm =>
-          val tfB = toks.count(_ == tm).toLong
-          val tfT = toks.take(8).count(_ == tm).toLong
-          math.round(bm25(tfB, dfB(tm), toks.length.toLong, avgB)
-            * 1e9) +
-            (if (tfT > 0)
-              math.round(3 * bm25(tfT, dfT(tm),
-                math.min(toks.length, 8).toLong, avgT) * 1e9)
-            else 0L)
+      Seq("name", "exact", "desc", "kw", "norm", "tok")
+        .flatMap(f => ts.map(f -> _)) ++
+        ts.iterator.sliding(2).withPartial(false)
+          .map(p => "ph2" -> p.mkString(" "))
+    }
+    val allFt = queries.flatMap(q => qft(q._2)).distinct
+    val df = allFt.map { case (f, tm) =>
+      (f, tm) -> docs.count(_.fields(f).contains(tm)).toLong
+    }.toMap
+    def contrib(f: String, tf: Long, len: Long, d: Long): Long = {
+      val idf = math.log(1 + (nd - d + 0.5) / (d + 0.5))
+      val tfn = if (f == "kw") 1.0
+        else (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg(f)))
+      math.round(boost(f) * idf * tfn * 1e9)
+    }
+    val want = queries.flatMap { case (qid, qs) =>
+      docs.flatMap { d =>
+        val c = qft(qs).map { case (f, tm) =>
+          val tf = d.fields(f).count(_ == tm).toLong
+          if (tf == 0) 0L
+          else contrib(f, if (f == "kw") 1L else tf, d.lens(f),
+            df((f, tm)))
         }.sum
-        if (contrib == 0L) None
-        else Some((qid, id, contrib +
-          math.round(2 * (nc / (nc + 300.0)) * 1e9)))
+        if (c == 0L) None
+        else Some((qid, d.id,
+          c + math.round(2 * (d.nc / (d.nc + 300.0)) * 1e9)))
       }.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex
         .map { case ((q, id, sc), i) => (q, id) -> (i + 1L, sc) }
     }.toMap
@@ -200,12 +225,18 @@ class Round8OpsSpec extends SparkSpec {
       assert(got(k)._1 == rank, s"$k rank")
       assert(math.abs(got(k)._2 - sc) <= 5, s"$k score")
     }
-    // non-vacuous: every query returns hits with distinct scores
+    // non-vacuous: every query returns hits with distinct scores,
+    // and at least one keyword-field (tf >= 3) hit exists somewhere
     queries.foreach { case (qid, _) =>
       val scores = got.collect { case ((q, _), (_, s)) if q == qid => s }
       assert(scores.nonEmpty, s"query $qid empty")
       assert(scores.toSeq.distinct.size > 1, s"query $qid flat")
     }
+    val kwHits = for {
+      (_, qs) <- queries; tm <- qs.split(" ").toSeq
+      d <- docs if d.fields("kw").contains(tm)
+    } yield (d.id, tm)
+    assert(kwHits.nonEmpty, "kw field never fires at sf0.001")
   }
 
   // --- q61: DSIR importance resampling -----------------------------
