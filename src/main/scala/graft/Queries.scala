@@ -4444,34 +4444,54 @@ object Queries {
 
   /** Sorting-strategy comparison matrix — the reference's member-
     * ordering research (research/sort_members/sort.py) as one
-    * distributed query: four candidate orderings per group (rank
-    * desc; interest-score desc; length-then-rank; a two-segment
-    * rank-threshold split — sort.py's 'R' / 'I' / 'len,rank' / '4';
-    * sort.py cuts at rank 100000, here 91000 cents so the cut
-    * actually straddles the fixture price range at every SF),
-    * each scored by Spearman ρ against BOTH baselines (R and
-    * len,rank) plus sort.py's harmonic-mean combination
-    * harmonic(ρ_a+1, ρ_b+1) − 1. Every ordering key is an exact
-    * integer (price cents, size, name length) with a unique
-    * tiebreak, so ranks are integer permutations and every ρ and
-    * the harmonic combination are exact rationals → sign-aware
-    * HALF_UP ppm, hash-exact cross-engine (sort.py's float
-    * spearmanr can tie at any rounding digit). Scale shape: the
-    * four row_number windows share ONE group Exchange (four sorts,
-    * zero extra shuffles), the Σd² aggregate collapses map-side,
-    * and the 4-row-per-group unpivot runs on |groups| rows.
-    * Declared simplification: ρ over the FULL group ordering
-    * (sort.py compares [:30] name-list prefixes, which is not a
-    * permutation metric when prefix membership differs). */
+    * distributed query, covering ALL of sort.py's active candidate
+    * orderings per group: rank desc ('R'); interest-score desc
+    * ('I'); score·log(rank+1) desc ('I*log(R)', sort.py:52-53);
+    * length-then-rank ('len,rank'); the two-segment rank-threshold
+    * split ('4' — sort.py cuts at rank 100000, here 91000 cents so
+    * the cut straddles the fixture price range at every SF);
+    * log(rank+1)/len desc and log(rank+1)/max(len,8|10) desc
+    * (sort.py:91-103). Each is scored by Spearman ρ against BOTH
+    * baselines (R and len,rank) plus sort.py's harmonic-mean
+    * combination harmonic(ρ_a+1, ρ_b+1) − 1.
+    *
+    * Determinism: the pure orderings use exact integer keys (price
+    * cents, size, name length) with a unique tiebreak. The log-
+    * family keys are base-INVARIANT orderings (a log base only
+    * scales every key by 1/ln(base) — sort.py's base=1e10 for
+    * I*log(R), base=2 for the len family — so ln gives the same
+    * permutation); each rounds to an integer NANO-unit BIGINT (the
+    * q60 discipline: ln of a rational never terminates in decimal,
+    * so the nano round cannot hit the exact-tie trap) before the
+    * rank window, so every rank is still an integer permutation and
+    * every ρ an exact rational → sign-aware HALF_UP ppm, hash-exact
+    * cross-engine (sort.py's float spearmanr can tie at any
+    * rounding digit). Scale shape: the eight row_number windows
+    * share ONE group Exchange (eight sorts, zero extra shuffles),
+    * the Σd² aggregate collapses map-side, and the 8-row-per-group
+    * unpivot runs on |groups| rows. Declared simplification: ρ over
+    * the FULL group ordering (sort.py compares [:30] name-list
+    * prefixes, which is not a permutation metric when prefix
+    * membership differs). */
   val q59_sort_compare: QFn = (s, d) => {
     val g = col("p_brand")
     def w(cols: Column*) =
       Window.partitionBy(g).orderBy(cols: _*)
     val p = t(s, d, "part").select(
-      g, col("p_partkey"),
-      round(col("p_retailprice") * 100, 0).cast("long").as("rank_c"),
-      col("p_size").cast("long").as("score"),
-      length(col("p_name")).cast("long").as("len"))
+        g, col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("rank_c"),
+        col("p_size").cast("long").as("score"),
+        length(col("p_name")).cast("long").as("len"))
+      .withColumn("k_ilogr",
+        expr("CAST(round(score * ln(rank_c + 1) * 1e9) AS BIGINT)"))
+      .withColumn("k_loglen",
+        expr("CAST(round(ln(rank_c + 1) / len * 1e9) AS BIGINT)"))
+      .withColumn("k_logm8", expr(
+        "CAST(round(ln(rank_c + 1) / greatest(len, 8) * 1e9)" +
+          " AS BIGINT)"))
+      .withColumn("k_logm10", expr(
+        "CAST(round(ln(rank_c + 1) / greatest(len, 10) * 1e9)" +
+          " AS BIGINT)"))
     val lessFlag = when(col("rank_c") < 91000L, 1L).otherwise(0L)
     val splitKey = when(lessFlag === 0L, -col("score"))
       .otherwise(-col("rank_c"))
@@ -4483,7 +4503,15 @@ object Queries {
       row_number().over(w(col("score").desc, col("p_partkey")))
         .cast("long").as("r_score"),
       row_number().over(w(lessFlag, splitKey, col("p_partkey")))
-        .cast("long").as("r_split"))
+        .cast("long").as("r_split"),
+      row_number().over(w(col("k_ilogr").desc, col("p_partkey")))
+        .cast("long").as("r_ilogr"),
+      row_number().over(w(col("k_loglen").desc, col("p_partkey")))
+        .cast("long").as("r_loglen"),
+      row_number().over(w(col("k_logm8").desc, col("p_partkey")))
+        .cast("long").as("r_logm8"),
+      row_number().over(w(col("k_logm10").desc, col("p_partkey")))
+        .cast("long").as("r_logm10"))
     def d2(a: String, b: String): Column =
       sum((col(a) - col(b)) * (col(a) - col(b)))
     val agg = ranked.groupBy(g).agg(
@@ -4492,14 +4520,26 @@ object Queries {
       d2("r_score", "r_lenrank").as("d_i_lr"),
       d2("r_lenrank", "r_rank").as("d_lr_r"),
       d2("r_split", "r_rank").as("d_s_r"),
-      d2("r_split", "r_lenrank").as("d_s_lr"))
+      d2("r_split", "r_lenrank").as("d_s_lr"),
+      d2("r_ilogr", "r_rank").as("d_il_r"),
+      d2("r_ilogr", "r_lenrank").as("d_il_lr"),
+      d2("r_loglen", "r_rank").as("d_ll_r"),
+      d2("r_loglen", "r_lenrank").as("d_ll_lr"),
+      d2("r_logm8", "r_rank").as("d_m8_r"),
+      d2("r_logm8", "r_lenrank").as("d_m8_lr"),
+      d2("r_logm10", "r_rank").as("d_m10_r"),
+      d2("r_logm10", "r_lenrank").as("d_m10_lr"))
       .filter(col("n") >= 2)
     val rows = agg.select(g, col("n"), expr(
-      """stack(4,
+      """stack(8,
         |  'R',        CAST(0 AS BIGINT), d_lr_r,
         |  'I',        d_i_r,  d_i_lr,
+        |  'I_logR',   d_il_r, d_il_lr,
         |  'len_rank', d_lr_r, CAST(0 AS BIGINT),
-        |  'split',    d_s_r,  d_s_lr)
+        |  'split',    d_s_r,  d_s_lr,
+        |  'logR_len', d_ll_r, d_ll_lr,
+        |  'logR_maxlen8',  d_m8_r,  d_m8_lr,
+        |  'logR_maxlen10', d_m10_r, d_m10_lr)
         |  AS (sorting, d2a, d2b)""".stripMargin))
     def rho(dc: String): String =
       s"""CASE WHEN n*(n*n-1) - 6*$dc >= 0
@@ -4529,11 +4569,21 @@ object Queries {
          |   // (2*n*(n*n-1))
          | ELSE -((2*1000000*(6*$dc - n*(n*n-1)) + n*(n*n-1))
          |   // (2*n*(n*n-1))) END""".stripMargin
-    s"""WITH p AS (SELECT p_brand, p_partkey,
+    s"""WITH p0 AS (SELECT p_brand, p_partkey,
        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS rank_c,
        |    CAST(p_size AS BIGINT) AS score,
        |    CAST(length(p_name) AS BIGINT) AS len
        |  FROM part),
+       |p AS (SELECT *,
+       |    CAST(round(score * ln(rank_c + 1) * 1e9) AS BIGINT)
+       |      AS k_ilogr,
+       |    CAST(round(ln(rank_c + 1) / len * 1e9) AS BIGINT)
+       |      AS k_loglen,
+       |    CAST(round(ln(rank_c + 1) / greatest(len, 8) * 1e9)
+       |      AS BIGINT) AS k_logm8,
+       |    CAST(round(ln(rank_c + 1) / greatest(len, 10) * 1e9)
+       |      AS BIGINT) AS k_logm10
+       |  FROM p0),
        |r AS (SELECT p_brand,
        |    CAST(row_number() OVER (PARTITION BY p_brand
        |      ORDER BY rank_c DESC, p_partkey) AS BIGINT) AS r_rank,
@@ -4545,7 +4595,17 @@ object Queries {
        |    CAST(row_number() OVER (PARTITION BY p_brand
        |      ORDER BY CASE WHEN rank_c < 91000 THEN 1 ELSE 0 END,
        |        CASE WHEN rank_c < 91000 THEN -rank_c
-       |          ELSE -score END, p_partkey) AS BIGINT) AS r_split
+       |          ELSE -score END, p_partkey) AS BIGINT) AS r_split,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY k_ilogr DESC, p_partkey) AS BIGINT) AS r_ilogr,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY k_loglen DESC, p_partkey) AS BIGINT)
+       |      AS r_loglen,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY k_logm8 DESC, p_partkey) AS BIGINT) AS r_logm8,
+       |    CAST(row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY k_logm10 DESC, p_partkey) AS BIGINT)
+       |      AS r_logm10
        |  FROM p),
        |a AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum((r_score-r_rank)*(r_score-r_rank)) AS BIGINT)
@@ -4557,16 +4617,40 @@ object Queries {
        |    CAST(sum((r_split-r_rank)*(r_split-r_rank)) AS BIGINT)
        |      AS d_s_r,
        |    CAST(sum((r_split-r_lenrank)*(r_split-r_lenrank))
-       |      AS BIGINT) AS d_s_lr
+       |      AS BIGINT) AS d_s_lr,
+       |    CAST(sum((r_ilogr-r_rank)*(r_ilogr-r_rank)) AS BIGINT)
+       |      AS d_il_r,
+       |    CAST(sum((r_ilogr-r_lenrank)*(r_ilogr-r_lenrank))
+       |      AS BIGINT) AS d_il_lr,
+       |    CAST(sum((r_loglen-r_rank)*(r_loglen-r_rank)) AS BIGINT)
+       |      AS d_ll_r,
+       |    CAST(sum((r_loglen-r_lenrank)*(r_loglen-r_lenrank))
+       |      AS BIGINT) AS d_ll_lr,
+       |    CAST(sum((r_logm8-r_rank)*(r_logm8-r_rank)) AS BIGINT)
+       |      AS d_m8_r,
+       |    CAST(sum((r_logm8-r_lenrank)*(r_logm8-r_lenrank))
+       |      AS BIGINT) AS d_m8_lr,
+       |    CAST(sum((r_logm10-r_rank)*(r_logm10-r_rank)) AS BIGINT)
+       |      AS d_m10_r,
+       |    CAST(sum((r_logm10-r_lenrank)*(r_logm10-r_lenrank))
+       |      AS BIGINT) AS d_m10_lr
        |  FROM r GROUP BY p_brand HAVING count(*) >= 2),
        |u AS (
        |  SELECT p_brand, n, 'R' AS sorting,
        |    CAST(0 AS BIGINT) AS d2a, d_lr_r AS d2b FROM a
        |  UNION ALL SELECT p_brand, n, 'I', d_i_r, d_i_lr FROM a
+       |  UNION ALL SELECT p_brand, n, 'I_logR', d_il_r, d_il_lr
+       |    FROM a
        |  UNION ALL SELECT p_brand, n, 'len_rank', d_lr_r,
        |    CAST(0 AS BIGINT) FROM a
        |  UNION ALL SELECT p_brand, n, 'split', d_s_r, d_s_lr
-       |    FROM a),
+       |    FROM a
+       |  UNION ALL SELECT p_brand, n, 'logR_len', d_ll_r, d_ll_lr
+       |    FROM a
+       |  UNION ALL SELECT p_brand, n, 'logR_maxlen8', d_m8_r,
+       |    d_m8_lr FROM a
+       |  UNION ALL SELECT p_brand, n, 'logR_maxlen10', d_m10_r,
+       |    d_m10_lr FROM a),
        |rr AS (SELECT p_brand, sorting, n,
        |    CAST(${rho("d2a")} AS BIGINT) AS rho_rank_ppm,
        |    CAST(${rho("d2b")} AS BIGINT) AS rho_lenrank_ppm

@@ -81,11 +81,21 @@ class Round8OpsSpec extends SparkSpec {
       val rSorting: Map[Long, Long] = sorting match {
         case "R" => rRank
         case "I" => ranksBy(ps)(p => (-p.score, p.key, 0L))
+        case "I_logR" => ranksBy(ps)(p => (-math.round(
+          p.score * math.log(p.rankC + 1) * 1e9), p.key, 0L))
         case "len_rank" => rLenRank
         case "split" => ranksBy(ps) { p =>
           val less = if (p.rankC < 91000L) 1L else 0L
           (less, if (less == 0L) -p.score else -p.rankC, p.key)
         }
+        case "logR_len" => ranksBy(ps)(p => (-math.round(
+          math.log(p.rankC + 1) / p.len * 1e9), p.key, 0L))
+        case "logR_maxlen8" => ranksBy(ps)(p => (-math.round(
+          math.log(p.rankC + 1) / math.max(p.len, 8L) * 1e9),
+          p.key, 0L))
+        case "logR_maxlen10" => ranksBy(ps)(p => (-math.round(
+          math.log(p.rankC + 1) / math.max(p.len, 10L) * 1e9),
+          p.key, 0L))
       }
       def rho(a: Map[Long, Long], b: Map[Long, Long]): Double = {
         val sd2 = ps.map(p => {
