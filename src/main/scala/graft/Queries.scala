@@ -984,48 +984,9 @@ object Queries {
     * the sketch is what makes that affordable. 12 equality terms are
     * unrolled comparisons, not an interpreted lambda (CLAUDE.md
     * hot-path rule). */
-  val d12_minhash_est: QFn = (s, d) => {
-    val post = TextFunctions.shinglePostings(t(s, d, "documents"),
-      "doc_id", "text", 3, distinct = true)
-    // ONE doc_id shuffle carries the signature minima AND the
-    // verification shingle set (the d03 fusion lesson); candidates
-    // then join this table twice and BOTH columns come from the same
-    // two rows — exact Jaccard is an in-row array_intersect, no
-    // postings self-join, no second aggregate pass
-    val mins = (0 until 12).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
-        .as(s"h$i"))
-    val combined = post.groupBy("doc_id")
-      .agg(mins.head,
-        (mins.tail :+ collect_list(col("shingle")).as("sh")): _*)
-      .select(col("doc_id"),
-        array((0 until 12).map(i => col(s"h$i")): _*).as("sig"),
-        col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    combined.count() // band explode + two candidate joins fan out
-    val banded = combined.select(col("doc_id"),
-      explode(Dedup.lshBandKeys(col("sig"), 4, 3)).as("band"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
-    val matches = (0 until 12).map(i =>
-      when(element_at(col("s1"), i + 1) === element_at(col("s2"), i + 1),
-        1L).otherwise(0L)).reduce(_ + _)
-    cand
-      .join(combined.select(col("doc_id").as("id1"),
-        col("sig").as("s1"), col("sh").as("sh1")), "id1")
-      .join(combined.select(col("doc_id").as("id2"),
-        col("sig").as("s2"), col("sh").as("sh2")), "id2")
-      .select(col("id1"), col("id2"), matches.as("matches"),
-        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
-          .as("inter"),
-        (size(col("sh1")) + size(col("sh2"))).cast("long").as("ns"))
-      .select(col("id1"), col("id2"),
-        expr("(matches * 1000000) DIV 12").as("est_ppm"),
-        expr("(inter * 2000000 + (ns - inter)) DIV " +
-          "(2 * (ns - inter))").as("exact_ppm"))
-  }
+  val d12_minhash_est: QFn = (s, d) =>
+    Dedup.minhashEstimatePairs(t(s, d, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4)
 
   val d12_sql: String =
     s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
@@ -4776,17 +4737,21 @@ object Queries {
     * (|queries|×10 rows, no qid-window sort). */
   val q60_search_score: QFn = (s, d) => {
     import s.implicits._
+    import org.apache.spark.sql.graft.{ColumnBridge, WordShinglesExpr}
+    // lowercase unigrams and bigrams through the codegen'd shingle
+    // expression (hot path — CLAUDE.md: no interpreted higher-order
+    // lambdas where a codegen'd expression exists); raw keeps case
+    // for the `exact` analyzer
+    def grams(n: Int) = ColumnBridge.column(
+      WordShinglesExpr(ColumnBridge.expression(col("text")), n))
     val base = t(s, d, "documents").select(
         col("doc_id"), col("n_chars"),
-        TextFunctions.tokens(col("text")).as("raw"))
-      .withColumn("toks", transform(col("raw"), x => lower(x)))
+        TextFunctions.tokens(col("text")).as("raw"),
+        grams(1).as("toks"), grams(2).as("big"))
       .withColumn("nrm", filter(transform(col("toks"),
         x => regexp_replace(x, "[^a-z0-9]", "")), x => length(x) > 0))
       .withColumn("sub", filter(flatten(transform(col("toks"),
         x => split(x, "[^a-z0-9]+"))), x => length(x) > 0))
-      .withColumn("big", expr("transform(" +
-        "slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-        "(x, i) -> concat(x, ' ', toks[i + 1]))"))
       .withColumn("name_len", least(size(col("toks")), lit(8))
         .cast("long"))
       .withColumn("desc_len", size(col("toks")).cast("long"))

@@ -94,13 +94,16 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 12,
-                      bands: Int = 4, threshold: Double = 0.5)
+                      bands: Int = 4, threshold: Double = 0.5,
+                      cache: Option[ShingleCache] = None)
     : DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val postings = TextFunctions.shinglePostings(docs, idCol, textCol,
-      shingleSize, distinct = true)
+    val postings = cache
+      .map(_.postings(shingleSize, distinct = true))
+      .getOrElse(TextFunctions.shinglePostings(docs, idCol, textCol,
+        shingleSize, distinct = true))
     // ONE doc_id shuffle computes the minhash signature AND the
     // verification shingle set (the md5(seed:shingle) minima are
     // bit-identical to minhashSignatures, so the DuckDB oracle is
@@ -163,7 +166,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
-                        maxDf: Int = 200): DataFrame = {
+                        maxDf: Int = 200,
+                        cache: Option[ShingleCache] = None): DataFrame = {
     // rounding slack: final filter is round(j,4) >= t
     val t = threshold - 0.00005
     // shingle strings collapse to 64-bit hashes immediately: every
@@ -172,14 +176,20 @@ object Dedup {
     // reaches the output; a 64-bit collision altering a Jaccard count
     // needs two colliding shingles inside one doc pair (~2^-64-scale —
     // below any float-rounding concern).
-    val posting = TextFunctions.shinglePostings(docs, idCol, textCol,
-      shingleSize, distinct = true)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize ONCE before fan-out: the df/enriched branches
     // otherwise race to fill the cache from independent parallel
-    // stages, recomputing the tokenize/shingle pipeline 2-3x
-    posting.count()
+    // stages, recomputing the tokenize/shingle pipeline 2-3x.
+    // A family-shared ShingleCache owns this persist instead.
+    val posting = cache match {
+      case Some(c) => c.hashedPostings(shingleSize, distinct = true)
+      case None =>
+        val p = TextFunctions.shinglePostings(docs, idCol, textCol,
+          shingleSize, distinct = true)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+    }
     val df = posting.groupBy("h").agg(count(lit(1)).as("df"))
     // ONE doc_id window pass attaches everything downstream needs to
     // every posting row: rank `r` in the global (df, h) order with
@@ -199,8 +209,8 @@ object Dedup {
     enriched.count()
     // enriched is materialized; the postings cache has no consumers
     // left — release it instead of holding both until the caller's
-    // cache clear
-    posting.unpersist(false)
+    // cache clear (unless a shared ShingleCache owns it)
+    if (cache.isEmpty) posting.unpersist(false)
     val pruned = enriched.filter(col("keep"))
     // 1e-9 guard: if t*np is exactly integer but the double product
     // rounds a hair up, a bare ceil would shorten the prefix by one
@@ -284,14 +294,20 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, tauNum: Int = 7,
-                       tauDen: Int = 10, maxDf: Int = 200): DataFrame = {
+                       tauDen: Int = 10, maxDf: Int = 200,
+                       cache: Option[ShingleCache] = None): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"containment threshold $tauNum/$tauDen must be in (0, 1]")
-    val posting = TextFunctions.shinglePostings(docs, idCol, textCol,
-      shingleSize, distinct = true)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    posting.count()
+    val posting = cache match {
+      case Some(c) => c.hashedPostings(shingleSize, distinct = true)
+      case None =>
+        val p = TextFunctions.shinglePostings(docs, idCol, textCol,
+          shingleSize, distinct = true)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+    }
     val df = posting.groupBy("h").agg(count(lit(1)).as("df"))
     // pruned universe FIRST (df ≤ maxDf), then one doc_id window pass
     // attaches rank-in-global-order and pruned size to every posting
@@ -304,7 +320,7 @@ object Dedup {
       .select("doc_id", "h", "r", "np")
       .persist(StorageLevel.MEMORY_AND_DISK)
     pruned.count()
-    posting.unpersist(false)
+    if (cache.isEmpty) posting.unpersist(false)
     // r ≤ np − ⌈τ·np⌉ + 1  ⇔  τ·np ≤ np − r + 1 (RHS integer)
     //                      ⇔  np·tauNum ≤ (np − r + 1)·tauDen
     val prefix = pruned.filter(
@@ -337,6 +353,89 @@ object Dedup {
           .as("cont1_ppm"),
         expr("CAST((2 * 1000000 * inter + n2) DIV (2 * n2) AS BIGINT)")
           .as("cont2_ppm"))
+  }
+
+  /** MinHash-Jaccard ESTIMATE vs exact over LSH candidates — d12's
+    * sketch-accuracy audit as a library builder (see the d12 query
+    * scaladoc for semantics): per candidate pair, the estimate is
+    * matches·1e6 DIV numHashes next to the exact shingle-set Jaccard
+    * in HALF_UP integer ppm. Accepts the family [[ShingleCache]] so
+    * the corpus is tokenized once across d02/d03/d12/d14. */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String,
+                           textCol: String, shingleSize: Int = 3,
+                           numHashes: Int = 12, bands: Int = 4,
+                           cache: Option[ShingleCache] = None)
+    : DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val post = cache
+      .map(_.postings(shingleSize, distinct = true))
+      .getOrElse(TextFunctions.shinglePostings(docs, idCol, textCol,
+        shingleSize, distinct = true))
+    // ONE doc_id shuffle carries the signature minima AND the
+    // verification shingle set (the d03 fusion lesson); candidates
+    // then join this table twice and BOTH columns come from the same
+    // two rows — exact Jaccard is an in-row array_intersect, no
+    // postings self-join, no second aggregate pass
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
+        .as(s"h$i"))
+    val combined = post.groupBy("doc_id")
+      .agg(mins.head,
+        (mins.tail :+ collect_list(col("shingle")).as("sh")): _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+        col("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    combined.count() // band explode + two candidate joins fan out
+    val banded = combined.select(col("doc_id"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val matches = (0 until numHashes).map(i =>
+      when(element_at(col("s1"), i + 1) === element_at(col("s2"), i + 1),
+        1L).otherwise(0L)).reduce(_ + _)
+    cand
+      .join(combined.select(col("doc_id").as("id1"),
+        col("sig").as("s1"), col("sh").as("sh1")), "id1")
+      .join(combined.select(col("doc_id").as("id2"),
+        col("sig").as("s2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"), matches.as("matches"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("long").as("ns"))
+      .select(col("id1"), col("id2"),
+        expr(s"(matches * 1000000) DIV $numHashes").as("est_ppm"),
+        expr("(inter * 2000000 + (ns - inter)) DIV " +
+          "(2 * (ns - inter))").as("exact_ppm"))
+  }
+
+  /** The whole lexical-dedup family over ONE shared shingle scan:
+    * d02 exact Jaccard, d03 MinHash+LSH, d12 estimate audit, d14
+    * containment, all reading one [[ShingleCache]] (one tokenize +
+    * shingle pass, one xxhash64 projection — at 100 TB the shingle
+    * explode dominates each query alone, so running the family this
+    * way approaches the cost of running ONE member). Results are
+    * bit-identical to the standalone builders (ShingleCacheSpec).
+    * The returned cache must be [[ShingleCache.release released]]
+    * after the consuming actions run. */
+  def familyReport(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3)
+    : (Map[String, DataFrame], ShingleCache) = {
+    val c = new ShingleCache(docs, idCol, textCol)
+    val m = Map(
+      "jaccard" -> ngramJaccardPairs(docs, idCol, textCol,
+        shingleSize, cache = Some(c)),
+      "minhash_lsh" -> minhashLshPairs(docs, idCol, textCol,
+        shingleSize, cache = Some(c)),
+      "minhash_est" -> minhashEstimatePairs(docs, idCol, textCol,
+        shingleSize, cache = Some(c)),
+      "containment" -> containmentPairs(docs, idCol, textCol,
+        shingleSize, cache = Some(c)))
+    (m, c)
   }
 
   /** Distinct word-shingle sets per doc; documents shorter than one

@@ -78,14 +78,28 @@ object PageRank {
     * edge bound, the same exact driver finish as [[pageRank]], per
     * cohort over one collected edge array; spec-pinned identical.
     *
+    * `cohortBatchSize` bounds the shared loop's state past the
+    * driver bound: with MANY cohorts (a site serving thousands of
+    * collections), Σ per-cohort reached-neighbourhood rows can
+    * exceed executor memory even though each cohort alone is tiny.
+    * Batching runs ⌈k / B⌉ sequential loops of ≤ B cohorts each
+    * over the SAME persisted degree-attached edge list (one edge
+    * persist total — batches re-scan the cache, not the source), so
+    * peak state is the largest batch's neighbourhood while the
+    * amortized edge-scan sharing within a batch is kept. Cohorts
+    * are independent, so batched output is bit-identical to the
+    * single-loop output (spec-pinned). Default = one batch.
+    *
     * @param seeds columns `cohort`, `node`
     * @return (cohort, node, rank_u), rows with rank_u > 0 only
     */
   def blockPersonalized(edges: DataFrame, seeds: DataFrame,
                         iters: Int = 5,
                         dampNum: Long = 17L, dampDen: Long = 20L,
-                        driverFinishMaxEdges: Long = 2000000L)
+                        driverFinishMaxEdges: Long = 2000000L,
+                        cohortBatchSize: Int = Int.MaxValue)
     : DataFrame = {
+    require(cohortBatchSize > 0, "cohortBatchSize must be positive")
     require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
     val e = edges.select(col("src").cast("long"),
         col("dst").cast("long")).distinct()
@@ -144,37 +158,54 @@ object PageRank {
     ed.count()
     e.unpersist(false)
     val sources = ed.select(col("src").as("node")).distinct()
-    val sv = seeds.select(col("cohort").cast("long"),
+    val svAll = seeds.select(col("cohort").cast("long"),
         col("node").cast("long")).distinct()
       .join(sources, Seq("node"), "left_semi")
-    val bases = sv
-      .join(sv.groupBy("cohort").agg(count(lit(1)).as("ns")), "cohort")
-      .select(col("cohort"), col("node"),
-        expr(s"$teleport DIV ns").as("base"),
-        expr(s"$total DIV ns").as("r0"))
-      .localCheckpoint(true) // feeds EVERY round's full-outer join
-    require(bases.limit(1).count() > 0,
+      .localCheckpoint(true) // feeds batch splits + every bases build
+    // cohort ids are query inputs (thousands at most — each is a
+    // curated seed list), so the batch split collects them
+    val cohortIds = svAll.select("cohort").distinct()
+      .orderBy("cohort").collect().map(_.getLong(0))
+    require(cohortIds.nonEmpty,
       "blockPersonalized: no cohort has a seed inside the graph")
-    var ranks = bases.select(col("cohort"), col("node"),
-      col("r0").as("r")).localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val contrib = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("cohort"), col("dst").as("node"),
-          expr(s"(r * $dampNum) DIV (deg * $dampDen)").as("c"))
-        .groupBy("cohort", "node").agg(sum("c").as("s"))
-      // full outer: seeds keep their base even when unreached;
-      // reached non-seeds appear with contribution only; exact zeros
-      // are dropped — lossless under integer arithmetic
-      ranks = bases.select(col("cohort"), col("node"), col("base"))
-        .join(contrib, Seq("cohort", "node"), "full_outer")
+    val batches = cohortIds.grouped(cohortBatchSize).toSeq
+    def runBatch(sv: DataFrame): DataFrame = {
+      val bases = sv
+        .join(sv.groupBy("cohort").agg(count(lit(1)).as("ns")),
+          "cohort")
         .select(col("cohort"), col("node"),
-          (coalesce(col("base"), lit(0L)) +
-            coalesce(col("s"), lit(0L))).as("r"))
-        .filter(col("r") > 0)
-        .localCheckpoint(true)
+          expr(s"$teleport DIV ns").as("base"),
+          expr(s"$total DIV ns").as("r0"))
+        .localCheckpoint(true) // feeds EVERY round's full-outer join
+      var ranks = bases.select(col("cohort"), col("node"),
+        col("r0").as("r")).localCheckpoint(true)
+      for (_ <- 0 until iters) {
+        val contrib = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("cohort"), col("dst").as("node"),
+            expr(s"(r * $dampNum) DIV (deg * $dampDen)").as("c"))
+          .groupBy("cohort", "node").agg(sum("c").as("s"))
+        // full outer: seeds keep their base even when unreached;
+        // reached non-seeds appear with contribution only; exact
+        // zeros are dropped — lossless under integer arithmetic
+        ranks = bases.select(col("cohort"), col("node"), col("base"))
+          .join(contrib, Seq("cohort", "node"), "full_outer")
+          .select(col("cohort"), col("node"),
+            (coalesce(col("base"), lit(0L)) +
+              coalesce(col("s"), lit(0L))).as("r"))
+          .filter(col("r") > 0)
+          .localCheckpoint(true)
+      }
+      ranks.select(col("cohort"), col("node"), col("r").as("rank_u"))
     }
+    // every batch's final ranks are eagerly checkpointed, so the
+    // union references no live edge lineage when ed unpersists
+    val out =
+      if (batches.size == 1) runBatch(svAll)
+      else batches.map { cs =>
+        runBatch(svAll.filter(col("cohort").isin(cs: _*)))
+      }.reduce(_ unionByName _)
     ed.unpersist(false)
-    ranks.select(col("cohort"), col("node"), col("r").as("rank_u"))
+    out
   }
 
   private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,

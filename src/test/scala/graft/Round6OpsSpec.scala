@@ -303,6 +303,11 @@ class Round6OpsSpec extends SparkSpec {
     // appear on the other component (sparsity is semantic, not just
     // an optimization)
     assert(!driver.keySet.exists(k => k._1 == 1L && k._2 <= 4L))
+    // cohort batching past the driver bound: one-cohort-per-batch
+    // loops must be bit-identical to the single shared loop
+    val batched = asMap(PageRank.blockPersonalized(edges, seeds,
+      iters = 4, driverFinishMaxEdges = 0L, cohortBatchSize = 1))
+    assert(batched == dist)
   }
 
   test("diversified top-k honors the per-type quota before the cut") {
