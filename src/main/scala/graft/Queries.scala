@@ -1849,6 +1849,133 @@ object Queries {
        |  FROM adc) WHERE rnk <= 10""".stripMargin
   }
 
+  /** ANN RECALL AUDIT — the sketch-accuracy table for the ANN family
+    * (the d12/d13 discipline applied to s04): per probe, recall@10
+    * of the IVF search against the exact brute-force top-10 (s01's
+    * fenced baseline), as HALF_UP integer ppm. This is the number
+    * that TUNES nProbe/nLists at corpus scale: the exact side is
+    * bounded to the tiny probe set (never the corpus self-join), so
+    * the audit costs one brute-force pass over |probes|·|corpus|
+    * map work plus the ANN query itself — affordable at any scale
+    * precisely because probes are few. Both sides break ties by
+    * candidate id over 6-dp cosines, so the sets are deterministic
+    * and the recall is an exact rational. */
+  val s09_ann_recall: QFn = (s, d) => {
+    val e = embD(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, probes, 10)
+      .select(col("probe_id"), col("vec_id").as("cand_id"))
+    val ann = Similarity.ivfTopK(e, probes, k = 10, nLists = 16,
+        nProbe = 4)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = exact.join(ann, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("h"))
+    exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("h"), lit(0L)).as("hits"))
+      .withColumn("recall_ppm",
+        expr("(hits * 2000000 + n_exact) DIV (2 * n_exact)"))
+  }
+
+  val s09_sql: String =
+    s"""WITH exact AS ($s01_sql),
+       |ann AS ($s04_sql),
+       |hits AS (SELECT exact.probe_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM exact JOIN ann ON exact.probe_id = ann.probe_id
+       |    AND exact.vec_id = ann.cand_id
+       |  GROUP BY exact.probe_id),
+       |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM exact GROUP BY probe_id)
+       |SELECT ne.probe_id, ne.n_exact,
+       |  CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       |  CAST((coalesce(hits.h, 0) * 2000000 + ne.n_exact)
+       |    // (2 * ne.n_exact) AS BIGINT) AS recall_ppm
+       |FROM ne LEFT JOIN hits ON ne.probe_id = hits.probe_id"""
+      .stripMargin
+
+  /** CLUSTER-QUALITY AUDIT — simplified (centroid-based) silhouette
+    * over the s04/d15 Lloyd clustering (Rousseeuw 1987's silhouette
+    * with centroid distances standing in for mean pairwise
+    * distances — the standard O(n·k) form; the exact form is O(n²)).
+    * Per vector: a = cosine distance to its OWN centroid, b = to the
+    * nearest OTHER centroid; s = (b − a)/max(a, b) — with
+    * centroid-argmax assignment b ≥ a always, so s = (cos1 − cos2)
+    * / (1 − cos2) ∈ [0, 1]. This is the operational knob audit for
+    * d15/s04: nLists must grow with the corpus, and mean silhouette
+    * per cluster is the measurement that says when.
+    *
+    * Hash-stability: 6-dp cosines are recovered into exact integer
+    * MICRO-units first, then s is HALF_UP integer-ppm by
+    * cross-multiplication — a decimal ratio of 6-dp decimals CAN
+    * terminate exactly at the tie digit (the CLAUDE.md rounding-tie
+    * trap), so no float division ever happens. Scale shape: ONE
+    * broadcast of the tiny centroid table, one per-vector window
+    * (argmax + runner-up from the same Exchange), one |clusters|-row
+    * aggregate with map-side combine. */
+  val s10_cluster_quality: QFn = (s, d) => {
+    val e = embD(s, d)
+    val cents = Similarity.ivfCentroids(e, nLists = 16, iters = 1)
+    val scored = e.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(cents))
+      .withColumn("cs", Similarity.cosine(col("v"), col("cv")))
+      .withColumn("c_micro",
+        expr("CAST(round(cs * 1e6) AS BIGINT)"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("cent_id"))
+    val ranked = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 2)
+    val own = ranked.filter(col("r") === 1)
+      .select(col("vec_id"), col("cent_id"), col("c_micro").as("c1"))
+    val nxt = ranked.filter(col("r") === 2)
+      .select(col("vec_id"), col("c_micro").as("c2"))
+    val pts = own.join(nxt, "vec_id")
+      .select(col("vec_id"), col("cent_id"),
+        expr("""CASE WHEN c2 >= 1000000 THEN CAST(0 AS BIGINT)
+          |  ELSE ((c1 - c2) * 2000000 + (1000000 - c2))
+          |    DIV (2 * (1000000 - c2)) END""".stripMargin)
+          .as("s_ppm"))
+    pts.groupBy("cent_id").agg(
+        count(lit(1)).as("n"), sum("s_ppm").as("sum_s_ppm"))
+      .withColumn("mean_s_ppm",
+        expr("(2 * sum_s_ppm + n) DIV (2 * n)"))
+  }
+
+  val s10_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT 16),
+       |s1 AS (SELECT e.vec_id, e.v, c0.cent_id, $centCos AS cs
+       |  FROM e, c0),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT vec_id, v, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+       |    FROM s1) WHERE r = 1),
+       |u1 AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
+       |  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+       |cents AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM u1
+       |  GROUP BY cent_id),
+       |sc AS (SELECT e.vec_id, cents.cent_id, $centCos AS cs
+       |  FROM e, cents),
+       |rk AS (SELECT vec_id, cent_id,
+       |    CAST(round(cs * 1e6) AS BIGINT) AS c_micro,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cs DESC, cent_id) AS r
+       |  FROM sc),
+       |own AS (SELECT vec_id, cent_id, c_micro AS c1 FROM rk
+       |  WHERE r = 1),
+       |nxt AS (SELECT vec_id, c_micro AS c2 FROM rk WHERE r = 2),
+       |pt AS (SELECT own.vec_id, own.cent_id,
+       |    CASE WHEN c2 >= 1000000 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(((c1 - c2) * 2000000 + (1000000 - c2))
+       |        // (2 * (1000000 - c2)) AS BIGINT) END AS s_ppm
+       |  FROM own JOIN nxt USING (vec_id))
+       |SELECT cent_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+       |  CAST((2 * sum(s_ppm) + count(*)) // (2 * count(*))
+       |    AS BIGINT) AS mean_s_ppm
+       |FROM pt GROUP BY cent_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Multimodal (binary columns)
   // ---------------------------------------------------------------
@@ -5363,6 +5490,8 @@ object Queries {
     "t12_countmin_pure" -> t12_countmin_pure,
     "q52_collection_stats" -> q52_collection_stats,
     "s08_ivfpq" -> s08_ivfpq,
+    "s09_ann_recall" -> s09_ann_recall,
+    "s10_cluster_quality" -> s10_cluster_quality,
     "g06_ppr_topk" -> g06_ppr_topk,
     "q53_diverse_topk" -> q53_diverse_topk,
     "q54_temp_mixture" -> q54_temp_mixture,
@@ -5486,6 +5615,8 @@ object Queries {
     "t12_countmin_pure" -> t12_sql,
     "q52_collection_stats" -> q52_sql,
     "s08_ivfpq" -> s08_sql,
+    "s09_ann_recall" -> s09_sql,
+    "s10_cluster_quality" -> s10_sql,
     "g06_ppr_topk" -> g06_sql,
     "q53_diverse_topk" -> q53_sql,
     "q54_temp_mixture" -> q54_sql,

@@ -152,4 +152,102 @@ class SimilaritySpec extends SparkSpec {
       .sortBy(_._2)
     assert(got.head._1 == 7L)
   }
+
+  // --- s09: ANN recall audit ---------------------------------------
+
+  test("s09 recall matches a driver-side exact-top-k replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.s09_ann_recall(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      val c = if (den == 0.0) 0.0 else d / den
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val probes = vecs.filter(_._1 < 5)
+    val ann = Queries.s04_ann_ivf(spark, dir)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    probes.foreach { case (pid, pv) =>
+      val exact = vecs.filter(_._1 != pid)
+        .map { case (id, v) => (id, cos6(pv, v)) }
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+      val hits = (exact & ann.getOrElse(pid, Set.empty)).size.toLong
+      val (nExact, gotHits, recall) = got(pid)
+      assert(nExact == exact.size)
+      assert(gotHits == hits, s"probe $pid hits")
+      assert(recall ==
+        (hits * 2000000L + nExact) / (2L * nExact), s"probe $pid")
+    }
+    assert(got.nonEmpty && probes.nonEmpty)
+  }
+
+  // --- s10: simplified silhouette ----------------------------------
+
+  test("s10 silhouette matches a driver-side Lloyd replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.s10_cluster_quality(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      val c = if (den == 0.0) 0.0 else d / den
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // Lloyd replay: 16 lowest-id seeds, one refinement of 6-dp means
+    var cents = vecs.take(16).map { case (id, v) => (id, v) }
+    val assigned = vecs.map { case (id, v) =>
+      val best = cents.map { case (cid, cv) => (cid, cos6(v, cv)) }
+        .maxBy(t => (t._2, -t._1))
+      (id, v, best._1)
+    }
+    // empty clusters vanish from the refined centroid table, exactly
+    // as ivfCentroids' groupBy drops them
+    cents = cents.flatMap { case (cid, _) =>
+      val members = assigned.filter(_._3 == cid).map(_._2)
+      if (members.isEmpty) None
+      else Some((cid, (0 until 64).map(i =>
+        round6(members.map(_(i)).sum / members.size)).toSeq))
+    }
+    val pts = vecs.map { case (id, v) =>
+      val scoredC = cents.map { case (cid, cv) => (cid, cos6(v, cv)) }
+        .sortBy(t => (-t._2, t._1))
+      val (ownC, cs1) = scoredC.head
+      val cs2 = scoredC(1)._2
+      val c1 = math.round(cs1 * 1e6); val c2 = math.round(cs2 * 1e6)
+      val sPpm = if (c2 >= 1000000L) 0L
+        else ((c1 - c2) * 2000000L + (1000000L - c2)) /
+          (2L * (1000000L - c2))
+      (ownC, sPpm)
+    }
+    val want = pts.groupBy(_._1).map { case (cid, xs) =>
+      val n = xs.length.toLong
+      val sum = xs.map(_._2).sum
+      cid -> (n, sum, (2L * sum + n) / (2L * n))
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+    // non-vacuous: silhouettes differ across clusters
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
 }
