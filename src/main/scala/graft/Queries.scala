@@ -4865,48 +4865,69 @@ object Queries {
   val q60_search_score: QFn = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.graft.{ColumnBridge, WordShinglesExpr}
-    // lowercase unigrams and bigrams through the codegen'd shingle
-    // expression (hot path — CLAUDE.md: no interpreted higher-order
-    // lambdas where a codegen'd expression exists); raw keeps case
-    // for the `exact` analyzer
-    def grams(n: Int) = ColumnBridge.column(
-      WordShinglesExpr(ColumnBridge.expression(col("text")), n))
+    // every analyzer is a WHOLE-TEXT codegen'd pass (CLAUDE.md: no
+    // interpreted per-token lambdas in hot paths): unigrams/bigrams
+    // through WordShinglesExpr; the normalized analyzer strips
+    // non-alphanumerics from the lowered text BEFORE tokenizing
+    // (equivalent to per-token stripping — spaces survive the strip,
+    // so tokens never merge, and emptied tokens vanish in the
+    // whitespace split); the sub-token analyzer turns non-alnum RUNS
+    // into spaces (equivalent to per-token re-splitting). raw keeps
+    // case for the `exact` analyzer.
+    def gramsOf(c: Column, n: Int) = ColumnBridge.column(
+      WordShinglesExpr(ColumnBridge.expression(c), n))
     val base = t(s, d, "documents").select(
         col("doc_id"), col("n_chars"),
         TextFunctions.tokens(col("text")).as("raw"),
-        grams(1).as("toks"), grams(2).as("big"))
-      .withColumn("nrm", filter(transform(col("toks"),
-        x => regexp_replace(x, "[^a-z0-9]", "")), x => length(x) > 0))
-      .withColumn("sub", filter(flatten(transform(col("toks"),
-        x => split(x, "[^a-z0-9]+"))), x => length(x) > 0))
-      .withColumn("name_len", least(size(col("toks")), lit(8))
-        .cast("long"))
-      .withColumn("desc_len", size(col("toks")).cast("long"))
-      .withColumn("norm_len", size(col("nrm")).cast("long"))
-      .withColumn("tok_len", size(col("sub")).cast("long"))
-      .withColumn("ph_len", size(col("big")).cast("long"))
-    val tots = base.agg(count(lit(1)).as("nd"),
+        gramsOf(col("text"), 1).as("toks"),
+        gramsOf(col("text"), 2).as("big"),
+        gramsOf(regexp_replace(lower(col("text")),
+          "[^a-z0-9\\s]", ""), 1).as("nrm"),
+        gramsOf(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " "), 1).as("sub"))
+    // The query vocabulary is a PLAN LITERAL (the query set is fixed
+    // at build time), so each field's array filters to query terms
+    // BEFORE the generator — the explode emits only matching tokens
+    // instead of 6×|corpus tokens| rows probed against a broadcast.
+    // Field lengths are taken before the filter, so BM25 length
+    // norms are unchanged. The slim projection (lens + filtered
+    // arrays, a few dozen bytes per doc) persists because BOTH the
+    // corpus totals and the postings read it — one analyzer pass
+    // total (CLAUDE.md: persist + count before the fan-out).
+    val qWords = searchQueries.flatMap(_._2.split(" ")).distinct
+    val qBigrams = searchQueries.flatMap(
+      _._2.split(" ").toSeq.sliding(2).map(_.mkString(" "))).distinct
+    def hit(arr: Column, terms: Seq[String]): Column =
+      filter(arr, x => x.isInCollection(terms))
+    def tag(f: String, arr: Column): Column =
+      transform(arr, x =>
+        struct(lit(f).as("field"), x.as("term")))
+    val slim = base.select(col("doc_id"), col("n_chars"),
+        least(size(col("toks")), lit(8)).cast("long").as("name_len"),
+        size(col("toks")).cast("long").as("desc_len"),
+        size(col("nrm")).cast("long").as("norm_len"),
+        size(col("sub")).cast("long").as("tok_len"),
+        size(col("big")).cast("long").as("ph_len"),
+        hit(slice(col("toks"), 1, 8), qWords).as("a_name"),
+        hit(slice(col("raw"), 1, 8), qWords).as("a_exact"),
+        hit(col("toks"), qWords).as("a_desc"),
+        hit(col("nrm"), qWords).as("a_norm"),
+        hit(col("sub"), qWords).as("a_tok"),
+        hit(col("big"), qBigrams).as("a_ph2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    slim.count()
+    val tots = slim.agg(count(lit(1)).as("nd"),
       sum("name_len").as("s_name"), sum("desc_len").as("s_desc"),
       sum("norm_len").as("s_norm"), sum("tok_len").as("s_tok"),
       sum("ph_len").as("s_ph"))
-    // one struct-array concat tags every token with its field: the
-    // six analyzer outputs explode in a single generator pass
-    val tagged = base.select(col("doc_id"), col("n_chars"),
+    val tagged = slim.select(col("doc_id"), col("n_chars"),
         col("name_len"), col("desc_len"), col("norm_len"),
         col("tok_len"), col("ph_len"),
         explode(concat(
-          expr("transform(slice(toks, 1, 8), " +
-            "x -> struct('name' AS field, x AS term))"),
-          expr("transform(slice(raw, 1, 8), " +
-            "x -> struct('exact' AS field, x AS term))"),
-          expr("transform(toks, " +
-            "x -> struct('desc' AS field, x AS term))"),
-          expr("transform(nrm, " +
-            "x -> struct('norm' AS field, x AS term))"),
-          expr("transform(sub, " +
-            "x -> struct('tok' AS field, x AS term))"),
-          expr("transform(big, " +
-            "x -> struct('ph2' AS field, x AS term))"))).as("ft"))
+          tag("name", col("a_name")), tag("exact", col("a_exact")),
+          tag("desc", col("a_desc")), tag("norm", col("a_norm")),
+          tag("tok", col("a_tok")), tag("ph2", col("a_ph2"))))
+          .as("ft"))
       .select(col("doc_id"), col("n_chars"),
         col("ft.field").as("field"), col("ft.term").as("term"),
         expr("CASE ft.field WHEN 'name' THEN name_len " +
