@@ -33,6 +33,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the default ~100-entry codegen class LRU self-evicts at 126
+      // queries (the scaladoc's pass-warm trap and the round-5
+      // verdict's fixed-cost-drift suspect): a warmed query's
+      // classes can be gone by its timed run once enough other
+      // queries compiled in between. Static conf — must be set
+      // before the first SQLConf read in the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", 2000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String): Unit =

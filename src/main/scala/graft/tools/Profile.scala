@@ -19,6 +19,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", 2000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM + codegen + parquet footer caches
