@@ -4215,7 +4215,9 @@ object Queries {
       .groupBy("flag")
       .agg(sum((col("dv") > col("mad_est") * 3).cast("long"))
         .as("n_outliers"))
-    med.join(mad, "flag").join(outliers, "flag")
+    // the final assembly joins three |groups|-row tables — broadcast
+    // explicitly (the planner picked an SMJ for one side: PlanAudit)
+    med.join(broadcast(mad), "flag").join(broadcast(outliers), "flag")
       .select(col("flag"), col("n").cast("long").as("n"),
         col("median_est"), col("mad_est"), col("n_outliers"))
   }
