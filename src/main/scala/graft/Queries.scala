@@ -1849,6 +1849,95 @@ object Queries {
        |  FROM adc) WHERE rnk <= 10""".stripMargin
   }
 
+  /** Alphabetical-segment collection merge — the reference's
+    * range-suffix consolidation (scripts/
+    * merge_collections_ending_with_letters.py:31-49): collections
+    * named like "X: A–F", "X, B to D" or "X: C" are detected by the
+    * reference's own regex, grouped by their base prefix, and MERGED
+    * (members unioned, the merged collection renamed to the prefix)
+    * — but only when more than one segment shares the prefix; single
+    * matches and non-matching names pass through unchanged.
+    * scripts/filter_duplicates.py applies the same merge machinery
+    * keyed on the exact name.
+    *
+    * Fixture collections are built per (brand, letter-of-size) with
+    * three deterministic name shapes so every regex arm is
+    * exercised: a "misc" form (no match → passthrough), a "B to F"
+    * range form (the first regex arm), and a ": C" single-letter
+    * form (the second arm). Members are the sorted distinct part
+    * keys; the emitted member list is an md5 over the sorted
+    * comma-join, so the hash is order-independent under any
+    * partitioning. Scale shape: one aggregate builds the
+    * collections, one regex map, ONE prefix-keyed shuffle of the
+    * matched member lists (member payload moves once); pass-through
+    * rows never shuffle again. */
+  val q62_alpha_merge: QFn = (s, d) => {
+    val pat = "(.*)(([,:–(] ?[A-Z0-9]+[a-z]* ?([–-]| to ) ?[^ ]+$)" +
+      "|((: |, |– |starting with |\\()[A-Z]\\)?$))"
+    val cols = t(s, d, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        expr("p_size % 26").as("m"))
+      .groupBy("p_brand", "m")
+      .agg(sort_array(collect_set(col("p_partkey"))).as("members"))
+      .select(expr("""CASE
+        |  WHEN m % 5 = 0 THEN p_brand || ' misc ' || char(65 + m)
+        |  WHEN m % 5 = 1 THEN p_brand || ', ' || char(65 + m)
+        |    || ' to ' || char(65 + (m + 4) % 26)
+        |  ELSE p_brand || ': ' || char(65 + m) END""".stripMargin)
+          .as("name"),
+        col("members"))
+    val flagged = cols.withColumn("prefix",
+      when(col("name").rlike(pat),
+        regexp_extract(col("name"), pat, 1)))
+    val merged = flagged.filter(col("prefix").isNotNull)
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_src"), min("name").as("only_name"),
+        sort_array(array_distinct(flatten(collect_list("members"))))
+          .as("mm"))
+      .select(
+        when(col("n_src") > 1, col("prefix")).otherwise(col("only_name"))
+          .as("name"),
+        col("n_src").cast("long").as("n_src"), col("mm"))
+    val passthrough = flagged.filter(col("prefix").isNull)
+      .select(col("name"), lit(1L).as("n_src"), col("members").as("mm"))
+    merged.unionByName(passthrough)
+      .select(col("name"), col("n_src"),
+        size(col("mm")).cast("long").as("n_members"),
+        md5(concat_ws(",",
+          transform(col("mm"), x => x.cast("string")))).as("members_md5"))
+  }
+
+  val q62_sql: String = {
+    val pat = "(.*)(([,:–(] ?[A-Z0-9]+[a-z]* ?([–-]| to ) ?[^ ]+$)" +
+      "|((: |, |– |starting with |\\()[A-Z]\\)?$))"
+    s"""WITH cols AS (SELECT
+       |    CASE
+       |      WHEN (p_size % 26) % 5 = 0
+       |        THEN p_brand || ' misc ' || chr(65 + p_size % 26)
+       |      WHEN (p_size % 26) % 5 = 1
+       |        THEN p_brand || ', ' || chr(65 + p_size % 26)
+       |          || ' to ' || chr(65 + (p_size % 26 + 4) % 26)
+       |      ELSE p_brand || ': ' || chr(65 + p_size % 26) END AS name,
+       |    list_sort(list(DISTINCT p_partkey)) AS members
+       |  FROM part GROUP BY p_brand, p_size % 26),
+       |f AS (SELECT name, members,
+       |    CASE WHEN regexp_matches(name, '$pat')
+       |      THEN regexp_extract(name, '$pat', 1) END AS prefix
+       |  FROM cols),
+       |m AS (SELECT
+       |    CASE WHEN count(*) > 1 THEN prefix ELSE min(name) END AS name,
+       |    CAST(count(*) AS BIGINT) AS n_src,
+       |    list_sort(list_distinct(flatten(list(members)))) AS mm
+       |  FROM f WHERE prefix IS NOT NULL GROUP BY prefix),
+       |p AS (SELECT name, CAST(1 AS BIGINT) AS n_src, members AS mm
+       |  FROM f WHERE prefix IS NULL),
+       |u AS (SELECT * FROM m UNION ALL SELECT * FROM p)
+       |SELECT name, n_src, CAST(len(mm) AS BIGINT) AS n_members,
+       |  md5(array_to_string(list_transform(mm, x -> x::VARCHAR), ','))
+       |    AS members_md5
+       |FROM u""".stripMargin
+  }
+
   /** ANN RECALL AUDIT — the sketch-accuracy table for the ANN family
     * (the d12/d13 discipline applied to s04): per probe, recall@10
     * of the IVF search against the exact brute-force top-10 (s01's
@@ -5513,6 +5602,7 @@ object Queries {
     "t12_countmin_pure" -> t12_countmin_pure,
     "q52_collection_stats" -> q52_collection_stats,
     "s08_ivfpq" -> s08_ivfpq,
+    "q62_alpha_merge" -> q62_alpha_merge,
     "s09_ann_recall" -> s09_ann_recall,
     "s10_cluster_quality" -> s10_cluster_quality,
     "g06_ppr_topk" -> g06_ppr_topk,
@@ -5638,6 +5728,7 @@ object Queries {
     "t12_countmin_pure" -> t12_sql,
     "q52_collection_stats" -> q52_sql,
     "s08_ivfpq" -> s08_sql,
+    "q62_alpha_merge" -> q62_sql,
     "s09_ann_recall" -> s09_sql,
     "s10_cluster_quality" -> s10_sql,
     "g06_ppr_topk" -> g06_sql,

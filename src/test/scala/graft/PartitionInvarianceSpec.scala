@@ -30,8 +30,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // Exchange rank windows, nano-integer BM25 sums
     "q58_markov", "q59_sort_compare", "q60_search_score",
     "q61_importance_resample", "d15_semdedup", "t14_ccnet_buckets",
-    // round-9: Lloyd + window argmax audits
-    "s09_ann_recall", "s10_cluster_quality")
+    // round-9: Lloyd + window argmax audits, set-collection merge
+    "s09_ann_recall", "s10_cluster_quality", "q62_alpha_merge")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")
