@@ -2081,16 +2081,41 @@ object Queries {
       |  sha256(text) AS sha
       |FROM documents""".stripMargin
 
-  /** Rows-only check (stub decoder has no oracle): features emitted as
-    * a 4-dp CSV string, not array<float> — raw float arrays are
-    * unsortable/unhashable in the harness's pandas compare. */
+  /** Partition-wise decode plumbing, ORACLE-VERIFIED: the stub
+    * decoder emits exact integer byte-lane sums (see
+    * [[Multimodal.FakeDecoder]]), so the whole mapPartitions path —
+    * payload bytes in, fixed-width features out — hash-matches a SQL
+    * replay byte for byte. Features emitted as an integer CSV string
+    * (raw float arrays are unsortable/unhashable in the harness's
+    * pandas compare); the codec itself remains the documented stub. */
   val m02_feature_stub: QFn = (s, d) =>
     Multimodal.extractFeatures(s,
       Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
       .select(col("media_id"), col("n_bytes"),
         array_join(transform(col("features"),
-          f => round(f.cast("double"), 4).cast("string")), ",")
+          f => f.cast("long").cast("string")), ",")
           .as("features_csv"))
+
+  /** Oracle replay of the byte-lane decode: the corpus is ASCII, so
+    * `ord` over characters equals the UTF-8 payload bytes. */
+  val m02_sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |x AS (SELECT media_id, (i - 1) % 8 AS lane,
+      |    ord(substring(text, CAST(i AS INTEGER), 1)) AS b
+      |  FROM (SELECT media_id, text,
+      |      unnest(range(1, length(text) + 1)) AS i FROM m)),
+      |g AS (SELECT media_id, lane, CAST(sum(b) AS BIGINT) AS s
+      |  FROM x GROUP BY 1, 2),
+      |lanes AS (SELECT m.media_id, m.n_bytes, l.lane,
+      |    coalesce(g.s, 0) AS s
+      |  FROM m CROSS JOIN range(0, 8) l(lane)
+      |  LEFT JOIN g ON g.media_id = m.media_id AND g.lane = l.lane)
+      |SELECT media_id, n_bytes,
+      |  array_to_string(list(s::VARCHAR ORDER BY lane), ',')
+      |    AS features_csv
+      |FROM lanes GROUP BY media_id, n_bytes""".stripMargin
 
   /** Cross-document duplicated content tiles: payloads chunked into
     * fixed 256-byte tiles (binary substring — codegen'd), each tile
@@ -5686,6 +5711,7 @@ object Queries {
     "s06_pq" -> s06_sql,
     "s07_multiprobe" -> s07_sql,
     "m01_binary_meta" -> m01_sql,
+    "m02_feature_stub" -> m02_sql,
     "m03_tile_dedup" -> m03_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

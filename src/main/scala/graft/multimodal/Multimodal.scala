@@ -41,18 +41,28 @@ object Multimodal {
   /** STUB decoder — deterministic fake "features" from the payload
     * bytes. A real deployment replaces this body with an actual codec
     * (e.g. JPEG decode + resize); the signature (bytes in, fixed-width
-    * float features out) is the real contract. */
+    * float features out) is the real contract.
+    *
+    * The fake is an INTEGER byte-lane histogram (lane k sums the
+    * unsigned bytes at positions ≡ k mod 8): every value is an exact
+    * integer (payloads under ~500 KB keep lane sums below 2^24, so
+    * the Float carries them exactly), which is what lets the m02
+    * plumbing be ORACLE-VERIFIED end-to-end — a per-byte float
+    * accumulation could never hash-match another engine. */
   object FakeDecoder {
     val featureDim = 8
     def decode(payload: Array[Byte]): Array[Float] = {
       // ??? <- real codec goes here; deterministic fake for tests:
       val out = new Array[Float](featureDim)
       if (payload != null) {
+        val acc = new Array[Long](featureDim)
         var i = 0
         while (i < payload.length) {
-          out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+          acc(i % featureDim) += (payload(i) & 0xff).toLong
           i += 1
         }
+        i = 0
+        while (i < featureDim) { out(i) = acc(i).toFloat; i += 1 }
       }
       out
     }
