@@ -4409,6 +4409,48 @@ object Queries {
       |    AS assortativity_ppm
       |FROM m""".stripMargin
 
+  /** Multi-source BFS hop distances over g01's part↔supplier graph
+    * ([[graft.graph.Bfs]]): every node within 4 hops of a
+    * deterministic 1-in-7 supplier cohort, with its exact minimum
+    * hop count — the "related within k hops of this seed set"
+    * traversal underneath precompute_related.py's neighbourhood
+    * precompute, as a first-class operator. Frontier-delta expansion
+    * (each round joins only the new layer against the persisted
+    * edges; a node is expanded once); the oracle mirrors it as 4
+    * unrolled min-propagation CTEs — hop counts are exact integers,
+    * so the layers hash-match round for round. */
+  val g09_bfs_hops: QFn = (s, d) => {
+    val e0 = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, d, "supplier")
+      .filter(col("s_suppkey") % 7 === 0)
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+    graft.graph.Bfs.hopDistances(edges, seeds, maxHops = 4)
+  }
+
+  val g09_sql: String = {
+    def layer(i: Int) =
+      s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM edges e JOIN d${i - 1} d ON e.src = d.node) u
+         |  GROUP BY node)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node
+       |  FROM supplier WHERE s_suppkey % 7 = 0
+       |    AND s_suppkey * 2 + 1 IN (SELECT node FROM nodes)),
+       |d0 AS (SELECT node, 0 AS dist FROM seeds),
+       |${(1 to 4).map(layer).mkString(",\n")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin
+  }
+
   /** Skew-resistant fact⋈dim revenue rollup through
     * [[Relational.saltedJoin]] — the hot-key machinery in the
     * ORACLE-VERIFIED surface (salting is result-invariant, so the
@@ -5376,6 +5418,74 @@ object Queries {
       |  r_count * r_wordlen * r_symbol * r_alpha * r_stop AS passes
       |FROM f""".stripMargin
 
+  /** PMI collocation mining — the phrase/merge-candidate table a
+    * tokenizer-training or boilerplate-analysis pass starts from:
+    * pointwise mutual information ln(p(xy)/(p(x)p(y))) for every
+    * adjacent word pair with support ≥ 5, in t09's integer
+    * micro-nat discipline (per-row ln of a rational is irrational —
+    * never a rounding tie; the double ratio is assembled in one
+    * fixed multiplication order so both engines round identically).
+    * Scale shape: both count tables collapse map-side into
+    * vocabulary-bounded aggregates (the corpus-sized token stream is
+    * never shuffled raw); the unigram side joins back twice and is
+    * persisted+materialized before the fan-out (CLAUDE.md rule);
+    * totals ride as scalar cross joins. Tokenization is the shared
+    * codegen'd WordShinglesExpr (n=1 unigrams, n=2 bigrams — same
+    * lowercasing as every other shingle consumer). */
+  val t16_pmi_collocations: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val uc = TextFunctions.shinglePostings(docs, "doc_id", "text",
+      1, distinct = false)
+      .groupBy("shingle").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uc.count() // feeds c1-attach, c2-attach AND the scalar total
+    val nu = uc.agg(sum("c").as("n_uni"))
+    val bc = TextFunctions.shinglePostings(docs, "doc_id", "text",
+      2, distinct = false)
+      .groupBy(col("shingle").as("sh"))
+      .agg(count(lit(1)).as("c_pair"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bc.count() // feeds the scalar total AND the support filter
+    val nb = bc.agg(sum("c_pair").as("n_bi"))
+    bc.filter(col("c_pair") >= 5)
+      .withColumn("w1", split(col("sh"), " ").getItem(0))
+      .withColumn("w2", split(col("sh"), " ").getItem(1))
+      .join(uc.select(col("shingle").as("w1"), col("c").as("c1")),
+        Seq("w1"))
+      .join(uc.select(col("shingle").as("w2"), col("c").as("c2")),
+        Seq("w2"))
+      .crossJoin(nu).crossJoin(nb)
+      .select(col("w1"), col("w2"), col("c_pair"), col("c1"),
+        col("c2"),
+        round(log((col("c_pair").cast("double") * col("n_uni") *
+          col("n_uni")) /
+          (col("n_bi").cast("double") * col("c1") * col("c2"))) * 1e6,
+          0).cast("long").as("pmi_micro"))
+  }
+
+  val t16_sql: String =
+    """WITH toks AS (SELECT list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> len(x) > 0) AS t FROM documents),
+      |uc AS (SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+      |bc AS (SELECT sh, count(*) AS c_pair FROM (
+      |    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+      |      i -> t[i] || ' ' || t[i+1])) AS sh
+      |    FROM toks) GROUP BY sh),
+      |nb AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_bi FROM bc)
+      |SELECT split_part(sh, ' ', 1) AS w1,
+      |  split_part(sh, ' ', 2) AS w2, c_pair, u1.c AS c1,
+      |  u2.c AS c2,
+      |  CAST(round(ln((c_pair::DOUBLE * n_uni * n_uni) /
+      |    (n_bi::DOUBLE * u1.c * u2.c)) * 1e6, 0) AS BIGINT)
+      |    AS pmi_micro
+      |FROM bc CROSS JOIN nu CROSS JOIN nb
+      |JOIN uc u1 ON split_part(sh, ' ', 1) = u1.w
+      |JOIN uc u2 ON split_part(sh, ' ', 2) = u2.w
+      |WHERE c_pair >= 5""".stripMargin
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * method): per LANGUAGE, split the corpus into head/middle/tail
     * thirds by language-model fit — the published pretraining-data
@@ -5636,6 +5746,7 @@ object Queries {
     "t13_clean_pipeline" -> t13_clean_pipeline,
     "g07_jaccard_link" -> g07_jaccard_link,
     "g08_assortativity" -> g08_assortativity,
+    "g09_bfs_hops" -> g09_bfs_hops,
     "q56_skew_join" -> q56_skew_join,
     "q57_hll_setops" -> q57_hll_setops,
     "q58_markov" -> q58_markov,
@@ -5646,6 +5757,7 @@ object Queries {
     "d15_semdedup" -> d15_semdedup,
     "t14_ccnet_buckets" -> t14_ccnet_buckets,
     "t15_gopher_rules" -> t15_gopher_rules,
+    "t16_pmi_collocations" -> t16_pmi_collocations,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -5763,6 +5875,7 @@ object Queries {
     "t13_clean_pipeline" -> t13_sql,
     "g07_jaccard_link" -> g07_sql,
     "g08_assortativity" -> g08_sql,
+    "g09_bfs_hops" -> g09_sql,
     "q56_skew_join" -> q56_sql,
     "q57_hll_setops" -> q57_sql,
     "q58_markov" -> q58_sql,
@@ -5773,6 +5886,7 @@ object Queries {
     "d15_semdedup" -> d15_sql,
     "t14_ccnet_buckets" -> t14_sql,
     "t15_gopher_rules" -> t15_sql,
+    "t16_pmi_collocations" -> t16_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

@@ -31,7 +31,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q58_markov", "q59_sort_compare", "q60_search_score",
     "q61_importance_resample", "d15_semdedup", "t14_ccnet_buckets",
     // round-9: Lloyd + window argmax audits, set-collection merge
-    "s09_ann_recall", "s10_cluster_quality", "q62_alpha_merge")
+    "s09_ann_recall", "s10_cluster_quality", "q62_alpha_merge",
+    // round-10: frontier-delta BFS loop, corpus-total PMI ratios
+    "g09_bfs_hops", "t16_pmi_collocations")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")
