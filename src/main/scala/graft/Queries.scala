@@ -667,11 +667,8 @@ object Queries {
       |FROM documents""".stripMargin
 
   val t05_ngram_freq: QFn = (s, d) =>
-    TextFunctions.shinglePostings(t(s, d, "documents"), "doc_id",
-      "text", 2, distinct = false)
-      .groupBy("shingle")
-      .agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 5)
+    TextFunctions.ngramFreq(t(s, d, "documents"), "doc_id", "text",
+      2, minFreq = 5)
 
   val t05_sql: String =
     """SELECT shingle, count(*) AS freq FROM (
@@ -1243,27 +1240,8 @@ object Queries {
     * eval index is tiny next to the corpus — AQE broadcasts it);
     * contamination fraction rounded HALF_UP in integer space
     * (numerators are counts, non-negative). */
-  val d07_decontaminate: QFn = (s, d) => {
-    val post = TextFunctions.shinglePostings(t(s, d, "documents"),
-      "doc_id", "text", 5, distinct = true)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eval/train/totals branches fan out — materialize first
-    post.count()
-    val evalSet = post.filter(col("doc_id") % 50 === 0)
-      .select("h").distinct()
-    val train = post.filter(col("doc_id") % 50 =!= 0)
-    val totals = train.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    val hits = train.join(evalSet, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (floor((coalesce(col("n_hits"), lit(0L)) * 20000 +
-          col("n_shingles")) / (col("n_shingles").cast("double") * 2))
-          / 10000.0).as("contaminated_frac"))
-  }
+  val d07_decontaminate: QFn = (s, d) =>
+    Dedup.decontaminate(t(s, d, "documents"), "doc_id", "text")
 
   val d07_sql: String =
     s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
@@ -1297,34 +1275,8 @@ object Queries {
     * oracle mirrors the bitset as a distinct-position set: bitset
     * membership ≡ position-set membership, hash-identical down to
     * each false positive. */
-  val d10_bloom_decontaminate: QFn = (s, d) => {
-    val m = 32768
-    val post = TextFunctions.shinglePostings(t(s, d, "documents"),
-      "doc_id", "text", 5, distinct = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eval-positions, eval-set and train branches fan out — materialize
-    post.count()
-    def posOf(r: Int, sh: Column): Column =
-      conv(substring(md5(concat(lit(r.toString), lit(":"), sh)),
-        1, 8), 16, 10).cast("long") % m
-    val evalPost = post.filter(col("doc_id") % 50 === 0)
-    val bits = graft.dedup.Bloom.buildBits(
-      evalPost.select(explode(array(
-        (0 until 3).map(r => posOf(r, col("shingle"))): _*)).as("pos")),
-      m)
-    val evalSet = evalPost.select("shingle").distinct()
-      .withColumn("ex", lit(1L))
-    val train = post.filter(col("doc_id") % 50 =!= 0)
-    train
-      .withColumn("bloom_hit", graft.dedup.Bloom.mightContain(bits,
-        (0 until 3).map(r => posOf(r, col("shingle")))))
-      .join(evalSet, Seq("shingle"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
-        sum(coalesce(col("ex"), lit(0L))).as("n_exact_hits"))
-      .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
-  }
+  val d10_bloom_decontaminate: QFn = (s, d) =>
+    Dedup.bloomDecontaminate(t(s, d, "documents"), "doc_id", "text")
 
   val d10_sql: String =
     s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),

@@ -434,7 +434,17 @@ object Dedup {
       "minhash_est" -> minhashEstimatePairs(docs, idCol, textCol,
         shingleSize, cache = Some(c)),
       "containment" -> containmentPairs(docs, idCol, textCol,
-        shingleSize, cache = Some(c)))
+        shingleSize, cache = Some(c)),
+      // round-10 adoption: the decontamination pair shares one raw
+      // (5, distinct) build (d10 raw probes, d07 its hashed
+      // projection); t05's (2, non-distinct) level rides the same
+      // session cache
+      "decontaminate" -> decontaminate(docs, idCol, textCol,
+        cache = Some(c)),
+      "bloom_decontam" -> bloomDecontaminate(docs, idCol, textCol,
+        cache = Some(c)),
+      "ngram_freq" -> TextFunctions.ngramFreq(docs, idCol, textCol,
+        2, minFreq = 5, cache = Some(c)))
     (m, c)
   }
 
@@ -671,5 +681,86 @@ object Dedup {
     assigned.join(drops, col("vid") === col("drop_id"), "left_anti")
       .select(col("vid").as(idCol),
         col("cent_id").cast("long").as("cluster"))
+  }
+
+  /** Benchmark n-gram decontamination (d07): the deterministic
+    * 1-in-`evalMod` doc cohort stands in for the eval benchmark; its
+    * distinct shingle hashes semi-join back onto the training side,
+    * yielding per-doc hit counts and an integer-HALF_UP contaminated
+    * fraction. Accepts the family [[ShingleCache]] (the hashed
+    * (n, distinct) postings level) so a decontamination session
+    * shares one tokenize pass with the Bloom variant. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, evalMod: Int = 50,
+                    cache: Option[ShingleCache] = None): DataFrame = {
+    val post = cache match {
+      case Some(c) => c.hashedPostings(n, distinct = true)
+      case None =>
+        val p = TextFunctions.shinglePostings(docs, idCol, textCol,
+          n, distinct = true)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // eval/train/totals branches fan out — materialize first
+        p.count()
+        p
+    }
+    val evalSet = post.filter(col("doc_id") % evalMod === 0)
+      .select("h").distinct()
+    val train = post.filter(col("doc_id") % evalMod =!= 0)
+    val totals = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(evalSet, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor((coalesce(col("n_hits"), lit(0L)) * 20000 +
+          col("n_shingles")) / (col("n_shingles").cast("double") * 2))
+          / 10000.0).as("contaminated_frac"))
+  }
+
+  /** Bloom-filter decontamination (d10): d07's semantics at the
+    * shape 100 TB requires — the eval shingles fold into a plan-
+    * constant 32 768-bit filter ([[Bloom]], k=3 md5 probes), so the
+    * corpus-side test is three codegen'd probes per shingle and the
+    * eval semi-join's shuffle is gone. Exact hits ride along so the
+    * false-positive count is part of the verified output. Accepts
+    * the family [[ShingleCache]] (the RAW (5, distinct) postings
+    * level — the probe positions hash the shingle text). */
+  def bloomDecontaminate(docs: DataFrame, idCol: String,
+                         textCol: String, evalMod: Int = 50,
+                         cache: Option[ShingleCache] = None)
+    : DataFrame = {
+    val m = 32768
+    val post = cache.map(_.postings(5, distinct = true)).getOrElse {
+      val p = TextFunctions.shinglePostings(docs, idCol, textCol,
+        5, distinct = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // eval-positions, eval-set and train branches fan out
+      p.count()
+      p
+    }
+    def posOf(r: Int, sh: Column): Column =
+      conv(substring(md5(concat(lit(r.toString), lit(":"), sh)),
+        1, 8), 16, 10).cast("long") % m
+    val evalPost = post.filter(col("doc_id") % evalMod === 0)
+    val bits = Bloom.buildBits(
+      evalPost.select(explode(array(
+        (0 until 3).map(r => posOf(r, col("shingle"))): _*)).as("pos")),
+      m)
+    val evalSet = evalPost.select("shingle").distinct()
+      .withColumn("ex", lit(1L))
+    val train = post.filter(col("doc_id") % evalMod =!= 0)
+    train
+      .withColumn("bloom_hit", Bloom.mightContain(bits,
+        (0 until 3).map(r => posOf(r, col("shingle")))))
+      .join(evalSet, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L))
+          .as("n_bloom_hits"),
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact_hits"))
+      .withColumn("n_false_pos",
+        col("n_bloom_hits") - col("n_exact_hits"))
   }
 }

@@ -160,4 +160,20 @@ object TextFunctions {
     val arr = if (distinct) array_distinct(sh) else sh
     docs.select(col(idCol).as("doc_id"), explode(arr).as("shingle"))
   }
+
+  /** Corpus n-gram frequency table with a support floor (t05) — one
+    * map-side-combining aggregate over the shingle stream. Accepts
+    * the family [[graft.dedup.ShingleCache]] so a session running
+    * several shingle consumers over the same corpus shares one
+    * tokenize + shingle pass per (n, distinct) level. */
+  def ngramFreq(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, minFreq: Long,
+                cache: Option[graft.dedup.ShingleCache] = None)
+    : DataFrame =
+    cache.map(_.postings(n, distinct = false))
+      .getOrElse(shinglePostings(docs, idCol, textCol, n,
+        distinct = false))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
 }

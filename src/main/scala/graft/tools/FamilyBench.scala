@@ -26,7 +26,11 @@ object FamilyBench {
       val n2 = Dedup.minhashLshPairs(docs, "doc_id", "text").count()
       val n3 = Dedup.minhashEstimatePairs(docs, "doc_id", "text").count()
       val n4 = Dedup.containmentPairs(docs, "doc_id", "text").count()
-      println(f"[fam] standalone run$i: ${(System.nanoTime()-t0)/1e9}%.2fs ($n1/$n2/$n3/$n4)")
+      val n5 = Dedup.decontaminate(docs, "doc_id", "text").count()
+      val n6 = Dedup.bloomDecontaminate(docs, "doc_id", "text").count()
+      val n7 = graft.text.TextFunctions
+        .ngramFreq(docs, "doc_id", "text", 2, minFreq = 5).count()
+      println(f"[fam] standalone run$i: ${(System.nanoTime()-t0)/1e9}%.2fs ($n1/$n2/$n3/$n4/$n5/$n6/$n7)")
       spark.sharedState.cacheManager.clearCache()
       val t1 = System.nanoTime()
       val (fam, c) = Dedup.familyReport(docs, "doc_id", "text")

@@ -29,7 +29,13 @@ class ShingleCacheSpec extends SparkSpec {
       "minhash_est" -> rows(
         Dedup.minhashEstimatePairs(docs, "doc_id", "text")),
       "containment" -> rows(
-        Dedup.containmentPairs(docs, "doc_id", "text")))
+        Dedup.containmentPairs(docs, "doc_id", "text")),
+      "decontaminate" -> rows(
+        Dedup.decontaminate(docs, "doc_id", "text")),
+      "bloom_decontam" -> rows(
+        Dedup.bloomDecontaminate(docs, "doc_id", "text")),
+      "ngram_freq" -> rows(graft.text.TextFunctions.ngramFreq(
+        docs, "doc_id", "text", 2, minFreq = 5)))
     spark.sharedState.cacheManager.clearCache()
     assert(cached.keySet == alone.keySet)
     cached.keySet.foreach { k =>
@@ -38,15 +44,18 @@ class ShingleCacheSpec extends SparkSpec {
     }
   }
 
-  test("one tokenize pass serves the whole family") {
+  test("one tokenize pass per shingle level serves the family") {
     val (fam, c) = Dedup.familyReport(docs, "doc_id", "text")
     // building the plans already materialized the shared levels
     // (the builders count() their inputs); consuming every member
-    // must not add builds
+    // must not add builds. Three raw levels exist — (3, distinct)
+    // for the dedup four, (5, distinct) shared by d07/d10, and
+    // (2, plain) for the n-gram freq table — with hashed projections
+    // of the first two.
     fam.values.foreach(_.collect())
-    assert(c.rawBuilds.get() == 1,
+    assert(c.rawBuilds.get() == 3,
       s"raw postings built ${c.rawBuilds.get()}x — family re-tokenized")
-    assert(c.hashedBuilds.get() == 1,
+    assert(c.hashedBuilds.get() == 2,
       s"hashed postings built ${c.hashedBuilds.get()}x")
     c.release()
     spark.sharedState.cacheManager.clearCache()
