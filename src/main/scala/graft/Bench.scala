@@ -94,6 +94,19 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $out: $e") }
+    // per-query JSONL twin (round-10 candidate): one record per line,
+    // so ANY tail-truncating capture still yields parseable rows —
+    // the single-line artifact above structurally cannot fit 129
+    // query names in a 2000-char tail
+    try {
+      val jsonl = results.map { case (k, v, err) =>
+        s"""{"query":"$k","sec":${err.fold(v.toString)(_ => "null")}""" +
+          err.fold("")(e => s""","error":"$e"""") + "}"
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out + "l"),
+        jsonl.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not write ${out}l: $e") }
     spark.stop()
   }
 }

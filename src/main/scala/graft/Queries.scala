@@ -4403,6 +4403,67 @@ object Queries {
        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin
   }
 
+  /** HyperBall neighbourhood function over g01's part↔supplier graph
+    * ([[graft.graph.HyperBall]]): per node, the HLL-estimated count
+    * of distinct nodes within 2 hops — the effective-diameter
+    * statistic WITHOUT materializing the balls (ball-2 here is
+    * already ~|V|² pairs; the per-node 64-register sketch and its
+    * max-merge round are the published scale path). Full sketch
+    * parity: the oracle unrolls the register max-merge rounds and
+    * the integer-space estimate digit for digit (q42's HLL idiom). */
+  val g10_hyperball: QFn = (s, d) => {
+    val e0 = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.graph.HyperBall.neighborhood(edges, rounds = 2)
+  }
+
+  val g10_sql: String = {
+    def round(i: Int) =
+      s"""s$i AS (SELECT node, j, max(rho) AS rho FROM (
+         |    SELECT node, j, rho FROM s${i - 1}
+         |    UNION ALL SELECT e.dst AS node, s.j, s.rho
+         |    FROM edges e JOIN s${i - 1} s ON e.src = s.node) u
+         |  GROUP BY node, j)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |h AS (SELECT node, md5(node::VARCHAR) AS hx FROM nodes),
+       |hz AS (SELECT node, ('0x' || substr(hx, 1, 2))::BIGINT % 64
+       |    AS j,
+       |    length(regexp_extract(substr(hx, 3, 13), '^(0*)', 1))
+       |      AS lz,
+       |    substr(hx, 3 + length(regexp_extract(substr(hx, 3, 13),
+       |      '^(0*)', 1)), 1) AS nib
+       |  FROM h),
+       |s0 AS (SELECT node, j,
+       |    least(CASE WHEN lz = 13 THEN 53
+       |      ELSE lz * 4 + (4 - (CASE WHEN nib = '1' THEN 1
+       |        WHEN nib IN ('2', '3') THEN 2
+       |        WHEN nib IN ('4', '5', '6', '7') THEN 3
+       |        ELSE 4 END)) + 1 END, 40) AS rho
+       |  FROM hz),
+       |${(1 to 2).map(round).mkString(",\n")},
+       |sk AS (SELECT node,
+       |    CAST(sum(1::BIGINT << (40 - rho)) +
+       |      (64 - count(*)) * (1::BIGINT << 40) AS BIGINT)
+       |      AS s_scaled,
+       |    CAST(64 - count(*) AS BIGINT) AS v_empty
+       |  FROM s2 GROUP BY node),
+       |est AS (SELECT *,
+       |    (709 * 4096 * 1099511627776) // (1000 * s_scaled) AS raw
+       |  FROM sk)
+       |SELECT node, s_scaled, v_empty,
+       |  CASE WHEN v_empty > 0 AND raw < 160
+       |    THEN CAST(floor(64 * ln(64.0 / v_empty)) AS BIGINT)
+       |    ELSE raw END AS ball_est
+       |FROM est""".stripMargin
+  }
+
   /** Skew-resistant fact⋈dim revenue rollup through
     * [[Relational.saltedJoin]] — the hot-key machinery in the
     * ORACLE-VERIFIED surface (salting is result-invariant, so the
@@ -4923,6 +4984,142 @@ object Queries {
       |FROM m
       |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"""
       .stripMargin
+
+  /** Offline changepoint detection (AMOC / offline-CUSUM, public
+    * method): per user, find the split point k that maximizes the
+    * CUSUM deviation |n·S_k − k·S_n| over the spend sequence — the
+    * classic "where did this series change level" statistic a
+    * pipeline monitor runs over per-source quality or volume series.
+    * Everything stays in EXACT integers: values are cents, the CUSUM
+    * score is a BIGINT (so the argmax is engine-identical, tie → the
+    * earliest k), and the reported mean shift rounds 4-dp via the
+    * sign-aware integer HALF_UP idiom (e03). Scale shape: one
+    * user-keyed Exchange+Sort serves the ordered prefix sums AND the
+    * per-user totals; the argmax is a second Sort on the SAME
+    * partitioning (no new Exchange); output is |users| rows. */
+  val e14_changepoint: QFn = (s, d) => {
+    val wOrd = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val wAll = Window.partitionBy("user_id")
+    val rows = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("sk", sum("c").over(wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum("c").over(wAll))
+      .filter(col("n") >= 20 && col("k") < col("n"))
+      .withColumn("a", abs(col("n") * col("sk") - col("k") * col("sn")))
+    val wPick = Window.partitionBy("user_id")
+      .orderBy(col("a").desc, col("k").asc)
+    val num = (col("sn") - col("sk")) * col("k") -
+      col("sk") * (col("n") - col("k"))
+    val den = col("k") * (col("n") - col("k"))
+    rows.withColumn("r", row_number().over(wPick))
+      .filter(col("r") === 1)
+      .select(col("user_id"), col("n"), col("k").as("best_k"),
+        col("a").as("cusum_abs"),
+        (when(num >= 0,
+          floor((num * 200 + den) / (den.cast("double") * 2)))
+          .otherwise(-floor(((-num) * 200 + den) /
+            (den.cast("double") * 2))) / 10000.0).as("shift"))
+  }
+
+  val e14_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      |w AS (SELECT user_id, event_id, c,
+      |    CAST(row_number() OVER wo AS BIGINT) AS k,
+      |    CAST(sum(c) OVER wo AS BIGINT) AS sk,
+      |    CAST(count(*) OVER wa AS BIGINT) AS n,
+      |    CAST(sum(c) OVER wa AS BIGINT) AS sn
+      |  FROM e WINDOW wo AS (PARTITION BY user_id ORDER BY ms,
+      |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wa AS (PARTITION BY user_id)),
+      |f AS (SELECT *, abs(n * sk - k * sn) AS a FROM w
+      |  WHERE n >= 20 AND k < n),
+      |p AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY a DESC, k ASC) AS r FROM f),
+      |x AS (SELECT user_id, n, k, a,
+      |    (sn - sk) * k - sk * (n - k) AS num, k * (n - k) AS den
+      |  FROM p WHERE r = 1)
+      |SELECT user_id, n, k AS best_k, a AS cusum_abs,
+      |  CASE WHEN num >= 0
+      |    THEN floor((num * 200 + den) / (den * 2.0))
+      |    ELSE -floor((-(num) * 200 + den) / (den * 2.0))
+      |  END / 10000.0 AS shift
+      |FROM x""".stripMargin
+
+  /** Zipf-fit corpus health check: ln-ln regression of frequency on
+    * rank over the top-100 vocabulary — the one-row "does this corpus
+    * look like natural language" statistic (a healthy corpus fits
+    * slope ≈ −1; synthetic or template-heavy corpora flatten). The
+    * bounded top-k flows through TakeOrderedAndProject and a 100-row
+    * window on a NON-FOLDABLE constant key (t10's idiom); per-row
+    * ln's round to milli-nat BIGINTs (never a tie — ln of an
+    * integer ≥ 2 is irrational, rank 1 and freq 1 give exactly 0),
+    * so the moment sums and the regression numerator/denominator are
+    * exact integers and the slope is a sign-aware integer-HALF_UP
+    * milli unit. Milli (not micro) keeps every product inside
+    * BIGINT; the signal needs 2-3 significant digits. */
+  val t17_zipf_fit: QFn = (s, d) => {
+    val freq = TextFunctions.shinglePostings(t(s, d, "documents"),
+      "doc_id", "text", 1, distinct = false)
+      .groupBy(col("shingle").as("term"))
+      .agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("term").asc)
+      .limit(100)
+    val w = Window.partitionBy(substring(col("term"), 1, 0))
+      .orderBy(col("freq").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xy = top
+      .withColumn("r", count(lit(1)).over(w).cast("long"))
+      .select(round(log(col("r")) * 1e3, 0).cast("long").as("x"),
+        round(log(col("freq")) * 1e3, 0).cast("long").as("y"))
+    val m = xy.agg(count(lit(1)).as("n_terms"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val num = col("n_terms") * col("sxy") - col("sx") * col("sy")
+    val den = col("n_terms") * col("sxx") - col("sx") * col("sx")
+    m.select(col("n_terms"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"),
+      when(den === 0, 0L)
+        .when(num >= 0,
+          floor((num * 2000 + den) / (den.cast("double") * 2)))
+        .otherwise(-floor(((-num) * 2000 + den) /
+          (den.cast("double") * 2)))
+        .cast("long").as("slope_milli"))
+  }
+
+  val t17_sql: String =
+    """WITH toks AS (SELECT list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    x -> len(x) > 0) AS t FROM documents),
+      |f AS (SELECT term, count(*) AS freq FROM (
+      |    SELECT unnest(t) AS term FROM toks) GROUP BY term),
+      |top AS (SELECT term, freq FROM f
+      |  ORDER BY freq DESC, term LIMIT 100),
+      |rk AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC,
+      |    term) AS BIGINT) AS r FROM top),
+      |xy AS (SELECT CAST(round(ln(r) * 1000, 0) AS BIGINT) AS x,
+      |    CAST(round(ln(freq) * 1000, 0) AS BIGINT) AS y FROM rk),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+      |SELECT n_terms, sx, sy, sxy, sxx,
+      |  CAST(CASE WHEN n_terms * sxx - sx * sx = 0 THEN 0
+      |    WHEN n_terms * sxy - sx * sy >= 0
+      |    THEN floor(((n_terms * sxy - sx * sy) * 2000 +
+      |      (n_terms * sxx - sx * sx)) /
+      |      ((n_terms * sxx - sx * sx) * 2.0))
+      |    ELSE -floor((-(n_terms * sxy - sx * sy) * 2000 +
+      |      (n_terms * sxx - sx * sx)) /
+      |      ((n_terms * sxx - sx * sx) * 2.0))
+      |  END AS BIGINT) AS slope_milli
+      |FROM m""".stripMargin
 
   /** Multi-field weighted search scoring — the reference's actual
     * serving semantics (the ES LTR_QUERY, compare_window_sizes.py:
@@ -5699,17 +5896,20 @@ object Queries {
     "g07_jaccard_link" -> g07_jaccard_link,
     "g08_assortativity" -> g08_assortativity,
     "g09_bfs_hops" -> g09_bfs_hops,
+    "g10_hyperball" -> g10_hyperball,
     "q56_skew_join" -> q56_skew_join,
     "q57_hll_setops" -> q57_hll_setops,
     "q58_markov" -> q58_markov,
     "q59_sort_compare" -> q59_sort_compare,
     "e13_autocorr" -> e13_autocorr,
+    "e14_changepoint" -> e14_changepoint,
     "q60_search_score" -> q60_search_score,
     "q61_importance_resample" -> q61_importance_resample,
     "d15_semdedup" -> d15_semdedup,
     "t14_ccnet_buckets" -> t14_ccnet_buckets,
     "t15_gopher_rules" -> t15_gopher_rules,
     "t16_pmi_collocations" -> t16_pmi_collocations,
+    "t17_zipf_fit" -> t17_zipf_fit,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -5828,17 +6028,20 @@ object Queries {
     "g07_jaccard_link" -> g07_sql,
     "g08_assortativity" -> g08_sql,
     "g09_bfs_hops" -> g09_sql,
+    "g10_hyperball" -> g10_sql,
     "q56_skew_join" -> q56_sql,
     "q57_hll_setops" -> q57_sql,
     "q58_markov" -> q58_sql,
     "q59_sort_compare" -> q59_sql,
     "e13_autocorr" -> e13_sql,
+    "e14_changepoint" -> e14_sql,
     "q60_search_score" -> q60_sql,
     "q61_importance_resample" -> q61_sql,
     "d15_semdedup" -> d15_sql,
     "t14_ccnet_buckets" -> t14_sql,
     "t15_gopher_rules" -> t15_sql,
     "t16_pmi_collocations" -> t16_sql,
+    "t17_zipf_fit" -> t17_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

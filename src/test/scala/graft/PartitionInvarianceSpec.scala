@@ -32,8 +32,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q61_importance_resample", "d15_semdedup", "t14_ccnet_buckets",
     // round-9: Lloyd + window argmax audits, set-collection merge
     "s09_ann_recall", "s10_cluster_quality", "q62_alpha_merge",
-    // round-10: frontier-delta BFS loop, corpus-total PMI ratios
-    "g09_bfs_hops", "t16_pmi_collocations")
+    // round-10: frontier-delta BFS loop, corpus-total PMI ratios,
+    // per-user CUSUM argmax windows, global top-k regression moments,
+    // HyperBall register max-merge loop
+    "g09_bfs_hops", "t16_pmi_collocations", "e14_changepoint",
+    "t17_zipf_fit", "g10_hyperball")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -66,4 +66,122 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 0), "no positive-PMI pair")
     assert(got.values.exists(_._4 < 0), "no negative-PMI pair")
   }
+
+  private def halfUpCents(v: Double): Long =
+    BigDecimal.valueOf(v * 100)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("e14 CUSUM changepoint matches a driver-side replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.e14_changepoint(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val ev = spark.read.parquet(dir + "/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val want = ev.groupBy(_._1).collect {
+      case (u, rows) if rows.length >= 20 =>
+        val cs = rows.sortBy(r => (r._3, r._2))
+          .map(r => halfUpCents(r._4))
+        val n = cs.length.toLong
+        val sn = cs.sum
+        val scored = cs.scanLeft(0L)(_ + _).drop(1).zipWithIndex
+          .map { case (sk, i) => (i + 1L, sk) }
+          .filter(_._1 < n)
+          .map { case (k, sk) => (k, sk, (n * sk - k * sn).abs) }
+        val (k, sk, a) = scored.maxBy(x => (x._3, -x._1))
+        val num = (sn - sk) * k - sk * (n - k)
+        val den = k * (n - k)
+        val half =
+          if (num >= 0) math.floor((num * 200 + den) / (den * 2.0))
+          else -math.floor((-num * 200 + den) / (den * 2.0))
+        u -> (n, k, a, half / 10000.0)
+    }
+    assert(got == want)
+    assert(got.nonEmpty && got.values.exists(_._4 != 0.0))
+  }
+
+  test("t17 Zipf fit matches a driver-side replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.t17_zipf_fit(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val texts = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("text")).as[String].collect()
+    val freq = texts.flatMap(_.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val top = freq.sortBy { case (t, f) => (-f, t) }.take(100)
+    def milli(v: Double): Long = BigDecimal.valueOf(v * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xy = top.zipWithIndex.map { case ((_, f), i) =>
+      (milli(math.log(i + 1.0)), milli(math.log(f.toDouble)))
+    }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope =
+      if (den == 0) 0L
+      else if (num >= 0)
+        math.floor((num * 2000 + den) / (den * 2.0)).toLong
+      else -math.floor((-num * 2000 + den) / (den * 2.0)).toLong
+    assert(got == Seq((n, sx, sy, sxy, sxx, slope)))
+    // a Zipf-ish corpus: the fitted slope must be clearly negative
+    assert(slope < 0, s"non-negative Zipf slope $slope")
+  }
+
+  test("g10 HyperBall registers and estimates match a replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.g10_hyperball(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select((col("l_partkey") * 2).cast("long"),
+        (col("l_suppkey") * 2 + 1).cast("long"))
+      .as[(Long, Long)].collect()
+    val adj = (li ++ li.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def jrho(node: Long): (Int, Int) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(node.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val j = Integer.parseInt(hex.substring(0, 2), 16) % 64
+      val w = hex.substring(2, 15)
+      val lz = w.takeWhile(_ == '0').length
+      val rho =
+        if (lz == 13) 53
+        else {
+          val blen = w(lz) match {
+            case '1' => 1
+            case '2' | '3' => 2
+            case '4' | '5' | '6' | '7' => 3
+            case _ => 4
+          }
+          lz * 4 + (4 - blen) + 1
+        }
+      (j, math.min(rho, 40))
+    }
+    val want = adj.keys.map { u =>
+      val ball1 = adj(u) + u
+      val ball2 = ball1 ++ ball1.flatMap(adj(_))
+      val regs = ball2.toSeq.map(jrho)
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val sScaled = (0 until 64).map(i =>
+        1L << (40 - regs.getOrElse(i, 0))).sum
+      val vEmpty = (0 until 64).count(!regs.contains(_)).toLong
+      val raw = (709L * 4096 * 1099511627776L) / (1000 * sScaled)
+      val est =
+        if (vEmpty > 0 && raw < 160)
+          math.floor(64.0 * math.log(64.0 / vEmpty)).toLong
+        else raw
+      u -> (sScaled, vEmpty, est)
+    }.toMap
+    assert(got == want)
+    // non-vacuous: multi-register sketches with live estimates
+    assert(got.values.exists(_._2 < 60), "sketches nearly empty")
+    assert(got.values.exists(_._3 > 100), "no large ball estimated")
+  }
 }
