@@ -337,6 +337,52 @@ object Streams {
       }
   }
 
+  case class PhState(n: Long, sum: Long, m: Double, mMin: Double)
+  case class DriftOut(user_id: Long, event_id: Long, n_seen: Long,
+                      ph: Double)
+
+  /** ONLINE mean-shift drift detection — the streaming counterpart
+    * of batch e14_changepoint, via the Page–Hinkley test (public
+    * method; PH is the ONLINE member of the CUSUM family — e14's
+    * offline argmax needs the whole series, PH monitors the same
+    * cumulative-deviation signal with CONSTANT per-key state):
+    * m_k += x_k − mean_k − δ, alarm when m_k − min(m_i) > λ. State
+    * per user is four fixed fields (n, Σx as exact cents, m, min m)
+    * regardless of history length. Within a batch, rows fold in
+    * (ts, event_id) order — replaying a log yields exactly the
+    * sequential PH trajectory (spec-pinned across batch boundaries).
+    * The running mean is double arithmetic in a DETERMINISTIC fold
+    * order (per-key sequential), so outputs are replay-stable; the
+    * emitted score rounds to 4 dp. No post-alarm reset (each
+    * super-threshold event emits — downstream chooses a cooldown);
+    * keys never expire (NoTimeout) — on an unbounded-cardinality
+    * feed add a timeout policy upstream, as with
+    * [[streamingOutliers]]. */
+  def streamingDrift(events: Dataset[CentEvent], delta: Double = 50.0,
+                     lambda: Double = 5000.0): Dataset[DriftOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PhState, DriftOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0L, 0L, 0.0, 0.0))
+          val out = Seq.newBuilder[DriftOut]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .foreach { r =>
+              val n = st.n + 1
+              val s = st.sum + r.cents
+              val m = st.m + (r.cents - s.toDouble / n - delta)
+              val mMin = math.min(st.mMin, m)
+              if (m - mMin > lambda)
+                out += DriftOut(uid, r.event_id, n,
+                  math.rint((m - mMin) * 1e4) / 1e4)
+              st = PhState(n, s, m, mMin)
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_id: Long,
                         ts: java.sql.Timestamp, event_type: String)
   case class LastEvent(ms: Long, event_id: Long, event_type: String)

@@ -354,4 +354,51 @@ class StreamsSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streamingDrift: Page-Hinkley trajectory carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.CentEvent]
+    val q = Streams.streamingDrift(mem.toDS(), delta = 50.0,
+      lambda = 2000.0)
+      .writeStream.format("memory").queryName("sdrift")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: 30 calm events at ~100 cents, then a LEVEL SHIFT to
+    // 400 cents — the shift segment is split across two batches so
+    // the PH state (n, sum, m, mMin) must survive the boundary.
+    // user 2: calm throughout — must never alarm.
+    val calm = (1 to 30).map(i =>
+      Streams.CentEvent(1L, i.toLong, ts(i), 100L + i % 3))
+    val shifted = (31 to 60).map(i =>
+      Streams.CentEvent(1L, i.toLong, ts(i), 400L + i % 3))
+    val (shiftA, shiftB) = shifted.splitAt(10)
+    val calmU2 = (1 to 60).map(i =>
+      Streams.CentEvent(2L, (200 + i).toLong, ts(i), 100L + i % 3))
+    try {
+      mem.addData(calm ++ shiftA: _*)
+      q.processAllAvailable()
+      mem.addData(shiftB ++ calmU2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sdrift")
+        .as[Streams.DriftOut].collect()
+        .map(d => (d.user_id, d.event_id, d.n_seen, d.ph)).toSet
+      // driver-side replay of the same sequential PH fold
+      var (n, s, m, mMin) = (0L, 0L, 0.0, 0.0)
+      val want = (calm ++ shifted)
+        .sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+          n += 1; s += e.cents
+          m += e.cents - s.toDouble / n - 50.0
+          mMin = math.min(mMin, m)
+          if (m - mMin > 2000.0)
+            Some((e.user_id, e.event_id, n,
+              math.rint((m - mMin) * 1e4) / 1e4))
+          else None
+        }.toSet
+      assert(got == want)
+      // the shift alarms (more than once, no reset) and the calm
+      // user never does
+      assert(want.size > 1, "level shift never alarmed")
+      assert(want.forall(_._1 == 1L))
+      assert(!got.exists(_._1 == 2L))
+    } finally q.stop()
+  }
 }
