@@ -1890,6 +1890,86 @@ object Queries {
        |FROM u""".stripMargin
   }
 
+  /** Distributed BPE-style merge learning — three unrolled rounds of
+    * the tokenizer-training loop: count adjacent word pairs over the
+    * CURRENT tokenization, pick the most frequent (count desc, pair
+    * asc — deterministic), fuse its occurrences, recount. Each round
+    * is one map-side-combining bigram aggregate (the t05/t16
+    * machinery) over a corpus scan with the accumulated fuses applied
+    * in-flight — no intermediate corpus is ever materialized; the
+    * winning 1-row pair table broadcasts back as a scalar.
+    *
+    * Declared simplification vs tokenizer-exact BPE: fusing is
+    * left-to-right NON-OVERLAPPING literal replacement of the
+    * delimited pair (`' a b '` → `' a_b '`), which consumes the
+    * trailing delimiter — of "a b a b" only the first occurrence
+    * fuses in that pass. Both engines' `replace` scan identically,
+    * so the learned merge table is engine-exact; a tokenizer-grade
+    * BPE differs only on such self-adjacent runs. Reported count is
+    * the pair's pre-merge frequency. The per-round winner is a
+    * BOUNDED driver finish (exactly one row — the same economics as
+    * the graph drivers' bounded collects); it is inlined as a
+    * literal into the next round's scan expression. */
+  val q63_bpe_merges: QFn = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val base = t(s, d, "documents").select(
+      concat(lit(" "),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+        lit(" ")).as("txt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // three sequential rounds re-scan it (CLAUDE.md)
+    var txtExpr = "txt"
+    val merges = (1 to 3).map { round =>
+      val best = base.selectExpr(s"$txtExpr AS text")
+        .select(explode(org.apache.spark.sql.graft.ColumnBridge
+          .column(org.apache.spark.sql.graft.WordShinglesExpr(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), 2))).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("sh").asc).limit(1)
+        .as[(String, Long)].collect().head
+      val (pair, freq) = best
+      // corpus tokens are word characters; refuse to inline anything
+      // that could escape the SQL literal
+      require(pair.matches("[\\w ]+"), s"unexpected pair: $pair")
+      txtExpr = s"replace($txtExpr, ' $pair ', " +
+        s"' ${pair.replace(' ', '_')} ')"
+      (round.toLong, pair, freq)
+    }
+    merges.toDF("round", "pair", "freq")
+  }
+
+  val q63_sql: String = {
+    // round k: tok_k tokenizes the text with merges 1..k-1 applied,
+    // bi_k counts its adjacent pairs, b_k is the (count desc, pair
+    // asc) winner, t_k applies the fuse
+    def roundCte(k: Int, src: String) =
+      s"""tok$k AS (SELECT list_filter(regexp_split_to_array(
+         |    trim(t), '\\s+'), x -> len(x) > 0) AS tk FROM $src),
+         |bi$k AS (SELECT sh, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1,
+         |      greatest(len(tk), 1)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS sh
+         |    FROM tok$k) GROUP BY sh),
+         |b$k AS (SELECT sh, c FROM bi$k ORDER BY c DESC, sh LIMIT 1),
+         |t$k AS (SELECT replace(t, ' ' || b$k.sh || ' ',
+         |    ' ' || replace(b$k.sh, ' ', '_') || ' ') AS t
+         |  FROM $src CROSS JOIN b$k)""".stripMargin
+    s"""WITH t0 AS (SELECT ' ' || regexp_replace(lower(trim(text)),
+       |    '\\s+', ' ', 'g') || ' ' AS t FROM documents),
+       |${roundCte(1, "t0")},
+       |${roundCte(2, "t1")},
+       |${roundCte(3, "t2")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, sh AS pair,
+       |    CAST(c AS BIGINT) AS freq FROM b1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), sh, CAST(c AS BIGINT)
+       |    FROM b2
+       |  UNION ALL SELECT CAST(3 AS BIGINT), sh, CAST(c AS BIGINT)
+       |    FROM b3) u""".stripMargin
+  }
+
   /** ANN RECALL AUDIT — the sketch-accuracy table for the ANN family
     * (the d12/d13 discipline applied to s04): per probe, recall@10
     * of the IVF search against the exact brute-force top-10 (s01's
@@ -5887,6 +5967,7 @@ object Queries {
     "q52_collection_stats" -> q52_collection_stats,
     "s08_ivfpq" -> s08_ivfpq,
     "q62_alpha_merge" -> q62_alpha_merge,
+    "q63_bpe_merges" -> q63_bpe_merges,
     "s09_ann_recall" -> s09_ann_recall,
     "s10_cluster_quality" -> s10_cluster_quality,
     "g06_ppr_topk" -> g06_ppr_topk,
@@ -6019,6 +6100,7 @@ object Queries {
     "q52_collection_stats" -> q52_sql,
     "s08_ivfpq" -> s08_sql,
     "q62_alpha_merge" -> q62_sql,
+    "q63_bpe_merges" -> q63_sql,
     "s09_ann_recall" -> s09_sql,
     "s10_cluster_quality" -> s10_sql,
     "g06_ppr_topk" -> g06_sql,

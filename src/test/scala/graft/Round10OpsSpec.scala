@@ -184,4 +184,34 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.values.exists(_._2 < 60), "sketches nearly empty")
     assert(got.values.exists(_._3 > 100), "no large ball estimated")
   }
+
+  test("q63 BPE merges match a driver-side replay of the fuse loop") {
+    val dir = sf("sf0.001")
+    val got = Queries.q63_bpe_merges(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    var texts = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("text")).as[String].collect()
+      .map(t => " " + t.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ") + " ")
+    val want = (1 to 3).map { round =>
+      val pairs = texts.flatMap { t =>
+        val toks = t.trim.split(" ").filter(_.nonEmpty)
+        toks.zip(toks.drop(1)).map(p => p._1 + " " + p._2)
+      }
+      val grouped = pairs.groupBy(identity).view
+        .mapValues(_.length.toLong).toSeq
+      val (pair, freq) = grouped.minBy { case (p, c) => (-c, p) }
+      // java String.replace = literal, non-overlapping, left-to-
+      // right — the same scan as both engines' SQL replace
+      texts = texts.map(_.replace(s" $pair ",
+        s" ${pair.replace(' ', '_')} "))
+      (round.toLong, pair, freq)
+    }
+    assert(got == want)
+    // the learned merges are distinct pairs with weakly-decreasing
+    // support (round k's winner was available and unpicked earlier)
+    assert(got.map(_._2).distinct.size == 3)
+    assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
+    assert(got.forall(_._2.contains(" ")))
+  }
 }
