@@ -4741,6 +4741,51 @@ object Queries {
       |FROM w WHERE n >= 20 AND
       |  (cents * n - s) * (cents * n - s) > (n * q - s * s) * 9""".stripMargin
 
+  /** SEASONAL-baseline anomaly profile — e12's exact integer z-cut
+    * judged against the right reference class: each event compares to
+    * its (event_type, hour-of-day) cohort, not its user's global
+    * stream (the 3 a.m. spend that is normal at 3 p.m.). Two-level
+    * shape a 100 TB monitor wants: one map-side-combining moment
+    * aggregate to a |types|·24-row profile, broadcast back onto a
+    * second scan for the flag count — no window ever touches the
+    * event stream, both aggregates collapse map-side, and the output
+    * is profile-sized. The 3σ cut is the exact BIGINT
+    * cross-multiplication (x·n − s)² > 9·(n·q − s²); the profile
+    * mean is millicents via the integer HALF_UP idiom. */
+  val e15_seasonal_profile: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    val prof = ev.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+        sum(col("cents") * col("cents")).as("q"))
+    ev.join(broadcast(prof), Seq("event_type", "hr"))
+      .groupBy("event_type", "hr")
+      .agg(min("n").as("n"),
+        min(expr("CAST((2 * 1000 * sc + n) DIV (2 * n) AS BIGINT)"))
+          .as("mean_millicents"),
+        sum(when((col("cents") * col("n") - col("sc")) *
+          (col("cents") * col("n") - col("sc")) >
+          (col("n") * col("q") - col("sc") * col("sc")) * 9, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  val e15_sql: String =
+    """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |p AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sc,
+      |    CAST(sum(cents * cents) AS BIGINT) AS q
+      |  FROM e GROUP BY 1, 2)
+      |SELECT e.event_type, e.hr, min(n) AS n,
+      |  CAST(min((2 * 1000 * sc + n) // (2 * n)) AS BIGINT)
+      |    AS mean_millicents,
+      |  CAST(sum(CASE WHEN (cents * n - sc) * (cents * n - sc) >
+      |    (n * q - sc * sc) * 9 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM e JOIN p ON e.event_type = p.event_type AND e.hr = p.hr
+      |GROUP BY 1, 2""".stripMargin
+
   /** First-order Markov transition matrix over user event streams —
     * the behavioral-pathing aggregate (which action follows which):
     * per-user lag over the (ms, event_id) total order gives
@@ -5984,6 +6029,7 @@ object Queries {
     "q59_sort_compare" -> q59_sort_compare,
     "e13_autocorr" -> e13_autocorr,
     "e14_changepoint" -> e14_changepoint,
+    "e15_seasonal_profile" -> e15_seasonal_profile,
     "q60_search_score" -> q60_search_score,
     "q61_importance_resample" -> q61_importance_resample,
     "d15_semdedup" -> d15_semdedup,
@@ -6117,6 +6163,7 @@ object Queries {
     "q59_sort_compare" -> q59_sql,
     "e13_autocorr" -> e13_sql,
     "e14_changepoint" -> e14_sql,
+    "e15_seasonal_profile" -> e15_sql,
     "q60_search_score" -> q60_sql,
     "q61_importance_resample" -> q61_sql,
     "d15_semdedup" -> d15_sql,

@@ -36,7 +36,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-user CUSUM argmax windows, global top-k regression moments,
     // HyperBall register max-merge loop
     "g09_bfs_hops", "t16_pmi_collocations", "e14_changepoint",
-    "t17_zipf_fit", "g10_hyperball", "q63_bpe_merges")
+    "t17_zipf_fit", "g10_hyperball", "q63_bpe_merges",
+    "e15_seasonal_profile")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -214,4 +214,30 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
     assert(got.forall(_._2.contains(" ")))
   }
+
+  test("e15 seasonal profile matches a driver-side replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.e15_seasonal_profile(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val ev = spark.read.parquet(dir + "/events.parquet")
+      .select(col("event_type"), hour(col("ts")).cast("long"),
+        col("value")).as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2, BigDecimal.valueOf(r._3 * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val want = ev.groupBy(r => (r._1, r._2)).map { case (k, rows) =>
+      val cs = rows.map(_._3)
+      val n = cs.length.toLong
+      val sc = cs.sum
+      val q = cs.map(c => c * c).sum
+      val outliers = cs.count(c =>
+        (c * n - sc) * (c * n - sc) > (n * q - sc * sc) * 9).toLong
+      k -> (n, (2 * 1000 * sc + n) / (2 * n), outliers)
+    }
+    assert(got == want)
+    // non-vacuous: some cohort flags at least one outlier and most
+    // flag none (the 3-sigma cut actually discriminates)
+    assert(got.values.exists(_._3 > 0))
+    assert(got.values.count(_._3 == 0) > 0)
+  }
 }
