@@ -135,6 +135,12 @@ object StreamBench {
           .select(col("user_id"), col("event_id"), col("ts"),
             col("event_type"))
           .as[Streams.TypedEvent]).toDF(), "append")
+      // Page-Hinkley drift: four fixed fields per user
+      drive("online_drift",
+        Streams.streamingDrift(syntheticEvents()
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[Streams.CentEvent]).toDF(), "append")
     }
     // minhash-LSH banding + watermarked band dedup + windowed count:
     // the heaviest per-row stateful pipeline (shingle + md5 x hashes)
