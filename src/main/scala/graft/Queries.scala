@@ -2186,6 +2186,67 @@ object Queries {
       |FROM tiles GROUP BY tile_hash
       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
+  /** Per-frame energy / silence map — the audio-feature shape on the
+    * binary plumbing: payloads window into fixed 64-byte frames
+    * ([[Multimodal.chunkPayload]] — codegen'd binary substring), each
+    * frame runs through the SAME per-partition decode boundary as m02
+    * ([[Multimodal.extractFeatures]], frame ids packed as
+    * media_id·100000 + idx — payloads are bounded well under the
+    * 100 000-frame pack limit), frame energy = the exact integer sum
+    * of the decoder's byte-lane sums (with a real codec this is RMS
+    * over PCM samples; the contract — bytes in, fixed-width features
+    * out, per-frame rows — is identical), and a per-media aggregate
+    * reports frame counts, sub-threshold "silence", peak and total
+    * energy. At 100 TB the frame fan-out and the media-keyed
+    * aggregate are the job; payload bytes shuffle once (the frame
+    * explode), never twice. Oracle: the corpus is ASCII, so `ord`
+    * over 64-char windows equals the byte sums, frame for frame. */
+  val m04_frame_energy: QFn = (s, d) => {
+    val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id",
+      "text")
+    val frames = Multimodal.chunkPayload(media, 64)
+      .filter(length(col("chunk")) > 0)
+      .select(
+        (col("media_id") * 100000 + col("chunk_idx")).as("media_id"),
+        col("chunk").as("payload"),
+        struct(lit("application/octet-stream").as("mime"),
+          length(col("chunk")).cast("long").as("n_bytes"),
+          lit("").as("sha")).as("meta"))
+    val energy = (0 until Multimodal.FakeDecoder.featureDim)
+      .map(i => element_at(col("features"), i + 1).cast("long"))
+      .reduce(_ + _)
+    Multimodal.extractFeatures(s, frames)
+      .select(expr("media_id DIV 100000").as("media_id"),
+        energy.as("e"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("e") < 3000, 1L).otherwise(0L)).as("n_silent"),
+        max("e").as("max_energy"),
+        sum("e").as("total_energy"))
+  }
+
+  val m04_sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |f AS (SELECT media_id, k,
+      |    substring(text, CAST(k * 64 + 1 AS INT), 64) AS fr
+      |  FROM (SELECT media_id, text,
+      |      unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS k
+      |    FROM m WHERE n > 0)),
+      |x AS (SELECT media_id,
+      |    CAST(sum(ord(substring(fr, CAST(i AS INT), 1))) AS BIGINT)
+      |      AS e
+      |  FROM (SELECT media_id, k, fr,
+      |      unnest(range(1, length(fr) + 1)) AS i FROM f)
+      |  GROUP BY media_id, k)
+      |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(CASE WHEN e < 3000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_silent,
+      |  CAST(max(e) AS BIGINT) AS max_energy,
+      |  CAST(sum(e) AS BIGINT) AS total_energy
+      |FROM x GROUP BY media_id""".stripMargin
+
   // ---------------------------------------------------------------
   // Events
   // ---------------------------------------------------------------
@@ -4544,6 +4605,75 @@ object Queries {
        |FROM est""".stripMargin
   }
 
+  /** Harmonic centrality via HyperBall — the paper's own application
+    * ([[graft.graph.HyperBall.harmonicCentrality]]): H(u) ≈
+    * Σ_k (|ball_k| − |ball_{k−1}|)/k from the per-radius HLL
+    * estimates, radius 2 on g01's graph. No per-pair distance is
+    * ever computed — the centrality of every node costs exactly the
+    * g10 sketch loop plus one join of two estimate projections.
+    * Layer deltas clamp at 0 (the linear-counting↔raw boundary can
+    * step an estimate down; oracle mirrors the clamp); 1/k weights
+    * are exact integer DIVs in milli units. */
+  val g11_harmonic: QFn = (s, d) => {
+    val e0 = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    graft.graph.HyperBall.harmonicCentrality(edges, rounds = 2)
+  }
+
+  val g11_sql: String = {
+    def round(i: Int) =
+      s"""s$i AS (SELECT node, j, max(rho) AS rho FROM (
+         |    SELECT node, j, rho FROM s${i - 1}
+         |    UNION ALL SELECT e.dst AS node, s.j, s.rho
+         |    FROM edges e JOIN s${i - 1} s ON e.src = s.node) u
+         |  GROUP BY node, j)""".stripMargin
+    def estOf(i: Int) =
+      s"""sk$i AS (SELECT node,
+         |    CAST(sum(1::BIGINT << (40 - rho)) +
+         |      (64 - count(*)) * (1::BIGINT << 40) AS BIGINT)
+         |      AS s_scaled,
+         |    CAST(64 - count(*) AS BIGINT) AS v_empty
+         |  FROM s$i GROUP BY node),
+         |e$i AS (SELECT node,
+         |    CASE WHEN v_empty > 0 AND raw < 160
+         |      THEN CAST(floor(64 * ln(64.0 / v_empty)) AS BIGINT)
+         |      ELSE raw END AS est
+         |  FROM (SELECT *, (709 * 4096 * 1099511627776) //
+         |      (1000 * s_scaled) AS raw FROM sk$i) x)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |h AS (SELECT node, md5(node::VARCHAR) AS hx FROM nodes),
+       |hz AS (SELECT node, ('0x' || substr(hx, 1, 2))::BIGINT % 64
+       |    AS j,
+       |    length(regexp_extract(substr(hx, 3, 13), '^(0*)', 1))
+       |      AS lz,
+       |    substr(hx, 3 + length(regexp_extract(substr(hx, 3, 13),
+       |      '^(0*)', 1)), 1) AS nib
+       |  FROM h),
+       |s0 AS (SELECT node, j,
+       |    least(CASE WHEN lz = 13 THEN 53
+       |      ELSE lz * 4 + (4 - (CASE WHEN nib = '1' THEN 1
+       |        WHEN nib IN ('2', '3') THEN 2
+       |        WHEN nib IN ('4', '5', '6', '7') THEN 3
+       |        ELSE 4 END)) + 1 END, 40) AS rho
+       |  FROM hz),
+       |${round(1)},
+       |${round(2)},
+       |${estOf(1)},
+       |${estOf(2)}
+       |SELECT e1.node, e1.est AS est1, e2.est AS est2,
+       |  greatest(e1.est - 1, 0) * 1000 +
+       |    (greatest(e2.est - e1.est, 0) * 1000) // 2
+       |    AS harmonic_milli
+       |FROM e1 JOIN e2 ON e1.node = e2.node""".stripMargin
+  }
+
   /** Skew-resistant fact⋈dim revenue rollup through
     * [[Relational.saltedJoin]] — the hot-key machinery in the
     * ORACLE-VERIFIED surface (salting is result-invariant, so the
@@ -5969,6 +6099,7 @@ object Queries {
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_stub" -> m02_feature_stub,
     "m03_tile_dedup" -> m03_tile_dedup,
+    "m04_frame_energy" -> m04_frame_energy,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
     "e03_user_stats" -> e03_user_stats,
@@ -6023,6 +6154,7 @@ object Queries {
     "g08_assortativity" -> g08_assortativity,
     "g09_bfs_hops" -> g09_bfs_hops,
     "g10_hyperball" -> g10_hyperball,
+    "g11_harmonic" -> g11_harmonic,
     "q56_skew_join" -> q56_skew_join,
     "q57_hll_setops" -> q57_hll_setops,
     "q58_markov" -> q58_markov,
@@ -6104,6 +6236,7 @@ object Queries {
     "m01_binary_meta" -> m01_sql,
     "m02_feature_stub" -> m02_sql,
     "m03_tile_dedup" -> m03_sql,
+    "m04_frame_energy" -> m04_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,
     "e03_user_stats" -> e03_sql,
@@ -6157,6 +6290,7 @@ object Queries {
     "g08_assortativity" -> g08_sql,
     "g09_bfs_hops" -> g09_sql,
     "g10_hyperball" -> g10_sql,
+    "g11_harmonic" -> g11_sql,
     "q56_skew_join" -> q56_sql,
     "q57_hll_setops" -> q57_sql,
     "q58_markov" -> q58_sql,

@@ -10,7 +10,9 @@ import org.apache.spark.storage.StorageLevel
   * materializing the balls (ball-2 of this co-purchase graph is
   * already ~|V|² pairs; the sketch's whole point is that the k-hop
   * closure is never enumerated). The effective-diameter /
-  * reachability-profile statistic for graphs at 100 TB.
+  * reachability-profile statistic for graphs at 100 TB, and — via
+  * the per-radius estimate deltas — the paper's own application:
+  * harmonic centrality without any per-pair distance computation.
   *
   * Register construction is q42's engine-portable HLL, digit for
   * digit (register = first md5 byte mod 64, rho from the leading
@@ -33,12 +35,16 @@ import org.apache.spark.storage.StorageLevel
   *    shuffle is bounded by |V|·65 values per round REGARDLESS of
   *    ball sizes — the HyperBall argument (q57's mergeability, per
   *    node);
+  *  - registers are BYTES (rho ≤ 40): the per-round join/shuffle row
+  *    is 72 B instead of 520 B, and the whole state broadcasts at
+  *    |V| ≤ ~1M nodes so the round join never re-shuffles the edges;
   *  - the edge list is consumed as-is (max-merge is idempotent, so
   *    duplicate edges change nothing but join fanout — a global
   *    dedup shuffle costs more than the ~1% fanout it saves here;
   *    callers with heavily duplicated edge lists can pre-distinct);
   *  - per-round eager `localCheckpoint` truncates the loop lineage
-  *    (CLAUDE.md iterative-loop rule).
+  *    (CLAUDE.md iterative-loop rule); the LAST round stays lazy
+  *    when it feeds only the caller's single action.
   */
 object HyperBall {
 
@@ -46,10 +52,17 @@ object HyperBall {
 
   private def regCols: Seq[Column] = (0 until R).map(i => col(s"r$i"))
 
-  /** Per-node radius-`rounds` ball-size estimates:
-    * `(node, s_scaled, v_empty, ball_est)` — `ball_est` counts the
-    * node itself, exact sketch parity with the q42 formula. */
-  def neighborhood(edges: DataFrame, rounds: Int): DataFrame = {
+  /** Register states after rounds 1..`rounds`; element k-1 holds the
+    * radius-k ball sketch. All but the last are checkpointed (each
+    * feeds the next round twice); the last stays lazy — even when a
+    * caller reads several states in one action (harmonicCentrality),
+    * every EARLIER state it touches is already materialized, so the
+    * final state is computed exactly once. The returned lazy plans
+    * read the internal persisted edge projection — the session cache
+    * clear releases it after the caller's action (the Dedup caching
+    * contract; Bench/Verify clear between queries). */
+  private def ballStates(edges: DataFrame, rounds: Int)
+    : Seq[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,14 +77,11 @@ object HyperBall {
       .when(nib.isin("4", "5", "6", "7"), 3).otherwise(4)
     val rho = when(lz === 13, lit(53))
       .otherwise(lz * 4 + (lit(4) - blen) + 1)
-    // registers are BYTES (rho ≤ 40): the per-round join/shuffle row
-    // is 72 B instead of 520 B, and the whole state broadcasts at
-    // |V| ≤ ~1M nodes so the round join never re-shuffles the edges
     var state = nodes.select(col("node") +: (0 until R).map(i =>
       when(j === i, least(rho, lit(40)))
         .otherwise(lit(0)).cast("byte").as(s"r$i")): _*)
       .localCheckpoint(true)
-    (1 to rounds).foreach { r =>
+    (1 to rounds).map { r =>
       val prop = e
         .join(state.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node") +: regCols: _*)
@@ -79,17 +89,16 @@ object HyperBall {
         .groupBy("node")
         .agg(max(col("r0")).as("r0"),
           (1 until R).map(i => max(col(s"r$i")).as(s"r$i")): _*)
-      // intermediate rounds feed the next round TWICE (union + join)
-      // — checkpoint; the last round feeds only the estimate's one
-      // action, so materializing it would just add a job
-      state = if (r < rounds) merged.localCheckpoint(true) else merged
+      state =
+        if (r < rounds) merged.localCheckpoint(true) else merged
+      state
     }
-    // the returned LAZY plan still reads `e` — the session's cache
-    // clear releases it after the caller's action (the Dedup caching
-    // contract; Bench/Verify clear between queries)
-    // q42's integer-space estimate; an empty register (0) contributes
-    // 2^40 to the scaled harmonic sum — exactly the sparse form's
-    // (64 − count) · 2^40 term
+  }
+
+  /** q42's integer-space estimate over a dense register state; an
+    * empty register (0) contributes 2^40 to the scaled harmonic sum —
+    * exactly the sparse form's (64 − count) · 2^40 term. */
+  private def estimate(state: DataFrame): DataFrame = {
     val sScaled = (0 until R).map(i =>
       expr(s"shiftleft(CAST(1 AS BIGINT), CAST(40 - r$i AS INT))"))
       .reduce(_ + _)
@@ -105,5 +114,35 @@ object HyperBall {
           floor(lit(64.0) * log(lit(64.0) / col("v_empty")))
             .cast("long"))
           .otherwise(col("raw")).as("ball_est"))
+  }
+
+  /** Per-node radius-`rounds` ball-size estimates:
+    * `(node, s_scaled, v_empty, ball_est)` — `ball_est` counts the
+    * node itself, exact sketch parity with the q42 formula. */
+  def neighborhood(edges: DataFrame, rounds: Int): DataFrame =
+    estimate(ballStates(edges, rounds).last)
+
+  /** Harmonic centrality from the per-radius estimate deltas — the
+    * HyperBall paper's application: H(u) ≈ Σ_k (|ball_k| −
+    * |ball_{k−1}|)/k, summed to radius `rounds`, with every ball
+    * size an HLL estimate. Layer deltas clamp at 0 (register sets
+    * only grow, but the linear-counting↔raw boundary can step an
+    * ESTIMATE down — the clamp is mirrored by the oracle), and the
+    * 1/k weights are exact integer `DIV`s in milli units. Output:
+    * `(node, est_1.., harmonic_milli)`. */
+  def harmonicCentrality(edges: DataFrame, rounds: Int): DataFrame = {
+    val states = ballStates(edges, rounds)
+    val ests = states.zipWithIndex.map { case (st, i) =>
+      estimate(st).select(col("node"),
+        col("ball_est").as(s"est${i + 1}"))
+    }
+    val joined = ests.reduce(_.join(_, Seq("node")))
+    val harmonic = (1 to rounds).map { k =>
+      expr(s"(greatest(est$k - ${if (k == 1) "1" else s"est${k - 1}"}" +
+        s", 0) * 1000) DIV $k")
+    }.reduce(_ + _)
+    joined.select(
+      (col("node") +: (1 to rounds).map(k => col(s"est$k"))) :+
+        harmonic.as("harmonic_milli"): _*)
   }
 }

@@ -215,6 +215,47 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.forall(_._2.contains(" ")))
   }
 
+  test("g11 harmonic centrality composes the per-radius estimates") {
+    val dir = sf("sf0.001")
+    // the radius-2 estimates must be g10's (same loop, same sketch),
+    // and harmonic_milli must be the exact clamped-delta composition
+    val ball2 = Queries.g10_hyperball(spark, dir)
+      .select(col("node"), col("ball_est")).as[(Long, Long)]
+      .collect().toMap
+    val got = Queries.g11_harmonic(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._3).toMap == ball2)
+    got.foreach { case (_, e1, e2, h) =>
+      assert(h == math.max(e1 - 1, 0L) * 1000 +
+        math.max(e2 - e1, 0L) * 1000 / 2)
+    }
+    // non-vacuous: centrality actually varies across nodes
+    assert(got.map(_._4).distinct.length > 10)
+  }
+
+  test("m04 frame energies match a driver-side byte-sum replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.m04_frame_energy(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val want = docs.filter(_._2.nonEmpty).map { case (id, text) =>
+      val energies = text.getBytes("UTF-8").grouped(64)
+        .map(_.map(b => (b & 0xff).toLong).sum).toSeq
+      id -> (energies.length.toLong,
+        energies.count(_ < 3000).toLong,
+        energies.max, energies.sum)
+    }.toMap
+    assert(got == want)
+    // non-vacuous: the silence cut discriminates (tail frames under
+    // the threshold exist, and most frames are loud)
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.map(_._4).sum >
+      got.values.map(v => v._2 * 3000).sum)
+  }
+
   test("e15 seasonal profile matches a driver-side replay") {
     val dir = sf("sf0.001")
     val got = Queries.e15_seasonal_profile(spark, dir)
