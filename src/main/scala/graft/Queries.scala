@@ -939,6 +939,79 @@ object Queries {
        |JOIN sizes s2 ON id2 = s2.doc_id
        |WHERE round(inter / (s1.n + s2.n - inter), 4) >= 0.5""".stripMargin
 
+  /** LSH BANDING-RECALL AUDIT — the question every dedup deployment
+    * must answer before trusting MinHash-LSH at corpus scale: which
+    * of the EXACT near-dup pairs does the banding even surface?
+    * Truth is d02's canonical exact pair set (prefix-filtered,
+    * pruned-universe intersection over full sizes, j ≥ 0.5); for
+    * each truth pair, `bands_shared` counts the colliding bands of
+    * the d03 12-hash/4-band signatures — an EXACT integer (0..4, no
+    * probability model, no rounding), and `detected` = bands_shared
+    * ≥ 1 is precisely "the d03 candidate join would have emitted
+    * this pair". The s09/d12 audit discipline at the PAIR level:
+    * banding recall is measured, not assumed (p_detect = 1−(1−j³)⁴
+    * is the theory; this table is the ground truth). Signature table
+    * persists once for its two join consumers (CLAUDE.md rule). */
+  val d16_lsh_recall: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(
+      TextFunctions.shinglePostings(docs, "doc_id", "text", 3,
+        distinct = true), 12)
+      .select(col("doc_id"),
+        Dedup.lshBandKeys(col("sig"), 4, 3).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // two join consumers fan out
+    truth
+      .join(sigs.select(col("doc_id").as("id1"), col("bk").as("bk1")),
+        Seq("id1"))
+      .join(sigs.select(col("doc_id").as("id2"), col("bk").as("bk2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        size(array_intersect(col("bk1"), col("bk2"))).cast("long")
+          .as("bands_shared"),
+        when(size(array_intersect(col("bk1"), col("bk2"))) >= 1, 1L)
+          .otherwise(0L).as("detected"))
+  }
+
+  val d16_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |keep AS (SELECT shingle FROM posting GROUP BY shingle
+       |  HAVING count(*) <= 200),
+       |p AS (SELECT posting.doc_id, posting.shingle FROM posting
+       |  JOIN keep USING (shingle)),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    count(*) AS inter
+       |  FROM p a JOIN p b ON a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT id1, id2,
+       |    round(inter / (s1.n + s2.n - inter), 4) AS jaccard
+       |  FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+       |  JOIN sizes s2 ON id2 = s2.doc_id
+       |  WHERE round(inter / (s1.n + s2.n - inter), 4) >= 0.5),
+       |sig AS (SELECT doc_id, list_transform(range(0, 12),
+       |    s -> list_min(list_transform(shingles,
+       |      x -> md5(s::VARCHAR || ':' || x)))) AS sig
+       |  FROM sh),
+       |bk AS (SELECT doc_id, list_transform(range(0, 4),
+       |    b -> b::VARCHAR || '|' ||
+       |      md5(array_to_string(sig[b*3+1 : b*3+3], ','))) AS bk
+       |  FROM sig)
+       |SELECT t.id1, t.id2, t.jaccard,
+       |  CAST(len(list_intersect(b1.bk, b2.bk)) AS BIGINT)
+       |    AS bands_shared,
+       |  CAST(CASE WHEN len(list_intersect(b1.bk, b2.bk)) >= 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS detected
+       |FROM truth t JOIN bk b1 ON t.id1 = b1.doc_id
+       |JOIN bk b2 ON t.id2 = b2.doc_id""".stripMargin
+
   val d03_minhash_lsh: QFn = (s, d) =>
     Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
       shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.5)
@@ -6165,6 +6238,7 @@ object Queries {
     "q60_search_score" -> q60_search_score,
     "q61_importance_resample" -> q61_importance_resample,
     "d15_semdedup" -> d15_semdedup,
+    "d16_lsh_recall" -> d16_lsh_recall,
     "t14_ccnet_buckets" -> t14_ccnet_buckets,
     "t15_gopher_rules" -> t15_gopher_rules,
     "t16_pmi_collocations" -> t16_pmi_collocations,
@@ -6301,6 +6375,7 @@ object Queries {
     "q60_search_score" -> q60_sql,
     "q61_importance_resample" -> q61_sql,
     "d15_semdedup" -> d15_sql,
+    "d16_lsh_recall" -> d16_sql,
     "t14_ccnet_buckets" -> t14_sql,
     "t15_gopher_rules" -> t15_sql,
     "t16_pmi_collocations" -> t16_sql,

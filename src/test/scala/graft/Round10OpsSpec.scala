@@ -233,6 +233,52 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.map(_._4).distinct.length > 10)
   }
 
+  test("d16 banding-recall audit matches a full driver-side replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.d16_lsh_recall(spark, dir)
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val sets = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) None
+      else Some(id -> toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val df = sets.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val ids = sets.keys.toSeq.sorted
+    val truth = for {
+      i <- ids; k <- ids if i < k
+      a = sets(i); b = sets(k)
+      inter = a.intersect(b).count(sh => df(sh) <= 200)
+      j = BigDecimal.valueOf(
+        inter.toDouble / (a.size + b.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (i, k, j)
+    val bands = sets.map { case (id, sh) =>
+      val sig = (0 until 12).map(s =>
+        sh.map(x => md5hex(s + ":" + x)).min)
+      id -> (0 until 4).map(b =>
+        b + "|" + md5hex(sig.slice(b * 3, b * 3 + 3)
+          .mkString(","))).toSet
+    }
+    val want = truth.map { case (i, k, j) =>
+      val shared = bands(i).intersect(bands(k)).size.toLong
+      (i, k) -> (j, shared, if (shared >= 1) 1L else 0L)
+    }.toMap
+    assert(got == want)
+    // non-vacuous: the shared-band count discriminates across pairs
+    assert(got.values.map(_._2).toSet.size > 1)
+    assert(got.nonEmpty)
+  }
+
   test("m04 frame energies match a driver-side byte-sum replay") {
     val dir = sf("sf0.001")
     val got = Queries.m04_frame_energy(spark, dir)
