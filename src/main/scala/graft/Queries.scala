@@ -656,6 +656,94 @@ object Queries {
        |FROM h""".stripMargin
   }
 
+  /** LANGUAGE-ID ACCURACY AUDIT — the s09/d12/d16 discipline applied
+    * to t03: the documents table carries a ground-truth `lang`
+    * column, so the stopword-profile classifier's confusion matrix
+    * is measurable, not assumed. Per (true, predicted) cell: count
+    * and the within-language share in HALF_UP integer ppm (exact
+    * BIGINT idiom). The matrix is |langs|²-bounded; both aggregates
+    * collapse map-side; the tiny cell table persists once for its
+    * two consumers (totals + output join). */
+  val t18_langid_confusion: QFn = (s, d) => {
+    val cm = t(s, d, "documents")
+      .select(col("lang").as("true_lang"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cm.count() // feeds the per-language totals AND the output join
+    val tot = cm.groupBy("true_lang").agg(sum("n").as("n_lang"))
+    cm.join(tot, Seq("true_lang"))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        col("n_lang"),
+        expr("CAST((2 * 1000000 * n + n_lang) DIV (2 * n_lang)" +
+          " AS BIGINT)").as("share_ppm"))
+  }
+
+  val t18_sql: String = {
+    def hits(lex: Seq[String]): String =
+      s"""len(list_filter(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |    x -> len(x) > 0),
+         |    x -> list_contains([${lex.map("'" + _ + "'").mkString(",")}], x)))""".stripMargin
+    val lx = TextFunctions.langLexicon
+    s"""WITH h AS (SELECT lang,
+       |  ${hits(lx("en"))} AS s_en,
+       |  ${hits(lx("de"))} AS s_de,
+       |  ${hits(lx("fr"))} AS s_fr,
+       |  ${hits(lx("es"))} AS s_es
+       |  FROM documents),
+       |p AS (SELECT lang AS true_lang,
+       |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |       WHEN s_en >= s_de THEN 'en'
+       |       ELSE 'de' END AS pred_lang
+       |  FROM h),
+       |cm AS (SELECT true_lang, pred_lang,
+       |    CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+       |tot AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_lang
+       |  FROM cm GROUP BY 1)
+       |SELECT cm.true_lang, cm.pred_lang, n, n_lang,
+       |  CAST((2 * 1000000 * n + n_lang) // (2 * n_lang) AS BIGINT)
+       |    AS share_ppm
+       |FROM cm JOIN tot ON cm.true_lang = tot.true_lang""".stripMargin
+  }
+
+  /** Per-collection token-count map — preprocessing_service.py:14-16
+    * verbatim at the semantic level: the reference Counter()s the
+    * tokens of every collection's member names
+    * (`tokenized_names_counts`); here each brand's part-name tokens
+    * aggregate to (token, count) cells and the map emits as the md5
+    * of the "tok:count" cells sorted BY THAT CONCATENATED STRING on
+    * both engines (sorting by token alone can diverge from
+    * concat-order when one token prefixes another — same-keyed
+    * order on both sides is the q62 members_md5 idiom). Two
+    * map-side-collapsing aggregates, output \|brands\| rows. */
+  val q64_token_count_map: QFn = (s, d) => {
+    val cells = t(s, d, "part")
+      .select(col("p_brand"),
+        explode(TextFunctions.tokens(lower(col("p_name")))).as("tok"))
+      .groupBy("p_brand", "tok").agg(count(lit(1)).as("c"))
+    cells.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum("c").cast("long").as("n_tokens"),
+        md5(concat_ws(",", sort_array(collect_list(
+          concat(col("tok"), lit(":"), col("c"))))))
+          .as("counts_md5"))
+  }
+
+  val q64_sql: String =
+    """WITH tk AS (SELECT p_brand, unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(p_name)), '\s+'),
+      |    x -> len(x) > 0)) AS tok FROM part),
+      |cells AS (SELECT p_brand, tok || ':' || count(*) AS cell,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY p_brand, tok)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(list(cell ORDER BY cell), ','))
+      |    AS counts_md5
+      |FROM cells GROUP BY p_brand""".stripMargin
+
   val t04_fingerprint: QFn = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -6217,6 +6305,7 @@ object Queries {
     "s08_ivfpq" -> s08_ivfpq,
     "q62_alpha_merge" -> q62_alpha_merge,
     "q63_bpe_merges" -> q63_bpe_merges,
+    "q64_token_count_map" -> q64_token_count_map,
     "s09_ann_recall" -> s09_ann_recall,
     "s10_cluster_quality" -> s10_cluster_quality,
     "g06_ppr_topk" -> g06_ppr_topk,
@@ -6243,6 +6332,7 @@ object Queries {
     "t15_gopher_rules" -> t15_gopher_rules,
     "t16_pmi_collocations" -> t16_pmi_collocations,
     "t17_zipf_fit" -> t17_zipf_fit,
+    "t18_langid_confusion" -> t18_langid_confusion,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
     "e12_outliers" -> e12_outliers)
@@ -6354,6 +6444,7 @@ object Queries {
     "s08_ivfpq" -> s08_sql,
     "q62_alpha_merge" -> q62_sql,
     "q63_bpe_merges" -> q63_sql,
+    "q64_token_count_map" -> q64_sql,
     "s09_ann_recall" -> s09_sql,
     "s10_cluster_quality" -> s10_sql,
     "g06_ppr_topk" -> g06_sql,
@@ -6380,6 +6471,7 @@ object Queries {
     "t15_gopher_rules" -> t15_sql,
     "t16_pmi_collocations" -> t16_sql,
     "t17_zipf_fit" -> t17_sql,
+    "t18_langid_confusion" -> t18_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
     "e12_outliers" -> e12_sql)

@@ -38,7 +38,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g09_bfs_hops", "t16_pmi_collocations", "e14_changepoint",
     "t17_zipf_fit", "g10_hyperball", "q63_bpe_merges",
     "e15_seasonal_profile", "g11_harmonic", "m04_frame_energy",
-    "d16_lsh_recall")
+    "d16_lsh_recall", "t18_langid_confusion",
+    "q64_token_count_map")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

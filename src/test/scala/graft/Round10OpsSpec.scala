@@ -302,6 +302,63 @@ class Round10OpsSpec extends SparkSpec {
       got.values.map(v => v._2 * 3000).sum)
   }
 
+  test("t18 langid confusion matches a driver-side replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.t18_langid_confusion(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("lang"), col("text"))
+      .as[(String, String)].collect()
+    val lex = graft.text.TextFunctions.langLexicon
+    val preds = docs.map { case (lang, text) =>
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      // argmax by (hits, lang) — the array_max struct order t03 uses
+      val (hits, best) = lex.toSeq.map { case (l, words) =>
+        (toks.count(words.contains), l)
+      }.max
+      (lang, if (hits > 0) best else "und")
+    }
+    val cm = preds.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val tot = preds.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    val want = cm.map { case ((t0, p), n) =>
+      val nl = tot(t0)
+      (t0, p) -> (n, nl, (2 * 1000000L * n + nl) / (2 * nl))
+    }
+    assert(got == want)
+    // non-vacuous: correct predictions dominate but the matrix has
+    // off-diagonal mass (the heuristic is imperfect, measurably)
+    assert(got.keys.exists(k => k._1 == k._2))
+    assert(got.keys.exists(k => k._1 != k._2))
+  }
+
+  test("q64 token-count maps match a driver-side Counter replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.q64_token_count_map(spark, dir)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val parts = spark.read.parquet(dir + "/part.parquet")
+      .select(col("p_brand"), col("p_name"))
+      .as[(String, String)].collect()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = parts.groupBy(_._1).map { case (brand, rows) =>
+      val counts = rows.flatMap(_._2.trim
+        .toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.length.toLong)
+      val cells = counts.map { case (t, c) => s"$t:$c" }.toSeq.sorted
+      brand -> (counts.size.toLong, counts.values.sum,
+        md5hex(cells.mkString(",")))
+    }
+    assert(got == want)
+    assert(got.nonEmpty && got.values.exists(_._1 > 5))
+  }
+
   test("e15 seasonal profile matches a driver-side replay") {
     val dir = sf("sf0.001")
     val got = Queries.e15_seasonal_profile(spark, dir)
