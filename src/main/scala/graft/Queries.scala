@@ -1039,13 +1039,16 @@ object Queries {
     * this pair". The s09/d12 audit discipline at the PAIR level:
     * banding recall is measured, not assumed (p_detect = 1−(1−j³)⁴
     * is the theory; this table is the ground truth). Signature table
-    * persists once for its two join consumers (CLAUDE.md rule). */
+    * persists once for its two join consumers (CLAUDE.md rule); the
+    * truth pipeline and the signature build read ONE ShingleCache —
+    * the corpus is tokenized once for both sides of the audit. */
   val d16_lsh_recall: QFn = (s, d) => {
     val docs = t(s, d, "documents")
-    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3)
+    val cache = new graft.dedup.ShingleCache(docs, "doc_id", "text")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      cache = Some(cache))
     val sigs = Dedup.minhashSignatures(
-      TextFunctions.shinglePostings(docs, "doc_id", "text", 3,
-        distinct = true), 12)
+      cache.postings(3, distinct = true), 12)
       .select(col("doc_id"),
         Dedup.lshBandKeys(col("sig"), 4, 3).as("bk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
