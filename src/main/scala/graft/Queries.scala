@@ -744,6 +744,226 @@ object Queries {
       |    AS counts_md5
       |FROM cells GROUP BY p_brand""".stripMargin
 
+  /** Membership/type cardinality audit — scripts/stats_members_type
+    * .py:22-41 verbatim at the semantic level: the reference counts
+    * total member occurrences, unique members, unique (member, type)
+    * pairs, unique category types, and how many unique members map
+    * into the wikidata index. Here orders are the typed containers
+    * (o_orderpriority = category type), lineitems the member
+    * occurrences, and the part table the id-mapping index (the
+    * WikiMapper analog: a member "maps" iff its partkey exists
+    * there). ONE summary row, all BIGINTs. Scale shape: one
+    * orderkey-keyed join, the multi-distinct agg expands to one
+    * grouped pass per distinct spec (Catalyst's expand — each still
+    * map-side combines), and the mapped count is a distinct + LEFT
+    * SEMI against the index side. */
+  val q65_member_type_stats: QFn = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val ord = t(s, d, "orders")
+      .select(col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("typ"))
+    val mt = li.join(ord, Seq("ok"))
+    val base = mt.agg(
+      count(lit(1)).cast("long").as("members_total"),
+      countDistinct(col("pk")).as("members_unique"),
+      countDistinct(col("pk"), col("typ")).as("member_type_pairs"),
+      countDistinct(col("typ")).as("types_unique"))
+    val mapped = li.select("pk").distinct()
+      .join(t(s, d, "part").select(col("p_partkey").as("pk")),
+        Seq("pk"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("members_mapped"))
+    base.crossJoin(mapped) // two 1-row frames — scalar combine
+  }
+
+  val q65_sql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+      |  FROM lineitem),
+      |mt AS (SELECT pk, o_orderpriority AS typ
+      |  FROM li JOIN orders ON ok = o_orderkey)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM mt) AS members_total,
+      |  (SELECT CAST(count(DISTINCT pk) AS BIGINT) FROM mt)
+      |    AS members_unique,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT pk, typ FROM mt)) AS member_type_pairs,
+      |  (SELECT CAST(count(DISTINCT typ) AS BIGINT) FROM mt)
+      |    AS types_unique,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT pk FROM li WHERE pk IN
+      |      (SELECT p_partkey FROM part))) AS members_mapped"""
+      .stripMargin
+
+  /** Flesch–Kincaid-style READABILITY grade per document — the
+    * classic curation signal (too-low and too-high grades both flag
+    * non-prose). Syllables are the standard public heuristic (vowel
+    * GROUPS, `[aeiouy]+` matches), sentences are `[.!?]+` runs (this
+    * corpus has none — the column degenerates to the clamp floor of
+    * 1, declared; real crawls vary it), words are the t01 tokenizer.
+    * Grade = 0.39·W/T + 11.8·Y/W − 15.59, computed EXACTLY in milli
+    * units by integer cross-multiplication over the common
+    * denominator W·T, then ONE sign-aware HALF_UP integer division
+    * (q50's idiom — a float grade is a small rational and ties at
+    * any rounding digit). Pure per-row codegen map, zero shuffles. */
+  val t19_readability: QFn = (s, d) => {
+    val txt = lower(trim(col("text")))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        greatest(lit(1L), size(TextFunctions.tokens(txt)).cast("long"))
+          .as("w"),
+        greatest(lit(1L),
+          size(regexp_extract_all(txt, lit("[.!?]+"), lit(0)))
+            .cast("long")).as("t"),
+        greatest(lit(1L),
+          size(regexp_extract_all(txt, lit("[aeiouy]+"), lit(0)))
+            .cast("long")).as("y"))
+      .withColumn("num",
+        lit(390L) * col("w") * col("w")
+          + lit(11800L) * col("y") * col("t")
+          - lit(15590L) * col("w") * col("t"))
+      .withColumn("den", col("w") * col("t"))
+      .select(col("doc_id"), col("w").as("words"),
+        col("t").as("sentences"), col("y").as("syllables"),
+        expr("CAST(CASE WHEN num >= 0" +
+          " THEN (2 * num + den) DIV (2 * den)" +
+          " ELSE -((2 * (-num) + den) DIV (2 * den)) END AS BIGINT)")
+          .as("fk_milli"))
+  }
+
+  val t19_sql: String =
+    """WITH b AS (SELECT doc_id,
+      |    greatest(1, len(list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> len(x) > 0))) AS w,
+      |    greatest(1, len(regexp_extract_all(lower(trim(text)),
+      |      '[.!?]+'))) AS t,
+      |    greatest(1, len(regexp_extract_all(lower(trim(text)),
+      |      '[aeiouy]+'))) AS y
+      |  FROM documents),
+      |n AS (SELECT doc_id, w, t, y,
+      |    390*w*w + 11800*y*t - 15590*w*t AS num, w*t AS den FROM b)
+      |SELECT doc_id, CAST(w AS BIGINT) AS words,
+      |  CAST(t AS BIGINT) AS sentences, CAST(y AS BIGINT) AS syllables,
+      |  CAST(CASE WHEN num >= 0 THEN (2*num + den) // (2*den)
+      |    ELSE -((2*(-num) + den) // (2*den)) END AS BIGINT)
+      |    AS fk_milli
+      |FROM n""".stripMargin
+
+  /** Cross-document boilerplate share per doc — see
+    * [[TextFunctions.boilerplateShare]]. 5-gram shingles (the family
+    * level d07/d10 share), df ≥ 2 = "appears in any OTHER doc". */
+  val t20_boilerplate: QFn = (s, d) =>
+    TextFunctions.boilerplateShare(t(s, d, "documents"), "doc_id",
+      "text", n = 5, minDf = 2L)
+
+  // lazy: shingleToksSql is declared further down the object body
+  lazy val t20_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 3, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+       |      t[i+3] || ' ' || t[i+4])) AS shingles
+       |  FROM toks WHERE len(t) >= 5),
+       |post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |df AS (SELECT shingle, count(*) AS df FROM post GROUP BY 1),
+       |j AS (SELECT p.doc_id,
+       |    count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_boiler
+       |  FROM post p JOIN df ON p.shingle = df.shingle
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       |  n_boiler,
+       |  CAST((2 * 1000000 * n_boiler + n_shingles)
+       |    // (2 * n_shingles) AS BIGINT) AS boiler_ppm
+       |FROM j""".stripMargin
+
+  /** Per-(user, event_type) DEBOUNCE accounting — the event-stream
+    * throttling/dedup primitive: an event repeated within the 1 h
+    * cooldown of its predecessor is a burst member (suppressed); the
+    * first event of each burst is kept. Gap-vs-predecessor semantics
+    * (lag), so the whole query is TWO windows on ONE (user, type,
+    * time) Exchange+Sort plus a burst-run aggregate — the q40
+    * gaps-and-islands machinery pointed at rate limiting. Output per
+    * (user, type): totals, kept (= burst count), suppressed, longest
+    * burst. */
+  val e16_debounce: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ms", "event_id")
+    val bursts = e
+      .withColumn("new_burst",
+        when(lag("ms", 1).over(w).isNull ||
+          col("ms") - lag("ms", 1).over(w) >= 3600000L, 1L)
+          .otherwise(0L))
+      .withColumn("burst_id", sum("new_burst").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "event_type", "burst_id")
+      .agg(count(lit(1)).as("blen"))
+    bursts.groupBy("user_id", "event_type")
+      .agg(sum("blen").cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_kept"),
+        (sum("blen") - count(lit(1))).cast("long").as("n_suppressed"),
+        max("blen").cast("long").as("longest_burst"))
+  }
+
+  val e16_sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+      |    event_id FROM events),
+      |f AS (SELECT user_id, event_type, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL
+      |      OR ms - lag(ms) OVER w >= 3600000 THEN 1 ELSE 0 END
+      |      AS new_burst
+      |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+      |    ORDER BY ms, event_id)),
+      |r AS (SELECT user_id, event_type,
+      |    sum(new_burst) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ms ROWS UNBOUNDED PRECEDING) AS burst_id
+      |  FROM f),
+      |b AS (SELECT user_id, event_type, burst_id, count(*) AS blen
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type,
+      |  CAST(sum(blen) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(blen) - count(*) AS BIGINT) AS n_suppressed,
+      |  CAST(max(blen) AS BIGINT) AS longest_burst
+      |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** Community detection over the part co-purchase graph by
+    * synchronous label propagation — see
+    * [[graft.graph.LabelPropagation]] (packed-BIGINT argmax, fixed 4
+    * rounds, oracle-unrolled). */
+  val g12_label_prop: QFn = (s, d) =>
+    graft.graph.LabelPropagation.run(coPurchasePairs(s, d), rounds = 4)
+
+  val g12_sql: String = {
+    def round(i: Int) =
+      s"""m$i AS (SELECT s.dst AS node, l.label FROM sym s
+         |  JOIN l${i - 1} l ON s.src = l.node),
+         |c$i AS (SELECT node, label, count(*) AS cnt FROM m$i
+         |  GROUP BY 1, 2),
+         |x$i AS (SELECT node, max(cnt * 4294967296 - (label + 1))
+         |    AS enc
+         |  FROM c$i GROUP BY 1),
+         |l$i AS MATERIALIZED (SELECT node,
+         |  ((enc // 4294967296) + 1) * 4294967296 - enc - 1 AS label
+         |  FROM x$i)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+       |  src AS label FROM sym),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l4"""
+      .stripMargin
+  }
+
   val t04_fingerprint: QFn = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -6446,6 +6666,11 @@ object Queries {
     "t18_langid_confusion" -> t18_langid_confusion,
     "d14_containment" -> d14_containment,
     "q55_mad" -> q55_mad,
+    "q65_member_type_stats" -> q65_member_type_stats,
+    "t19_readability" -> t19_readability,
+    "t20_boilerplate" -> t20_boilerplate,
+    "e16_debounce" -> e16_debounce,
+    "g12_label_prop" -> g12_label_prop,
     "e12_outliers" -> e12_outliers)
 
   val oracles: Map[String, String] = Map(
@@ -6586,5 +6811,10 @@ object Queries {
     "t18_langid_confusion" -> t18_sql,
     "d14_containment" -> d14_sql,
     "q55_mad" -> q55_sql,
+    "q65_member_type_stats" -> q65_sql,
+    "t19_readability" -> t19_sql,
+    "t20_boilerplate" -> t20_sql,
+    "e16_debounce" -> e16_sql,
+    "g12_label_prop" -> g12_sql,
     "e12_outliers" -> e12_sql)
 }

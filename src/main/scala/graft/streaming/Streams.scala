@@ -383,6 +383,52 @@ object Streams {
       }
   }
 
+  case class TypedCentEvent(user_id: Long, event_id: Long,
+                            ts: java.sql.Timestamp, event_type: String,
+                            cents: Long)
+  case class TypedDriftOut(user_id: Long, event_type: String,
+                           event_id: Long, n_seen: Long, ph: Double)
+
+  /** [[streamingDrift]] PARAMETERIZED PER EVENT TYPE (the round-10
+    * follow-up): a purchase feed and a click feed drift on different
+    * scales, so one global (δ, λ) either over-alarms the noisy type
+    * or misses the quiet one. Keyed by (user, type) — each key holds
+    * its own constant four-field PH state — with per-type (δ, λ)
+    * resolved from a PLAN-CONSTANT map (closure-captured; type
+    * cardinality is bounded, the map ships once per task, no join).
+    * Fold semantics per key are IDENTICAL to [[streamingDrift]]
+    * (same (ts, event_id) order, same 4-dp rounding, no post-alarm
+    * reset, NoTimeout caveat). */
+  def streamingDriftByType(events: Dataset[TypedCentEvent],
+                           params: Map[String, (Double, Double)],
+                           defaultDelta: Double = 50.0,
+                           defaultLambda: Double = 5000.0)
+    : Dataset[TypedDriftOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[PhState, TypedDriftOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, typ), rows, state: GroupState[PhState]) =>
+          val (delta, lambda) =
+            params.getOrElse(typ, (defaultDelta, defaultLambda))
+          var st = state.getOption.getOrElse(PhState(0L, 0L, 0.0, 0.0))
+          val out = Seq.newBuilder[TypedDriftOut]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .foreach { r =>
+              val n = st.n + 1
+              val s = st.sum + r.cents
+              val m = st.m + (r.cents - s.toDouble / n - delta)
+              val mMin = math.min(st.mMin, m)
+              if (m - mMin > lambda)
+                out += TypedDriftOut(uid, typ, r.event_id, n,
+                  math.rint((m - mMin) * 1e4) / 1e4)
+              st = PhState(n, s, m, mMin)
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_id: Long,
                         ts: java.sql.Timestamp, event_type: String)
   case class LastEvent(ms: Long, event_id: Long, event_type: String)

@@ -176,4 +176,44 @@ object TextFunctions {
       .groupBy("shingle")
       .agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
+
+  /** Cross-document BOILERPLATE share — the inter-document companion
+    * of t07's intra-document repetition signal: the fraction of each
+    * document's DISTINCT word n-gram shingles that also occur in at
+    * least `minDf − 1` OTHER documents (document frequency ≥ minDf).
+    * Headers, footers, templates and licence blocks repeated across a
+    * crawl score high; original prose scores ~0. Emitted as HALF_UP
+    * integer ppm (exact BIGINT division — a float ratio of two small
+    * ints ties at the rounding digit systematically).
+    *
+    * Scale shape: the shingle stream aggregates to a
+    * vocabulary-bounded (shingle, df) table (map-side combine — a
+    * mega-common boilerplate shingle collapses to one row per map
+    * task, so the hot key never concentrates raw postings), then the
+    * postings join that table on the shingle key and fold back to one
+    * row per document. Two shuffles beyond the postings scan, both
+    * key-bounded. Docs shorter than one full shingle emit nothing
+    * (the shinglePostings guard, mirrored by the oracle).
+    *
+    * Accepts the family [[graft.dedup.ShingleCache]] — the raw
+    * (n, distinct) level d07/d10 already share.
+    */
+  def boilerplateShare(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDf: Long,
+                       cache: Option[graft.dedup.ShingleCache] = None)
+    : DataFrame = {
+    val post = cache.map(_.postings(n, distinct = true))
+      .getOrElse(shinglePostings(docs, idCol, textCol, n,
+        distinct = true))
+    val dfTab = post.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+    post.join(dfTab, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L))
+          .cast("long").as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        expr("CAST((2 * 1000000 * n_boiler + n_shingles)" +
+          " DIV (2 * n_shingles) AS BIGINT)").as("boiler_ppm"))
+  }
 }

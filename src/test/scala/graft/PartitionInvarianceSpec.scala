@@ -39,7 +39,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "t17_zipf_fit", "g10_hyperball", "q63_bpe_merges",
     "e15_seasonal_profile", "g11_harmonic", "m04_frame_energy",
     "d16_lsh_recall", "t18_langid_confusion",
-    "q64_token_count_map", "d17_dedup_impact")
+    "q64_token_count_map", "d17_dedup_impact",
+    // round-11: synchronous LPA loop (packed argmax), cross-doc df
+    // join-back, debounce run windows, member/type multi-distinct
+    "g12_label_prop", "t20_boilerplate", "e16_debounce",
+    "q65_member_type_stats")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 session specs: each new operator pinned against a literal
+  * driver-side replay of its declared semantics (the g09/t16
+  * discipline) — label propagation (g12), cross-doc boilerplate share
+  * (t20), debounce accounting (e16), readability grade (t19),
+  * member/type cardinality audit (q65).
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def coEdges(dir: String): Seq[(Long, Long)] = {
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect()
+    li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity)
+      // NOT `.collect { case (p, n) => p }`: collect on a Map with a
+      // tuple-valued pf rebuilds a MAP, silently key-deduping pairs
+      // by their first element
+      .filter(_._2.size >= 2).keys.toSeq
+  }
+
+  test("g12 labels match a driver-side synchronous LPA replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.g12_label_prop(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val e = coEdges(dir)
+    val sym = (e ++ e.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size).toMap
+        // count desc, label asc — the packed-BIGINT argmax, replayed
+        val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }
+    }
+    assert(got == lab)
+    // non-vacuous: propagation actually merged communities
+    assert(got.values.toSet.size < got.size,
+      "every node kept its own label — LPA did not propagate")
+  }
+
+  test("t20 boilerplate share matches a driver-side df replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.t20_boilerplate(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val shingles = docs.map { case (id, txt) =>
+      val tk = txt.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      id -> tk.sliding(5).filter(_.length == 5)
+        .map(_.mkString(" ")).toSeq.distinct
+    }.filter(_._2.nonEmpty)
+    val df = shingles.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val want = shingles.map { case (id, sh) =>
+      val n = sh.size.toLong
+      val b = sh.count(df(_) >= 2L).toLong
+      id -> ((n, b, (2 * 1000000L * b + n) / (2 * n)))
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(_._2 > 0),
+      "no shared shingles at all — the df threshold never fired")
+  }
+
+  test("e16 debounce matches a driver-side cooldown fold") {
+    val dir = sf("sf0.001")
+    val got = Queries.e16_debounce(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    val ev = spark.read.parquet(dir + "/events.parquet")
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_millis(col("ts")), col("event_id").cast("long"))
+      .as[(Long, String, Long, Long)].collect()
+    val want = ev.groupBy(r => (r._1, r._2)).view.mapValues { g =>
+      val ms = g.sortBy(r => (r._3, r._4)).map(_._3)
+      val gaps = ms.zip(ms.drop(1)).map { case (a, b) => b - a }
+      val newBurst = true +: gaps.map(_ >= 3600000L)
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      newBurst.foreach { nb =>
+        if (nb) lens += 1L else lens(lens.length - 1) += 1L
+      }
+      (ms.length.toLong, lens.length.toLong,
+        ms.length.toLong - lens.length, lens.max)
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(_._3 > 0),
+      "no suppressed events — the cooldown never fired")
+  }
+
+  test("t19 readability matches a driver-side formula replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.t19_readability(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val docs = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val want = docs.map { case (id, txt) =>
+      val tx = txt.trim.toLowerCase(java.util.Locale.ROOT)
+      val w = math.max(1L, tx.split("\\s+").count(_.nonEmpty).toLong)
+      val t = math.max(1L, "[.!?]+".r.findAllIn(tx).length.toLong)
+      val y = math.max(1L, "[aeiouy]+".r.findAllIn(tx).length.toLong)
+      val num = 390L * w * w + 11800L * y * t - 15590L * w * t
+      val den = w * t
+      val fk = if (num >= 0) (2 * num + den) / (2 * den)
+               else -((2 * -num + den) / (2 * den))
+      id -> ((w, t, y, fk))
+    }.toMap
+    assert(got == want)
+    // grades vary — the formula isn't collapsing to a constant
+    assert(want.values.map(_._4).toSet.size > 10)
+  }
+
+  test("q65 member/type stats match driver-side cardinalities") {
+    val dir = sf("sf0.001")
+    val got = Queries.q65_member_type_stats(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"),
+        col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect()
+    val typ = spark.read.parquet(dir + "/orders.parquet")
+      .select(col("o_orderkey").cast("long"), col("o_orderpriority"))
+      .as[(Long, String)].collect().toMap
+    val parts = spark.read.parquet(dir + "/part.parquet")
+      .select(col("p_partkey").cast("long")).as[Long].collect().toSet
+    val mt = li.map { case (ok, pk) => (pk, typ(ok)) }
+    val want = (mt.length.toLong, mt.map(_._1).distinct.length.toLong,
+      mt.distinct.length.toLong, mt.map(_._2).distinct.length.toLong,
+      li.map(_._2).distinct.count(parts).toLong)
+    assert(got == want)
+    assert(want._1 > want._2, "no repeated members — audit vacuous")
+  }
+}

@@ -401,4 +401,51 @@ class StreamsSpec extends SparkSpec {
       assert(!got.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("streamingDriftByType: per-type (delta, lambda) routing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.TypedCentEvent]
+    // 'purchase' gets a TIGHT lambda (alarms on the shift);
+    // 'click' gets a LOOSE one (the SAME shift stays silent) —
+    // identical sequences, so any difference in output is purely the
+    // per-type parameter routing. Shift split across two batches.
+    val params = Map("purchase" -> (50.0, 2000.0),
+      "click" -> (50.0, 1e9))
+    val q = Streams.streamingDriftByType(mem.toDS(), params)
+      .writeStream.format("memory").queryName("sdrifttyp")
+      .outputMode(OutputMode.Append()).start()
+    def seq(typ: String, base: Long) =
+      (1 to 30).map(i => Streams.TypedCentEvent(1L, base + i, ts(i),
+        typ, 100L + i % 3)) ++
+      (31 to 60).map(i => Streams.TypedCentEvent(1L, base + i, ts(i),
+        typ, 400L + i % 3))
+    val pu = seq("purchase", 0L)
+    val cl = seq("click", 1000L)
+    val (a, b) = (pu ++ cl).sortBy(_.event_id).splitAt(75)
+    try {
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      val got = spark.table("sdrifttyp")
+        .as[Streams.TypedDriftOut].collect()
+        .map(d => (d.user_id, d.event_type, d.event_id, d.n_seen,
+          d.ph)).toSet
+      var (n, s, m, mMin) = (0L, 0L, 0.0, 0.0)
+      val want = pu.sortBy(e => (e.ts.getTime, e.event_id))
+        .flatMap { e =>
+          n += 1; s += e.cents
+          m += e.cents - s.toDouble / n - 50.0
+          mMin = math.min(mMin, m)
+          if (m - mMin > 2000.0)
+            Some((e.user_id, e.event_type, e.event_id, n,
+              math.rint((m - mMin) * 1e4) / 1e4))
+          else None
+        }.toSet
+      assert(got == want)
+      assert(want.nonEmpty, "tight-lambda type never alarmed")
+      assert(!got.exists(_._2 == "click"),
+        "loose-lambda type alarmed — params not routed per type")
+    } finally q.stop()
+  }
 }
