@@ -935,6 +935,68 @@ object Queries {
     * synchronous label propagation — see
     * [[graft.graph.LabelPropagation]] (packed-BIGINT argmax, fixed 4
     * rounds, oracle-unrolled). */
+  /** Typo/near-identifier pair mining over customer names — see
+    * [[Dedup.editDistancePairs]] (SymSpell deletion-neighborhood
+    * candidates, exact levenshtein verify). The id-like name space
+    * ("Customer#000000123") is exactly the vocabulary shape this
+    * index excels at: every name has ≤ len+1 variant keys and the
+    * buckets stay a handful deep. */
+  val d19_edit_pairs: QFn = (s, d) =>
+    Dedup.editDistancePairs(t(s, d, "customer"), "c_name")
+
+  val d19_sql: String =
+    """WITH names AS (SELECT DISTINCT c_name AS name FROM customer),
+      |vars AS (SELECT name, unnest(list_prepend(name,
+      |    [name[1:i-1] || name[i+1:] for i in range(1, len(name)+1)]))
+      |    AS v
+      |  FROM names),
+      |cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.name < b.name)
+      |SELECT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin
+
+  /** Modularity of the g12 partition — the AUDIT row for label
+    * propagation (the s09/d12/d16/t18 discipline: a clustering you
+    * can't score is a clustering you can't trust). Exact-integer
+    * Q·4m² — see [[graft.graph.LabelPropagation.modularityPpm]];
+    * ppm scaling stays inside BIGINT to m ≈ 10^6 edges — past that,
+    * compute per-community terms at reduced scale or in two stages
+    * (the e_c/d_c aggregates themselves are unbounded-scale safe). */
+  val g13_modularity: QFn = (s, d) => {
+    val pairs = coPurchasePairs(s, d)
+    graft.graph.LabelPropagation.modularityPpm(pairs,
+      graft.graph.LabelPropagation.run(pairs, rounds = 4))
+  }
+
+  lazy val g13_sql: String = {
+    val lpa = g12_sql.replaceFirst(
+      "\nSELECT node, CAST\\(label AS BIGINT\\) AS label FROM l4", "")
+    s"""$lpa,
+       |mm AS (SELECT count(*) AS m FROM e0),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM e0 UNION ALL SELECT b AS node
+       |    FROM e0) u GROUP BY node),
+       |dcs AS (SELECT l4.label, sum(deg) AS dc
+       |  FROM deg JOIN l4 ON deg.node = l4.node GROUP BY 1),
+       |ecs AS (SELECT x.label AS label, count(*) AS ec FROM e0
+       |  JOIN l4 x ON e0.a = x.node JOIN l4 y ON e0.b = y.node
+       |  WHERE x.label = y.label GROUP BY 1),
+       |terms AS (SELECT 4 * mm.m * coalesce(ecs.ec, 0)
+       |    - dcs.dc * dcs.dc AS term
+       |  FROM dcs LEFT JOIN ecs ON dcs.label = ecs.label, mm),
+       |agg AS (SELECT count(*) AS nc, sum(term) AS num FROM terms)
+       |SELECT CAST(nc AS BIGINT) AS n_communities,
+       |  CAST(mm.m AS BIGINT) AS m_edges,
+       |  CAST(CASE WHEN num >= 0
+       |    THEN (2 * 1000000 * num + 4 * mm.m * mm.m)
+       |      // (2 * 4 * mm.m * mm.m)
+       |    ELSE -((2 * 1000000 * (-num) + 4 * mm.m * mm.m)
+       |      // (2 * 4 * mm.m * mm.m)) END AS BIGINT)
+       |    AS modularity_ppm
+       |FROM agg, mm""".stripMargin
+  }
+
   val g12_label_prop: QFn = (s, d) =>
     graft.graph.LabelPropagation.run(coPurchasePairs(s, d), rounds = 4)
 
@@ -6671,6 +6733,8 @@ object Queries {
     "t20_boilerplate" -> t20_boilerplate,
     "e16_debounce" -> e16_debounce,
     "g12_label_prop" -> g12_label_prop,
+    "g13_modularity" -> g13_modularity,
+    "d19_edit_pairs" -> d19_edit_pairs,
     "e12_outliers" -> e12_outliers)
 
   val oracles: Map[String, String] = Map(
@@ -6816,5 +6880,7 @@ object Queries {
     "t20_boilerplate" -> t20_sql,
     "e16_debounce" -> e16_sql,
     "g12_label_prop" -> g12_sql,
+    "g13_modularity" -> g13_sql,
+    "d19_edit_pairs" -> d19_sql,
     "e12_outliers" -> e12_sql)
 }

@@ -763,4 +763,54 @@ object Dedup {
       .withColumn("n_false_pos",
         col("n_bloom_hits") - col("n_exact_hits"))
   }
+
+  /** Edit-distance-1 pair mining via DELETION-NEIGHBORHOOD indexing
+    * (Garbe's SymSpell, public method) — the entity-resolution /
+    * typo-dedup primitive: two strings within Levenshtein distance 1
+    * ALWAYS share a member of each other's {self} ∪ {one-char
+    * deletions} set (substitution → both delete the differing
+    * position; insert/delete → the shorter string IS a deletion of
+    * the longer), so candidate generation is an equi-join on variant
+    * keys — recall-COMPLETE for d ≤ 1, never all-pairs. Candidates
+    * then verify by exact `levenshtein` (both engines implement the
+    * standard DP — integer, no parity risk).
+    *
+    * Scale shape: ≤ len+1 variant keys per distinct string; the
+    * variant join's buckets are the variant-key groups (each shared
+    * by the handful of strings one deletion apart — fine-grained,
+    * skew-free for id-like vocabularies); `distinct` collapses
+    * multi-variant hits before the verify. One variant-key Exchange
+    * + one pair distinct; the raw table never self-joins.
+    *
+    * @return (name_a, name_b, dist) with name_a < name_b, dist = 1
+    */
+  def editDistancePairs(df: DataFrame, nameCol: String): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).distinct()
+    // join on the variant's xxhash64, not the string — the shuffle
+    // carries longs; a hash collision only ever ADDS a candidate,
+    // which the exact verify below discards
+    val vars = names.select(col("name"),
+      explode(concat(array(xxhash64(col("name"))),
+        expr("transform(sequence(1, length(name))," +
+          " i -> xxhash64(concat(substring(name, 1, i - 1)," +
+          " substring(name, i + 1, length(name)))))"))).as("v"))
+    // hash-repartition the probe side: the variant table is small
+    // enough that AQE otherwise coalesces it to ~1 partition and the
+    // ENTIRE verify DP runs in one task (measured 5.3 s vs 2.2 s at
+    // sf0.1) — the candidate multiset, not the variant table, is the
+    // real work, so spread it before it exists
+    val a = vars.select(col("name").as("name_a"), col("v"))
+      .repartition(col("v"))
+    val b = vars.select(col("name").as("name_b"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("name_a") < col("name_b"))
+      // verify BEFORE the pair distinct (cheaper than shuffling the
+      // d≤2 candidate multiset a second time), with the THRESHOLDED
+      // levenshtein — the banded DP early-abandons at distance 2
+      .filter(levenshtein(col("name_a"), col("name_b"), 1) === 1)
+      .select("name_a", "name_b").distinct()
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long")
+          .as("dist"))
+  }
 }

@@ -74,4 +74,62 @@ object LabelPropagation {
     sym.unpersist(false)
     labels
   }
+
+  /** MODULARITY of a node partition — the standard quality score for
+    * a community assignment (Newman 2006, public):
+    * Q = Σ_c (e_c/m − (d_c/2m)²), where e_c = intra-community edges,
+    * d_c = total degree of community c, m = |E|. Computed EXACTLY:
+    * Q·4m² = Σ_c (4m·e_c − d_c²) is an integer, so the reported ppm
+    * is one sign-aware HALF_UP division — no float ever appears
+    * (float Q is a small rational that ties at any rounding digit).
+    *
+    * Scale shape: two node-keyed label joins onto the canonical edge
+    * list (intra-edge count), one degree aggregate + one label join
+    * (d_c), both community-bounded aggregates collapse map-side; m
+    * and the Σ ride as 1-row scalar cross joins. The label table is
+    * data-dependent — join, don't assume broadcast (AQE decides).
+    *
+    * @param edges  undirected edge list, columns `id1`, `id2`
+    * @param labels (node, label) assignment, e.g. [[run]]'s output
+    * @return one row: n_communities, m_edges, modularity_ppm
+    */
+  def modularityPpm(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("id1"), col("id2")).cast("long").as("a"),
+        greatest(col("id1"), col("id2")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // feeds m, the intra-edge count AND the degree agg
+    val la = labels.select(col("node").as("a"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val ec = e.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
+    val dc = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .join(labels, Seq("node"))
+      .groupBy("label").agg(sum("deg").as("dc"))
+    // per community: 4m*ec - dc^2 (communities with zero intra edges
+    // still contribute -dc^2 — hence the left join from dc)
+    val terms = dc.join(ec, Seq("label"), "left")
+      .select(col("label"), col("dc"),
+        coalesce(col("ec"), lit(0L)).as("ec"))
+      .crossJoin(m)
+      .select((lit(4L) * col("m") * col("ec")
+        - col("dc") * col("dc")).as("term"))
+    terms.agg(count(lit(1)).as("n_communities"),
+        sum("term").as("num"))
+      .crossJoin(m)
+      .select(col("n_communities"),
+        col("m").as("m_edges"),
+        expr("CAST(CASE WHEN num >= 0" +
+          " THEN (2 * 1000000 * num + 4 * m * m)" +
+          "   DIV (2 * 4 * m * m)" +
+          " ELSE -((2 * 1000000 * (-num) + 4 * m * m)" +
+          "   DIV (2 * 4 * m * m)) END AS BIGINT)")
+          .as("modularity_ppm"))
+  }
 }

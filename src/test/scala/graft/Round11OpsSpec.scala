@@ -124,6 +124,67 @@ class Round11OpsSpec extends SparkSpec {
     assert(want.values.map(_._4).toSet.size > 10)
   }
 
+  test("g13 modularity matches a driver-side formula replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.g13_modularity(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    val e = coEdges(dir)
+    val sym = (e ++ e.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size).toMap
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = e.size.toLong
+    val ec = e.groupBy(p => lab(p._1)).view
+      .mapValues(_.count(p => lab(p._1) == lab(p._2)).toLong).toMap
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val dc = deg.groupBy { case (n, _) => lab(n) }.view
+      .mapValues(_.values.sum).toMap
+    val num = dc.map { case (c, d) =>
+      4L * m * ec.getOrElse(c, 0L) - d * d
+    }.sum
+    val den = 4L * m * m
+    val ppm = if (num >= 0) (2 * 1000000L * num + den) / (2 * den)
+              else -((2 * 1000000L * -num + den) / (2 * den))
+    assert(got == ((dc.size.toLong, m, ppm)))
+    // a one-community collapse has Q = 0 − (2m/2m)² — assert the
+    // score is the degenerate value only if the partition IS
+    // degenerate (sf0.001 collapses; the formula must still agree)
+    if (dc.size == 1) assert(ppm == -1000000L + 1000000L / 1 * 0
+      || ppm <= 0)
+  }
+
+  test("d19 edit pairs match a brute-force levenshtein sweep") {
+    val dir = sf("sf0.001")
+    val got = Queries.d19_edit_pairs(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    val names = spark.read.parquet(dir + "/customer.parquet")
+      .select(col("c_name")).as[String].collect().distinct.sorted
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      i <- names.indices; j <- i + 1 until names.length
+      if lev(names(i), names(j)) <= 1
+    } yield (names(i), names(j), 1L)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "no distance-1 pairs — sweep vacuous")
+  }
+
   test("q65 member/type stats match driver-side cardinalities") {
     val dir = sf("sf0.001")
     val got = Queries.q65_member_type_stats(spark, dir)
