@@ -141,6 +141,15 @@ object StreamBench {
           .select(col("user_id"), col("event_id"), col("ts"),
             round(col("value") * 100).cast("long").as("cents"))
           .as[Streams.CentEvent]).toDF(), "append")
+      // per-type PH routing: 3x the key cardinality, same state/key
+      drive("online_drift_by_type",
+        Streams.streamingDriftByType(syntheticEvents()
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[Streams.TypedCentEvent],
+          Map("purchase" -> (50.0, 2000.0),
+            "click" -> (80.0, 8000.0))).toDF(), "append")
     }
     // minhash-LSH banding + watermarked band dedup + windowed count:
     // the heaviest per-row stateful pipeline (shingle + md5 x hashes)
