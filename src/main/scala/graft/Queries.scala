@@ -935,6 +935,45 @@ object Queries {
     * synchronous label propagation — see
     * [[graft.graph.LabelPropagation]] (packed-BIGINT argmax, fixed 4
     * rounds, oracle-unrolled). */
+  /** Table-profiling / ANALYZE pass — the statistics row every
+    * engine computes before planning and every pipeline prints
+    * before trusting a feed: per column of lineitem, row count,
+    * null count and EXACT distinct cardinality, in ONE scan.
+    * The multi-distinct aggregate goes through Catalyst's expand
+    * (one replica per distinct spec; partials still collapse
+    * map-side, and each column's distinct shuffle is bounded by that
+    * column's vocabulary). q42's HLL is the declared sketch
+    * companion when a column's cardinality itself is corpus-scale.
+    * One row per column via `stack` on the single aggregate row. */
+  val q66_profile: QFn = (s, d) => {
+    val df = t(s, d, "lineitem")
+    val cols = df.columns.toSeq
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap(c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L))
+          .cast("long").as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', nulls_$c, dist_$c").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs)" +
+          " AS (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"))
+  }
+
+  val q66_sql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+  }
+
   /** Typo/near-identifier pair mining over customer names — see
     * [[Dedup.editDistancePairs]] (SymSpell deletion-neighborhood
     * candidates, exact levenshtein verify). The id-like name space
@@ -6735,6 +6774,7 @@ object Queries {
     "g12_label_prop" -> g12_label_prop,
     "g13_modularity" -> g13_modularity,
     "d19_edit_pairs" -> d19_edit_pairs,
+    "q66_profile" -> q66_profile,
     "e12_outliers" -> e12_outliers)
 
   val oracles: Map[String, String] = Map(
@@ -6882,5 +6922,6 @@ object Queries {
     "g12_label_prop" -> g12_sql,
     "g13_modularity" -> g13_sql,
     "d19_edit_pairs" -> d19_sql,
+    "q66_profile" -> q66_sql,
     "e12_outliers" -> e12_sql)
 }

@@ -429,6 +429,42 @@ object Streams {
       }
   }
 
+  case class DebounceState(lastMs: Long)
+  case class DebounceOut(user_id: Long, event_type: String,
+                         event_id: Long, kept: Boolean)
+
+  /** ONLINE debounce — batch e16_debounce's streaming twin (the
+    * e12/e14/q58 batch↔stream pairing): per (user, event_type), an
+    * event is KEPT iff it arrives ≥ `cooldownMs` after its
+    * PREDECESSOR (kept or not — gap-vs-predecessor, exactly the
+    * batch lag semantics, so replaying a log reproduces e16's
+    * accounting; spec-pinned). State is ONE long per key — the last
+    * event's timestamp — regardless of history length. Emits every
+    * event with its kept/suppressed flag; downstream filters kept
+    * events or aggregates burst stats in Update mode. Keys never
+    * expire (NoTimeout) — same caveat as [[streamingOutliers]]. */
+  def streamingDebounce(events: Dataset[TypedEvent],
+                        cooldownMs: Long = 3600000L)
+    : Dataset[DebounceOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebounceOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, typ), rows, state: GroupState[DebounceState]) =>
+          var last = state.getOption.map(_.lastMs)
+          val out = Seq.newBuilder[DebounceOut]
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .foreach { r =>
+              val ms = r.ts.getTime
+              val kept = last.forall(l => ms - l >= cooldownMs)
+              out += DebounceOut(uid, typ, r.event_id, kept)
+              last = Some(ms)
+            }
+          last.foreach(l => state.update(DebounceState(l)))
+          out.result().iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_id: Long,
                         ts: java.sql.Timestamp, event_type: String)
   case class LastEvent(ms: Long, event_id: Long, event_type: String)

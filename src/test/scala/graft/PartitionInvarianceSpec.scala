@@ -43,7 +43,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-11: synchronous LPA loop (packed argmax), cross-doc df
     // join-back, debounce run windows, member/type multi-distinct
     "g12_label_prop", "t20_boilerplate", "e16_debounce",
-    "q65_member_type_stats", "g13_modularity", "d19_edit_pairs")
+    "q65_member_type_stats", "g13_modularity", "d19_edit_pairs",
+    "q66_profile")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.Streams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 class StreamsSpec extends SparkSpec {
@@ -446,6 +447,49 @@ class StreamsSpec extends SparkSpec {
       assert(want.nonEmpty, "tight-lambda type never alarmed")
       assert(!got.exists(_._2 == "click"),
         "loose-lambda type alarmed — params not routed per type")
+    } finally q.stop()
+  }
+
+  test("streamingDebounce reproduces batch e16 accounting across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val ev = spark.read.parquet(dir + "/events.parquet")
+      .select(col("user_id").cast("long"),
+        col("event_id").cast("long"), col("ts").cast("timestamp"),
+        col("event_type"))
+      .as[Streams.TypedEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Streams.TypedEvent]
+    val q = Streams.streamingDebounce(mem.toDS())
+      .writeStream.format("memory").queryName("sdeb")
+      .outputMode(OutputMode.Append()).start()
+    val (a, b) = ev.toSeq.splitAt(ev.length / 2) // burst runs straddle
+    try {
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      val flags = spark.table("sdeb").as[Streams.DebounceOut]
+        .collect().map(o => o.event_id -> o).toMap
+      // reassemble per-key kept sequences in event-time order and
+      // derive e16's four aggregates
+      val got = ev.groupBy(e => (e.user_id, e.event_type)).view
+        .mapValues { g =>
+          val ks = g.sortBy(e => (e.ts.getTime, e.event_id))
+            .map(e => flags(e.event_id).kept)
+          val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+          ks.foreach { k =>
+            if (k) lens += 1L else lens(lens.length - 1) += 1L
+          }
+          (ks.length.toLong, lens.length.toLong,
+            ks.length.toLong - lens.length, lens.max)
+        }.toMap
+      val want = Queries.e16_debounce(spark, dir)
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+      assert(got == want)
+      // the first event of every key is kept; suppression does occur
+      assert(flags.values.exists(!_.kept), "cooldown never fired")
     } finally q.stop()
   }
 }
