@@ -935,6 +935,91 @@ object Queries {
     * synchronous label propagation — see
     * [[graft.graph.LabelPropagation]] (packed-BIGINT argmax, fixed 4
     * rounds, oracle-unrolled). */
+  /** Integer GRAM (scatter) matrix of the embedding corpus — the
+    * 64×64 Σ x·xᵀ every PCA / OPQ-rotation / whitening training step
+    * starts from, as a distributed aggregate. Values quantize to
+    * GLOBAL milli-units first (`round(x·1000)` — the fixed-scale
+    * cents idiom, NOT s05's per-vector scaling), so every cell is an
+    * exact BIGINT sum: order-independent, partition-invariant, and
+    * engine-identical — the int-accumulated GEMM trick. Milli (not
+    * micro) keeps cell sums inside BIGINT to ~10^9 rows (1e6 per
+    * product · 1e9 rows ≈ 1e15). Scale shape: one vec_id-keyed
+    * self-join of the 64-per-vector exploded stream (the honest
+    * pairing cost; i ≤ j halves it) whose 4096-cell aggregate
+    * collapses map-side — the shuffle past the join is ≤ 2 080 rows
+    * per task regardless of corpus size. */
+  val s11_gram: QFn = (s, d) => {
+    val flat = embD(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(round(x * 1000, 0) AS BIGINT)").as("xi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flat.count() // both sides of the self-join read it
+    val b = flat.select(col("vec_id"), col("i").as("j"),
+      col("xi").as("xj"))
+    flat.join(b, Seq("vec_id"))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("xi") * col("xj")).cast("long").as("gram_milli2"))
+      .select(col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"), col("n"), col("gram_milli2"))
+  }
+
+  val s11_sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |f AS (SELECT vec_id, i - 1 AS i,
+      |    CAST(round(v[CAST(i AS INT)] * 1000, 0) AS BIGINT) AS xi
+      |  FROM e, unnest(range(1, len(v) + 1)) AS u(i))
+      |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(a.xi * b.xi) AS BIGINT) AS gram_milli2
+      |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2""".stripMargin
+
+  /** OHLC bar resampling — the time-series downsampling primitive
+    * (tick stream → hourly open/high/low/close/volume bars): ONE
+    * map-side-combining aggregate per (event_type, hour) bucket, no
+    * window over the event stream. Open/close are `min_by`/`max_by`
+    * over a PACKED total-order key (within-hour ms offset · 2^33 +
+    * event_id — the offset keeps the pack inside BIGINT for any
+    * epoch; the unique key makes the argmin deterministic, mirrored
+    * by DuckDB's arg_min/arg_max). Values in exact cents (e12's
+    * proven round idiom). Output is bucket-bounded regardless of
+    * corpus size. */
+  val e17_ohlc: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("hour", floor(col("ms") / 3600000L))
+      .withColumn("k",
+        (col("ms") % 3600000L) * lit(8589934592L) + col("event_id"))
+    e.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").cast("long").as("volume_cents"),
+        min("cents").as("low"), max("cents").as("high"),
+        min_by(col("cents"), col("k")).as("open"),
+        max_by(col("cents"), col("k")).as("close"))
+  }
+
+  val e17_sql: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) AS ms, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (SELECT event_type, ms // 3600000 AS hour,
+      |    (ms % 3600000) * 8589934592 + event_id AS k, cents FROM e)
+      |SELECT event_type, CAST(hour AS BIGINT) AS hour,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS volume_cents,
+      |  CAST(min(cents) AS BIGINT) AS low,
+      |  CAST(max(cents) AS BIGINT) AS high,
+      |  CAST(arg_min(cents, k) AS BIGINT) AS open,
+      |  CAST(arg_max(cents, k) AS BIGINT) AS close
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   /** Table-profiling / ANALYZE pass — the statistics row every
     * engine computes before planning and every pipeline prints
     * before trusting a feed: per column of lineitem, row count,
@@ -6775,6 +6860,8 @@ object Queries {
     "g13_modularity" -> g13_modularity,
     "d19_edit_pairs" -> d19_edit_pairs,
     "q66_profile" -> q66_profile,
+    "e17_ohlc" -> e17_ohlc,
+    "s11_gram" -> s11_gram,
     "e12_outliers" -> e12_outliers)
 
   val oracles: Map[String, String] = Map(
@@ -6923,5 +7010,7 @@ object Queries {
     "g13_modularity" -> g13_sql,
     "d19_edit_pairs" -> d19_sql,
     "q66_profile" -> q66_sql,
+    "e17_ohlc" -> e17_sql,
+    "s11_gram" -> s11_sql,
     "e12_outliers" -> e12_sql)
 }

@@ -185,6 +185,50 @@ class Round11OpsSpec extends SparkSpec {
     assert(want.nonEmpty, "no distance-1 pairs — sweep vacuous")
   }
 
+  test("e17 OHLC bars match a driver-side resample") {
+    val dir = sf("sf0.001")
+    val got = Queries.e17_ohlc(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7, r._8))
+      .toMap
+    val ev = spark.read.parquet(dir + "/events.parquet")
+      .select(col("event_type"), unix_millis(col("ts")),
+        col("event_id").cast("long"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .as[(String, Long, Long, Long)].collect()
+    val want = ev.groupBy(e => (e._1, e._2 / 3600000L)).view
+      .mapValues { g =>
+        val ord = g.sortBy(e => (e._2, e._3))
+        (g.length.toLong, g.map(_._4).sum, g.map(_._4).min,
+          g.map(_._4).max, ord.head._4, ord.last._4)
+      }.toMap
+    assert(got == want)
+    // open != close somewhere, so the argmin/argmax keys are live
+    assert(want.values.exists(v => v._5 != v._6))
+  }
+
+  test("s11 gram matrix matches a driver-side integer GEMM") {
+    val dir = sf("sf0.001")
+    val got = Queries.s11_gram(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val q = vecs.map { case (_, v) =>
+      v.map(x => BigDecimal(x * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val dim = q.head.length
+    val want = (for {
+      i <- 0 until dim; j <- i until dim
+    } yield (i.toLong, j.toLong) ->
+      ((q.length.toLong, q.map(v => v(i) * v(j)).sum))).toMap
+    assert(got == want)
+    assert(got.size == dim * (dim + 1) / 2)
+  }
+
   test("q65 member/type stats match driver-side cardinalities") {
     val dir = sf("sf0.001")
     val got = Queries.q65_member_type_stats(spark, dir)
