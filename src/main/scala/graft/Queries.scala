@@ -979,6 +979,68 @@ object Queries {
       |FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY 1, 2""".stripMargin
 
+  /** Top-eigenvector POWER ITERATION over s11's gram matrix — the
+    * round-12 candidate closing the OPQ/PCA loop: the principal
+    * direction of the embedding corpus, computed end-to-end in exact
+    * integer arithmetic. The distributed work is the gram itself
+    * (s11); the 64×64 matrix is then a BOUNDED DRIVER FINISH (2 080
+    * cells — the 8-row-codebook economics), 4 unrolled rounds of
+    * w = G·v with a deterministic integer rescale
+    * (dd = max(max|w|/10^5, 1); v' = sign-aware HALF_UP(w/dd), so
+    * the largest component pins to ±10^5 and every product stays
+    * far inside BIGINT). Components emit ×10 as ppm-of-max. The
+    * oracle runs the SAME four rounds as unrolled CTEs over the gram
+    * CTE — an eigenvector two engines agree on bit-for-bit. */
+  val s12_power_iter: QFn = (s, d) => {
+    val cells = s11_gram(s, d)
+      .select("i", "j", "gram_milli2").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getLong(2)))
+    val dim = cells.map(_._2).max + 1
+    val g = Array.ofDim[Long](dim, dim)
+    cells.foreach { case (i, j, x) => g(i)(j) = x; g(j)(i) = x }
+    var v = Array.fill(dim)(100000L)
+    for (_ <- 1 to 4) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val dd = math.max(w.map(math.abs).max / 100000L, 1L)
+      v = w.map(x => if (x >= 0) (2 * x + dd) / (2 * dd)
+                     else -((2 * -x + dd) / (2 * dd)))
+    }
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x * 10) }.toSeq
+      .toDF("i", "v_ppm")
+  }
+
+  lazy val s12_sql: String = {
+    val gramCore = s11_sql
+      .replaceFirst("(?s)\nSELECT .*$", "")
+    def round(r: Int) =
+      s"""w$r AS (SELECT g.i, CAST(sum(g.gr * v.v) AS BIGINT) AS w
+         |  FROM g JOIN v${r - 1} v ON g.j = v.i GROUP BY 1),
+         |m$r AS (SELECT greatest(max(abs(w)) // 100000, 1) AS dd
+         |  FROM w$r),
+         |v$r AS (SELECT i, CAST(CASE WHEN w >= 0
+         |    THEN (2 * w + dd) // (2 * dd)
+         |    ELSE -((2 * (-w) + dd) // (2 * dd)) END AS BIGINT) AS v
+         |  FROM w$r, m$r)""".stripMargin
+    s"""$gramCore,
+       |up AS (SELECT a.i AS i, b.i AS j,
+       |    CAST(sum(a.xi * b.xi) AS BIGINT) AS gr
+       |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY 1, 2),
+       |g AS (SELECT i, j, gr FROM up
+       |  UNION ALL SELECT j, i, gr FROM up WHERE i < j),
+       |v0 AS (SELECT DISTINCT i, CAST(100000 AS BIGINT) AS v FROM g),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT CAST(i AS BIGINT) AS i, CAST(v * 10 AS BIGINT) AS v_ppm
+       |FROM v4""".stripMargin
+  }
+
   /** OHLC bar resampling — the time-series downsampling primitive
     * (tick stream → hourly open/high/low/close/volume bars): ONE
     * map-side-combining aggregate per (event_type, hour) bucket, no
@@ -1019,6 +1081,48 @@ object Queries {
       |  CAST(arg_min(cents, k) AS BIGINT) AS open,
       |  CAST(arg_max(cents, k) AS BIGINT) AS close
       |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** Bar REAGGREGATION — e17's hourly bars derived from minute bars
+    * instead of raw ticks: the progressive-downsampling pattern a
+    * 100 TB feed actually runs (minute bars persist once; hour/day
+    * views re-aggregate 60×-smaller inputs, never rescanning ticks).
+    * The bar algebra is associative when each bar carries its
+    * first/last tick keys: hour open = `min_by(minute open, minute's
+    * min tick key)`, close symmetric, low/high/volume/n fold as
+    * min/max/sum — all exact. Output is IDENTICAL to e17's direct
+    * hourly bars (same oracle modulo CTE shape; spec pins the two
+    * queries row-for-row — the q57-style mergeability proof, for
+    * bars). */
+  val e18_bar_rollup: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("minute", floor(col("ms") / 60000L))
+      .withColumn("k",
+        (col("ms") % 3600000L) * lit(8589934592L) + col("event_id"))
+    val minuteBars = e.groupBy("event_type", "minute")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").cast("long").as("volume_cents"),
+        min("cents").as("low"), max("cents").as("high"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        min_by(col("cents"), col("k")).as("open"),
+        max_by(col("cents"), col("k")).as("close"))
+    minuteBars
+      .withColumn("hour", floor(col("minute") / 60L))
+      .groupBy("event_type", "hour")
+      .agg(sum("n_events").cast("long").as("n_events"),
+        sum("volume_cents").cast("long").as("volume_cents"),
+        min("low").as("low"), max("high").as("high"),
+        min_by(col("open"), col("min_k")).as("open"),
+        max_by(col("close"), col("max_k")).as("close"))
+      .select("event_type", "hour", "n_events", "volume_cents",
+        "low", "high", "open", "close")
+  }
+
+  // identical result to e17 by construction — the oracle states the
+  // direct form and the SPEC pins the rollup path equal to e17
+  val e18_sql: String = e17_sql
 
   /** Table-profiling / ANALYZE pass — the statistics row every
     * engine computes before planning and every pipeline prints
@@ -6868,7 +6972,9 @@ object Queries {
     "d19_edit_pairs" -> d19_edit_pairs,
     "q66_profile" -> q66_profile,
     "e17_ohlc" -> e17_ohlc,
+    "e18_bar_rollup" -> e18_bar_rollup,
     "s11_gram" -> s11_gram,
+    "s12_power_iter" -> s12_power_iter,
     "e12_outliers" -> e12_outliers)
 
   val oracles: Map[String, String] = Map(
@@ -7018,6 +7124,8 @@ object Queries {
     "d19_edit_pairs" -> d19_sql,
     "q66_profile" -> q66_sql,
     "e17_ohlc" -> e17_sql,
+    "e18_bar_rollup" -> e18_sql,
     "s11_gram" -> s11_sql,
+    "s12_power_iter" -> s12_sql,
     "e12_outliers" -> e12_sql)
 }

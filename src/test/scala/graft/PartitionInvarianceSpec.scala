@@ -44,7 +44,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // join-back, debounce run windows, member/type multi-distinct
     "g12_label_prop", "t20_boilerplate", "e16_debounce",
     "q65_member_type_stats", "g13_modularity", "d19_edit_pairs",
-    "q66_profile", "e17_ohlc", "s11_gram")
+    "q66_profile", "e17_ohlc", "s11_gram", "e18_bar_rollup", "s12_power_iter")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

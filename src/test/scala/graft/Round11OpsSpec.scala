@@ -229,6 +229,49 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.size == dim * (dim + 1) / 2)
   }
 
+  test("s12 power iteration matches a driver-side integer replay") {
+    val dir = sf("sf0.001")
+    val got = Queries.s12_power_iter(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val vecs = spark.read.parquet(dir + "/embeddings.parquet")
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    val q = vecs.map(_.map(x => BigDecimal(x * 1000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val dim = q.head.length
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      q.map(v => v(i) * v(j)).sum)
+    var v = Array.fill(dim)(100000L)
+    (1 to 4).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val dd = math.max(w.map(math.abs).max / 100000L, 1L)
+      v = w.map(x => if (x >= 0) (2 * x + dd) / (2 * dd)
+                     else -((2 * -x + dd) / (2 * dd)))
+    }
+    val want = v.zipWithIndex
+      .map { case (x, i) => i.toLong -> x * 10 }.toMap
+    assert(got == want)
+    // dominant direction is live: the max component pinned to 1e6
+    // and the components are not all equal
+    assert(got.values.map(math.abs).max == 1000000L)
+    assert(got.values.toSet.size > 8)
+  }
+
+  test("e18 rollup bars equal e17 direct bars (bar-algebra merge)") {
+    for (sfd <- Seq("sf0.001", "sf0.01")) {
+      val dir = sf(sfd)
+      val direct = Queries.e17_ohlc(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val rolled = Queries.e18_bar_rollup(spark, dir)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(rolled == direct, s"rollup != direct at $sfd")
+      assert(direct.nonEmpty)
+    }
+  }
+
   test("q65 member/type stats match driver-side cardinalities") {
     val dir = sf("sf0.001")
     val got = Queries.q65_member_type_stats(spark, dir)
