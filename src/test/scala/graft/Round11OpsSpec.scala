@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 
 /** Round-11 session specs: each new operator pinned against a literal
   * driver-side replay of its declared semantics (the g09/t16
-  * discipline) — label propagation (g12), cross-doc boilerplate share
-  * (t20), debounce accounting (e16), readability grade (t19),
-  * member/type cardinality audit (q65).
+  * discipline) — label propagation (g12) + modularity (g13),
+  * cross-doc boilerplate share (t20), debounce accounting (e16),
+  * readability grade (t19), member/type cardinality audit (q65),
+  * SymSpell edit pairs (d19, brute-force sweep), OHLC bars (e17) +
+  * the e18 rollup-equivalence pin, and the s11 gram / s12 power-
+  * iteration integer linear algebra.
   */
 class Round11OpsSpec extends SparkSpec {
   import spark.implicits._
