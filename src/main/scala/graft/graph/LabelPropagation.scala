@@ -75,6 +75,21 @@ object LabelPropagation {
     labels
   }
 
+  /** Labels + modularity + community-size histogram off ONE LPA run —
+    * the session-sharing shape (the familyReport economics applied to
+    * graph state): [[run]] ends eagerly localCheckpoint-ed, so the
+    * labels feed all three consumers with ZERO recompute, where
+    * running g12 and g13 as independent queries pays the 4-round loop
+    * twice. Returns (labels, modularity row, (community, size) table
+    * sorted nowhere — callers order). */
+  def communityReport(edges: DataFrame, rounds: Int)
+    : (DataFrame, DataFrame, DataFrame) = {
+    val labels = run(edges, rounds) // checkpointed ⇒ shared for free
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).cast("long").as("size"))
+    (labels, modularityPpm(edges, labels), sizes)
+  }
+
   /** MODULARITY of a node partition — the standard quality score for
     * a community assignment (Newman 2006, public):
     * Q = Σ_c (e_c/m − (d_c/2m)²), where e_c = intra-community edges,

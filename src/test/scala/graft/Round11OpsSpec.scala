@@ -261,6 +261,59 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.values.toSet.size > 8)
   }
 
+  test("communityReport parts equal the g12/g13 query outputs") {
+    val dir = sf("sf0.001")
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+    val pairs = {
+      // rebuild coPurchasePairs' public shape from the same edges
+      coEdges(dir).toDF("id1", "id2")
+    }
+    val (labels, mod, sizes) =
+      graft.graph.LabelPropagation.communityReport(pairs, rounds = 4)
+    val gotLabels = labels.as[(Long, Long)].collect().toSet
+    val qLabels = Queries.g12_label_prop(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(gotLabels == qLabels)
+    val gotMod = mod.as[(Long, Long, Long)].collect().head
+    val qMod = Queries.g13_modularity(spark, dir)
+      .as[(Long, Long, Long)].collect().head
+    assert(gotMod == qMod)
+    val gotSizes = sizes.as[(Long, Long)].collect().toMap
+    assert(gotSizes.values.sum == gotLabels.size)
+    assert(li.count() > 0)
+  }
+
+  test("editDistancePairs maxDist=2 matches a brute-force sweep") {
+    val dir = sf("sf0.001")
+    val cust = spark.read.parquet(dir + "/customer.parquet")
+    val got = graft.dedup.Dedup
+      .editDistancePairs(cust, "c_name", maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    val names = cust.select(col("c_name")).as[String]
+      .collect().distinct.sorted
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      i <- names.indices; j <- i + 1 until names.length
+      d = lev(names(i), names(j)) if d <= 2
+    } yield (names(i), names(j), d.toLong)).toSet
+    assert(got == want)
+    // distance-2 pairs exist beyond the d=1 set, so the 2-deletion
+    // neighborhood is actually exercised
+    assert(want.exists(_._3 == 2L))
+  }
+
   test("e18 rollup bars equal e17 direct bars (bar-algebra merge)") {
     for (sfd <- Seq("sf0.001", "sf0.01")) {
       val dir = sf(sfd)
