@@ -912,7 +912,7 @@ object Queries {
   val e16_sql: String =
     """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
       |    event_id FROM events),
-      |f AS (SELECT user_id, event_type, ms,
+      |f AS (SELECT user_id, event_type, ms, event_id,
       |    CASE WHEN lag(ms) OVER w IS NULL
       |      OR ms - lag(ms) OVER w >= 3600000 THEN 1 ELSE 0 END
       |      AS new_burst
@@ -920,7 +920,8 @@ object Queries {
       |    ORDER BY ms, event_id)),
       |r AS (SELECT user_id, event_type,
       |    sum(new_burst) OVER (PARTITION BY user_id, event_type
-      |      ORDER BY ms ROWS UNBOUNDED PRECEDING) AS burst_id
+      |      ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+      |      AS burst_id
       |  FROM f),
       |b AS (SELECT user_id, event_type, burst_id, count(*) AS blen
       |  FROM r GROUP BY 1, 2, 3)
@@ -984,13 +985,19 @@ object Queries {
     * direction of the embedding corpus, computed end-to-end in exact
     * integer arithmetic. The distributed work is the gram itself
     * (s11); the 64×64 matrix is then a BOUNDED DRIVER FINISH (2 080
-    * cells — the 8-row-codebook economics), 4 unrolled rounds of
-    * w = G·v with a deterministic integer rescale
-    * (dd = max(max|w|/10^5, 1); v' = sign-aware HALF_UP(w/dd), so
-    * the largest component pins to ±10^5 and every product stays
-    * far inside BIGINT). Components emit ×10 as ppm-of-max. The
-    * oracle runs the SAME four rounds as unrolled CTEs over the gram
-    * CTE — an eigenvector two engines agree on bit-for-bit. */
+    * cells — the 8-row-codebook economics). The gram is first
+    * PRE-SCALED by its own max cell (gdiv = max(max|cell|/10^7, 1);
+    * cell' = sign-aware HALF_UP(cell/gdiv)) — eigenvectors are
+    * scale-invariant, and the rescale caps |cell| at ~10^7 so the
+    * per-row products below are overflow-safe at ANY corpus size
+    * (|g·v| ≤ 10^7 · 2·10^5 · 64 ≈ 1.3·10^14 ≪ 2^63), not just at
+    * the ~10^7-row corpus where raw milli² cells would stay small.
+    * Then 4 unrolled rounds of w = G·v with a deterministic integer
+    * rescale (dd = max(max|w|/10^5, 1); v' = sign-aware
+    * HALF_UP(w/dd), so the largest component pins to ±~10^5).
+    * Components emit ×10 as ppm-of-max. The oracle runs the SAME
+    * pre-scale and four rounds as unrolled CTEs over the gram CTE —
+    * an eigenvector two engines agree on bit-for-bit. */
   val s12_power_iter: QFn = (s, d) => {
     val cells = s11_gram(s, d)
       .select("i", "j", "gram_milli2").collect()
@@ -998,7 +1005,14 @@ object Queries {
         r.getLong(2)))
     val dim = cells.map(_._2).max + 1
     val g = Array.ofDim[Long](dim, dim)
-    cells.foreach { case (i, j, x) => g(i)(j) = x; g(j)(i) = x }
+    val gdiv = math.max(
+      cells.map(c => math.abs(c._3)).max / 10000000L, 1L)
+    def hup(x: Long): Long =
+      if (x >= 0) (2 * x + gdiv) / (2 * gdiv)
+      else -((2 * -x + gdiv) / (2 * gdiv))
+    cells.foreach { case (i, j, x) =>
+      val xs = hup(x); g(i)(j) = xs; g(j)(i) = xs
+    }
     var v = Array.fill(dim)(100000L)
     for (_ <- 1 to 4) {
       val w = Array.tabulate(dim) { i =>
@@ -1033,8 +1047,15 @@ object Queries {
        |    CAST(sum(a.xi * b.xi) AS BIGINT) AS gr
        |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
        |  GROUP BY 1, 2),
-       |g AS (SELECT i, j, gr FROM up
+       |g0 AS (SELECT i, j, gr FROM up
        |  UNION ALL SELECT j, i, gr FROM up WHERE i < j),
+       |gm AS (SELECT greatest(max(abs(gr)) // 10000000, 1) AS gdiv
+       |  FROM g0),
+       |g AS (SELECT i, j, CAST(CASE WHEN gr >= 0
+       |    THEN (2 * gr + gdiv) // (2 * gdiv)
+       |    ELSE -((2 * (-gr) + gdiv) // (2 * gdiv)) END AS BIGINT)
+       |    AS gr
+       |  FROM g0, gm),
        |v0 AS (SELECT DISTINCT i, CAST(100000 AS BIGINT) AS v FROM g),
        |${(1 to 4).map(round).mkString(",\n")}
        |SELECT CAST(i AS BIGINT) AS i, CAST(v * 10 AS BIGINT) AS v_ppm
@@ -1141,9 +1162,21 @@ object Queries {
     * declared caveat is −0.0 vs 0.0 (absent in this data). q42's
     * HLL is the sketch companion when a column's cardinality is
     * itself corpus-scale. */
+  /** The one lineitem column list BOTH q66 sides derive from — a
+    * runtime `df.columns` on the Spark side with a hardcoded oracle
+    * would silently desynchronize under schema drift; instead the
+    * Spark side asserts the parquet still matches this list. */
+  private val LineitemCols = Seq("l_orderkey", "l_partkey",
+    "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
   val q66_profile: QFn = (s, d) => {
     val df = t(s, d, "lineitem")
-    val cols = df.columns.toSeq
+    val cols = LineitemCols
+    require(df.columns.toSeq == cols,
+      s"lineitem schema drifted from q66's pinned column list: " +
+        s"got ${df.columns.mkString(",")}")
     val stackArgs = cols
       .map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
     df.selectExpr(
@@ -1159,9 +1192,7 @@ object Queries {
   }
 
   val q66_sql: String = {
-    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val cols = LineitemCols
     cols.map(c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2901,13 +2932,16 @@ object Queries {
       |  sha256(text) AS sha
       |FROM documents""".stripMargin
 
-  /** Partition-wise decode plumbing, ORACLE-VERIFIED: the stub
-    * decoder emits exact integer byte-lane sums (see
-    * [[Multimodal.FakeDecoder]]), so the whole mapPartitions path —
-    * payload bytes in, fixed-width features out — hash-matches a SQL
-    * replay byte for byte. Features emitted as an integer CSV string
-    * (raw float arrays are unsortable/unhashable in the harness's
-    * pandas compare); the codec itself remains the documented stub. */
+  /** Partition-wise decode plumbing, ORACLE-VERIFIED: on unrecognized
+    * (here: text) payloads the decoder emits exact integer byte-lane
+    * sums (see [[Multimodal.FakeDecoder]]), so the whole
+    * mapPartitions path — payload bytes in, fixed-width features
+    * out — hash-matches a SQL replay byte for byte. Features emitted
+    * as an integer CSV string (raw float arrays are unsortable/
+    * unhashable in the harness's pandas compare). The decoder's
+    * container arm is REAL — [[Multimodal.HeaderCodec]] parses
+    * BMP/PNG/GIF/WAV byte layouts; m05 oracle-verifies that path on
+    * byte-exact payloads. */
   val m02_feature_stub: QFn = (s, d) =>
     Multimodal.extractFeatures(s,
       Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
@@ -3034,6 +3068,115 @@ object Queries {
       |  CAST(max(e) AS BIGINT) AS max_energy,
       |  CAST(sum(e) AS BIGINT) AS total_energy
       |FROM x GROUP BY media_id""".stripMargin
+
+  /** REAL container-header decode, oracle-verified end-to-end: each
+    * document row is turned into a byte-exact media payload — a
+    * complete 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * padded pixel rows), a GIF89a logical-screen header, or a
+    * RIFF/WAVE file with a 16-byte `fmt ` chunk — with dimensions /
+    * sample rate planted as doc_id-derived formulas. Construction is
+    * fully DECLARATIVE (hex-string assembly + `unhex`, all
+    * whole-stage codegen — little-endian fields via a byte-reversal
+    * `concat` over `shiftright`/`pmod`); the payloads then run
+    * through the SAME mapPartitions decode boundary as m02, where
+    * [[Multimodal.HeaderCodec]] parses the published byte layouts
+    * back out (strict: BMP's file-size field and WAV's RIFF size
+    * must equal the actual payload length, so a mis-assembled byte
+    * fails the parse rather than passing by luck). The oracle
+    * recomputes the PLANTED values from the same doc_id formulas —
+    * a hash match proves writer and parser agree on every offset,
+    * endianness and padding rule of the public specs. PNG (big-
+    * endian IHDR) is covered by spec-pinned golden vectors instead,
+    * since a valid PNG needs zlib+CRC the declarative writer can't
+    * emit. At 100 TB: construction and probe are one embarrassingly
+    * parallel scan, no shuffle at all — exactly the shape of a real
+    * media-ingest metadata pass. */
+  val m05_header_probe: QFn = (s, d) => {
+    def le(c: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+    val base = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("fmt", pmod(col("doc_id"), lit(3)))
+      .withColumn("w", pmod(col("doc_id"), lit(31)) + 1)
+      .withColumn("h", pmod(col("doc_id"), lit(17)) + 1)
+      .withColumn("pix",
+        floor((col("w") * 3 + 3) / 4) * 4 * col("h"))
+      .withColumn("ndata", pmod(col("doc_id"), lit(32)) * 2)
+      .withColumn("rate",
+        lit(8000) + pmod(col("doc_id"), lit(5)) * 1000)
+      .withColumn("ch", pmod(col("doc_id"), lit(2)) + 1)
+    val bmpHex = concat(
+      lit("424D"), le(col("pix") + 54, 4), lit("00000000"),
+      le(lit(54L), 4),                       // pixel-data offset
+      le(lit(40L), 4),                       // BITMAPINFOHEADER size
+      le(col("w"), 4), le(col("h"), 4),
+      le(lit(1L), 2),                        // planes
+      le(lit(24L), 2),                       // bits per pixel
+      le(lit(0L), 4),                        // BI_RGB
+      le(col("pix"), 4),
+      le(lit(2835L), 4), le(lit(2835L), 4),  // 72 dpi
+      le(lit(0L), 4), le(lit(0L), 4),
+      expr("repeat('A5', CAST(pix AS INT))"))
+    val gifHex = concat(
+      lit("474946383961"),                   // "GIF89a"
+      le(col("w"), 2), le(col("h"), 2),
+      lpad(hex(pmod(col("doc_id"), lit(8))), 2, "0"), // packed
+      lit("0000"),                           // bg color, aspect
+      lit("3B"))                             // trailer
+    val wavHex = concat(
+      lit("52494646"), le(col("ndata") + 36, 4), // "RIFF" + size
+      lit("57415645"), lit("666D7420"),      // "WAVE" "fmt "
+      le(lit(16L), 4), le(lit(1L), 2),       // PCM
+      le(col("ch"), 2), le(col("rate"), 4),
+      le(col("rate") * col("ch") * 2, 4),    // byte rate
+      le(col("ch") * 2, 2), le(lit(16L), 2), // block align, bits
+      lit("64617461"), le(col("ndata"), 4),  // "data" + size
+      expr("repeat('00', CAST(ndata AS INT))"))
+    val media = base
+      .withColumn("payload", unhex(
+        when(col("fmt") === 0, bmpHex)
+          .when(col("fmt") === 1, gifHex)
+          .otherwise(wavHex)))
+      .select(col("doc_id").as("media_id"), col("payload"),
+        struct(lit("application/octet-stream").as("mime"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("sha")).as("meta"))
+    val f = Multimodal.extractFeatures(s, media)
+    def feat(i: Int) = element_at(col("features"), i).cast("long")
+    f.select(col("media_id"),
+        when(feat(1) === 1L, "image/bmp")
+          .when(feat(1) === 2L, "image/png")
+          .when(feat(1) === 3L, "image/gif")
+          .when(feat(1) === 4L, "audio/wav").as("mime"),
+        feat(2).as("width"), feat(3).as("height"),
+        feat(4).as("depth"), feat(5).as("n_bytes"))
+  }
+
+  /** The oracle recomputes the PLANTED header fields from the same
+    * doc_id formulas — it never parses bytes, so a hash match pins
+    * the Spark writer+parser round trip to the intended values. */
+  val m05_sql: String =
+    """WITH p AS (SELECT doc_id, doc_id % 3 AS fmt,
+      |    doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS h,
+      |    (((doc_id % 31 + 1) * 3 + 3) // 4) * 4 * (doc_id % 17 + 1)
+      |      AS pix,
+      |    (doc_id % 32) * 2 AS ndata,
+      |    8000 + (doc_id % 5) * 1000 AS rate,
+      |    doc_id % 2 + 1 AS ch
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CASE fmt WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/gif'
+      |    ELSE 'audio/wav' END AS mime,
+      |  CAST(CASE fmt WHEN 2 THEN rate ELSE w END AS BIGINT)
+      |    AS width,
+      |  CAST(CASE fmt WHEN 2 THEN ch ELSE h END AS BIGINT)
+      |    AS height,
+      |  CAST(CASE fmt WHEN 0 THEN 24 WHEN 1 THEN doc_id % 8 + 1
+      |    ELSE 16 END AS BIGINT) AS depth,
+      |  CAST(CASE fmt WHEN 0 THEN 54 + pix WHEN 1 THEN 14
+      |    ELSE 44 + ndata END AS BIGINT) AS n_bytes
+      |FROM p""".stripMargin
 
   // ---------------------------------------------------------------
   // Events
@@ -6888,6 +7031,7 @@ object Queries {
     "m02_feature_stub" -> m02_feature_stub,
     "m03_tile_dedup" -> m03_tile_dedup,
     "m04_frame_energy" -> m04_frame_energy,
+    "m05_header_probe" -> m05_header_probe,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
     "e03_user_stats" -> e03_user_stats,
@@ -7041,6 +7185,7 @@ object Queries {
     "m02_feature_stub" -> m02_sql,
     "m03_tile_dedup" -> m03_sql,
     "m04_frame_energy" -> m04_sql,
+    "m05_header_probe" -> m05_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,
     "e03_user_stats" -> e03_sql,

@@ -8,13 +8,120 @@ import org.apache.spark.sql.types._
   * typed metadata struct, with the decode/feature step isolated
   * behind a per-partition batch boundary.
   *
-  * The container has no image/audio codecs, so [[FakeDecoder]] is a
-  * clearly-marked deterministic stand-in — the Spark-side plumbing
-  * (schema, batch shape, partition-wise execution, metadata
-  * propagation) is real and tested; swapping in a real codec touches
-  * only `FakeDecoder.decode`.
+  * The decode step is REAL for container headers: [[HeaderCodec]]
+  * parses the public byte layouts of BMP, PNG, GIF and RIFF/WAVE
+  * payloads (dimensions / bit depth / sample rate straight from the
+  * file-format specs) — no external codec library needed. Full
+  * pixel/sample decompression (JPEG DCT, PNG inflate, …) would need
+  * codec libraries this container doesn't ship, so payloads whose
+  * header doesn't match a known container fall back to
+  * [[FakeDecoder]]'s deterministic byte-lane histogram — the
+  * fallback keeps the mapPartitions plumbing oracle-checkable on
+  * text payloads, and swapping in a full codec touches only the
+  * dispatch in `FakeDecoder.decode`.
   */
 object Multimodal {
+
+  /** Probed container facts. For images: pixel width/height and
+    * bits-per-pixel. For RIFF/WAVE audio the same three slots carry
+    * (sample rate, channel count, bits per sample) — the natural
+    * "dimensions" of an audio stream. */
+  final case class MediaInfo(
+    mime: String, width: Long, height: Long, depth: Long)
+
+  /** Real public-format header parsers, straight off the published
+    * byte layouts (no library): BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, little-endian), PNG (8-byte signature + IHDR,
+    * big-endian), GIF87a/89a (logical screen descriptor,
+    * little-endian), RIFF/WAVE (`fmt ` chunk scan, little-endian).
+    * Strict where the format allows it — BMP's file-size field and
+    * WAV's RIFF size must match the actual payload length, BMP's DIB
+    * header size must be a published variant — so text payloads that
+    * happen to start with "BM" can't false-positive. Returns None
+    * for anything unrecognized (the caller falls back to content
+    * features). */
+  object HeaderCodec {
+    private def u8(p: Array[Byte], i: Int): Long = p(i) & 0xffL
+    private def le16(p: Array[Byte], i: Int): Long =
+      u8(p, i) | (u8(p, i + 1) << 8)
+    private def le32(p: Array[Byte], i: Int): Long =
+      le16(p, i) | (le16(p, i + 2) << 16)
+    private def be32(p: Array[Byte], i: Int): Long =
+      (u8(p, i) << 24) | (u8(p, i + 1) << 16) |
+        (u8(p, i + 2) << 8) | u8(p, i + 3)
+    private def ascii(p: Array[Byte], i: Int, s: String): Boolean =
+      p.length >= i + s.length &&
+        s.indices.forall(k => (p(i + k) & 0xff) == s.charAt(k))
+
+    /** BMP: 'B''M', u32le file size @2 (must equal payload length),
+      * u32le pixel-data offset @10, DIB header size @14 (one of the
+      * published BITMAPINFOHEADER variants), s32le width @18, s32le
+      * height @22 (negative = top-down; magnitude reported), u16le
+      * bits-per-pixel @28. */
+    private def bmp(p: Array[Byte]): Option[MediaInfo] =
+      if (p.length >= 54 && ascii(p, 0, "BM") &&
+          le32(p, 2) == p.length.toLong &&
+          Set(40L, 52L, 56L, 108L, 124L).contains(le32(p, 14)))
+        Some(MediaInfo("image/bmp",
+          le32(p, 18).toInt.toLong.abs,
+          le32(p, 22).toInt.toLong.abs,
+          le16(p, 28)))
+      else None
+
+    /** PNG: the fixed 8-byte signature, then the IHDR chunk (length
+      * 13, type "IHDR") with u32be width @16, u32be height @20, bit
+      * depth @24, color type @25; bits-per-pixel = bit depth × the
+      * channel count implied by the color type (0 grey=1, 2 rgb=3,
+      * 3 palette=1, 4 grey+alpha=2, 6 rgba=4). */
+    private def png(p: Array[Byte]): Option[MediaInfo] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      val channels = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+      if (p.length >= 26 &&
+          sig.indices.forall(i => (p(i) & 0xff) == sig(i)) &&
+          be32(p, 8) == 13L && ascii(p, 12, "IHDR"))
+        channels.get(u8(p, 25).toInt).map(ch =>
+          MediaInfo("image/png", be32(p, 16), be32(p, 20),
+            u8(p, 24) * ch))
+      else None
+    }
+
+    /** GIF: "GIF87a"/"GIF89a", u16le screen width @6, u16le height
+      * @8, packed byte @10 whose low 3 bits encode color resolution
+      * (bits-per-primary − 1). */
+    private def gif(p: Array[Byte]): Option[MediaInfo] =
+      if (p.length >= 13 &&
+          (ascii(p, 0, "GIF87a") || ascii(p, 0, "GIF89a")))
+        Some(MediaInfo("image/gif", le16(p, 6), le16(p, 8),
+          (u8(p, 10) & 0x7L) + 1L))
+      else None
+
+    /** RIFF/WAVE: "RIFF" + u32le riff size @4 (must equal payload
+      * length − 8) + "WAVE", then a chunk scan for "fmt " whose data
+      * carries u16le channels @+2, u32le sample rate @+4, u16le bits
+      * per sample @+14. Reported as (rate, channels, bits). */
+    private def wav(p: Array[Byte]): Option[MediaInfo] =
+      if (p.length >= 44 && ascii(p, 0, "RIFF") &&
+          le32(p, 4) == p.length.toLong - 8L && ascii(p, 8, "WAVE")) {
+        var off = 12
+        var found: Option[MediaInfo] = None
+        while (found.isEmpty && off + 8 <= p.length) {
+          val size = le32(p, off + 4)
+          if (ascii(p, off, "fmt ") && size >= 16 &&
+              off + 8 + 16 <= p.length)
+            found = Some(MediaInfo("audio/wav",
+              le32(p, off + 12),      // sample rate
+              le16(p, off + 10),      // channels
+              le16(p, off + 22)))     // bits per sample
+          // chunks are word-aligned: odd sizes carry a pad byte
+          else off += 8 + size.toInt + (size.toInt & 1)
+        }
+        found
+      } else None
+
+    def probe(p: Array[Byte]): Option[MediaInfo] =
+      if (p == null || p.length < 13) None
+      else bmp(p).orElse(png(p)).orElse(gif(p)).orElse(wav(p))
+  }
 
   /** Canonical media schema: payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -38,34 +145,44 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         sha2(col("payload"), 256).as("sha")))
 
-  /** STUB decoder — deterministic fake "features" from the payload
-    * bytes. A real deployment replaces this body with an actual codec
-    * (e.g. JPEG decode + resize); the signature (bytes in, fixed-width
-    * float features out) is the real contract.
-    *
-    * The fake is an INTEGER byte-lane histogram (lane k sums the
-    * unsigned bytes at positions ≡ k mod 8): every value is an exact
-    * integer (payloads under ~500 KB keep lane sums below 2^24, so
-    * the Float carries them exactly), which is what lets the m02
-    * plumbing be ORACLE-VERIFIED end-to-end — a per-byte float
-    * accumulation could never hash-match another engine. */
+  /** Feature decoder at the per-partition batch boundary. The
+    * dispatch is REAL: payloads recognized by [[HeaderCodec]] (BMP /
+    * PNG / GIF / WAV — public byte layouts, parsed, not stubbed)
+    * emit container features `[formatTag, width, height, depth,
+    * nBytes, 0, 0, 0]` (tags: 1 BMP, 2 PNG, 3 GIF, 4 WAV). Anything
+    * unrecognized falls back to deterministic content features: an
+    * INTEGER byte-lane histogram (lane k sums the unsigned bytes at
+    * positions ≡ k mod 8) — every value an exact integer (payloads
+    * under ~500 KB keep lane sums below 2^24, so the Float carries
+    * them exactly), which is what lets the m02 plumbing be
+    * ORACLE-VERIFIED end-to-end. Full pixel/sample decompression
+    * (JPEG DCT, PNG inflate) would need codec libraries this
+    * container doesn't ship; that — and only that — would slot in
+    * here as an additional dispatch arm. */
   object FakeDecoder {
     val featureDim = 8
-    def decode(payload: Array[Byte]): Array[Float] = {
-      // ??? <- real codec goes here; deterministic fake for tests:
-      val out = new Array[Float](featureDim)
-      if (payload != null) {
-        val acc = new Array[Long](featureDim)
-        var i = 0
-        while (i < payload.length) {
-          acc(i % featureDim) += (payload(i) & 0xff).toLong
-          i += 1
-        }
-        i = 0
-        while (i < featureDim) { out(i) = acc(i).toFloat; i += 1 }
+    val tags: Map[String, Float] = Map("image/bmp" -> 1f,
+      "image/png" -> 2f, "image/gif" -> 3f, "audio/wav" -> 4f)
+    def decode(payload: Array[Byte]): Array[Float] =
+      HeaderCodec.probe(payload) match {
+        case Some(info) =>
+          Array(tags(info.mime), info.width.toFloat,
+            info.height.toFloat, info.depth.toFloat,
+            payload.length.toFloat, 0f, 0f, 0f)
+        case None =>
+          val out = new Array[Float](featureDim)
+          if (payload != null) {
+            val acc = new Array[Long](featureDim)
+            var i = 0
+            while (i < payload.length) {
+              acc(i % featureDim) += (payload(i) & 0xff).toLong
+              i += 1
+            }
+            i = 0
+            while (i < featureDim) { out(i) = acc(i).toFloat; i += 1 }
+          }
+          out
       }
-      out
-    }
   }
 
   /** Frame/sample plumbing: derive per-media sample points (frame

@@ -1,0 +1,128 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{HeaderCodec, MediaInfo}
+
+/** Golden-vector pinning of the REAL container-header codec: byte
+  * sequences hand-assembled from the published BMP / PNG / GIF /
+  * RIFF-WAVE specs (the PNG vector is the canonical 1×1 RGBA IHDR,
+  * CRC and all), plus hostile negatives — text that happens to start
+  * with a magic, truncations, and size-field lies — which must all
+  * fall back to None. m05_header_probe then oracle-verifies the
+  * writer→parser round trip over the whole corpus; this spec pins
+  * the parser to EXTERNAL ground truth so writer and parser can't
+  * share a mistaken offset.
+  */
+class MultimodalCodecSpec extends SparkSpec {
+
+  private def bytes(hex: String): Array[Byte] =
+    hex.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // 2×2 24-bpp BMP: 14-byte file header (size 70 = 54 + 2 rows × 8
+  // padded bytes), 40-byte BITMAPINFOHEADER, 16 pixel bytes.
+  private val bmp2x2 = bytes(
+    "424D 46000000 0000 0000 36000000" +
+      "28000000 02000000 02000000 0100 1800 00000000 10000000" +
+      "130B0000 130B0000 00000000 00000000" +
+      "FFFFFF FFFFFF 0000" + "000000 000000 0000")
+
+  // The canonical 1×1 RGBA PNG header: signature + IHDR(1,1,8,6).
+  private val png1x1 = bytes(
+    "89504E47 0D0A1A0A 0000000D 49484452" +
+      "00000001 00000001 08 06 00 00 00 1F15C489")
+
+  // Minimal GIF89a logical screen descriptor: 3×5, packed 0x91
+  // (GCT flag + color resolution bits; low 3 bits = 1 → depth 2).
+  private val gifHdr = bytes(
+    "474946383961 0300 0500 91 00 00")
+
+  // Canonical 44-byte PCM WAV header, zero data bytes: mono,
+  // 8000 Hz, 16-bit (riff size 36 == len - 8).
+  private val wav44 = bytes(
+    "52494646 24000000 57415645 666D7420 10000000" +
+      "0100 0100 401F0000 803E0000 0200 1000" +
+      "64617461 00000000")
+
+  test("BMP golden vector parses (dims, bpp, strict file size)") {
+    assert(HeaderCodec.probe(bmp2x2) ===
+      Some(MediaInfo("image/bmp", 2, 2, 24)))
+    // top-down BMP (negative height) reports the magnitude
+    val topDown = bmp2x2.clone()
+    // height @22 s32le = -2
+    topDown(22) = 0xfe.toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    assert(HeaderCodec.probe(topDown) ===
+      Some(MediaInfo("image/bmp", 2, 2, 24)))
+  }
+
+  test("PNG golden vector parses (BE dims, depth = bits × channels)") {
+    assert(HeaderCodec.probe(png1x1) ===
+      Some(MediaInfo("image/png", 1, 1, 32)))
+    val grey = png1x1.clone(); grey(25) = 0 // color type 0
+    assert(HeaderCodec.probe(grey) ===
+      Some(MediaInfo("image/png", 1, 1, 8)))
+  }
+
+  test("GIF golden vector parses (LE dims, packed color resolution)") {
+    assert(HeaderCodec.probe(gifHdr) ===
+      Some(MediaInfo("image/gif", 3, 5, 2)))
+    val gif87 = gifHdr.clone(); gif87(4) = '7'.toByte
+    assert(HeaderCodec.probe(gif87) ===
+      Some(MediaInfo("image/gif", 3, 5, 2)))
+  }
+
+  test("WAV golden vector parses (fmt chunk scan, strict RIFF size)") {
+    assert(HeaderCodec.probe(wav44) ===
+      Some(MediaInfo("audio/wav", 8000, 1, 16)))
+    // a JUNK chunk before fmt must be skipped (odd size → pad byte)
+    val junk = bytes(
+      "52494646 28000000 57415645" +
+        "4A554E4B 03000000 AABBCC 00" + // 3-byte JUNK + pad
+        "666D7420 10000000 0100 0200 80BB0000 00EE0200 0400 1000")
+    assert(HeaderCodec.probe(junk) ===
+      Some(MediaInfo("audio/wav", 48000, 2, 16)))
+  }
+
+  test("hostile negatives fall back to None") {
+    // text that starts with "BM" but lies about its size field
+    val bmText = ("BM" + "x" * 60).getBytes("UTF-8")
+    assert(HeaderCodec.probe(bmText) === None)
+    // truncated PNG signature
+    assert(HeaderCodec.probe(png1x1.take(20)) === None)
+    // RIFF whose size field disagrees with the payload length
+    val badWav = wav44 ++ Array[Byte](0)
+    assert(HeaderCodec.probe(badWav) === None)
+    // plain text
+    assert(HeaderCodec.probe("hello multimodal".getBytes) === None)
+    assert(HeaderCodec.probe(null) === None)
+  }
+
+  test("decode dispatches: containers → header features, else lanes") {
+    val f = Multimodal.FakeDecoder.decode(bmp2x2)
+    assert(f.toList === List(1f, 2f, 2f, 24f, 70f, 0f, 0f, 0f))
+    val w = Multimodal.FakeDecoder.decode(wav44)
+    assert(w.toList === List(4f, 8000f, 1f, 16f, 44f, 0f, 0f, 0f))
+    val txt = "abcdefgh".getBytes("UTF-8")
+    val lanes = Multimodal.FakeDecoder.decode(txt)
+    assert(lanes.toList === txt.map(b => (b & 0xff).toFloat).toList)
+  }
+
+  test("m05 writer emits byte-exact containers the codec re-reads") {
+    val df = Queries.m05_header_probe(spark, sf("sf0.001"))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    // spot-check planted formulas for one row per format
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val r3 = byId(3L) // fmt 0 → BMP, w=4, h=4
+    assert(r3.getString(1) == "image/bmp" && r3.getLong(2) == 4 &&
+      r3.getLong(3) == 4 && r3.getLong(4) == 24)
+    val r4 = byId(4L) // fmt 1 → GIF, w=5, h=5, depth=4%8+1=5
+    assert(r4.getString(1) == "image/gif" && r4.getLong(4) == 5)
+    val r5 = byId(5L) // fmt 2 → WAV: rate 8000+0*1000? 5%5=0 → 8000
+    assert(r5.getString(1) == "audio/wav" && r5.getLong(2) == 8000 &&
+      r5.getLong(3) == 2 && r5.getLong(4) == 16)
+    // no row fell through to the histogram path (mime never null)
+    assert(rows.forall(_.getString(1) != null))
+  }
+}

@@ -242,8 +242,13 @@ class Round11OpsSpec extends SparkSpec {
     val q = vecs.map(_.map(x => BigDecimal(x * 1000)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
     val dim = q.head.length
-    val g = Array.tabulate(dim, dim)((i, j) =>
+    val g0 = Array.tabulate(dim, dim)((i, j) =>
       q.map(v => v(i) * v(j)).sum)
+    val gdiv = math.max(
+      g0.flatten.map(math.abs).max / 10000000L, 1L)
+    val g = g0.map(_.map(x =>
+      if (x >= 0) (2 * x + gdiv) / (2 * gdiv)
+      else -((2 * -x + gdiv) / (2 * gdiv))))
     var v = Array.fill(dim)(100000L)
     (1 to 4).foreach { _ =>
       val w = Array.tabulate(dim)(i =>
