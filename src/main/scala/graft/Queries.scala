@@ -255,6 +255,97 @@ object Queries {
       |       ELSE 'noop' END AS op
       |FROM prev p FULL OUTER JOIN curr c ON p.user_id = c.user_id""".stripMargin
 
+  /** Snapshot-maintenance APPLY — the other half of q14
+    * (update_es.py:249 produces the operations;
+    * scripts/apply_operations.py:10 merges them into the maintained
+    * index): given the previous snapshot and an insert/update/delete
+    * op stream whose update ops carry ONLY the changed fields
+    * (unchanged fields ship as NULL — the ES partial-`doc` update
+    * contract), produce the next snapshot declaratively. Apply = one
+    * keyed LEFT OUTER join snapshot×ops + a field-wise
+    * `coalesce(op.field, snap.field)` (q32's merge idiom pointed at
+    * mutation): absent op → row carried; delete → dropped; insert →
+    * op fields; update → coalesce. Here the op stream is derived as
+    * the q14 diff of the even/odd event halves, so the applied
+    * result must equal the "current" snapshot EXACTLY — the closure
+    * property apply(prev, diff(prev, curr)) == curr, spec-pinned;
+    * the oracle replays the same apply. Values are exact BIGINT
+    * cents. Scale shape: insert ops enter via the ops side of ONE
+    * full-outer join on the snapshot key; both the diff and the
+    * apply join share that key, and in a real deployment the op
+    * stream is incremental (≪ snapshot) — broadcastable under the
+    * size gate — while the snapshot side never reshuffles twice. */
+  val q67_apply_ops: QFn = (s, d) => {
+    val e = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+    def snap(pred: Column): DataFrame =
+      e.filter(pred).groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum("cents").cast("long").as("sum_cents"))
+    // users ≡0 mod 5 are new in curr (inserts); ≡0 mod 7 vanished
+    // (deletes); everyone else updates or carries
+    val prev = snap(col("event_id") % 2 === 0 &&
+        col("user_id") % 5 =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prev.count() // feeds the diff AND the apply join (CLAUDE.md)
+    val curr = snap(col("event_id") % 2 === 1 &&
+      col("user_id") % 7 =!= 0)
+    val ops = prev.as("p").join(curr.as("c"), Seq("user_id"),
+        "full_outer")
+      .select(col("user_id"),
+        when(col("p.n_events").isNull, "insert")
+          .when(col("c.n_events").isNull, "delete")
+          .when(col("p.n_events") =!= col("c.n_events") ||
+            col("p.sum_cents") =!= col("c.sum_cents"), "update")
+          .otherwise("noop").as("op"),
+        // update ops carry ONLY changed fields; inserts carry both
+        when(col("p.n_events").isNull ||
+          col("p.n_events") =!= col("c.n_events"),
+          col("c.n_events")).as("n_new"),
+        when(col("p.n_events").isNull ||
+          col("p.sum_cents") =!= col("c.sum_cents"),
+          col("c.sum_cents")).as("s_new"))
+      .filter(col("op") =!= "noop")
+    prev.as("s").join(ops.as("o"), Seq("user_id"), "full_outer")
+      .filter(col("o.op").isNull || col("o.op") =!= "delete")
+      .select(col("user_id"),
+        coalesce(col("o.n_new"), col("s.n_events")).as("n_events"),
+        coalesce(col("o.s_new"), col("s.sum_cents")).as("sum_cents"))
+  }
+
+  val q67_sql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |prev AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM e WHERE event_id % 2 = 0 AND user_id % 5 <> 0
+      |  GROUP BY user_id),
+      |curr AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM e WHERE event_id % 2 = 1 AND user_id % 7 <> 0
+      |  GROUP BY user_id),
+      |ops AS (SELECT coalesce(p.user_id, c.user_id) AS user_id,
+      |    CASE WHEN p.n_events IS NULL THEN 'insert'
+      |         WHEN c.n_events IS NULL THEN 'delete'
+      |         WHEN p.n_events <> c.n_events
+      |           OR p.sum_cents <> c.sum_cents THEN 'update'
+      |         ELSE 'noop' END AS op,
+      |    CASE WHEN p.n_events IS NULL
+      |           OR p.n_events <> c.n_events
+      |      THEN c.n_events END AS n_new,
+      |    CASE WHEN p.n_events IS NULL
+      |           OR p.sum_cents <> c.sum_cents
+      |      THEN c.sum_cents END AS s_new
+      |  FROM prev p FULL OUTER JOIN curr c ON p.user_id = c.user_id),
+      |f AS (SELECT * FROM ops WHERE op <> 'noop')
+      |SELECT coalesce(s.user_id, o.user_id) AS user_id,
+      |  CAST(coalesce(o.n_new, s.n_events) AS BIGINT) AS n_events,
+      |  CAST(coalesce(o.s_new, s.sum_cents) AS BIGINT) AS sum_cents
+      |FROM prev s FULL OUTER JOIN f o ON s.user_id = o.user_id
+      |WHERE o.op IS NULL OR o.op <> 'delete'""".stripMargin
+
   /** Interesting-score analog (create_merged.py:82): weighted
     * deterministic score from typed features.
     *
@@ -2718,17 +2809,21 @@ object Queries {
     * in-flight — no intermediate corpus is ever materialized; the
     * winning 1-row pair table broadcasts back as a scalar.
     *
-    * Declared simplification vs tokenizer-exact BPE: fusing is
-    * left-to-right NON-OVERLAPPING literal replacement of the
-    * delimited pair (`' a b '` → `' a_b '`), which consumes the
-    * trailing delimiter — of "a b a b" only the first occurrence
-    * fuses in that pass. Both engines' `replace` scan identically,
-    * so the learned merge table is engine-exact; a tokenizer-grade
-    * BPE differs only on such self-adjacent runs. Reported count is
-    * the pair's pre-merge frequency. The per-round winner is a
-    * BOUNDED driver finish (exactly one row — the same economics as
-    * the graph drivers' bounded collects); it is inlined as a
-    * literal into the next round's scan expression. */
+    * Fusing is TOKENIZER-EXACT (left-to-right greedy over every
+    * adjacent occurrence — "a b a b" fuses BOTH, "a a a" fuses the
+    * first pair only, exactly like BPE merge application): the text
+    * is space-DOUBLED before the literal replace, so adjacent
+    * occurrences no longer share a delimiter character (each double
+    * space lends one space to the occurrence on its left and one to
+    * the one on its right), the delimited doubled pair
+    * (`' a  b '` → `' a_b '`) is replaced leftmost-non-overlapping —
+    * identical scan semantics in Spark and DuckDB — and the doubles
+    * collapse back to single spaces (every gap is exactly two spaces
+    * by construction). Reported count is the pair's pre-merge
+    * frequency. The per-round winner is a BOUNDED driver finish
+    * (exactly one row — the same economics as the graph drivers'
+    * bounded collects); it is inlined as a literal into the next
+    * round's scan expression. */
   val q63_bpe_merges: QFn = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -2752,8 +2847,9 @@ object Queries {
       // corpus tokens are word characters; refuse to inline anything
       // that could escape the SQL literal
       require(pair.matches("[\\w ]+"), s"unexpected pair: $pair")
-      txtExpr = s"replace($txtExpr, ' $pair ', " +
-        s"' ${pair.replace(' ', '_')} ')"
+      val doubled = pair.replace(" ", "  ")
+      txtExpr = s"replace(replace(replace($txtExpr, ' ', '  '), " +
+        s"' $doubled ', ' ${pair.replace(' ', '_')} '), '  ', ' ')"
       (round.toLong, pair, freq)
     }
     merges.toDF("round", "pair", "freq")
@@ -2772,8 +2868,10 @@ object Queries {
          |      i -> tk[i] || ' ' || tk[i+1])) AS sh
          |    FROM tok$k) GROUP BY sh),
          |b$k AS (SELECT sh, c FROM bi$k ORDER BY c DESC, sh LIMIT 1),
-         |t$k AS (SELECT replace(t, ' ' || b$k.sh || ' ',
-         |    ' ' || replace(b$k.sh, ' ', '_') || ' ') AS t
+         |t$k AS (SELECT replace(replace(replace(t, ' ', '  '),
+         |    ' ' || replace(b$k.sh, ' ', '  ') || ' ',
+         |    ' ' || replace(b$k.sh, ' ', '_') || ' '), '  ', ' ')
+         |    AS t
          |  FROM $src CROSS JOIN b$k)""".stripMargin
     s"""WITH t0 AS (SELECT ' ' || regexp_replace(lower(trim(text)),
        |    '\\s+', ' ', 'g') || ' ' AS t FROM documents),
@@ -7032,6 +7130,7 @@ object Queries {
     "m03_tile_dedup" -> m03_tile_dedup,
     "m04_frame_energy" -> m04_frame_energy,
     "m05_header_probe" -> m05_header_probe,
+    "q67_apply_ops" -> q67_apply_ops,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
     "e03_user_stats" -> e03_user_stats,
@@ -7186,6 +7285,7 @@ object Queries {
     "m03_tile_dedup" -> m03_sql,
     "m04_frame_energy" -> m04_sql,
     "m05_header_probe" -> m05_sql,
+    "q67_apply_ops" -> q67_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,
     "e03_user_stats" -> e03_sql,

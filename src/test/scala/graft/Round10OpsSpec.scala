@@ -202,9 +202,12 @@ class Round10OpsSpec extends SparkSpec {
         .mapValues(_.length.toLong).toSeq
       val (pair, freq) = grouped.minBy { case (p, c) => (-c, p) }
       // java String.replace = literal, non-overlapping, left-to-
-      // right — the same scan as both engines' SQL replace
-      texts = texts.map(_.replace(s" $pair ",
-        s" ${pair.replace(' ', '_')} "))
+      // right — the same scan as both engines' SQL replace; the
+      // space-doubling makes adjacent occurrences independent
+      texts = texts.map(_.replace(" ", "  ")
+        .replace(s" ${pair.replace(" ", "  ")} ",
+          s" ${pair.replace(' ', '_')} ")
+        .replace("  ", " "))
       (round.toLong, pair, freq)
     }
     assert(got == want)
@@ -213,6 +216,28 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 3)
     assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
     assert(got.forall(_._2.contains(" ")))
+  }
+
+  test("q63 fuse step is tokenizer-exact on self-adjacent runs") {
+    // the exact SQL expression q63 inlines, pointed at hostile runs
+    def fuse(txt: String, pair: String): String = {
+      val doubled = pair.replace(" ", "  ")
+      val fused = pair.replace(' ', '_')
+      spark.sql(
+        s"SELECT replace(replace(replace('$txt', ' ', '  '), " +
+          s"' $doubled ', ' $fused '), '  ', ' ') AS t")
+        .as[String].collect().head
+    }
+    // both adjacent occurrences fuse (the round-7 verdict case)
+    assert(fuse(" a b a b ", "a b") == " a_b a_b ")
+    // greedy left-to-right: "a a a" fuses the FIRST pair only
+    assert(fuse(" a a a ", "a a") == " a_a a ")
+    // four-run: two disjoint fuses
+    assert(fuse(" a a a a ", "a a") == " a_a a_a ")
+    // non-adjacent occurrences unaffected
+    assert(fuse(" a b c a b ", "a b") == " a_b c a_b ")
+    // no occurrence → text unchanged
+    assert(fuse(" x y z ", "a b") == " x y z ")
   }
 
   test("g11 harmonic centrality composes the per-radius estimates") {
