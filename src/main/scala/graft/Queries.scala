@@ -969,6 +969,111 @@ object Queries {
        |    // (2 * n_shingles) AS BIGINT) AS boiler_ppm
        |FROM j""".stripMargin
 
+  /** C4-style rule bundle (Raffel et al. 2020's public cleaning
+    * heuristics — the OTHER canonical filter battery next to t15's
+    * Gopher thresholds; C4 is substring/punctuation-shaped where
+    * Gopher is ratio-shaped): per doc, flags for the doc-level C4
+    * rules expressible on this corpus — no curly brace (code), no
+    * "lorem ipsum" placeholder, no "javascript" token (the
+    * enable-JS boilerplate tell), ≥ 3 whitespace words, terminal
+    * sentence punctuation present, and no line shorter than 3 words
+    * (lines = newline splits; this corpus is single-line, so the
+    * rule degenerates to the doc-level word count — declared, the
+    * column is live on real crawls). Pure per-row whole-stage
+    * codegen, zero shuffles — the 100 TB shape of every rule
+    * battery. `passes` multiplies the flags (C4 drops a doc failing
+    * any rule). */
+  val t21_c4_rules: QFn = (s, d) => {
+    val lower_ = lower(col("text"))
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        flag(!lower_.contains("{")).as("r_brace"),
+        flag(!lower_.contains("lorem ipsum")).as("r_lorem"),
+        flag(!array_contains(TextFunctions.tokens(lower_),
+          "javascript")).as("r_js"),
+        flag(TextFunctions.tokenCount(col("text")) >= 3)
+          .as("r_words"),
+        flag(col("text").rlike("[.!?]")).as("r_punct"))
+      .withColumn("passes",
+        col("r_brace") * col("r_lorem") * col("r_js") *
+          col("r_words") * col("r_punct"))
+  }
+
+  val t21_sql: String =
+    """WITH f AS (SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text),
+      |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+      |    CASE WHEN contains(lower(text), '{') THEN 0 ELSE 1 END
+      |      AS r_brace,
+      |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 0
+      |      ELSE 1 END AS r_lorem,
+      |    CASE WHEN list_contains(list_filter(
+      |        regexp_split_to_array(trim(lower(text)), '\s+'),
+      |        x -> len(x) > 0), 'javascript') THEN 0 ELSE 1 END
+      |      AS r_js,
+      |    CASE WHEN regexp_matches(text, '[.!?]') THEN 1 ELSE 0 END
+      |      AS r_punct
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |  CAST(r_brace AS BIGINT) AS r_brace,
+      |  CAST(r_lorem AS BIGINT) AS r_lorem,
+      |  CAST(r_js AS BIGINT) AS r_js,
+      |  CAST(CASE WHEN n_words >= 3 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS r_words,
+      |  CAST(r_punct AS BIGINT) AS r_punct,
+      |  CAST(r_brace * r_lorem * r_js *
+      |    (CASE WHEN n_words >= 3 THEN 1 ELSE 0 END) * r_punct
+      |    AS BIGINT) AS passes
+      |FROM f""".stripMargin
+
+  /** Per-SOURCE corpus QA report — the Dolma/RedPajama per-source
+    * accounting line that decides which feeds to keep: per `source`,
+    * docs, exact token mass, distinct languages, docs that are exact
+    * duplicates of ANYTHING in the corpus (d01's normalized-text
+    * fingerprint, corpus-wide — cross-source duplication charges
+    * BOTH sources, which is the decision-relevant semantics), and
+    * the duplicate share in HALF_UP integer ppm. Scale shape: the
+    * fingerprint df table collapses map-side to distinct-fingerprint
+    * size, joins back on the fp key (corpus-keyed, one shuffle
+    * each), and the final aggregate is |sources|-bounded with
+    * map-side combine. */
+  val t22_source_report: QFn = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"),
+        col("source"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_toks"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("fp"))
+    val dfc = docs.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+    docs.join(dfc, Seq("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_toks").cast("long").as("n_tokens"),
+        countDistinct("lang").cast("long").as("n_langs"),
+        sum(when(col("n_fp") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_docs"))
+      .withColumn("dup_ppm",
+        expr("(n_dup_docs * 2000000 + n_docs) DIV (2 * n_docs)"))
+  }
+
+  val t22_sql: String =
+    """WITH docs AS (SELECT doc_id, source, lang,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text),
+      |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_toks,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |      AS fp
+      |  FROM documents),
+      |dfc AS (SELECT fp, count(*) AS n_fp FROM docs GROUP BY fp)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
+      |  CAST((sum(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) * 2000000
+      |    + count(*)) // (2 * count(*)) AS BIGINT) AS dup_ppm
+      |FROM docs JOIN dfc USING (fp)
+      |GROUP BY source""".stripMargin
+
   /** Per-(user, event_type) DEBOUNCE accounting — the event-stream
     * throttling/dedup primitive: an event repeated within the 1 h
     * cooldown of its predecessor is a burst member (suppressed); the
@@ -1152,6 +1257,74 @@ object Queries {
        |SELECT CAST(i AS BIGINT) AS i, CAST(v * 10 AS BIGINT) AS v_ppm
        |FROM v4""".stripMargin
   }
+
+  /** HARD-NEGATIVE MINING for contrastive embedding training — the
+    * training-pair assembly step every embedding-model pipeline runs
+    * after clustering: per anchor, the top-5 highest-cosine vectors
+    * from a DIFFERENT IVF cluster (same-cluster neighbours are
+    * presumed positives and excluded BEFORE ranking — the filter
+    * bites exactly on the nearest candidates, which is the point).
+    * Reuses s04's Lloyd centroids for the cluster assignment (one
+    * broadcast of the 16-row centroid table + one per-vector argmax
+    * window) and s01's bounded-heap TopKBy for the ranking, so the
+    * shuffle past the scoring map work carries |anchors|·k rows —
+    * never the corpus × anchors pair relation. Oracle extends s04's
+    * centroid CTE chain with the cluster-disjoint scored relation. */
+  val s13_hard_negatives: QFn = (s, d) => {
+    val e = embD(s, d)
+    val cents = Similarity.ivfCentroids(e, nLists = 16, iters = 1)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("cent_id"))
+    val assign = e.select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(cents))
+      .withColumn("cs", Similarity.cosine(col("v"), col("cv")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assign.count() // corpus side AND anchor side read it (CLAUDE.md)
+    val anchors = assign.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"),
+        col("cent_id").as("p_cent"))
+    val scored = assign
+      .join(broadcast(anchors))
+      .filter(col("cent_id") =!= col("p_cent") &&
+        col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", Similarity.cosine(col("v"), col("p")))
+      .select("probe_id", "vec_id", "cos")
+    Similarity.topKScored(scored, 5)
+  }
+
+  // lazy: centCos/cosSql are declared further down the object body
+  lazy val s13_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+       |  ORDER BY vec_id LIMIT 16),
+       |s1 AS (SELECT e.vec_id, e.v, c0.cent_id, $centCos AS cs
+       |  FROM e, c0),
+       |a1 AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT vec_id, v, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+       |    FROM s1) WHERE r = 1),
+       |u1 AS (SELECT cent_id, i, round(avg(v[i]), 6) AS m
+       |  FROM a1, range(1, 65) t(i) GROUP BY 1, 2),
+       |cents AS (SELECT cent_id, list(m ORDER BY i) AS cv FROM u1
+       |  GROUP BY cent_id),
+       |al AS (SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, cents.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY $centCos DESC, cent_id)
+       |      AS r
+       |    FROM e, cents) x WHERE r = 1),
+       |anch AS (SELECT vec_id AS probe_id, v AS pv,
+       |    cent_id AS p_cent FROM al WHERE vec_id < 5),
+       |scored AS (SELECT probe_id, al.vec_id, $cosSql AS cos
+       |  FROM al, anch
+       |  WHERE al.cent_id <> anch.p_cent
+       |    AND al.vec_id <> anch.probe_id)
+       |SELECT probe_id, vec_id, cos, rnk FROM (
+       |  SELECT probe_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored) WHERE rnk <= 5""".stripMargin
 
   /** OHLC bar resampling — the time-series downsampling primitive
     * (tick stream → hourly open/high/low/close/volume bars): ONE
@@ -7131,6 +7304,9 @@ object Queries {
     "m04_frame_energy" -> m04_frame_energy,
     "m05_header_probe" -> m05_header_probe,
     "q67_apply_ops" -> q67_apply_ops,
+    "t21_c4_rules" -> t21_c4_rules,
+    "t22_source_report" -> t22_source_report,
+    "s13_hard_negatives" -> s13_hard_negatives,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
     "e03_user_stats" -> e03_user_stats,
@@ -7286,6 +7462,9 @@ object Queries {
     "m04_frame_energy" -> m04_sql,
     "m05_header_probe" -> m05_sql,
     "q67_apply_ops" -> q67_sql,
+    "t21_c4_rules" -> t21_sql,
+    "t22_source_report" -> t22_sql,
+    "s13_hard_negatives" -> s13_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,
     "e03_user_stats" -> e03_sql,

@@ -53,6 +53,14 @@ object Similarity {
     topKPerProbe(scored, k)
   }
 
+  /** Per-probe bounded-heap top-k over an arbitrary pre-scored pair
+    * relation `(probe_id, vec_id, cos)` — the same map-side-partial
+    * TopKBy aggregate [[bruteForceTopK]] uses, exposed for callers
+    * that filter the candidate relation first (e.g. hard-negative
+    * mining drops same-cluster candidates before ranking). */
+  def topKScored(scored: DataFrame, k: Int): DataFrame =
+    topKPerProbe(scored, k)
+
   private def topKPerProbe(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("probe_id")
       .agg(TopKBy.topKBy(col("cos"), col("vec_id"), k).as("tk"))
