@@ -21,8 +21,10 @@ import org.apache.spark.storage.StorageLevel
   * oracle of unrolled max-merge CTE rounds hash-matches every
   * register and every estimate.
   *
-  * Scale shape — the state is DENSE: one row per node with 64
-  * register COLUMNS (empty = 0; real rho is always ≥ 1):
+  * Scale shape — the state is DENSE and PACKED: one row per node
+  * with all 64 registers in ONE 64-byte binary column
+  * (org.apache.spark.sql.graft.HllRegisterExpressions; empty = 0;
+  * real rho is always ≥ 1):
   *  - each round joins the edge list against the state and emits ONE
   *    row per edge, not one per (edge, register) — a sparse
   *    `(node, j, rho)` layout measured 40× more propagation rows
@@ -30,14 +32,17 @@ import org.apache.spark.storage.StorageLevel
   *    groups barely combine map-side because a src-partitioned join
   *    output touches almost every dst group in every task
   *    (22.7 s → ~1.5 s per round from this change alone);
-  *  - the merge is 64 columnar `max` aggregates — associative, so
-  *    partial aggregation collapses each task to ≤ |V| rows and the
-  *    shuffle is bounded by |V|·65 values per round REGARDLESS of
-  *    ball sizes — the HyperBall argument (q57's mergeability, per
-  *    node);
-  *  - registers are BYTES (rho ≤ 40): the per-round join/shuffle row
-  *    is 72 B instead of 520 B, and the whole state broadcasts at
-  *    |V| ≤ ~1M nodes so the round join never re-shuffles the edges;
+  *  - the merge is ONE `bytewise_max` aggregate (a codegen'd byte
+  *    loop with map-side partials) instead of 64 separate columnar
+  *    `max` aggregates — associative, so partial aggregation
+  *    collapses each task to ≤ |V| rows and the shuffle is bounded
+  *    by |V| 64-byte vectors per round REGARDLESS of ball sizes —
+  *    the HyperBall argument (q57's mergeability, per node);
+  *  - the packed row is ~70 B where 64 separate byte FIELDS cost an
+  *    UnsafeRow ~520 B (8-byte slots) — measured g10 4.1 → 2.2 s and
+  *    g11 4.7 → 1.9 s at sf0.1 from the packing alone — and the
+  *    whole state broadcasts at |V| ≤ ~1M nodes so the round join
+  *    never re-shuffles the edges;
   *  - the edge list is consumed as-is (max-merge is idempotent, so
   *    duplicate edges change nothing but join fanout — a global
   *    dedup shuffle costs more than the ~1% fanout it saves here;
@@ -49,8 +54,6 @@ import org.apache.spark.storage.StorageLevel
 object HyperBall {
 
   private val R = 64
-
-  private def regCols: Seq[Column] = (0 until R).map(i => col(s"r$i"))
 
   /** Register states after rounds 1..`rounds`; element k-1 holds the
     * radius-k ball sketch. All but the last are checkpointed (each
@@ -77,18 +80,17 @@ object HyperBall {
       .when(nib.isin("4", "5", "6", "7"), 3).otherwise(4)
     val rho = when(lz === 13, lit(53))
       .otherwise(lz * 4 + (lit(4) - blen) + 1)
-    var state = nodes.select(col("node") +: (0 until R).map(i =>
-      when(j === i, least(rho, lit(40)))
-        .otherwise(lit(0)).cast("byte").as(s"r$i")): _*)
+    import org.apache.spark.sql.graft.HllRegisterFunctions._
+    var state = nodes.select(col("node"),
+        hllInit(j, least(rho, lit(40)).cast("long")).as("regs"))
       .localCheckpoint(true)
     (1 to rounds).map { r =>
       val prop = e
         .join(state.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node") +: regCols: _*)
+        .select(col("dst").as("node"), col("regs"))
       val merged = state.union(prop)
         .groupBy("node")
-        .agg(max(col("r0")).as("r0"),
-          (1 until R).map(i => max(col(s"r$i")).as(s"r$i")): _*)
+        .agg(byteMax(col("regs")).as("regs"))
       state =
         if (r < rounds) merged.localCheckpoint(true) else merged
       state
@@ -99,14 +101,10 @@ object HyperBall {
     * empty register (0) contributes 2^40 to the scaled harmonic sum —
     * exactly the sparse form's (64 − count) · 2^40 term. */
   private def estimate(state: DataFrame): DataFrame = {
-    val sScaled = (0 until R).map(i =>
-      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(40 - r$i AS INT))"))
-      .reduce(_ + _)
-    val vEmpty = (0 until R).map(i =>
-      when(col(s"r$i") === 0, 1L).otherwise(0L)).reduce(_ + _)
+    import org.apache.spark.sql.graft.HllRegisterFunctions._
     state
-      .select(col("node"), sScaled.as("s_scaled"),
-        vEmpty.as("v_empty"))
+      .select(col("node"), hllScaledSum(col("regs")).as("s_scaled"),
+        hllEmptyCount(col("regs")).as("v_empty"))
       .withColumn("raw",
         expr("(709 * 4096 * 1099511627776) DIV (1000 * s_scaled)"))
       .select(col("node"), col("s_scaled"), col("v_empty"),
