@@ -465,6 +465,58 @@ object Streams {
       }
   }
 
+  case class SnapOp(seq: Long, user_id: Long, op: String,
+                    n_new: Option[Long], s_new: Option[Long])
+  case class SnapState(n_events: Long, sum_cents: Long)
+  case class SnapOut(user_id: Long, seq: Long, op: String,
+                     n_events: Long, sum_cents: Long, live: Boolean)
+
+  /** STREAMING SNAPSHOT MAINTENANCE — batch q67's twin and the
+    * apply_operations.py loop as a stateful stream: an
+    * insert/update/delete op feed (updates carry ONLY changed
+    * fields, None = unchanged — the ES partial-`doc` contract) folds
+    * into a per-key maintained snapshot. State is ONE (n, sum) pair
+    * per live key — the snapshot row itself, constant-size per key;
+    * a delete removes the state outright, so the store holds exactly
+    * the live snapshot. Each applied op emits the post-apply row
+    * (live = false tombstones a delete); the CURRENT snapshot is the
+    * last emission per key with live = true — replaying
+    * insert-everything + the q14/q67 diff ops reproduces the batch
+    * apply EXACTLY (spec-pinned: closure, streamed). Ops fold in
+    * `seq` order within a batch so replays are deterministic. Keys
+    * never expire (the snapshot is the product — state size IS
+    * snapshot size, the honest minimum). */
+  def streamingSnapshotApply(ops: Dataset[SnapOp])
+    : Dataset[SnapOut] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SnapState, SnapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[SnapState]) =>
+          var cur = state.getOption.orNull
+          val out = Seq.newBuilder[SnapOut]
+          rows.toSeq.sortBy(_.seq).foreach { o =>
+            o.op match {
+              case "delete" =>
+                cur = null
+                out += SnapOut(uid, o.seq, o.op, 0L, 0L,
+                  live = false)
+              case op =>
+                // insert sets both fields; update coalesces onto
+                // the held row — None keeps the current value
+                val base = if (cur == null) SnapState(0L, 0L) else cur
+                cur = SnapState(
+                  o.n_new.getOrElse(base.n_events),
+                  o.s_new.getOrElse(base.sum_cents))
+                out += SnapOut(uid, o.seq, op, cur.n_events,
+                  cur.sum_cents, live = true)
+            }
+          }
+          if (cur == null) state.remove() else state.update(cur)
+          out.result().iterator
+      }
+  }
+
   case class TypedEvent(user_id: Long, event_id: Long,
                         ts: java.sql.Timestamp, event_type: String)
   case class LastEvent(ms: Long, event_id: Long, event_type: String)

@@ -32,4 +32,18 @@ class Round12OpsSpec extends SparkSpec {
       assert((prevKeys -- currKeys).nonEmpty, "no delete exercised")
       assert((currKeys & prevKeys).nonEmpty, "no update/carry path")
     }
+
+  test("m05 and t21 plan ZERO exchanges (pure per-row scans)") {
+    // the scaladoc claims these are shuffle-free map passes - the
+    // 100 TB shape of a media-probe / rule-battery scan; pin it
+    for (q <- Seq("m05_header_probe", "t21_c4_rules")) {
+      val plan = Queries.all(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan
+      val ex = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }
+      assert(ex.isEmpty, s"$q plans ${ex.size} exchange(s)")
+    }
+  }
 }

@@ -450,6 +450,85 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSnapshotApply replays q67's ops to the batch snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    // the q67 prev/curr snapshots (same modulus carve-outs)
+    def snap(parity: Int, excl: Int): Map[Long, (Long, Long)] =
+      spark.read.parquet(dir + "/events.parquet")
+        .selectExpr("user_id", "event_id",
+          "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+        .filter(col("event_id") % 2 === parity &&
+          col("user_id") % excl =!= 0)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("cents").as("s"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val prev = snap(0, 5)
+    val curr = snap(1, 7)
+    // batch 1: insert everything in prev; batch 2: the q14/q67 diff
+    val inserts = prev.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((u, (n, sm)), i) =>
+        Streams.SnapOp(i.toLong, u, "insert", Some(n), Some(sm))
+    }
+    val diff = (prev.keySet ++ curr.keySet).toSeq.sorted.flatMap { u =>
+      (prev.get(u), curr.get(u)) match {
+        case (None, Some((n, sm))) =>
+          Some(Streams.SnapOp(0L, u, "insert", Some(n), Some(sm)))
+        case (Some(_), None) =>
+          Some(Streams.SnapOp(0L, u, "delete", None, None))
+        case (Some((pn, ps)), Some((cn, cs))) if pn != cn || ps != cs =>
+          Some(Streams.SnapOp(0L, u, "update",
+            if (pn != cn) Some(cn) else None,
+            if (ps != cs) Some(cs) else None))
+        case _ => None // noop
+      }
+    }.zipWithIndex.map { case (o, i) => o.copy(seq = 1000000L + i) }
+    assert(diff.exists(_.op == "insert"), "no insert exercised")
+    assert(diff.exists(_.op == "delete"), "no delete exercised")
+    assert(diff.exists(_.op == "update"), "no update exercised")
+    val mem = MemoryStream[Streams.SnapOp]
+    val q = Streams.streamingSnapshotApply(mem.toDS())
+      .writeStream.format("memory").queryName("ssnap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(inserts: _*)
+      q.processAllAvailable()
+      mem.addData(diff: _*)
+      q.processAllAvailable()
+      val rows = spark.table("ssnap").as[Streams.SnapOut].collect()
+      val last = rows.groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.seq)).toMap
+      val got = last.collect {
+        case (u, o) if o.live => u -> ((o.n_events, o.sum_cents))
+      }.toMap
+      assert(got == curr, "streamed snapshot != batch curr")
+      // and it matches the batch q67 apply itself (closure, streamed)
+      val applied = Queries.q67_apply_ops(spark, dir)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == applied)
+      // batch 3: PARTIAL-field updates (None = keep) - this corpus's
+      // diffs always change both fields, so the ES partial-doc
+      // contract is exercised synthetically on two live keys
+      val (u1, st1) = got.head
+      val (u2, st2) = got.last
+      mem.addData(
+        Streams.SnapOp(2000000L, u1, "update", Some(st1._1 + 7), None),
+        Streams.SnapOp(2000001L, u2, "update", None, Some(st2._2 + 9)))
+      q.processAllAvailable()
+      val rows3 = spark.table("ssnap").as[Streams.SnapOut].collect()
+      val l3 = rows3.groupBy(_.user_id).view
+        .mapValues(_.maxBy(_.seq)).toMap
+      assert(l3(u1).n_events == st1._1 + 7 &&
+        l3(u1).sum_cents == st1._2, "partial n-update broke coalesce")
+      assert(l3(u2).n_events == st2._1 &&
+        l3(u2).sum_cents == st2._2 + 9, "partial s-update broke coalesce")
+    } finally q.stop()
+  }
+
   test("streamingDebounce reproduces batch e16 accounting across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = sf("sf0.001")
