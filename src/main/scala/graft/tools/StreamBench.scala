@@ -151,6 +151,23 @@ object StreamBench {
           Map("purchase" -> (50.0, 2000.0),
             "click" -> (80.0, 8000.0))).toDF(), "append")
     }
+    // snapshot maintenance: state = the live snapshot row per key
+    // (insert/update/delete fold; here events synthesize an op mix —
+    // 1-in-11 delete, 1-in-7 partial update, rest upsert)
+    locally {
+      import spark.implicits._
+      drive("snapshot_apply",
+        Streams.streamingSnapshotApply(syntheticEvents()
+          .select(col("event_id").as("seq"), col("user_id"),
+            when(pmod(col("event_id"), lit(11)) === 0, "delete")
+              .when(pmod(col("event_id"), lit(7)) === 0, "update")
+              .otherwise("insert").as("op"),
+            when(pmod(col("event_id"), lit(7)) =!= 0,
+              col("event_id")).as("n_new"),
+            when(pmod(col("event_id"), lit(2)) === 0,
+              col("event_id") * 2).as("s_new"))
+          .as[Streams.SnapOp]).toDF(), "append")
+    }
     // minhash-LSH banding + watermarked band dedup + windowed count:
     // the heaviest per-row stateful pipeline (shingle + md5 x hashes)
     drive("near_dup_signal",
