@@ -44,7 +44,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // join-back, debounce run windows, member/type multi-distinct
     "g12_label_prop", "t20_boilerplate", "e16_debounce",
     "q65_member_type_stats", "g13_modularity", "d19_edit_pairs",
-    "q66_profile", "e17_ohlc", "s11_gram", "e18_bar_rollup", "s12_power_iter")
+    "q66_profile", "e17_ohlc", "s11_gram", "e18_bar_rollup",
+    "s12_power_iter",
+    // round-12: snapshot diff+apply join chain, corpus-wide dup-share
+    // join-back, cluster-disjoint bounded-heap top-k (persisted
+    // argmax assignment), declarative container writer + probe
+    "q67_apply_ops", "t22_source_report", "s13_hard_negatives",
+    "m05_header_probe")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")
