@@ -58,5 +58,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NamehashExpr].getName, "namehash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NamehashExpr(children.head)))
+    // packed-HLL register kernels (the HyperBall state layout)
+    ext.injectFunction((
+      new FunctionIdentifier("hll_init"),
+      new ExpressionInfo(classOf[HllRegInit].getName, "hll_init"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllRegInit(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_scaled_sum"),
+      new ExpressionInfo(classOf[HllScaledSum].getName,
+        "hll_scaled_sum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllScaledSum(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_empty_count"),
+      new ExpressionInfo(classOf[HllEmptyCount].getName,
+        "hll_empty_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllEmptyCount(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bytewise_max"),
+      new ExpressionInfo(classOf[ByteMaxAgg].getName, "bytewise_max"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ByteMaxAgg(children.head).toAggregateExpression()))
   }
 }

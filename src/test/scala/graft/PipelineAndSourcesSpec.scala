@@ -78,6 +78,19 @@ class PipelineAndSourcesSpec extends SparkSpec {
       assert(r.getString(2) == "été")
       assert(r.getString(3) == "café")
       assert(r.getSeq[String](4) == Seq("a b", "b c"))
+      // packed-HLL kernels: init two sketches, max-merge, estimate
+      val h = s2.sql(
+        """SELECT hll_scaled_sum(m) AS s, hll_empty_count(m) AS v
+          |FROM (SELECT bytewise_max(r) AS m FROM (
+          |  SELECT hll_init(CAST(id % 64 AS BIGINT),
+          |                  CAST(id % 7 + 1 AS BIGINT)) AS r
+          |  FROM range(0, 128) t(id)))""".stripMargin).collect()(0)
+      // 64 registers all hit twice; rho = max(j%7, (j+64)%7) + 1
+      val want = (0 until 64).map(j =>
+        math.max(j % 7, (j + 64) % 7) + 1)
+      assert(h.getLong(0) ==
+        want.map(rho => 1L << (40 - rho)).sum)
+      assert(h.getLong(1) == 0L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
