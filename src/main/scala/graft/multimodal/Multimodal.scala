@@ -102,18 +102,22 @@ object Multimodal {
     private def wav(p: Array[Byte]): Option[MediaInfo] =
       if (p.length >= 44 && ascii(p, 0, "RIFF") &&
           le32(p, 4) == p.length.toLong - 8L && ascii(p, 8, "WAVE")) {
-        var off = 12
+        var off = 12L
         var found: Option[MediaInfo] = None
         while (found.isEmpty && off + 8 <= p.length) {
-          val size = le32(p, off + 4)
-          if (ascii(p, off, "fmt ") && size >= 16 &&
+          val o = off.toInt
+          val size = le32(p, o + 4) // u32 as Long — never negative
+          if (ascii(p, o, "fmt ") && size >= 16 &&
               off + 8 + 16 <= p.length)
             found = Some(MediaInfo("audio/wav",
-              le32(p, off + 12),      // sample rate
-              le16(p, off + 10),      // channels
-              le16(p, off + 22)))     // bits per sample
-          // chunks are word-aligned: odd sizes carry a pad byte
-          else off += 8 + size.toInt + (size.toInt & 1)
+              le32(p, o + 12),      // sample rate
+              le16(p, o + 10),      // channels
+              le16(p, o + 22)))     // bits per sample
+          // chunks are word-aligned: odd sizes carry a pad byte.
+          // Long arithmetic: a lying u32 size field must walk the
+          // scan off the end (-> None), never wrap an int negative
+          // and index backwards
+          else off += 8L + size + (size & 1L)
         }
         found
       } else None

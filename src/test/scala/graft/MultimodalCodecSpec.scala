@@ -93,6 +93,14 @@ class MultimodalCodecSpec extends SparkSpec {
     // RIFF whose size field disagrees with the payload length
     val badWav = wav44 ++ Array[Byte](0)
     assert(HeaderCodec.probe(badWav) === None)
+    // RIFF with a LYING u32 chunk size (0xFFFFFFFF) before fmt:
+    // must walk off the end and return None, not wrap negative and
+    // crash on a backwards index
+    val lying = bytes(
+      "52494646 28000000 57415645" +
+        "4A554E4B FFFFFFFF AABBCC 00" +
+        "666D7420 10000000 0100 0200 80BB0000 00EE0200 0400 1000")
+    assert(HeaderCodec.probe(lying) === None)
     // plain text
     assert(HeaderCodec.probe("hello multimodal".getBytes) === None)
     assert(HeaderCodec.probe(null) === None)
