@@ -791,7 +791,7 @@ object Queries {
        |  FROM h),
        |cm AS (SELECT true_lang, pred_lang,
        |    CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
-       |tot AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_lang
+       |tot AS MATERIALIZED (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_lang
        |  FROM cm GROUP BY 1)
        |SELECT cm.true_lang, cm.pred_lang, n, n_lang,
        |  CAST((2 * 1000000 * n + n_lang) // (2 * n_lang) AS BIGINT)
@@ -1195,6 +1195,17 @@ object Queries {
     * pre-scale and four rounds as unrolled CTEs over the gram CTE —
     * an eigenvector two engines agree on bit-for-bit. */
   val s12_power_iter: QFn = (s, d) => {
+    val v = topEigenMilli(s, d)
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x * 10) }.toSeq
+      .toDF("i", "v_ppm")
+  }
+
+  /** The s12 driver finish, shared with s14's rotation: the exact
+    * integer top eigenvector of s11's gram (largest component pinned
+    * to ±~10^5). Bounded — the gram is dim² = 2 080 cells regardless
+    * of corpus size. */
+  private[graft] def topEigenMilli(s: SparkSession, d: String): Array[Long] = {
     val cells = s11_gram(s, d)
       .select("i", "j", "gram_milli2").collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
@@ -1221,12 +1232,13 @@ object Queries {
       v = w.map(x => if (x >= 0) (2 * x + dd) / (2 * dd)
                      else -((2 * -x + dd) / (2 * dd)))
     }
-    import s.implicits._
-    v.zipWithIndex.map { case (x, i) => (i.toLong, x * 10) }.toSeq
-      .toDF("i", "v_ppm")
+    v
   }
 
-  lazy val s12_sql: String = {
+  /** The WITH-chain ending in `v4` (the integer eigenvector) plus the
+    * milli-coordinate relation `f` — shared prefix of s12's and s14's
+    * oracles. */
+  private lazy val s12Chain: String = {
     val gramCore = s11_sql
       .replaceFirst("(?s)\nSELECT .*$", "")
     def round(r: Int) =
@@ -1253,10 +1265,123 @@ object Queries {
        |    AS gr
        |  FROM g0, gm),
        |v0 AS (SELECT DISTINCT i, CAST(100000 AS BIGINT) AS v FROM g),
-       |${(1 to 4).map(round).mkString(",\n")}
+       |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  lazy val s12_sql: String =
+    s"""$s12Chain
        |SELECT CAST(i AS BIGINT) AS i, CAST(v * 10 AS BIGINT) AS v_ppm
        |FROM v4""".stripMargin
+
+  /** OPQ-STYLE ROTATED PRODUCT QUANTIZATION — the rotation step of
+    * the OPQ family (Ge et al., CVPR 2013: align the coordinate
+    * system to the data before subspace coding) built entirely from
+    * exact integers both engines mirror bit-for-bit:
+    *
+    *   1. u = s12's integer top eigenvector (the [[topEigenMilli]]
+    *      driver finish — dim² gram cells, bounded at any corpus).
+    *   2. Householder vector w = u + sign(u₀)·‖u‖·e₀ (the standard
+    *      cancellation-free construction); H = I − 2wwᵀ/wᵀw is an
+    *      exact reflection mapping the principal direction onto
+    *      coordinate 0 — so subspace 0's codebook absorbs the
+    *      dominant variance instead of every subspace paying for it.
+    *   3. Every vector rotates in milli-integer space:
+    *      rx_i = x_i − HALF_UP(2·(w·x)·w_i / w·w) — one dot product
+    *      per vector, never a dense 64×64 multiply (the Householder
+    *      form is WHY this is linear, the same economics that make
+    *      reflections the workhorse of dense QR).
+    *   4. PQ with s06's geometry (4 subspaces × 16 dims, codebooks =
+    *      vectors 0-7, rotated codebooks for the rotated layout) and
+    *      exact integer squared distances; per-vector reconstruction
+    *      error = Σ over subspaces of the argmin distance.
+    *
+    * Output: one row per layout (householder / natural) with corpus
+    * totals — the reconstruction-error report the OPQ decision rides
+    * on. All sums stay inside BIGINT to ~10^9 vectors (per-vector
+    * error ≤ ~6·10^8 milli²). Shuffle shape: the dot-product
+    * aggregate and one |corpus|·4-row subspace aggregate; the
+    * codebook side is 512 rows and broadcasts by construction. */
+  val s14_opq_rotate: QFn = (s, d) => {
+    val u = topEigenMilli(s, d)
+    val nv = math.sqrt(u.map(x => x * x).sum.toDouble).toLong
+    val w = u.clone()
+    w(0) = u(0) + (if (u(0) >= 0) nv else -nv)
+    val ww = w.map(x => x * x).sum
+    val wArr = array(w.map(lit(_)): _*)
+    val flat = embD(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("CAST(round(x * 1000, 0) AS BIGINT)").as("xm"))
+      .withColumn("wi", element_at(wArr, col("i") + 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flat.count() // dot-product side AND rotation side read it
+    val dots = flat.groupBy("vec_id")
+      .agg(sum(col("xm") * col("wi")).as("dt"))
+    val rx = flat.join(dots, Seq("vec_id"))
+      .withColumn("num", lit(2L) * col("dt") * col("wi"))
+      .withColumn("rx", col("xm") - expr(
+        s"CASE WHEN num >= 0 THEN (2 * num + ${ww}L) DIV ${2 * ww}L " +
+          s"ELSE -((2 * -num + ${ww}L) DIV ${2 * ww}L) END"))
+      .select(col("vec_id"), col("i"), col("xm"), col("rx"))
+    // codebooks: vectors 0-7 in both layouts — 8·64 rows by
+    // construction, so the explicit broadcast is size-safe
+    val cb = rx.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("i"),
+        col("rx").as("cr"), col("xm").as("cn"))
+    val perSub = rx.join(broadcast(cb), Seq("i"))
+      .groupBy(col("vec_id"), col("cid"), (col("i") / 16).cast("int")
+        .as("sub"))
+      .agg(sum((col("rx") - col("cr")) * (col("rx") - col("cr")))
+        .as("sdr"),
+        sum((col("xm") - col("cn")) * (col("xm") - col("cn")))
+        .as("sdn"))
+    val perVec = perSub.groupBy("vec_id", "sub")
+      .agg(min(col("sdr")).as("mr"), min(col("sdn")).as("mn"))
+      .groupBy("vec_id")
+      .agg(sum(col("mr")).as("er"), sum(col("mn")).as("en"))
+    perVec.agg(count(lit(1)).cast("long").as("vecs"),
+        sum(col("er")).cast("long").as("ter"),
+        sum(col("en")).cast("long").as("ten"))
+      .selectExpr("stack(2, 'householder', vecs, ter, " +
+        "'natural', vecs, ten) AS (layout, vecs, total_err_milli2)")
   }
+
+  lazy val s14_sql: String =
+    s"""$s12Chain,
+       |nvc AS (SELECT CAST(floor(sqrt(CAST(sum(v * v) AS BIGINT)))
+       |    AS BIGINT) AS nv FROM v4),
+       |sg AS (SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM v4 WHERE i = 0),
+       |wv AS MATERIALIZED (SELECT i, CAST(CASE WHEN i = 0 THEN v + sgn * nv
+       |    ELSE v END AS BIGINT) AS w FROM v4, nvc, sg),
+       |wwc AS (SELECT CAST(sum(w * w) AS BIGINT) AS ww FROM wv),
+       |dt AS MATERIALIZED (SELECT f.vec_id, CAST(sum(f.xi * wv.w) AS BIGINT) AS dt
+       |  FROM f JOIN wv ON f.i = wv.i GROUP BY 1),
+       |rx AS MATERIALIZED (SELECT f.vec_id, f.i, f.xi,
+       |    CAST(f.xi - (CASE WHEN 2 * dt.dt * wv.w >= 0
+       |      THEN (2 * (2 * dt.dt * wv.w) + ww) // (2 * ww)
+       |      ELSE -((2 * -(2 * dt.dt * wv.w) + ww) // (2 * ww))
+       |    END) AS BIGINT) AS rxv
+       |  FROM f JOIN wv ON f.i = wv.i
+       |  JOIN dt ON f.vec_id = dt.vec_id, wwc),
+       |cbk AS MATERIALIZED (SELECT vec_id AS cid, i, rxv AS cr, xi AS cn FROM rx
+       |  WHERE vec_id < 8),
+       |ps AS MATERIALIZED (SELECT r.vec_id, c.cid, r.i // 16 AS sub,
+       |    CAST(sum((r.rxv - c.cr) * (r.rxv - c.cr)) AS BIGINT) AS sdr,
+       |    CAST(sum((r.xi - c.cn) * (r.xi - c.cn)) AS BIGINT) AS sdn
+       |  FROM rx r JOIN cbk c ON r.i = c.i GROUP BY 1, 2, 3),
+       |pm AS (SELECT vec_id, sub, min(sdr) AS mr, min(sdn) AS mn
+       |  FROM ps GROUP BY 1, 2),
+       |pv AS (SELECT vec_id, CAST(sum(mr) AS BIGINT) AS er,
+       |    CAST(sum(mn) AS BIGINT) AS en FROM pm GROUP BY 1),
+       |tot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS vecs,
+       |    CAST(sum(er) AS BIGINT) AS ter, CAST(sum(en) AS BIGINT) AS ten
+       |  FROM pv)
+       |SELECT 'householder' AS layout, vecs, ter AS total_err_milli2
+       |FROM tot
+       |UNION ALL
+       |SELECT 'natural' AS layout, vecs, ten AS total_err_milli2
+       |FROM tot""".stripMargin
 
   /** HARD-NEGATIVE MINING for contrastive embedding training — the
     * training-pair assembly step every embedding-model pipeline runs
@@ -1554,6 +1679,52 @@ object Queries {
        |${(1 to 4).map(round).mkString(",\n")}
        |SELECT node, CAST(label AS BIGINT) AS label FROM l4"""
       .stripMargin
+  }
+
+  /** COMMUNITY REFINEMENT past LPA ([[graft.graph.LabelPropagation
+    * .refineMerge]]): one monotone sweep of mutual-best community
+    * merges with exact-integer modularity gain 4m·e_cd − 2·d_c·d_d —
+    * the agglomeration step that recovers structure when synchronous
+    * LPA over-fragments (349 communities at sf0.01) or collapses.
+    * Output shape matches g12 (node, label); g13 is the scorer and
+    * Round13OpsSpec pins Q(g14) ≥ Q(g12) at two SFs. */
+  val g14_refine_communities: QFn = (s, d) => {
+    val pairs = coPurchasePairs(s, d)
+    graft.graph.LabelPropagation.refineMerge(pairs,
+      graft.graph.LabelPropagation.run(pairs, rounds = 4))
+  }
+
+  lazy val g14_sql: String = {
+    val lpa = g12_sql.replaceFirst(
+      "\nSELECT node, CAST\\(label AS BIGINT\\) AS label FROM l4", "")
+    s"""$lpa,
+       |mm AS (SELECT count(*) AS m FROM e0),
+       |deg AS (SELECT node, count(*) AS deg FROM (
+       |    SELECT a AS node FROM e0 UNION ALL SELECT b AS node
+       |    FROM e0) u GROUP BY node),
+       |dcs AS MATERIALIZED (SELECT l4.label, CAST(sum(deg) AS BIGINT)
+       |    AS dc
+       |  FROM deg JOIN l4 ON deg.node = l4.node GROUP BY 1),
+       |bet AS MATERIALIZED (SELECT least(x.label, y.label) AS c,
+       |    greatest(x.label, y.label) AS p, count(*) AS ecd
+       |  FROM e0 JOIN l4 x ON e0.a = x.node JOIN l4 y ON e0.b = y.node
+       |  WHERE x.label <> y.label GROUP BY 1, 2),
+       |ord AS (SELECT c, p, ecd FROM bet
+       |  UNION ALL SELECT p, c, ecd FROM bet),
+       |gains AS (SELECT o.c, o.p,
+       |    CAST(4 * mm.m * o.ecd - 2 * d1.dc * d2.dc AS BIGINT) AS gain
+       |  FROM ord o JOIN dcs d1 ON d1.label = o.c
+       |  JOIN dcs d2 ON d2.label = o.p, mm),
+       |best AS MATERIALIZED (SELECT c, p, gain FROM (
+       |    SELECT c, p, gain, row_number() OVER (
+       |      PARTITION BY c ORDER BY gain DESC, p ASC) AS r
+       |    FROM gains) WHERE r = 1),
+       |mut AS (SELECT b1.c AS newl, b1.p AS oldl FROM best b1
+       |  JOIN best b2 ON b1.c = b2.p AND b1.p = b2.c
+       |  WHERE b1.gain > 0 AND b1.c < b1.p)
+       |SELECT l4.node, CAST(coalesce(mut.newl, l4.label) AS BIGINT)
+       |  AS label
+       |FROM l4 LEFT JOIN mut ON l4.label = mut.oldl""".stripMargin
   }
 
   val t04_fingerprint: QFn = (s, d) =>
@@ -2011,7 +2182,7 @@ object Queries {
        |      END) AS BIGINT) AS n_near_removed,
        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_removed
        |  FROM rem),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |tot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(ntok) AS BIGINT) AS tokens_total FROM f),
        |kp AS (SELECT CAST(sum(ntok) AS BIGINT) AS tokens_kept
        |  FROM f WHERE doc_id NOT IN (SELECT doc_id FROM rem))
@@ -4632,7 +4803,7 @@ object Queries {
     * straight into the support aggregate's partial combine. The
     * self-join form shuffled the distinct'd lineitem TWICE more and
     * the joined pair stream besides. */
-  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     val byOrder = t(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok")
@@ -6151,7 +6322,7 @@ object Queries {
       |  FROM e),
       |tr AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS n
       |  FROM l WHERE prev IS NOT NULL GROUP BY prev, next),
-      |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM tr
+      |tot AS MATERIALIZED (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM tr
       |  GROUP BY prev)
       |SELECT tr.prev, tr.next, tr.n,
       |  CAST((2 * 1000000 * tr.n + tot.tot) // (2 * tot.tot) AS BIGINT)
@@ -6804,7 +6975,7 @@ object Queries {
        |    CAST(len(sub) AS BIGINT) AS tok_len,
        |    CAST(len(big) AS BIGINT) AS ph_len
        |  FROM d2),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |tot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nd,
        |    CAST(sum(name_len) AS BIGINT) AS s_name,
        |    CAST(sum(desc_len) AS BIGINT) AS s_desc,
        |    CAST(sum(norm_len) AS BIGINT) AS s_norm,
@@ -7211,7 +7382,7 @@ object Queries {
        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
        |      AS BIGINT) AS tc
        |  FROM feats GROUP BY bucket),
-       |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS r_tot,
+       |tot AS MATERIALIZED (SELECT CAST(sum(rc) AS BIGINT) AS r_tot,
        |    CAST(sum(tc) AS BIGINT) AS t_tot FROM btab),
        |bw AS (SELECT bucket,
        |    CAST(round(($dsirLogRatio) * 1e9) AS BIGINT) AS contrib
@@ -7388,12 +7559,14 @@ object Queries {
     "e16_debounce" -> e16_debounce,
     "g12_label_prop" -> g12_label_prop,
     "g13_modularity" -> g13_modularity,
+    "g14_refine_communities" -> g14_refine_communities,
     "d19_edit_pairs" -> d19_edit_pairs,
     "q66_profile" -> q66_profile,
     "e17_ohlc" -> e17_ohlc,
     "e18_bar_rollup" -> e18_bar_rollup,
     "s11_gram" -> s11_gram,
     "s12_power_iter" -> s12_power_iter,
+    "s14_opq_rotate" -> s14_opq_rotate,
     "e12_outliers" -> e12_outliers)
 
   val oracles: Map[String, String] = Map(
@@ -7544,6 +7717,7 @@ object Queries {
     "t20_boilerplate" -> t20_sql,
     "e16_debounce" -> e16_sql,
     "g12_label_prop" -> g12_sql,
+    "g14_refine_communities" -> g14_sql,
     "g13_modularity" -> g13_sql,
     "d19_edit_pairs" -> d19_sql,
     "q66_profile" -> q66_sql,
@@ -7551,5 +7725,6 @@ object Queries {
     "e18_bar_rollup" -> e18_sql,
     "s11_gram" -> s11_sql,
     "s12_power_iter" -> s12_sql,
+    "s14_opq_rotate" -> s14_sql,
     "e12_outliers" -> e12_sql)
 }

@@ -90,6 +90,82 @@ object LabelPropagation {
     (labels, modularityPpm(edges, labels), sizes)
   }
 
+  /** One MONOTONE parallel refinement sweep over a community
+    * assignment — the agglomeration step LPA lacks: merge whole
+    * communities pairwise when the merge provably raises modularity.
+    * Exact-integer gain (the [[modularityPpm]] scale): merging c,d
+    * changes Q·4m² by Δ = 4m·e_cd − 2·d_c·d_d, so "improves" is the
+    * integer test Δ > 0 — no float, both engines mirror it.
+    *
+    * Monotonicity without sequential scanning: each community points
+    * at its best partner (max Δ, ties to the smallest partner label)
+    * and a pair merges only if the choice is MUTUAL and Δ > 0 — a
+    * matching, so merged pairs are DISJOINT and the total change is
+    * exactly Σ Δ of the merged pairs (each pair's term touches only
+    * its own e/d values). Q can only rise or stay. This is the
+    * heavy-edge-matching coarsening discipline parallel Louvain
+    * implementations use to keep their merge phase monotone.
+    *
+    * Scale shape: two label joins onto the canonical edge list (the
+    * between-community counts), community-bounded aggregates that
+    * collapse map-side, one row_number window partitioned by
+    * community (|communities| rows), and one label-keyed remap join.
+    * Same BIGINT envelope as [[modularityPpm]] (gains reach ~8m²):
+    * exact to m ≈ 10^6 edges; past that, pre-divide m's scale or
+    * two-stage the gain test.
+    *
+    * @return (node, label) after the sweep — merged communities take
+    *         the smaller of the two labels
+    */
+  def refineMerge(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col("id1"), col("id2")).cast("long").as("a"),
+        greatest(col("id1"), col("id2")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // feeds m, the between counts AND the degree agg
+    val lab = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    lab.count() // labels feed two edge joins, degrees, and the remap
+    val la = lab.select(col("node").as("a"), col("label").as("la"))
+    val lb = lab.select(col("node").as("b"), col("label").as("lb"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val between = e.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(least(col("la"), col("lb")).as("c"),
+        greatest(col("la"), col("lb")).as("p"))
+      .agg(count(lit(1)).as("ecd"))
+    val ordered = between.unionAll(
+      between.select(col("p").as("c"), col("c").as("p"), col("ecd")))
+    val dc = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .join(lab, Seq("node"))
+      .groupBy("label").agg(sum("deg").as("dc"))
+    val gains = ordered
+      .join(dc.select(col("label").as("c"), col("dc").as("dcc")),
+        Seq("c"))
+      .join(dc.select(col("label").as("p"), col("dc").as("dcp")),
+        Seq("p"))
+      .crossJoin(m)
+      .select(col("c"), col("p"),
+        (lit(4L) * col("m") * col("ecd")
+          - lit(2L) * col("dcc") * col("dcp")).as("gain"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c").orderBy(col("gain").desc, col("p").asc)
+    val best = gains.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).select("c", "p", "gain")
+    val mutual = best.as("b1")
+      .join(best.as("b2"),
+        col("b1.c") === col("b2.p") && col("b1.p") === col("b2.c"))
+      .filter(col("b1.gain") > 0 && col("b1.c") < col("b1.p"))
+      .select(col("b1.c").as("newl"), col("b1.p").as("oldl"))
+    val out = lab.join(mutual, lab("label") === mutual("oldl"), "left")
+      .select(col("node"),
+        coalesce(col("newl"), col("label")).cast("long").as("label"))
+    out
+  }
+
   /** MODULARITY of a node partition — the standard quality score for
     * a community assignment (Newman 2006, public):
     * Q = Σ_c (e_c/m − (d_c/2m)²), where e_c = intra-community edges,

@@ -559,4 +559,42 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** Streaming MINUTE BARS — batch e17/e18's associative bar algebra
+    * on a live tick feed: one watermarked tumbling-minute aggregate
+    * per (event_type, minute), emitting exactly e18's minute-bar
+    * schema (n/volume/low/high + open/close as `min_by`/`max_by` over
+    * the packed within-hour tick key, PLUS the bar's own min/max tick
+    * keys) — so downstream hour/day views re-aggregate these bars
+    * with the same fold and land bit-identical to the batch bars.
+    * Because every field is an associative fold with a total-order
+    * key, the result is INDEPENDENT of how the feed is split into
+    * micro-batches (spec-pinned across arbitrary splits); state is
+    * one in-flight bar per (type, minute) inside the watermark
+    * horizon — constant per key, aged out automatically.
+    *
+    * Input columns: ts (timestamp), event_id, event_type, value.
+    * Output: (event_type, minute, n_events, volume_cents, low, high,
+    * min_k, max_k, open, close). */
+  def streamingMinuteBars(events: DataFrame,
+                          lateness: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("k",
+        (col("ms") % 3600000L) * lit(8589934592L) + col("event_id"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"),
+        "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").cast("long").as("volume_cents"),
+        min("cents").as("low"), max("cents").as("high"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        min_by(col("cents"), col("k")).as("open"),
+        max_by(col("cents"), col("k")).as("close"))
+      .select(col("event_type"),
+        floor(unix_millis(col("window.start")) / 60000L).as("minute"),
+        col("n_events"), col("volume_cents"), col("low"), col("high"),
+        col("min_k"), col("max_k"), col("open"), col("close"))
 }

@@ -168,6 +168,11 @@ object StreamBench {
               col("event_id") * 2).as("s_new"))
           .as[Streams.SnapOp]).toDF(), "append")
     }
+    // associative OHLC bar fold: one in-flight bar per (type, minute)
+    // inside the watermark horizon — e17/e18's algebra on a feed
+    drive("minute_bars",
+      Streams.streamingMinuteBars(syntheticEvents(), "30 seconds"),
+      "append")
     // minhash-LSH banding + watermarked band dedup + windowed count:
     // the heaviest per-row stateful pipeline (shingle + md5 x hashes)
     drive("near_dup_signal",

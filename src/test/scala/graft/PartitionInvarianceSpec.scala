@@ -50,7 +50,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // join-back, cluster-disjoint bounded-heap top-k (persisted
     // argmax assignment), declarative container writer + probe
     "q67_apply_ops", "t22_source_report", "s13_hard_negatives",
-    "m05_header_probe")
+    "m05_header_probe",
+    // round-13: eigenvector-driven Householder rotation + integer PQ,
+    // mutual-best community merge matching
+    "s14_opq_rotate", "g14_refine_communities")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

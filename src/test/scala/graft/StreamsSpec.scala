@@ -12,6 +12,90 @@ class StreamsSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
 
+  test("streamingMinuteBars == batch bars across arbitrary batch " +
+    "splits, and their hour rollup == direct hourly bars") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // real sf0.001 events, time-compressed 2000x so minute bars hold
+    // ~45 ticks each (raw spacing is ~43 min — every bar would be a
+    // singleton and the fold would go unexercised), replayed in
+    // event-time order (a replayed log) over three UNEVEN batches
+    val rows = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[(Long, Timestamp, String, Double)].collect()
+      .sortBy(r => (r._2.getTime, r._1))
+    val t0 = rows.head._2.getTime
+    val comp = rows.map { case (id, t, et, v) =>
+      (id, new Timestamp(1704067200000L + (t.getTime - t0) / 2000),
+        et, v)
+    }
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.streamingMinuteBars(df, lateness = "1 minute")
+      .writeStream.format("memory").queryName("mbars")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      val (b1, rest) = comp.splitAt(137)
+      val (b2, b3) = rest.splitAt(401)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      // sentinel an hour later flushes every in-flight bar
+      mem.addData((999999L,
+        new Timestamp(comp.last._2.getTime + 3600000L), "view", 0.0))
+      q.processAllAvailable()
+      val sentinelMinute =
+        (comp.last._2.getTime + 3600000L) / 60000L
+      spark.table("mbars").filter(col("minute") < sentinelMinute)
+    } finally q.stop()
+    def barify(src: org.apache.spark.sql.DataFrame) = src
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"),
+        col("event_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .withColumn("k",
+        (col("ms") % 3600000L) * lit(8589934592L) + col("event_id"))
+    val batchBars = barify(comp.toSeq
+        .toDF("event_id", "ts", "event_type", "value"))
+      .groupBy(col("event_type"),
+        floor(col("ms") / 60000L).as("minute"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").cast("long").as("volume_cents"),
+        min("cents").as("low"), max("cents").as("high"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        min_by(col("cents"), col("k")).as("open"),
+        max_by(col("cents"), col("k")).as("close"))
+    val sCols = streamed.columns.sorted.map(col).toSeq
+    val a = streamed.select(sCols: _*).collect().map(_.toString).sorted
+    val b = batchBars.select(sCols: _*).collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.toSeq == b.toSeq,
+      "streamed minute bars differ from batch bars")
+    // the associative rollup: hour bars from STREAMED minute bars
+    // must equal the direct hourly fold over the raw compressed feed
+    val rolled = streamed
+      .withColumn("hour", floor(col("minute") / 60L))
+      .groupBy("event_type", "hour")
+      .agg(sum("n_events").cast("long").as("n_events"),
+        sum("volume_cents").cast("long").as("volume_cents"),
+        min("low").as("low"), max("high").as("high"),
+        min_by(col("open"), col("min_k")).as("open"),
+        max_by(col("close"), col("max_k")).as("close"))
+    val direct = barify(comp.toSeq
+        .toDF("event_id", "ts", "event_type", "value"))
+      .groupBy(col("event_type"),
+        floor(col("ms") / 3600000L).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").cast("long").as("volume_cents"),
+        min("cents").as("low"), max("cents").as("high"),
+        min_by(col("cents"), col("k")).as("open"),
+        max_by(col("cents"), col("k")).as("close"))
+    val rCols = rolled.columns.sorted.map(col).toSeq
+    val r = rolled.select(rCols: _*).collect().map(_.toString).sorted
+    val d2 = direct.select(rCols: _*).collect().map(_.toString).sorted
+    assert(r.nonEmpty && r.toSeq == d2.toSeq,
+      "hour rollup of streamed bars differs from direct hourly bars")
+  }
+
   test("windowedTypeStats aggregates tumbling windows incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
