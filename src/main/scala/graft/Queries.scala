@@ -6799,56 +6799,39 @@ object Queries {
     * (|queries|×10 rows, no qid-window sort). */
   val q60_search_score: QFn = (s, d) => {
     import s.implicits._
-    import org.apache.spark.sql.graft.{ColumnBridge, WordShinglesExpr}
-    // every analyzer is a WHOLE-TEXT codegen'd pass (CLAUDE.md: no
-    // interpreted per-token lambdas in hot paths): unigrams/bigrams
-    // through WordShinglesExpr; the normalized analyzer strips
-    // non-alphanumerics from the lowered text BEFORE tokenizing
-    // (equivalent to per-token stripping — spaces survive the strip,
-    // so tokens never merge, and emptied tokens vanish in the
-    // whitespace split); the sub-token analyzer turns non-alnum RUNS
-    // into spaces (equivalent to per-token re-splitting). raw keeps
-    // case for the `exact` analyzer.
-    def gramsOf(c: Column, n: Int) = ColumnBridge.column(
-      WordShinglesExpr(ColumnBridge.expression(c), n))
-    val base = t(s, d, "documents").select(
-        col("doc_id"), col("n_chars"),
-        TextFunctions.tokens(col("text")).as("raw"),
-        gramsOf(col("text"), 1).as("toks"),
-        gramsOf(col("text"), 2).as("big"),
-        gramsOf(regexp_replace(lower(col("text")),
-          "[^a-z0-9\\s]", ""), 1).as("nrm"),
-        gramsOf(regexp_replace(lower(col("text")),
-          "[^a-z0-9]+", " "), 1).as("sub"))
+    import org.apache.spark.sql.graft.{ColumnBridge, SearchAnalyzeExpr}
+    // The ENTIRE six-analyzer pass is ONE codegen'd expression
+    // (SearchAnalyzeExpr): a single tokenization of the document
+    // yields every field length and every query-term hit — the
+    // declarative composition it replaces (tokens + 4 WordShingles
+    // scans + 2 regexp_replace rewrites) cost five whole-string
+    // passes per doc and dominated q60's wall time; the expression
+    // is spec-pinned field-for-field to that composition in
+    // Round13OpsSpec, and this query's oracle/replay are unchanged.
     // The query vocabulary is a PLAN LITERAL (the query set is fixed
-    // at build time), so each field's array filters to query terms
-    // BEFORE the generator — the explode emits only matching tokens
-    // instead of 6×|corpus tokens| rows probed against a broadcast.
-    // Field lengths are taken before the filter, so BM25 length
-    // norms are unchanged. The slim projection (lens + filtered
-    // arrays, a few dozen bytes per doc) persists because BOTH the
-    // corpus totals and the postings read it — one analyzer pass
-    // total (CLAUDE.md: persist + count before the fan-out).
-    val qWords = searchQueries.flatMap(_._2.split(" ")).distinct
-    val qBigrams = searchQueries.flatMap(
-      _._2.split(" ").toSeq.sliding(2).map(_.mkString(" "))).distinct
-    def hit(arr: Column, terms: Seq[String]): Column =
-      filter(arr, x => x.isInCollection(terms))
+    // at build time), so the hit arrays carry only query terms —
+    // the explode emits only matching tokens instead of
+    // 6×|corpus tokens| rows probed against a broadcast. Field
+    // lengths are taken before the filter, so BM25 length norms are
+    // unchanged. The slim projection (lens + filtered arrays, a few
+    // dozen bytes per doc) persists because BOTH the corpus totals
+    // and the postings read it — one analyzer pass total (CLAUDE.md:
+    // persist + count before the fan-out).
+    val qWords = searchQueryWords
+    val qBigrams = searchQueryBigrams
     def tag(f: String, arr: Column): Column =
       transform(arr, x =>
         struct(lit(f).as("field"), x.as("term")))
-    val slim = base.select(col("doc_id"), col("n_chars"),
-        least(size(col("toks")), lit(8)).cast("long").as("name_len"),
-        size(col("toks")).cast("long").as("desc_len"),
-        size(col("nrm")).cast("long").as("norm_len"),
-        size(col("sub")).cast("long").as("tok_len"),
-        size(col("big")).cast("long").as("ph_len"),
-        hit(slice(col("toks"), 1, 8), qWords).as("a_name"),
-        hit(slice(col("raw"), 1, 8), qWords).as("a_exact"),
-        hit(col("toks"), qWords).as("a_desc"),
-        hit(col("nrm"), qWords).as("a_norm"),
-        hit(col("sub"), qWords).as("a_tok"),
-        hit(col("big"), qBigrams).as("a_ph2"))
+    val slim = t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        ColumnBridge.column(SearchAnalyzeExpr(
+          ColumnBridge.expression(col("text")),
+          qWords, qBigrams)).as("z"))
+      .select(col("doc_id"), col("n_chars"),
+        col("z.name_len"), col("z.desc_len"), col("z.norm_len"),
+        col("z.tok_len"), col("z.ph_len"),
+        col("z.a_name"), col("z.a_exact"), col("z.a_desc"),
+        col("z.a_norm"), col("z.a_tok"), col("z.a_ph2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     slim.count()
     val tots = slim.agg(count(lit(1)).as("nd"),
@@ -6920,6 +6903,15 @@ object Queries {
         col("t.id").as("doc_id"),
         col("t.score").cast("long").as("score_nano"))
   }
+
+  /** q60's query vocabulary, exposed for the analyzer-equivalence
+    * spec: distinct single terms and adjacent bigrams of the fixed
+    * query set. */
+  private[graft] lazy val searchQueryWords: Seq[String] =
+    searchQueries.flatMap(_._2.split(" ")).distinct
+  private[graft] lazy val searchQueryBigrams: Seq[String] =
+    searchQueries.flatMap(
+      _._2.split(" ").toSeq.sliding(2).map(_.mkString(" "))).distinct
 
   /** The fixed annotated-query set (the eval suite's analog). */
   private val searchQueries: Seq[(Long, String)] = Seq(

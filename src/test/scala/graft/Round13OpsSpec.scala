@@ -1,5 +1,6 @@
 package graft
 
+import graft.text.TextFunctions
 import org.apache.spark.sql.functions._
 
 /** Round-13 additions: s14 OPQ-style Householder-rotated PQ. */
@@ -136,5 +137,72 @@ class Round13OpsSpec extends SparkSpec {
       assert(math.abs(n1 - n0) <= math.max(n0 / 100, 2000L),
         s"norm not preserved: $n0 vs $n1")
     }
+  }
+
+  /** SearchAnalyzeExpr (q60's one-pass analyzer) == the declarative
+    * composition it replaced, field for field: tokens + WordShingles
+    * uni/bigrams + the two whole-text regexp_replace analyzers, each
+    * filtered to the query vocabulary. Runs over real documents at
+    * two SFs PLUS a hostile fixture (punctuation-only tokens, mixed
+    * whitespace, case, empties, >8 tokens, adjacent bigram runs). */
+  test("q60 one-pass analyzer == declarative five-scan composition") {
+    import org.apache.spark.sql.graft.{ColumnBridge, SearchAnalyzeExpr, WordShinglesExpr}
+    val qWords = Queries.searchQueryWords
+    val qBigrams = Queries.searchQueryBigrams
+    def gramsOf(c: org.apache.spark.sql.Column, n: Int) =
+      ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(c), n))
+    def hit(arr: org.apache.spark.sql.Column, terms: Seq[String]) =
+      filter(arr, x => x.isInCollection(terms))
+    def bothWays(df: org.apache.spark.sql.DataFrame): Unit = {
+      val declarative = df.select(
+          col("doc_id"),
+          TextFunctions.tokens(col("text")).as("raw"),
+          gramsOf(col("text"), 1).as("toks"),
+          gramsOf(col("text"), 2).as("big"),
+          gramsOf(regexp_replace(lower(col("text")),
+            "[^a-z0-9\\s]", ""), 1).as("nrm"),
+          gramsOf(regexp_replace(lower(col("text")),
+            "[^a-z0-9]+", " "), 1).as("sub"))
+        .select(col("doc_id"),
+          least(size(col("toks")), lit(8)).cast("long").as("name_len"),
+          size(col("toks")).cast("long").as("desc_len"),
+          size(col("nrm")).cast("long").as("norm_len"),
+          size(col("sub")).cast("long").as("tok_len"),
+          size(col("big")).cast("long").as("ph_len"),
+          hit(slice(col("toks"), 1, 8), qWords).as("a_name"),
+          hit(slice(col("raw"), 1, 8), qWords).as("a_exact"),
+          hit(col("toks"), qWords).as("a_desc"),
+          hit(col("nrm"), qWords).as("a_norm"),
+          hit(col("sub"), qWords).as("a_tok"),
+          hit(col("big"), qBigrams).as("a_ph2"))
+      val onePass = df.select(col("doc_id"),
+          ColumnBridge.column(SearchAnalyzeExpr(
+            ColumnBridge.expression(col("text")),
+            qWords, qBigrams)).as("z"))
+        .select(col("doc_id"),
+          col("z.name_len"), col("z.desc_len"), col("z.norm_len"),
+          col("z.tok_len"), col("z.ph_len"),
+          col("z.a_name"), col("z.a_exact"), col("z.a_desc"),
+          col("z.a_norm"), col("z.a_tok"), col("z.a_ph2"))
+      assert(declarative.exceptAll(onePass).isEmpty &&
+        onePass.exceptAll(declarative).isEmpty,
+        "analyzer outputs diverge")
+    }
+    Seq("sf0.001", "sf0.01").foreach { sfn =>
+      bothWays(spark.read.parquet(sf(sfn) + "/documents.parquet")
+        .select(col("doc_id"), col("text")))
+    }
+    // ph_len vs empty big: one- and zero-token docs; the one-token
+    // case is where greatest(size-1, 0) and WordShingles' empty
+    // array must agree
+    val hostile = Seq(
+      (1L, "spark window spark window spark window hash join x y"),
+      (2L, "  SPARK\tWindow\nhash   join!! ... (stream) "),
+      (3L, "a-b_c9 ...!!... key,value 0spark0 spark.window"),
+      (4L, "spark"), (5L, ""), (6L, "   \t\n  "),
+      (7L, "vector vector vector scan scan spark spark spark"),
+      (8L, (1 to 20).map(i => s"tok$i spark").mkString(" ")))
+      .toDF("doc_id", "text")
+    bothWays(hostile)
   }
 }
