@@ -3199,6 +3199,94 @@ object Queries {
     merges.toDF("round", "pair", "freq")
   }
 
+  /** BPE ENCODE — the APPLY half of q63's merge learning (the step a
+    * tokenizer pipeline runs over the whole corpus once training
+    * ends): learn the same 3 merges q63 learns, then apply the fused
+    * replace chain to EVERY document and report per-doc token counts
+    * before/after plus the saving in HALF_UP integer ppm — the
+    * compression accounting a tokenizer-training run reports.
+    *
+    * The apply is the identical space-doubling leftmost-
+    * non-overlapping fuse q63's learning rounds use (tokenizer-exact:
+    * "a b a b" fuses both, "a a a" only the first pair), inlined as
+    * ONE expression over one corpus scan — the merged corpus is never
+    * materialized, and the scan is embarrassingly parallel at any
+    * corpus size. Learning re-runs q63's three bounded driver rounds
+    * off the same persisted normalized corpus; counts are exact
+    * BIGINTs and ppm is cross-multiplied HALF_UP (no float division
+    * reaches the output). */
+  val t23_bpe_encode: QFn = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val base = t(s, d, "documents").select(
+      col("doc_id"),
+      concat(lit(" "),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+        lit(" ")).as("txt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // three learning rounds + the encode re-scan it
+    var txtExpr = "txt"
+    (1 to 3).foreach { _ =>
+      val best = base.selectExpr(s"$txtExpr AS text")
+        .select(explode(org.apache.spark.sql.graft.ColumnBridge
+          .column(org.apache.spark.sql.graft.WordShinglesExpr(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), 2))).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("sh").asc).limit(1)
+        .as[(String, Long)].collect().head
+      val pair = best._1
+      require(pair.matches("[\\w ]+"), s"unexpected pair: $pair")
+      val doubled = pair.replace(" ", "  ")
+      txtExpr = s"replace(replace(replace($txtExpr, ' ', '  '), " +
+        s"' $doubled ', ' ${pair.replace(' ', '_')} '), '  ', ' ')"
+    }
+    base.selectExpr("doc_id", "txt", s"$txtExpr AS enc")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("txt")).as("n_before"),
+        TextFunctions.tokenCount(col("enc")).as("n_after"))
+      .withColumn("saved_ppm",
+        expr("CASE WHEN n_before = 0 THEN 0 ELSE " +
+          "((n_before - n_after) * 2000000 + n_before) " +
+          "DIV (2 * n_before) END"))
+  }
+
+  val t23_sql: String = {
+    // the same 3 learning rounds as q63's oracle, with doc_id carried
+    // through every fuse CTE so the final scan counts per document
+    def roundCte(k: Int, src: String) =
+      s"""tok$k AS (SELECT list_filter(regexp_split_to_array(
+         |    trim(t), '\\s+'), x -> len(x) > 0) AS tk FROM $src),
+         |bi$k AS (SELECT sh, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1,
+         |      greatest(len(tk), 1)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS sh
+         |    FROM tok$k) GROUP BY sh),
+         |b$k AS (SELECT sh, c FROM bi$k ORDER BY c DESC, sh LIMIT 1),
+         |t$k AS (SELECT doc_id, replace(replace(replace(t, ' ', '  '),
+         |    ' ' || replace(b$k.sh, ' ', '  ') || ' ',
+         |    ' ' || replace(b$k.sh, ' ', '_') || ' '), '  ', ' ')
+         |    AS t
+         |  FROM $src CROSS JOIN b$k)""".stripMargin
+    s"""WITH t0 AS (SELECT doc_id,
+       |    ' ' || regexp_replace(lower(trim(text)),
+       |    '\\s+', ' ', 'g') || ' ' AS t FROM documents),
+       |${roundCte(1, "t0")},
+       |${roundCte(2, "t1")},
+       |${roundCte(3, "t2")},
+       |cnt AS (SELECT t0.doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(t0.t),
+       |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_before,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(t3.t),
+       |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_after
+       |  FROM t0 JOIN t3 USING (doc_id))
+       |SELECT doc_id, n_before, n_after,
+       |  CAST(CASE WHEN n_before = 0 THEN 0 ELSE
+       |    ((n_before - n_after) * 2000000 + n_before)
+       |    // (2 * n_before) END AS BIGINT) AS saved_ppm
+       |FROM cnt""".stripMargin
+  }
+
   val q63_sql: String = {
     // round k: tok_k tokenizes the text with merges 1..k-1 applied,
     // bi_k counts its adjacent pairs, b_k is the (count desc, pair
@@ -7469,6 +7557,7 @@ object Queries {
     "q67_apply_ops" -> q67_apply_ops,
     "t21_c4_rules" -> t21_c4_rules,
     "t22_source_report" -> t22_source_report,
+    "t23_bpe_encode" -> t23_bpe_encode,
     "s13_hard_negatives" -> s13_hard_negatives,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
@@ -7629,6 +7718,7 @@ object Queries {
     "q67_apply_ops" -> q67_sql,
     "t21_c4_rules" -> t21_sql,
     "t22_source_report" -> t22_sql,
+    "t23_bpe_encode" -> t23_sql,
     "s13_hard_negatives" -> s13_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

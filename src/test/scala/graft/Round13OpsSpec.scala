@@ -205,4 +205,47 @@ class Round13OpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     bothWays(hostile)
   }
+
+  /** t23 BPE encode == a driver-side replay: learn the merges from
+    * q63's output, apply each sequentially to every normalized doc
+    * with a literal leftmost-non-overlapping token-pair fuse, and
+    * compare per-doc before/after counts and saved_ppm exactly. */
+  test("t23 encode counts match a driver-side merge replay") {
+    // leftmost-non-overlapping fuse over the token list — the
+    // textbook BPE merge application t23's space-doubled replace
+    // mirrors
+    def fuse(toks: List[String], a: String, b: String): List[String] =
+      toks match {
+        case x :: y :: rest if x == a && y == b =>
+          (a + "_" + b) :: fuse(rest, a, b)
+        case x :: rest => x :: fuse(rest, a, b)
+        case Nil => Nil
+      }
+    val merges = Queries.q63_bpe_merges(spark, sf("sf0.001"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+      .map(r => { val p = r._2.split(" "); (p(0), p(1)) })
+    assert(merges.length == 3)
+    val got = Queries.t23_bpe_encode(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val t0 = text.trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toList
+      val enc = merges.foldLeft(t0) { case (ts, (a, b)) =>
+        fuse(ts, a, b)
+      }
+      val nb = t0.length.toLong
+      val na = enc.length.toLong
+      val ppm = if (nb == 0) 0L else ((nb - na) * 2000000L + nb) / (2 * nb)
+      assert(got(id) == ((nb, na, ppm)), s"doc $id")
+    }
+    // non-vacuous: the merges actually fire somewhere
+    assert(got.values.exists(v => v._2 < v._1), "no doc compressed")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
