@@ -1619,7 +1619,12 @@ object Queries {
     * compute per-community terms at reduced scale or in two stages
     * (the e_c/d_c aggregates themselves are unbounded-scale safe). */
   val g13_modularity: QFn = (s, d) => {
+    // the co-purchase mining (groupBy + pair explode + support cut)
+    // feeds BOTH the LPA loop and the modularity scorer — persist +
+    // materialize before the fan-out (CLAUDE.md) or it runs twice
     val pairs = coPurchasePairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     graft.graph.LabelPropagation.modularityPpm(pairs,
       graft.graph.LabelPropagation.run(pairs, rounds = 4))
   }
@@ -1689,7 +1694,11 @@ object Queries {
     * Output shape matches g12 (node, label); g13 is the scorer and
     * Round13OpsSpec pins Q(g14) ≥ Q(g12) at two SFs. */
   val g14_refine_communities: QFn = (s, d) => {
+    // same persist discipline as g13: the mined edge list feeds both
+    // the LPA loop and the refinement sweep
     val pairs = coPurchasePairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     graft.graph.LabelPropagation.refineMerge(pairs,
       graft.graph.LabelPropagation.run(pairs, rounds = 4))
   }

@@ -107,49 +107,97 @@ object LabelPropagation {
     * implementations use to keep their merge phase monotone.
     *
     * Scale shape: two label joins onto the canonical edge list (the
-    * between-community counts), community-bounded aggregates that
-    * collapse map-side, one row_number window partitioned by
-    * community (|communities| rows), and one label-keyed remap join.
-    * Same BIGINT envelope as [[modularityPpm]] (gains reach ~8m²):
-    * exact to m ≈ 10^6 edges; past that, pre-divide m's scale or
-    * two-stage the gain test.
+    * between-community counts) and community-bounded aggregates that
+    * collapse map-side — that part is distributed at any scale. The
+    * best-partner + mutual-matching tail reads only the bounded
+    * between/dc tables: under `driverFinishMaxEdges` it is an exact
+    * driver finish (spec-pinned to the distributed fallback — one
+    * row_number window over |communities| rows + a best-pair
+    * self-join) and the merge map remaps via a LocalRelation join
+    * Catalyst broadcasts itself. Same BIGINT envelope as
+    * [[modularityPpm]] (gains reach ~8m²): exact to m ≈ 10^6 edges;
+    * past that, pre-divide m's scale or two-stage the gain test.
     *
     * @return (node, label) after the sweep — merged communities take
     *         the smaller of the two labels
     */
-  def refineMerge(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def refineMerge(edges: DataFrame, labels: DataFrame,
+                  driverFinishMaxEdges: Long = 2000000L): DataFrame = {
     val e = edges.select(
         least(col("id1"), col("id2")).cast("long").as("a"),
         greatest(col("id1"), col("id2")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // feeds m, the between counts AND the degree agg
-    val lab = labels.persist(StorageLevel.MEMORY_AND_DISK)
-    lab.count() // labels feed two edge joins, degrees, and the remap
+    val nEdges = e.count() // == m; feeds between AND the degree agg
+    // labels feed two edge joins, degrees, and the remap — but every
+    // caller passes [[run]]'s output, which is ALREADY eagerly
+    // localCheckpoint-ed (materialized); re-persisting it here cost a
+    // full redundant scan + cache write + count action (measured in
+    // g14's isolated A/B). Contract: pass materialized labels.
+    val lab = labels
     val la = lab.select(col("node").as("a"), col("label").as("la"))
     val lb = lab.select(col("node").as("b"), col("label").as("lb"))
-    val m = e.agg(count(lit(1)).as("m"))
     val between = e.join(la, Seq("a")).join(lb, Seq("b"))
       .filter(col("la") =!= col("lb"))
       .groupBy(least(col("la"), col("lb")).as("c"),
         greatest(col("la"), col("lb")).as("p"))
       .agg(count(lit(1)).as("ecd"))
-    val ordered = between.unionAll(
-      between.select(col("p").as("c"), col("c").as("p"), col("ecd")))
     val dc = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .join(lab, Seq("node"))
       .groupBy("label").agg(sum("deg").as("dc"))
+    // Everything past `between`/`dc` operates on COMMUNITY-bounded
+    // tables (|between| ≤ m, |dc| ≤ 2m): under the edge gate, the
+    // best-partner + mutual-matching logic is a bounded exact driver
+    // finish (the KCore/PageRank economics — the distributed tail is
+    // ~6 tiny stages of pure scheduling), spec-pinned equal to the
+    // distributed fallback below. The merge map returns as a
+    // LocalRelation whose stats Catalyst sees, so the remap join
+    // broadcasts itself — the corpus-sized side never reshuffles.
+    if (nEdges <= driverFinishMaxEdges) {
+      val bet = between.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dcm = dc.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val m = nEdges
+      // both directions of every community pair
+      val best = scala.collection.mutable.LongMap
+        .empty[(Long, Long)] // c -> (best partner, gain)
+      def offer(c: Long, p: Long, ecd: Long): Unit = {
+        val gain = 4L * m * ecd - 2L * dcm(c) * dcm(p)
+        best.get(c) match {
+          case Some((bp, bg)) if bg > gain ||
+            (bg == gain && bp <= p) => ()
+          case _ => best(c) = (p, gain)
+        }
+      }
+      bet.foreach { case (c, p, ecd) =>
+        offer(c, p, ecd); offer(p, c, ecd)
+      }
+      val merges = best.iterator.collect {
+        case (c, (p, g))
+          if g > 0 && c < p && best.get(p).exists(_._1 == c) =>
+          (c, p) // (newl, oldl)
+      }.toSeq
+      val ses = edges.sparkSession
+      import ses.implicits._
+      val mutualDf = merges.toDF("newl", "oldl")
+      return lab
+        .join(mutualDf, lab("label") === mutualDf("oldl"), "left")
+        .select(col("node"),
+          coalesce(col("newl"), col("label")).cast("long").as("label"))
+    }
+    val ordered = between.unionAll(
+      between.select(col("p").as("c"), col("c").as("p"), col("ecd")))
     val gains = ordered
       .join(dc.select(col("label").as("c"), col("dc").as("dcc")),
         Seq("c"))
       .join(dc.select(col("label").as("p"), col("dc").as("dcp")),
         Seq("p"))
-      .crossJoin(m)
       .select(col("c"), col("p"),
-        (lit(4L) * col("m") * col("ecd")
+        (lit(4L) * lit(nEdges) * col("ecd")
           - lit(2L) * col("dcc") * col("dcp")).as("gain"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c").orderBy(col("gain").desc, col("p").asc)

@@ -91,6 +91,22 @@ class Round13OpsSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     }
 
+  test("g14 driver finish == distributed refinement, row for row") {
+    Seq("sf0.001", "sf0.01").foreach { sfn =>
+      val pairs = Queries.coPurchasePairs(spark, sf(sfn))
+      val lpa = graft.graph.LabelPropagation.run(pairs, rounds = 4)
+      val drv = graft.graph.LabelPropagation
+        .refineMerge(pairs, lpa)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val dist = graft.graph.LabelPropagation
+        .refineMerge(pairs, lpa, driverFinishMaxEdges = 0L)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(drv == dist, s"paths diverge at $sfn")
+      assert(drv.nonEmpty)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("g14 non-vacuous at sf0.01: the sweep actually merges") {
     val pairs = Queries.coPurchasePairs(spark, sf("sf0.01"))
     val lpa = graft.graph.LabelPropagation.run(pairs, rounds = 4)
