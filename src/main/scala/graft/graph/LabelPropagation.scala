@@ -239,10 +239,11 @@ object LabelPropagation {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // feeds m, the intra-edge count AND the degree agg
+    // the materializing count IS m (e is canonical+distinct) — ride
+    // it as a literal instead of a scalar agg + two cross joins
+    val m = e.count()
     val la = labels.select(col("node").as("a"), col("label").as("la"))
     val lb = labels.select(col("node").as("b"), col("label").as("lb"))
-    val m = e.agg(count(lit(1)).as("m"))
     val ec = e.join(la, Seq("a")).join(lb, Seq("b"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
@@ -256,19 +257,17 @@ object LabelPropagation {
     val terms = dc.join(ec, Seq("label"), "left")
       .select(col("label"), col("dc"),
         coalesce(col("ec"), lit(0L)).as("ec"))
-      .crossJoin(m)
-      .select((lit(4L) * col("m") * col("ec")
+      .select((lit(4L) * lit(m) * col("ec")
         - col("dc") * col("dc")).as("term"))
     terms.agg(count(lit(1)).as("n_communities"),
         sum("term").as("num"))
-      .crossJoin(m)
       .select(col("n_communities"),
-        col("m").as("m_edges"),
-        expr("CAST(CASE WHEN num >= 0" +
-          " THEN (2 * 1000000 * num + 4 * m * m)" +
-          "   DIV (2 * 4 * m * m)" +
-          " ELSE -((2 * 1000000 * (-num) + 4 * m * m)" +
-          "   DIV (2 * 4 * m * m)) END AS BIGINT)")
+        lit(m).as("m_edges"),
+        expr(s"CAST(CASE WHEN num >= 0" +
+          s" THEN (2 * 1000000 * num + 4 * ${m}L * ${m}L)" +
+          s"   DIV (2 * 4 * ${m}L * ${m}L)" +
+          s" ELSE -((2 * 1000000 * (-num) + 4 * ${m}L * ${m}L)" +
+          s"   DIV (2 * 4 * ${m}L * ${m}L)) END AS BIGINT)")
           .as("modularity_ppm"))
   }
 }
