@@ -2632,12 +2632,10 @@ object Queries {
     * (row, cell) keys straight off the token stream and never build
     * the vocab. Hash = md5(row ":" token) → first 8 hex digits mod
     * width, mirrored digit-for-digit by the oracle. */
-  /** Count-Min cell index shared by t11 and t12: md5(row ":" token)
-    * first 8 hex digits mod width, mirrored digit-for-digit by the
-    * oracles. */
+  /** Count-Min cell index shared by t11 and t12 (and the streaming
+    * sketch maintainer) — see [[TextFunctions.countMinCell]]. */
   private def cmCell(r: Column, tok: Column): Column =
-    conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
-      1, 8), 16, 10).cast("long") % 16
+    TextFunctions.countMinCell(r, tok, 16)
 
   private def cmRows: Column =
     explode(array((0 until 4).map(lit(_)): _*))

@@ -24,6 +24,13 @@ object TextFunctions {
   /** Token count (BIGINT on purpose — matches SQL engines). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Count-Min cell index shared by batch t11/t12 and the streaming
+    * sketch maintainer: md5(row ":" token) first 8 hex digits mod
+    * width — mirrored digit-for-digit by the DuckDB oracles. */
+  def countMinCell(r: Column, tok: Column, width: Int = 16): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
+      1, 8), 16, 10).cast("long") % width
+
   /** "BPE-ish" subword proxy: count of letter-digit runs, giving a
     * tokenizer-independent length signal. */
   def wordPieceCount(text: Column): Column =

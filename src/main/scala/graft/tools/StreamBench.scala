@@ -183,6 +183,15 @@ object StreamBench {
               pmod(col("event_id") * (i * 2 + 1), lit(5000L)))): _*)
             .as("text")),
         lateness = "30 seconds"), "update")
+    // count-min maintenance: state = the 4x16 sketch itself (64 keys
+    // forever); per-row cost is tokenize + depth md5s, and partial
+    // aggregation collapses each batch to <=64 cell deltas
+    drive("count_min",
+      Streams.streamingCountMin(syntheticEvents()
+        .select(concat_ws(" ",
+          (0 until 8).map(i => concat(lit("w"),
+            pmod(col("event_id") * (i * 2 + 1), lit(200L)))): _*)
+          .as("text"))), "update")
     spark.stop()
   }
 }

@@ -655,4 +655,33 @@ class StreamsSpec extends SparkSpec {
       assert(flags.values.exists(!_.kept), "cooldown never fired")
     } finally q.stop()
   }
+
+  test("streamingCountMin: state IS the sketch — replay across " +
+    "arbitrary batch splits == batch t12, ≤ 64 state keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = Streams.streamingCountMin(df)
+      .writeStream.format("memory").queryName("cmsketch")
+      .outputMode(OutputMode.Complete()).start()
+    val streamed = try {
+      val (b1, rest) = docs.splitAt(13)
+      val (b2, b3) = rest.splitAt(211)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      spark.table("cmsketch").collect()
+    } finally q.stop()
+    // the whole maintained aggregate fits the declared 4×16 sketch
+    assert(streamed.nonEmpty && streamed.length <= 64,
+      s"sketch state has ${streamed.length} keys")
+    val batch = Queries.t12_countmin_pure(spark, sf("sf0.001"))
+      .collect()
+    assert(streamed.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq,
+      "replayed streaming sketch differs from batch t12 cells")
+  }
 }
