@@ -1626,7 +1626,8 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     graft.graph.LabelPropagation.modularityPpm(pairs,
-      graft.graph.LabelPropagation.run(pairs, rounds = 4))
+      graft.graph.LabelPropagation.run(pairs, rounds = 4,
+        canonical = true), canonical = true)
   }
 
   lazy val g13_sql: String = {
@@ -1657,8 +1658,15 @@ object Queries {
        |FROM agg, mm""".stripMargin
   }
 
-  val g12_label_prop: QFn = (s, d) =>
-    graft.graph.LabelPropagation.run(coPurchasePairs(s, d), rounds = 4)
+  val g12_label_prop: QFn = (s, d) => {
+    // the mined pairs back both branches of run's symmetrizing union
+    // — persist + materialize per the canonical-edges contract
+    val pairs = coPurchasePairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    graft.graph.LabelPropagation.run(pairs, rounds = 4,
+      canonical = true)
+  }
 
   val g12_sql: String = {
     def round(i: Int) =
@@ -1700,7 +1708,8 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     graft.graph.LabelPropagation.refineMerge(pairs,
-      graft.graph.LabelPropagation.run(pairs, rounds = 4))
+      graft.graph.LabelPropagation.run(pairs, rounds = 4,
+        canonical = true), canonical = true)
   }
 
   lazy val g14_sql: String = {

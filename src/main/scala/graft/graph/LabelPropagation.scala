@@ -39,18 +39,37 @@ import org.apache.spark.storage.StorageLevel
   */
 object LabelPropagation {
 
+  /** Canonical (a < b, distinct, loop-free) edge view. When the
+    * caller GUARANTEES that shape already (`canonical = true` — true
+    * of the mined co-purchase pairs: ids come out of sorted-array
+    * slices, the support groupBy dedups), skip the distinct: it is a
+    * full edge-list shuffle per consumer, pure waste at any scale.
+    * Contract for `canonical = true`: the caller has persisted AND
+    * materialized `edges` (the mined subtree otherwise recomputes
+    * under each consumer — the CLAUDE.md persist rule). */
+  private def canon(edges: DataFrame, canonical: Boolean): DataFrame =
+    if (canonical)
+      edges.select(col("id1").cast("long").as("a"),
+        col("id2").cast("long").as("b"))
+    else
+      edges.select(
+          least(col("id1"), col("id2")).cast("long").as("a"),
+          greatest(col("id1"), col("id2")).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+
   /** @param edges  undirected edge list, columns `id1`, `id2` (any
     *               orientation; self-loops ignored)
     * @param rounds fixed synchronous rounds, unrolled by the oracle
+    * @param canonical edges are already distinct (a < b) pairs from a
+    *               persisted+materialized frame — skip the
+    *               re-canonicalizing distinct shuffle (see [[canon]])
     * @return (node, label): the community label after `rounds` rounds
     */
-  def run(edges: DataFrame, rounds: Int): DataFrame = {
+  def run(edges: DataFrame, rounds: Int,
+          canonical: Boolean = false): DataFrame = {
     require(rounds >= 1)
-    val e = edges.select(
-        least(col("id1"), col("id2")).cast("long").as("a"),
-        greatest(col("id1"), col("id2")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val e = canon(edges, canonical)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -82,12 +101,14 @@ object LabelPropagation {
     * running g12 and g13 as independent queries pays the 4-round loop
     * twice. Returns (labels, modularity row, (community, size) table
     * sorted nowhere — callers order). */
-  def communityReport(edges: DataFrame, rounds: Int)
+  def communityReport(edges: DataFrame, rounds: Int,
+                      canonical: Boolean = false)
     : (DataFrame, DataFrame, DataFrame) = {
-    val labels = run(edges, rounds) // checkpointed ⇒ shared for free
+    // checkpointed ⇒ shared for free
+    val labels = run(edges, rounds, canonical)
     val sizes = labels.groupBy("label")
       .agg(count(lit(1)).cast("long").as("size"))
-    (labels, modularityPpm(edges, labels), sizes)
+    (labels, modularityPpm(edges, labels, canonical), sizes)
   }
 
   /** One MONOTONE parallel refinement sweep over a community
@@ -122,13 +143,13 @@ object LabelPropagation {
     *         the smaller of the two labels
     */
   def refineMerge(edges: DataFrame, labels: DataFrame,
-                  driverFinishMaxEdges: Long = 2000000L): DataFrame = {
-    val e = edges.select(
-        least(col("id1"), col("id2")).cast("long").as("a"),
-        greatest(col("id1"), col("id2")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                  driverFinishMaxEdges: Long = 2000000L,
+                  canonical: Boolean = false): DataFrame = {
+    // canonical ⇒ the caller's persisted frame backs every consumer;
+    // otherwise the distinct is materialized locally (2+ branches)
+    val e0 = canon(edges, canonical)
+    val e = if (canonical) e0
+      else e0.persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count() // == m; feeds between AND the degree agg
     // labels feed two edge joins, degrees, and the remap — but every
     // caller passes [[run]]'s output, which is ALREADY eagerly
@@ -232,13 +253,11 @@ object LabelPropagation {
     * @param labels (node, label) assignment, e.g. [[run]]'s output
     * @return one row: n_communities, m_edges, modularity_ppm
     */
-  def modularityPpm(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e = edges.select(
-        least(col("id1"), col("id2")).cast("long").as("a"),
-        greatest(col("id1"), col("id2")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def modularityPpm(edges: DataFrame, labels: DataFrame,
+                    canonical: Boolean = false): DataFrame = {
+    val e0 = canon(edges, canonical)
+    val e = if (canonical) e0
+      else e0.persist(StorageLevel.MEMORY_AND_DISK)
     // the materializing count IS m (e is canonical+distinct) — ride
     // it as a literal instead of a scalar agg + two cross joins
     val m = e.count()

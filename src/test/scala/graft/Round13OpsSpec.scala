@@ -107,6 +107,31 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("canonical-edges fast path == general path (run / " +
+    "modularityPpm / refineMerge)") {
+    val pairs = Queries.coPurchasePairs(spark, sf("sf0.01"))
+      .persist()
+    pairs.count()
+    val lpaC = graft.graph.LabelPropagation
+      .run(pairs, rounds = 4, canonical = true)
+    val lpaG = graft.graph.LabelPropagation.run(pairs, rounds = 4)
+    assert(lpaC.as[(Long, Long)].collect().sorted.toSeq ==
+      lpaG.as[(Long, Long)].collect().sorted.toSeq)
+    val modC = graft.graph.LabelPropagation
+      .modularityPpm(pairs, lpaC, canonical = true).collect().toSeq
+    val modG = graft.graph.LabelPropagation
+      .modularityPpm(pairs, lpaC).collect().toSeq
+    assert(modC == modG && modC.nonEmpty)
+    val refC = graft.graph.LabelPropagation
+      .refineMerge(pairs, lpaC, canonical = true)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val refG = graft.graph.LabelPropagation.refineMerge(pairs, lpaC)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(refC == refG && refC.nonEmpty)
+    pairs.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("g14 non-vacuous at sf0.01: the sweep actually merges") {
     val pairs = Queries.coPurchasePairs(spark, sf("sf0.01"))
     val lpa = graft.graph.LabelPropagation.run(pairs, rounds = 4)
