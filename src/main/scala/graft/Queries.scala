@@ -3303,6 +3303,187 @@ object Queries {
        |FROM cnt""".stripMargin
   }
 
+  /** Hashed-feature postings for the NB classifier pair (t24/t25):
+    * token → 64-way md5 bucket ([[TextFunctions.hashBucket]]), one
+    * (doc, y, bucket, cnt) row per occupied cell. The label is the
+    * Gopher-style length cut `n_chars >= 300` — a DECLARED demo
+    * label standing in for the expensive upstream signal (human
+    * tags, an LM filter) that the real workflow distills into a
+    * cheap classifier (the CCNet/fastText discipline). */
+  private def nbPostings(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        (col("n_chars") >= 300).cast("int").as("y"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("y"),
+        TextFunctions.hashBucket(col("tok"), 64).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Shared t24 weight-table builder: per-bucket class counts with
+    * add-one smoothing → log-likelihood-ratio weight in integer
+    * MICRO-units (BIGINT), so downstream per-doc scoring is an exact
+    * order-free integer sum — the only float op is ln over the
+    * 65-row bounded table (irrational values, so the 1e6 rounding
+    * never lands on a tie digit — CLAUDE.md rounding rule). Row
+    * feature_id = -1 carries the class prior (doc counts + log-odds).
+    * Always exactly 65 rows: a literal 0..63 spine left-joins the
+    * observed cells. */
+  private def nbWeights(s: SparkSession, post: DataFrame,
+                        docs: DataFrame): DataFrame = {
+    val cc = post.groupBy("b").agg(
+      sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("np"),
+      sum(when(col("y") === 0, col("cnt")).otherwise(0L)).as("nn"))
+    val spine = s.range(0, 64).select(col("id").as("b"))
+    val full = spine.join(cc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nn"), lit(0L)).as("nn"))
+    val tot = full.agg(sum("np").as("tp"), sum("nn").as("tn"))
+    val w = full.crossJoin(tot).select(
+      col("b").as("feature_id"),
+      col("np").cast("long").as("n_pos"),
+      col("nn").cast("long").as("n_neg"),
+      round((log((col("np") + lit(1.0)) / (col("tp") + lit(64.0)))
+        - log((col("nn") + lit(1.0)) / (col("tn") + lit(64.0))))
+        * lit(1e6), 0).cast("long").as("w_micro"))
+    val prior = docs.agg(
+        sum(col("y")).cast("long").as("npd"),
+        sum(lit(1) - col("y")).cast("long").as("nnd"))
+      .select(lit(-1L).as("feature_id"),
+        col("npd").as("n_pos"), col("nnd").as("n_neg"),
+        round(log(col("npd").cast("double") / col("nnd")) * lit(1e6),
+          0).cast("long").as("w_micro"))
+    w.unionAll(prior)
+  }
+
+  private def nbDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      (col("n_chars") >= 300).cast("int").as("y"))
+
+  /** TRAIN a hashing-trick Naive Bayes quality classifier — the
+    * fastText-style model-train step of a filtering pipeline
+    * (Joulin et al. 2016; CCNet trains exactly this shape against
+    * heuristic labels). Training IS one aggregation: per-bucket
+    * class counts collapse map-side to ≤ 2×64 cells per partition
+    * REGARDLESS of corpus size (the Count-Min economics applied to
+    * supervised counts), then the 65-row bounded table gets its
+    * add-one-smoothed log-likelihood-ratio weights. At 100 TB this
+    * is a single partial-aggregated shuffle of 65 cells — the
+    * cheapest possible distributed trainer, and exactly why NB is
+    * the classical first classifier at this scale. */
+  val t24_nb_train: QFn = (s, d) =>
+    nbWeights(s, nbPostings(s, d), nbDocs(s, d))
+      .orderBy("feature_id")
+
+  val t24_sql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y, text
+      |  FROM documents),
+      |tk AS (SELECT doc_id, y, unnest(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0)) AS tok FROM docs),
+      |po AS (SELECT doc_id, y,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b,
+      |    count(*) AS cnt FROM tk GROUP BY 1, 2, 3),
+      |cc AS (SELECT b, sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS np,
+      |    sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS nn
+      |  FROM po GROUP BY 1),
+      |spine AS (SELECT unnest(range(0, 64)) AS b),
+      |f AS (SELECT s.b, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
+      |  FROM spine s LEFT JOIN cc ON s.b = cc.b),
+      |tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM f),
+      |w AS (SELECT b AS feature_id, CAST(np AS BIGINT) AS n_pos,
+      |    CAST(nn AS BIGINT) AS n_neg,
+      |    CAST(round((ln((np + 1.0) / (tp + 64.0))
+      |      - ln((nn + 1.0) / (tn + 64.0))) * 1e6, 0) AS BIGINT)
+      |      AS w_micro
+      |  FROM f CROSS JOIN tot),
+      |prior AS (SELECT CAST(-1 AS BIGINT) AS feature_id,
+      |    CAST(sum(y) AS BIGINT) AS n_pos,
+      |    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+      |    CAST(round(ln(sum(y) * 1.0 / sum(1 - y)) * 1e6, 0)
+      |      AS BIGINT) AS w_micro
+      |  FROM docs)
+      |SELECT * FROM w UNION ALL SELECT * FROM prior
+      |ORDER BY feature_id""".stripMargin
+
+  /** EVALUATE the t24 classifier on its training corpus — the audit
+    * row (s09/d12/t18 discipline: a model you can't score is a model
+    * you can't ship). Per-doc score = Σ cnt·w_micro + prior, an
+    * EXACT integer sum (micro-unit weights, so no float-order
+    * nondeterminism at any parallelism); predict positive on
+    * score ≥ 0. The 65-row weight table broadcasts (bounded by the
+    * width constant, not the data — the CLAUDE.md size gate is
+    * satisfied by construction); accuracy and base-rate land as
+    * HALF_UP ppm. */
+  val t25_nb_eval: QFn = (s, d) => {
+    val docs = nbDocs(s, d)
+    val post = nbPostings(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    post.count() // feeds the weight aggregation AND the scoring join
+    val w = nbWeights(s, post, docs)
+    val prior = w.filter(col("feature_id") === -1L)
+      .select(col("w_micro").as("prior_micro"))
+    val scored = post.join(
+        broadcast(w.filter(col("feature_id") >= 0L)
+          .select(col("feature_id").as("b"), col("w_micro"))),
+        Seq("b"))
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * col("w_micro")).as("score"))
+      .crossJoin(prior)
+      .select(col("y"),
+        (col("score") + col("prior_micro") >= 0L).cast("int")
+          .as("pred"))
+    scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum("y").cast("long").as("n_pos_docs"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_docs"), col("n_pos_docs"), col("n_correct"),
+        expr("(2 * 1000000 * n_correct + n_docs) DIV (2 * n_docs)")
+          .as("accuracy_ppm"),
+        expr("(2 * 1000000 * greatest(n_pos_docs, n_docs - " +
+          "n_pos_docs) + n_docs) DIV (2 * n_docs)").as("base_ppm"))
+  }
+
+  val t25_sql: String =
+    """WITH docs AS (SELECT doc_id,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y, text
+      |  FROM documents),
+      |tk AS (SELECT doc_id, y, unnest(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0)) AS tok FROM docs),
+      |po AS MATERIALIZED (SELECT doc_id, y,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b,
+      |    count(*) AS cnt FROM tk GROUP BY 1, 2, 3),
+      |cc AS (SELECT b, sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS np,
+      |    sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS nn
+      |  FROM po GROUP BY 1),
+      |spine AS (SELECT unnest(range(0, 64)) AS b),
+      |f AS (SELECT s.b, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
+      |  FROM spine s LEFT JOIN cc ON s.b = cc.b),
+      |tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM f),
+      |w AS (SELECT b,
+      |    CAST(round((ln((np + 1.0) / (tp + 64.0))
+      |      - ln((nn + 1.0) / (tn + 64.0))) * 1e6, 0) AS BIGINT)
+      |      AS w_micro
+      |  FROM f CROSS JOIN tot),
+      |prior AS (SELECT CAST(round(ln(sum(y) * 1.0 / sum(1 - y))
+      |      * 1e6, 0) AS BIGINT) AS prior_micro FROM docs),
+      |sc AS (SELECT po.doc_id, po.y,
+      |    sum(po.cnt * w.w_micro) AS score
+      |  FROM po JOIN w ON po.b = w.b GROUP BY 1, 2),
+      |pr AS (SELECT y, CASE WHEN score + prior_micro >= 0
+      |    THEN 1 ELSE 0 END AS pred FROM sc CROSS JOIN prior)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(y) AS BIGINT) AS n_pos_docs,
+      |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST((2 * 1000000 * sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+      |    + count(*)) // (2 * count(*)) AS BIGINT) AS accuracy_ppm,
+      |  CAST((2 * 1000000 * greatest(sum(y), count(*) - sum(y))
+      |    + count(*)) // (2 * count(*)) AS BIGINT) AS base_ppm
+      |FROM pr""".stripMargin
+
   val q63_sql: String = {
     // round k: tok_k tokenizes the text with merges 1..k-1 applied,
     // bi_k counts its adjacent pairs, b_k is the (count desc, pair
@@ -7574,6 +7755,8 @@ object Queries {
     "t21_c4_rules" -> t21_c4_rules,
     "t22_source_report" -> t22_source_report,
     "t23_bpe_encode" -> t23_bpe_encode,
+    "t24_nb_train" -> t24_nb_train,
+    "t25_nb_eval" -> t25_nb_eval,
     "s13_hard_negatives" -> s13_hard_negatives,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
@@ -7735,6 +7918,8 @@ object Queries {
     "t21_c4_rules" -> t21_sql,
     "t22_source_report" -> t22_sql,
     "t23_bpe_encode" -> t23_sql,
+    "t24_nb_train" -> t24_sql,
+    "t25_nb_eval" -> t25_sql,
     "s13_hard_negatives" -> s13_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

@@ -31,6 +31,12 @@ object TextFunctions {
     conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
       1, 8), 16, 10).cast("long") % width
 
+  /** Feature-hash bucket for a token (hashing-trick classifiers):
+    * md5 first 8 hex digits mod width, mirrored by DuckDB
+    * `('0x' || substr(md5(tok), 1, 8))::BIGINT % width`. */
+  def hashBucket(tok: Column, width: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % width
+
   /** "BPE-ish" subword proxy: count of letter-digit runs, giving a
     * tokenizer-independent length signal. */
   def wordPieceCount(text: Column): Column =

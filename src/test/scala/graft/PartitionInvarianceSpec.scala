@@ -53,7 +53,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "m05_header_probe",
     // round-13: eigenvector-driven Householder rotation + integer PQ,
     // mutual-best community merge matching
-    "s14_opq_rotate", "g14_refine_communities")
+    "s14_opq_rotate", "g14_refine_communities",
+    // round-14: NB trainer (map-side class-count collapse + bounded
+    // ln table) and its exact integer-scored eval
+    "t24_nb_train", "t25_nb_eval")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -132,6 +132,34 @@ class Round13OpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("t25: the trained NB classifier beats the base rate") {
+    for (sfn <- Seq("sf0.001", "sf0.01")) {
+      val r = Queries.t25_nb_eval(spark, sf(sfn)).collect().head
+      val acc = r.getAs[Long]("accuracy_ppm")
+      val base = r.getAs[Long]("base_ppm")
+      assert(acc > base,
+        s"$sfn: accuracy $acc ppm not above base $base ppm")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("t24: weight table is the full 65-row spine, prior row " +
+    "carries the doc counts") {
+    val w = Queries.t24_nb_train(spark, sf("sf0.001")).collect()
+    assert(w.length == 65)
+    assert(w.map(_.getAs[Long]("feature_id")).toSeq ==
+      (-1L to 63L).toSeq)
+    val prior = w.head
+    val nDocs = graft.sources.Tables(spark, sf("sf0.001"),
+      "documents").count()
+    assert(prior.getAs[Long]("n_pos") + prior.getAs[Long]("n_neg")
+      == nDocs)
+    // smoothing leaves no weight unbounded: |llr| < ln(tp+tn) scale
+    assert(w.tail.forall(r =>
+      math.abs(r.getAs[Long]("w_micro")) < 20000000L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("g14 non-vacuous at sf0.01: the sweep actually merges") {
     val pairs = Queries.coPurchasePairs(spark, sf("sf0.01"))
     val lpa = graft.graph.LabelPropagation.run(pairs, rounds = 4)
