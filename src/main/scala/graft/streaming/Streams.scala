@@ -612,6 +612,32 @@ object Streams {
     * Point-query the live sketch as `min` of a token's depth cells;
     * no watermark needed — the aggregate is keyed by sketch
     * coordinates, not event time, and its state never grows. */
+  /** STREAMING CLASSIFY — the SERVE half of the t24/t25 NB pair
+    * (train batch, filter the live feed): each arriving document is
+    * scored ROW-LOCALLY against the trained weight table — t24's
+    * 65-row output passed as a Scala map, bounded by the width
+    * CONSTANT, so it rides into the plan as an array literal and
+    * never becomes a join. The score is the same exact integer sum
+    * as batch t25 (Σ w_micro[bucket(tok)] + prior; micro-unit
+    * BIGINTs, so no float-order nondeterminism), predict on
+    * score ≥ 0. Stateless: one projection, zero shuffles, zero
+    * state — the cheap gate a live ingestion feed runs before
+    * anything heavier sees the doc. Spec pins streamed predictions
+    * == the same scorer applied batch == t25's n_correct. */
+  def streamingClassify(docs: DataFrame, weights: Map[Long, Long],
+                        priorMicro: Long): DataFrame = {
+    val wArr = array((0 until 64).map(b =>
+      lit(weights.getOrElse(b.toLong, 0L))): _*)
+    val score = aggregate(
+      transform(graft.text.TextFunctions.tokens(col("text")),
+        t => element_at(wArr,
+          (graft.text.TextFunctions.hashBucket(t, 64) + lit(1))
+            .cast("int"))),
+      lit(priorMicro), (acc, x) => acc + x)
+    docs.select(col("doc_id"), score.as("score_micro"),
+      (score >= 0L).cast("int").as("pred"))
+  }
+
   def streamingCountMin(docs: DataFrame, depth: Int = 4,
                         width: Int = 16): DataFrame =
     docs

@@ -192,6 +192,17 @@ object StreamBench {
           (0 until 8).map(i => concat(lit("w"),
             pmod(col("event_id") * (i * 2 + 1), lit(200L)))): _*)
           .as("text"))), "update")
+    // stateless NB serve gate: per-row score + predict, zero state —
+    // the fixed-weight classify pass of the t24/t25 pair on a feed
+    drive("nb_classify",
+      Streams.streamingClassify(syntheticEvents()
+        .select(col("event_id").as("doc_id"),
+          concat_ws(" ",
+            (0 until 8).map(i => concat(lit("w"),
+              pmod(col("event_id") * (i * 2 + 1), lit(200L)))): _*)
+            .as("text")),
+        (0L until 64L).map(b => b -> (b - 32L) * 1000L).toMap,
+        priorMicro = 5000L), "append")
     spark.stop()
   }
 }

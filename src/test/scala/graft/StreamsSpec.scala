@@ -684,4 +684,46 @@ class StreamsSpec extends SparkSpec {
       batch.map(_.toString).sorted.toSeq,
       "replayed streaming sketch differs from batch t12 cells")
   }
+
+  test("streamingClassify == batch scorer == t25 n_correct " +
+    "(train batch, serve stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val w = Queries.t24_nb_train(spark, dir).collect()
+    val weights = w.filter(_.getAs[Long]("feature_id") >= 0)
+      .map(r => r.getAs[Long]("feature_id") ->
+        r.getAs[Long]("w_micro")).toMap
+    val prior = w.find(_.getAs[Long]("feature_id") == -1L)
+      .get.getAs[Long]("w_micro")
+    val docsDf = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (col("n_chars") >= 300).cast("int").as("y"))
+    val docs = docsDf.as[(Long, String, Int)].collect()
+    val mem = MemoryStream[(Long, String, Int)]
+    val df = mem.toDF().toDF("doc_id", "text", "y")
+    val q = Streams.streamingClassify(df, weights, prior)
+      .writeStream.format("memory").queryName("nbserve")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      val (b1, b2) = docs.splitAt(41)
+      Seq(b1, b2).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      spark.table("nbserve").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("score_micro"), r.getAs[Int]("pred"))).toMap
+    } finally q.stop()
+    // identical scorer applied batch-side
+    val batch = Streams.streamingClassify(docsDf, weights, prior)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_micro"), r.getAs[Int]("pred"))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // and the serve-path accuracy reproduces t25's committed row
+    val yMap = docs.map(d => d._1 -> d._3).toMap
+    val nCorrect = streamed.count { case (id, (_, p)) => p == yMap(id) }
+    val t25 = Queries.t25_nb_eval(spark, dir).collect().head
+    assert(nCorrect.toLong == t25.getAs[Long]("n_correct"),
+      s"serve-path correct $nCorrect != t25 ${t25.getAs[Long]("n_correct")}")
+  }
 }
