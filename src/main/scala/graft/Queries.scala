@@ -3484,6 +3484,98 @@ object Queries {
       |    + count(*)) // (2 * count(*)) AS BIGINT) AS base_ppm
       |FROM pr""".stripMargin
 
+  /** Per-SOURCE distribution DRIFT vs the corpus — KL(P_src ‖ Q)
+    * over the 64 hashed-token buckets (t24's feature space): the
+    * mixture-monitoring row a pretraining pipeline runs per feed to
+    * catch a source whose content shifted (scrape drift, feed
+    * contamination) before it reaches training. Complements t22
+    * (per-source VOLUME accounting) with a per-source CONTENT
+    * distance; q61 is the per-DOC selection cousin (DSIR) — this is
+    * the per-FEED audit.
+    *
+    * Both distributions are smoothed over the full 64-bucket spine
+    * with MATCHED prior mass — add-1 per source, add-|sources| for
+    * the corpus — so every ln is defined, P and Q each sum to
+    * exactly 1, and a source whose counts are an exact 1/|S| share
+    * of every bucket scores exactly zero (the add-1-everywhere
+    * variant leaves a ~millinat smoothing floor on empty buckets;
+    * matched priors cancel it — spec-pinned kl_nano == 0 on
+    * identical per-source corpora). Each of the 64 per-bucket terms
+    * p·ln(p/q) rounds ONCE to integer nano-nats (irrational unless
+    * p = q, where the term is exactly 0 in both engines — no
+    * rounding-tie exposure), and the per-source KL is their exact
+    * BIGINT sum.
+    *
+    * Scale shape: the ONLY corpus-scale work is the token explode
+    * into the (source, bucket) aggregate, which collapses map-side
+    * to ≤ |sources|·64 cells per task regardless of corpus size
+    * (the t24 training economics); everything after is arithmetic
+    * on a |sources|×64-bounded table — the corpus totals re-derive
+    * from that table, never from a second scan. */
+  val t26_source_drift: QFn = (s, d) => {
+    val cells = t(s, d, "documents")
+      .select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        TextFunctions.hashBucket(col("tok"), 64).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+    // bounded from here on: |sources| × 64 rows
+    val spine = cells.select("source").distinct()
+      .crossJoin(s.range(0, 64).select(col("id").as("b")))
+    val full = spine.join(cells, Seq("source", "b"), "left")
+      .select(col("source"), col("b"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    full.count() // feeds the three marginals AND the scoring join
+    val srcTot = full.groupBy("source").agg(sum("c").as("cs"))
+    val bTot = full.groupBy("b").agg(sum("c").as("cb"))
+    val tot = full.agg(sum("c").as("ct"),
+      countDistinct("source").as("ns"))
+    full.join(srcTot, "source").join(broadcast(bTot), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("p", (col("c") + 1) / (col("cs") + 64))
+      .withColumn("q",
+        (col("cb") + col("ns")) / (col("ct") + col("ns") * 64))
+      .withColumn("term_nano",
+        round(col("p") * (log(col("p")) - log(col("q"))) * 1e9, 0)
+          .cast("long"))
+      .groupBy("source")
+      .agg(max("cs").cast("long").as("n_tokens"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_occupied"),
+        sum("term_nano").as("kl_nano"))
+  }
+
+  val t26_sql: String =
+    """WITH tk AS (SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'),
+      |    x -> len(x) > 0)) AS tok FROM documents),
+      |cells AS (SELECT source,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b,
+      |    count(*) AS c FROM tk GROUP BY 1, 2),
+      |spine AS (SELECT source, b
+      |  FROM (SELECT DISTINCT source FROM cells),
+      |    (SELECT unnest(range(0, 64)) AS b)),
+      |f AS (SELECT s.source, s.b, coalesce(c.c, 0) AS c
+      |  FROM spine s LEFT JOIN cells c
+      |    ON s.source = c.source AND s.b = c.b),
+      |st AS (SELECT source, sum(c) AS cs FROM f GROUP BY 1),
+      |bt AS (SELECT b, sum(c) AS cb FROM f GROUP BY 1),
+      |tt AS (SELECT sum(c) AS ct, count(DISTINCT source) AS ns
+      |  FROM f),
+      |terms AS (SELECT f.source, f.c,
+      |    CAST(round(((f.c + 1) / (st.cs + 64))
+      |      * (ln((f.c + 1) / (st.cs + 64))
+      |        - ln((bt.cb + tt.ns) / (tt.ct + tt.ns * 64)))
+      |      * 1e9, 0) AS BIGINT) AS term_nano,
+      |    st.cs
+      |  FROM f JOIN st USING (source) JOIN bt USING (b) CROSS JOIN tt)
+      |SELECT source, CAST(max(cs) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_occupied,
+      |  CAST(sum(term_nano) AS BIGINT) AS kl_nano
+      |FROM terms GROUP BY source""".stripMargin
+
   val q63_sql: String = {
     // round k: tok_k tokenizes the text with merges 1..k-1 applied,
     // bi_k counts its adjacent pairs, b_k is the (count desc, pair
@@ -3904,6 +3996,65 @@ object Queries {
       |  CAST(CASE fmt WHEN 0 THEN 54 + pix WHEN 1 THEN 14
       |    ELSE 44 + ndata END AS BIGINT) AS n_bytes
       |FROM p""".stripMargin
+
+  /** Uniform K-FRAME SAMPLING over binary payloads — the video-model
+    * preprocessing step ("sample 8 frames uniformly across the
+    * clip", the Video-LLaVA / VideoMAE input contract): per media,
+    * the K=8 frame indices ⌊i·n/8⌋ for i in 0..7 over the payload's
+    * n 64-byte frames, each sampled frame emitted with its index,
+    * byte offset/length, and content hash.
+    *
+    * The scale point is the ORDER of operations: SAMPLE-then-decode.
+    * m04 fans every payload out to ALL frames because its semantics
+    * are per-frame; here the sampled indices are computed row-locally
+    * from n_bytes ALONE, and only the ≤ 8 chosen frames are ever
+    * sliced out of the payload — per-media work is O(K) regardless of
+    * media length, the payload is scanned once where it sits, and the
+    * whole query plans ZERO exchanges (no groupBy, no window, no
+    * join). Short payloads (n < 8 frames) dedupe repeated ⌊i·n/8⌋
+    * indices with the row-local "this index differs from i−1's"
+    * test — still no shuffle. Frame hash = md5 over the frame bytes'
+    * HEX (the m03 identity: hex(substring(payload)) ==
+    * substring(hex(payload)), byte-wise). */
+  val m06_frame_sample: QFn = (s, d) => {
+    val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id",
+      "text")
+    media
+      .select(col("media_id"), col("payload"),
+        col("meta.n_bytes").as("nb"),
+        expr("(meta.n_bytes + 63) DIV 64").as("n"))
+      .filter(col("nb") > 0)
+      .select(col("media_id"), col("payload"), col("nb"), col("n"),
+        explode(sequence(lit(0L), lit(7L))).as("i"))
+      .withColumn("frame_idx", expr("(i * n) DIV 8"))
+      .filter(col("i") === 0L ||
+        col("frame_idx") > expr("((i - 1) * n) DIV 8"))
+      .select(col("media_id"), col("i").as("sample_rank"),
+        col("frame_idx"),
+        (col("frame_idx") * 64).as("frame_off"),
+        least(lit(64L), col("nb") - col("frame_idx") * 64)
+          .as("frame_len"),
+        md5(hex(expr(
+          "substring(payload, CAST(frame_idx * 64 + 1 AS INT), 64)")))
+          .as("frame_md5"))
+  }
+
+  val m06_sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |f AS (SELECT media_id, nb, hx, (nb + 63) // 64 AS n,
+      |    unnest(range(0, 8)) AS i
+      |  FROM m WHERE nb > 0),
+      |k AS (SELECT media_id, nb, hx, i, n, (i * n) // 8 AS fidx
+      |  FROM f WHERE i = 0 OR (i * n) // 8 > ((i - 1) * n) // 8)
+      |SELECT media_id, CAST(i AS BIGINT) AS sample_rank,
+      |  CAST(fidx AS BIGINT) AS frame_idx,
+      |  CAST(fidx * 64 AS BIGINT) AS frame_off,
+      |  CAST(least(64, nb - fidx * 64) AS BIGINT) AS frame_len,
+      |  md5(substring(hx, CAST(fidx * 128 + 1 AS INT), 128))
+      |    AS frame_md5
+      |FROM k""".stripMargin
 
   // ---------------------------------------------------------------
   // Events
@@ -7751,12 +7902,14 @@ object Queries {
     "m03_tile_dedup" -> m03_tile_dedup,
     "m04_frame_energy" -> m04_frame_energy,
     "m05_header_probe" -> m05_header_probe,
+    "m06_frame_sample" -> m06_frame_sample,
     "q67_apply_ops" -> q67_apply_ops,
     "t21_c4_rules" -> t21_c4_rules,
     "t22_source_report" -> t22_source_report,
     "t23_bpe_encode" -> t23_bpe_encode,
     "t24_nb_train" -> t24_nb_train,
     "t25_nb_eval" -> t25_nb_eval,
+    "t26_source_drift" -> t26_source_drift,
     "s13_hard_negatives" -> s13_hard_negatives,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
@@ -7914,12 +8067,14 @@ object Queries {
     "m03_tile_dedup" -> m03_sql,
     "m04_frame_energy" -> m04_sql,
     "m05_header_probe" -> m05_sql,
+    "m06_frame_sample" -> m06_sql,
     "q67_apply_ops" -> q67_sql,
     "t21_c4_rules" -> t21_sql,
     "t22_source_report" -> t22_sql,
     "t23_bpe_encode" -> t23_sql,
     "t24_nb_train" -> t24_sql,
     "t25_nb_eval" -> t25_sql,
+    "t26_source_drift" -> t26_sql,
     "s13_hard_negatives" -> s13_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

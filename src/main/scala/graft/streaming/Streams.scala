@@ -649,4 +649,29 @@ object Streams {
         graft.text.TextFunctions.countMinCell(col("r"), col("tok"),
           width).as("cell"))
       .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** STREAMING SOURCE-DRIFT CELLS — the live half of batch t26's
+    * per-source KL audit: maintains the (source, bucket) token-count
+    * table as an Update-mode running aggregate over a document feed.
+    * The state store IS t26's bounded cell table — at most
+    * |sources|·64 keys regardless of feed size, each micro-batch
+    * collapsing map-side to ≤ |sources|·64 deltas before touching
+    * state (the streamingCountMin economics with a supervised key).
+    * Cells are pure sums, so the maintained table is independent of
+    * micro-batch splits and a full replay lands EXACTLY on the cell
+    * table batch t26 derives its marginals from (spec-pinned); the
+    * KL itself is 64 rows of arithmetic per source, read off the
+    * live table whenever the monitor fires. Bucket derivation is
+    * shared ([[graft.text.TextFunctions.hashBucket]]) so the DuckDB
+    * oracle keeps mirroring the batch twin. */
+  def streamingSourceDrift(docs: DataFrame,
+                           width: Int = 64): DataFrame =
+    docs
+      .select(col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      .select(col("source"),
+        graft.text.TextFunctions.hashBucket(col("tok"), width)
+          .as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
 }

@@ -203,6 +203,16 @@ object StreamBench {
             .as("text")),
         (0L until 64L).map(b => b -> (b - 32L) * 1000L).toMap,
         priorMicro = 5000L), "append")
+    // per-source drift cells: state = t26's |sources|x64 table (here
+    // 20x64), batches collapse map-side to bounded cell deltas
+    drive("source_drift",
+      Streams.streamingSourceDrift(syntheticEvents()
+        .select(concat(lit("src"), pmod(col("user_id"), lit(20L)))
+          .as("source"),
+          concat_ws(" ",
+            (0 until 8).map(i => concat(lit("w"),
+              pmod(col("event_id") * (i * 2 + 1), lit(200L)))): _*)
+            .as("text"))), "update")
     spark.stop()
   }
 }

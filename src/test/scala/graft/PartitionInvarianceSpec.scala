@@ -56,7 +56,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s14_opq_rotate", "g14_refine_communities",
     // round-14: NB trainer (map-side class-count collapse + bounded
     // ln table) and its exact integer-scored eval
-    "t24_nb_train", "t25_nb_eval")
+    "t24_nb_train", "t25_nb_eval",
+    // round-15: per-source KL drift (three marginals off one persisted
+    // bounded cell table)
+    "t26_source_drift")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14/15 additions: t26 per-source KL drift, m06 uniform
+  * K-frame sampling. */
+class Round14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Drift fixture: srcA and srcB draw from the SAME vocabulary
+    * (so their distributions match the corpus and each other), srcX
+    * from a DISJOINT one — srcX's KL against the corpus must be
+    * strictly the largest, and the matched sources must sit near
+    * zero. Token strings are chosen arbitrary (the md5 bucketing
+    * needs no structure). */
+  private lazy val driftDir: String = {
+    val common = (0 until 40).map(i => s"tok$i")
+    val alien = (0 until 40).map(i => s"zzz$i")
+    def doc(id: Long, src: String, words: Seq[String]): (Long, String, String, String, Long) = {
+      // deterministic rotation so every doc carries the full vocab
+      val text = (0 until 60).map(k => words(((id + k) % words.size).toInt)).mkString(" ")
+      (id, text, "en", src, text.length.toLong)
+    }
+    val rows =
+      (0L until 30L).map(i => doc(i, "srcA", common)) ++
+      (30L until 60L).map(i => doc(i, "srcB", common)) ++
+      (60L until 90L).map(i => doc(i, "srcX", alien))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t26: disjoint-vocabulary source has strictly the largest KL; " +
+    "like-distributed sources agree") {
+    val out = Queries.t26_source_drift(spark, driftDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (src, nt, no, kl) => src -> ((nt, no, kl)) }.toMap
+    assert(out.keySet == Set("srcA", "srcB", "srcX"))
+    val (ntA, _, klA) = out("srcA")
+    val (ntB, _, klB) = out("srcB")
+    val (ntX, _, klX) = out("srcX")
+    assert(ntA == 30L * 60 && ntB == 30L * 60 && ntX == 30L * 60)
+    // the alien source shares NOTHING with 2/3 of the corpus, the
+    // matched ones share 2/3 — srcX must dominate by a clear margin
+    // (analytically ~ln 3 vs ~ln 3/2: 1.10 vs 0.41 nats ceilings)
+    assert(klX > klA * 2 && klX > klB * 2,
+      s"srcX kl=$klX not dominant over srcA=$klA srcB=$klB")
+    // the two like-distributed sources measure ~the same divergence
+    // from the mixed corpus (same vocab, same token mass)
+    assert(math.abs(klA - klB) < (klA max klB) / 5,
+      s"like sources diverge: srcA=$klA srcB=$klB")
+  }
+
+  test("t26: identical per-source corpora score ~zero KL") {
+    val words = (0 until 40).map(i => s"tok$i")
+    val rows = for {
+      (src, base) <- Seq(("srcA", 0L), ("srcB", 100L), ("srcX", 200L))
+      i <- 0L until 20L
+    } yield {
+      val text = (0 until 50)
+        .map(k => words(((i + k) % words.size).toInt)).mkString(" ")
+      (base + i, text, "en", src, text.length.toLong)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift-id").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.t26_source_drift(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 3)
+    out.foreach { case (src, _, _, kl) =>
+      // matched-prior smoothing makes p == q per bucket, so every
+      // term is exactly zero (a 1-ulp ln difference contributes
+      // ~1e-7 nano — far inside the round-to-zero basin)
+      assert(kl == 0L, s"$src kl_nano $kl != 0 on identical corpora")
+    }
+  }
+
+  test("t26: kl_nano respects the rounding envelope on testdata " +
+    "and n_tokens matches the corpus token counts") {
+    val dir = sf("sf0.001")
+    val out = Queries.t26_source_drift(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, _, no, kl) =>
+      assert(kl >= -32, s"$src kl_nano $kl below -32 (true KL >= 0)")
+      assert(no >= 1 && no <= 64)
+    }
+    val expected = graft.sources.Tables(spark, dir, "documents")
+      .select(col("source"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("n"))
+      .groupBy("source").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.map(r => r._1 -> r._2).toMap == expected)
+  }
+
+  test("m06: <=8 strictly-increasing frames per media, offsets and " +
+    "hashes match a driver-side slice of the real bytes") {
+    val dir = sf("sf0.001")
+    val rows = Queries.m06_frame_sample(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val byMedia = rows.groupBy(_._1)
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    // every non-empty payload is sampled; empty ones are absent
+    val nonEmpty = docs.filter(_._2.getBytes("UTF-8").nonEmpty).keySet
+    assert(byMedia.keySet == nonEmpty)
+    byMedia.foreach { case (id, fs) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      val n = (bytes.length + 63) / 64
+      val sorted = fs.sortBy(_._2)
+      assert(fs.length <= 8 && fs.length == math.min(n, 8).toInt)
+      // rank 0 always kept; frame indices strictly increase
+      assert(sorted.head._2 == 0 && sorted.head._3 == 0)
+      assert(sorted.map(_._3).distinct.length == sorted.length)
+      sorted.foreach { case (_, i, idx, off, len, md5hex) =>
+        assert(idx == i * n / 8)
+        assert(off == idx * 64)
+        assert(len == math.min(64L, bytes.length - off))
+        val slice = bytes.slice(off.toInt,
+          math.min(off + 64, bytes.length).toInt)
+        val hex = slice.map(b => f"$b%02X").mkString
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(hex.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        assert(md == md5hex, s"media $id frame $idx hash mismatch")
+      }
+    }
+  }
+
+  test("m06 plans ZERO exchanges (sample-then-decode, pure scan)") {
+    val plan = Queries.all("m06_frame_sample")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val ex = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e
+    }
+    assert(ex.isEmpty, s"m06 plans ${ex.size} exchange(s)")
+  }
+}

@@ -726,4 +726,41 @@ class StreamsSpec extends SparkSpec {
     assert(nCorrect.toLong == t25.getAs[Long]("n_correct"),
       s"serve-path correct $nCorrect != t25 ${t25.getAs[Long]("n_correct")}")
   }
+
+  test("streamingSourceDrift: state IS t26's cell table — replay " +
+    "across arbitrary batch splits == batch cells, bounded keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val docsDf = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = docsDf.as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val df = mem.toDF().toDF("doc_id", "source", "text")
+    val q = Streams.streamingSourceDrift(df)
+      .writeStream.format("memory").queryName("driftcells")
+      .outputMode(OutputMode.Complete()).start()
+    val streamed = try {
+      val (b1, rest) = docs.splitAt(7)
+      val (b2, b3) = rest.splitAt(101)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      spark.table("driftcells").collect()
+    } finally q.stop()
+    val nSources = docs.map(_._2).distinct.length
+    assert(streamed.nonEmpty && streamed.length <= nSources * 64,
+      s"cell state has ${streamed.length} keys > ${nSources * 64}")
+    // the batch twin's first stage, identically derived
+    import org.apache.spark.sql.functions.{explode, count, lit}
+    val batch = docsDf
+      .select(col("source"), explode(
+        graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        graft.text.TextFunctions.hashBucket(col("tok"), 64).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .collect()
+    assert(streamed.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq,
+      "replayed streaming cell table differs from batch t26 cells")
+  }
 }
