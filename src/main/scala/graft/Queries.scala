@@ -3576,6 +3576,108 @@ object Queries {
       |  CAST(sum(term_nano) AS BIGINT) AS kl_nano
       |FROM terms GROUP BY source""".stripMargin
 
+  /** TARGET-TRAINED LM SCORING — the actual CCNet filtering shape
+    * (Wenzek et al. 2020 train KenLM on the TARGET domain and score
+    * the raw crawl with it; t09/t14 are the self-trained cousins,
+    * q61 the bucket-level DSIR form): a char-trigram LM is fit on
+    * the target feed ONLY (source = 'src0', q61's target), then
+    * every document in the corpus is scored under that model with
+    * declared add-one/backoff smoothing over a fixed pseudo-
+    * vocabulary K = 4096:
+    *
+    *   seen trigram            lp = ln((tn + 1) / (bn + K))
+    *   unseen tri, seen bigram lp = ln(      1  / (bn + K))
+    *   unseen bigram           lp = ln(      1  /       K )
+    *
+    * Every case is ln of a ratio of integers (irrational — the
+    * micro-round never ties); per-doc totals are exact BIGINT sums
+    * of count·lp_micro; avg is the t09 sign-branched HALF_UP 4-dp.
+    * Output also carries n_unseen — the out-of-domain token mass
+    * that IS the filter's signal.
+    *
+    * Scale shape: the MODEL side is target-only (a small slice of
+    * the corpus) and both lookup tables broadcast; the corpus side
+    * is one trigram explode collapsed map-side to per-doc trigram
+    * tf (the t09 single-shuffle shape) followed by two broadcast
+    * left-joins — the full corpus never shuffles against the model.
+    * Trigrams ride as packed longs ([[org.apache.spark.sql.graft.CharTrigramCodes]]);
+    * the bigram prefix is a bit shift, never a second string op. */
+  val t27_target_lm: QFn = (s, d) => {
+    import org.apache.spark.sql.graft.{CharTrigramCodes, ColumnBridge}
+    def tris(df: DataFrame) = df
+      .select(col("doc_id"), lower(trim(col("text"))).as("gs"))
+      .filter(length(col("gs")) >= 3)
+      .select(col("doc_id"),
+        explode(ColumnBridge.column(CharTrigramCodes(
+          ColumnBridge.expression(col("gs"))))).as("tri"))
+    val K = 4096
+    val docs = t(s, d, "documents")
+    val tc = tris(docs.filter(col("source") === "src0"))
+      .groupBy("tri").agg(count(lit(1)).as("tn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tc.count() // feeds the trigram table AND the bigram rollup
+    val bc = tc.groupBy(shiftrightunsigned(col("tri"), 21).as("bi"))
+      .agg(sum("tn").as("bn"))
+    val triLp = tc.join(bc,
+        shiftrightunsigned(col("tri"), 21) === col("bi"))
+      .select(col("tri"),
+        round(log((col("tn") + 1) / (col("bn") + K)) * 1e6, 0)
+          .cast("long").as("lp_seen"))
+    val biLp = bc.select(col("bi"),
+      round(log(lit(1.0) / (col("bn") + K)) * 1e6, 0)
+        .cast("long").as("lp_bi"))
+    val lpFloor = round(log(lit(1.0) / K) * 1e6, 0).cast("long")
+    val tf = tris(docs).groupBy("doc_id", "tri")
+      .agg(count(lit(1)).as("c"))
+    val scored = tf
+      .join(broadcast(triLp), Seq("tri"), "left")
+      .withColumn("bi", shiftrightunsigned(col("tri"), 21))
+      .join(broadcast(biLp), Seq("bi"), "left")
+      .select(col("doc_id"), col("c"),
+        when(col("lp_seen").isNull, col("c")).otherwise(0L)
+          .as("unseen_c"),
+        coalesce(col("lp_seen"), col("lp_bi"), lpFloor).as("lp"))
+    val sumLp = sum(col("c") * col("lp"))
+    val n = sum(col("c"))
+    val avg = -floor(((-sumLp) * 2 + n * 100) /
+      (n.cast("double") * 200)) / 10000.0
+    scored.groupBy("doc_id")
+      .agg(n.as("n_tris"),
+        sum("unseen_c").cast("long").as("n_unseen"),
+        sumLp.as("sum_lp_micro"), avg.as("avg_logp"))
+  }
+
+  val t27_sql: String =
+    """WITH d AS (SELECT doc_id, source, lower(trim(text)) AS s
+      |    FROM documents WHERE length(lower(trim(text))) >= 3),
+      |tri AS (SELECT doc_id, source,
+      |    substr(s, CAST(i AS INT), 3) AS tri
+      |  FROM d, unnest(range(1, length(s) - 1)) AS u(i)),
+      |tc AS (SELECT tri, count(*) AS tn FROM tri
+      |  WHERE source = 'src0' GROUP BY tri),
+      |bc AS (SELECT substr(tri, 1, 2) AS bi, sum(tn) AS bn
+      |  FROM tc GROUP BY 1),
+      |tl AS (SELECT tri, CAST(round(ln((tn + 1) / (bn + 4096))
+      |      * 1e6, 0) AS BIGINT) AS lp_seen
+      |  FROM tc JOIN bc ON substr(tc.tri, 1, 2) = bc.bi),
+      |bl AS (SELECT bi, CAST(round(ln(1.0 / (bn + 4096)) * 1e6, 0)
+      |      AS BIGINT) AS lp_bi
+      |  FROM bc),
+      |tf AS (SELECT doc_id, tri, count(*) AS c FROM tri
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, c,
+      |    CASE WHEN tl.lp_seen IS NULL THEN c ELSE 0 END AS unseen_c,
+      |    coalesce(tl.lp_seen, bl.lp_bi,
+      |      CAST(round(ln(1.0 / 4096) * 1e6, 0) AS BIGINT)) AS lp
+      |  FROM tf LEFT JOIN tl USING (tri)
+      |  LEFT JOIN bl ON substr(tf.tri, 1, 2) = bl.bi)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tris,
+      |  CAST(sum(unseen_c) AS BIGINT) AS n_unseen,
+      |  CAST(sum(c * lp) AS BIGINT) AS sum_lp_micro,
+      |  -floor(((-CAST(sum(c * lp) AS BIGINT)) * 2 + sum(c) * 100)
+      |    / (sum(c) * 200.0)) / 10000.0 AS avg_logp
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   val q63_sql: String = {
     // round k: tok_k tokenizes the text with merges 1..k-1 applied,
     // bi_k counts its adjacent pairs, b_k is the (count desc, pair
@@ -7910,6 +8012,7 @@ object Queries {
     "t24_nb_train" -> t24_nb_train,
     "t25_nb_eval" -> t25_nb_eval,
     "t26_source_drift" -> t26_source_drift,
+    "t27_target_lm" -> t27_target_lm,
     "s13_hard_negatives" -> s13_hard_negatives,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
@@ -8075,6 +8178,7 @@ object Queries {
     "t24_nb_train" -> t24_sql,
     "t25_nb_eval" -> t25_sql,
     "t26_source_drift" -> t26_sql,
+    "t27_target_lm" -> t27_sql,
     "s13_hard_negatives" -> s13_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

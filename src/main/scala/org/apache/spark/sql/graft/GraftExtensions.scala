@@ -81,5 +81,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ByteMaxAgg].getName, "bytewise_max"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ByteMaxAgg(children.head).toAggregateExpression()))
+    // bounded-heap per-group top-k (score DOUBLE, id BIGINT, k INT
+    // literal) — the no-sort top-k aggregate
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKBy(children(0), children(1), children(2))
+          .toAggregateExpression()))
+    // packed code-point trigram longs (the t09 char-LM hot path)
+    ext.injectFunction((
+      new FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigramCodes].getName,
+        "char_trigrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CharTrigramCodes(children.head)))
+    // content-defined chunk boundaries over binary payloads
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpr].getName,
+        "cdc_chunks"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CdcChunksExpr(children.head)))
+    // per-vector min-max scalar quantization to a CSV of level ids
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_csv"),
+      new ExpressionInfo(classOf[QuantizeCsv].getName,
+        "quantize_csv"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizeCsv(children.head, children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(n: Int, _) => n
+          case other => throw new IllegalArgumentException(
+            s"quantize_csv(vec, levels): levels must be an integer " +
+              s"literal, got $other")
+        })))
   }
 }

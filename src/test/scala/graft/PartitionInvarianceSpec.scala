@@ -58,8 +58,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // ln table) and its exact integer-scored eval
     "t24_nb_train", "t25_nb_eval",
     // round-15: per-source KL drift (three marginals off one persisted
-    // bounded cell table)
-    "t26_source_drift")
+    // bounded cell table), target-trained LM scoring (persisted model,
+    // broadcast lookups, per-doc tf aggregate)
+    "t26_source_drift", "t27_target_lm")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

@@ -91,6 +91,23 @@ class PipelineAndSourcesSpec extends SparkSpec {
       assert(h.getLong(0) ==
         want.map(rho => 1L << (40 - rho)).sum)
       assert(h.getLong(1) == 0L)
+      // bounded-heap top-k aggregate: top-2 by score with id payload
+      val t = s2.sql(
+        """SELECT top_k_by(CAST(id % 5 AS DOUBLE), id, 2) AS tk
+          |FROM range(0, 20) t(id)""".stripMargin).collect()(0)
+      val tk = t.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      // scores 4.0 at ids 4,9,14,19 - ties break to smaller id
+      assert(tk == Seq((4.0, 4L), (4.0, 9L)))
+      // packed trigram codes + quantize + cdc chunk boundaries
+      val x = s2.sql(
+        """SELECT size(char_trigrams('abcd')) AS nt,
+          |       quantize_csv(array(0.0d, 0.5d, 1.0d), 4) AS q,
+          |       size(cdc_chunks('abcdefghijklmnopqrstuvwxyz')) AS nc
+          |""".stripMargin).collect()(0)
+      assert(x.getInt(0) == 2)
+      assert(x.getString(1) == "0,2,3")
+      assert(x.getInt(2) >= 1)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

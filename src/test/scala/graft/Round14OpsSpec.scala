@@ -132,6 +132,51 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("t27: in-domain docs outscore an out-of-domain feed under " +
+    "the target-trained LM; unseen mass separates them") {
+    val common = (0 until 40).map(i => s"tok$i")
+    val alien = (0 until 40).map(i => s"zzz$i")
+    def doc(id: Long, src: String, words: Seq[String]) = {
+      val text = (0 until 60)
+        .map(k => words(((id + k) % words.size).toInt)).mkString(" ")
+      (id, text, "en", src, text.length.toLong)
+    }
+    val rows =
+      (0L until 30L).map(i => doc(i, "src0", common)) ++
+      (30L until 60L).map(i => doc(i, "srcX", alien))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tlm").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.t27_target_lm(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 60)
+    val (inD, outD) = out.partition(_._1 < 30L)
+    // every in-domain doc scores strictly above every out-of-domain
+    // doc, and the out-of-domain docs are mostly unseen trigrams
+    val worstIn = inD.map(_._5).min
+    val bestOut = outD.map(_._5).max
+    assert(worstIn > bestOut,
+      s"in-domain min $worstIn not above out-of-domain max $bestOut")
+    inD.foreach { case (id, n, u, _, _) =>
+      assert(u == 0L, s"in-domain doc $id has $u unseen trigrams") }
+    outD.foreach { case (id, n, u, _, _) =>
+      assert(u * 2 > n, s"alien doc $id unseen $u not > half of $n") }
+  }
+
+  test("t27: trigram totals are exact (n_tris == len - 2 per doc)") {
+    val dir = sf("sf0.001")
+    val out = Queries.t27_target_lm(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val expected = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (length(lower(trim(col("text")))) - 2).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+  }
+
   test("m06 plans ZERO exchanges (sample-then-decode, pure scan)") {
     val plan = Queries.all("m06_frame_sample")(spark, sf("sf0.001"))
       .queryExecution.executedPlan
