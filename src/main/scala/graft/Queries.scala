@@ -3595,11 +3595,15 @@ object Queries {
     * Output also carries n_unseen — the out-of-domain token mass
     * that IS the filter's signal.
     *
-    * Scale shape: the MODEL side is target-only (a small slice of
-    * the corpus) and both lookup tables broadcast; the corpus side
-    * is one trigram explode collapsed map-side to per-doc trigram
-    * tf (the t09 single-shuffle shape) followed by two broadcast
-    * left-joins — the full corpus never shuffles against the model.
+    * Scale shape: the MODEL side is target-only and VOCABULARY-
+    * bounded (distinct char trigrams plateau under Heaps' law — the
+    * model doesn't grow with target-corpus size once the charset is
+    * covered), so the planner broadcasts it under AQE's size
+    * decision (the t09 convention: no explicit broadcast of a
+    * data-dependent side — the fallback past the threshold is a
+    * tri-keyed shuffle join, not an OOM); the corpus side is one
+    * trigram explode collapsed map-side to per-doc trigram tf (the
+    * t09 single-shuffle shape) followed by the two model left-joins.
     * Trigrams ride as packed longs ([[org.apache.spark.sql.graft.CharTrigramCodes]]);
     * the bigram prefix is a bit shift, never a second string op. */
   val t27_target_lm: QFn = (s, d) => {
@@ -3630,9 +3634,9 @@ object Queries {
     val tf = tris(docs).groupBy("doc_id", "tri")
       .agg(count(lit(1)).as("c"))
     val scored = tf
-      .join(broadcast(triLp), Seq("tri"), "left")
+      .join(triLp, Seq("tri"), "left")
       .withColumn("bi", shiftrightunsigned(col("tri"), 21))
-      .join(broadcast(biLp), Seq("bi"), "left")
+      .join(biLp, Seq("bi"), "left")
       .select(col("doc_id"), col("c"),
         when(col("lp_seen").isNull, col("c")).otherwise(0L)
           .as("unseen_c"),
