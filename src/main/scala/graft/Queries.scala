@@ -3606,17 +3606,27 @@ object Queries {
     * t09 single-shuffle shape) followed by the two model left-joins.
     * Trigrams ride as packed longs ([[org.apache.spark.sql.graft.CharTrigramCodes]]);
     * the bigram prefix is a bit shift, never a second string op. */
-  val t27_target_lm: QFn = (s, d) => {
+  /** The packed-long trigram stream of (doc_id, text) rows — shared
+    * by t27 and its streaming twin. */
+  private[graft] def charTris(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{CharTrigramCodes, ColumnBridge}
-    def tris(df: DataFrame) = df
-      .select(col("doc_id"), lower(trim(col("text"))).as("gs"))
+    df.withColumn("gs", lower(trim(col("text")))).drop("text")
       .filter(length(col("gs")) >= 3)
-      .select(col("doc_id"),
+      .withColumn("tri",
         explode(ColumnBridge.column(CharTrigramCodes(
-          ColumnBridge.expression(col("gs"))))).as("tri"))
+          ColumnBridge.expression(col("gs"))))))
+      .drop("gs")
+  }
+
+  /** t27's trained model: (trigram lp table, bigram-backoff lp
+    * table, unseen-bigram floor) in integer micro-nats — shared with
+    * the streaming serve twin so both paths score identically. */
+  private[graft] def targetLmModel(s: SparkSession, d: String)
+    : (DataFrame, DataFrame, Column) = {
     val K = 4096
-    val docs = t(s, d, "documents")
-    val tc = tris(docs.filter(col("source") === "src0"))
+    val tc = charTris(t(s, d, "documents")
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), col("text")))
       .groupBy("tri").agg(count(lit(1)).as("tn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tc.count() // feeds the trigram table AND the bigram rollup
@@ -3631,7 +3641,14 @@ object Queries {
       round(log(lit(1.0) / (col("bn") + K)) * 1e6, 0)
         .cast("long").as("lp_bi"))
     val lpFloor = round(log(lit(1.0) / K) * 1e6, 0).cast("long")
-    val tf = tris(docs).groupBy("doc_id", "tri")
+    (triLp, biLp, lpFloor)
+  }
+
+  val t27_target_lm: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    val (triLp, biLp, lpFloor) = targetLmModel(s, d)
+    val tf = charTris(docs.select(col("doc_id"), col("text")))
+      .groupBy("doc_id", "tri")
       .agg(count(lit(1)).as("c"))
     val scored = tf
       .join(triLp, Seq("tri"), "left")

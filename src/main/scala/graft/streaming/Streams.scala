@@ -674,4 +674,41 @@ object Streams {
         graft.text.TextFunctions.hashBucket(col("tok"), width)
           .as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("c"))
+
+  /** STREAMING TARGET-LM SCORING — the serve half of batch t27 (the
+    * second-stage quality gate a live feed runs after the cheap
+    * [[streamingClassify]] pass): each arriving document's char
+    * trigrams score against the STATIC trained model tables via
+    * stream-static left joins — STATELESS joins (the model is a
+    * fixed relation; Spark broadcasts it under the same AQE size
+    * decision as batch t27), so the only state is the watermark-
+    * windowed per-doc fold that reassembles trigram rows into one
+    * scored row per document (every trigram row carries its doc's
+    * single event time, so each doc lands in exactly one window and
+    * emits exactly once in Append mode when the watermark passes).
+    * Scoring is the SAME exact integer arithmetic as batch t27
+    * (seen / bigram-backoff / floor micro-nat cases, BIGINT sums) —
+    * spec pins replayed per-doc rows == batch t27 on the same
+    * corpus, split-independent.
+    *
+    * Input: (ts, doc_id, text). Output per doc: n_tris, n_unseen,
+    * sum_lp_micro — the filter decision columns. */
+  def streamingTargetLm(docs: DataFrame, triLp: DataFrame,
+                        biLp: DataFrame,
+                        lpFloor: org.apache.spark.sql.Column,
+                        lateness: String = "1 minute"): DataFrame =
+    graft.Queries.charTris(docs.withWatermark("ts", lateness))
+      .join(triLp, Seq("tri"), "left")
+      .withColumn("bi", shiftrightunsigned(col("tri"), 21))
+      .join(biLp, Seq("bi"), "left")
+      .select(col("ts"), col("doc_id"),
+        coalesce(col("lp_seen"), col("lp_bi"), lpFloor).as("lp"),
+        when(col("lp_seen").isNull, 1L).otherwise(0L).as("unseen"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"),
+        "1 minute"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tris"),
+        sum("unseen").cast("long").as("n_unseen"),
+        sum("lp").cast("long").as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_tris"), col("n_unseen"),
+        col("sum_lp_micro"))
 }

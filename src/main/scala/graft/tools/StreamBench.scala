@@ -54,9 +54,13 @@ object StreamBench {
 
     // rate-micro-batch: exactly rowsPerBatch rows per trigger, value
     // is a monotonically increasing Long — derive the events shape
-    def syntheticEvents() = spark.readStream
+    // advanceMs > 0 makes EVENT time jump that much per batch — the
+    // lever that lets a bench run show watermark aging (state
+    // plateau) instead of one ever-open window
+    def syntheticEvents(advanceMs: Long = 1000L) = spark.readStream
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
+      .option("advanceMillisPerBatch", advanceMs)
       .load()
       .select(col("value").as("event_id"),
         col("timestamp").as("ts"),
@@ -203,6 +207,40 @@ object StreamBench {
             .as("text")),
         (0L until 64L).map(b => b -> (b - 32L) * 1000L).toMap,
         priorMicro = 5000L), "append")
+    // target-LM serve gate: stream-static model joins (stateless) +
+    // watermark-windowed per-doc fold — state = in-flight windows
+    locally {
+      val corpus = spark.range(0, 100000)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ",
+            (0 until 8).map(i => concat(lit("w"),
+              pmod(col("id") * (i * 2 + 1), lit(200L)))): _*)
+            .as("text"))
+      val K = 4096
+      val tc = graft.Queries.charTris(corpus)
+        .groupBy("tri").agg(count(lit(1)).as("tn"))
+      val bc = tc.groupBy(shiftrightunsigned(col("tri"), 21).as("bi"))
+        .agg(sum("tn").as("bn"))
+      val triLp = tc.join(bc,
+          shiftrightunsigned(col("tri"), 21) === col("bi"))
+        .select(col("tri"),
+          round(log((col("tn") + 1) / (col("bn") + K)) * 1e6, 0)
+            .cast("long").as("lp_seen")).cache()
+      val biLp = bc.select(col("bi"),
+        round(log(lit(1.0) / (col("bn") + K)) * 1e6, 0)
+          .cast("long").as("lp_bi")).cache()
+      triLp.count(); biLp.count()
+      drive("target_lm",
+        Streams.streamingTargetLm(syntheticEvents(advanceMs = 60000L)
+          .select(col("ts"), col("event_id").as("doc_id"),
+            concat_ws(" ",
+              (0 until 8).map(i => concat(lit("w"),
+                pmod(col("event_id") * (i * 2 + 1), lit(200L)))): _*)
+              .as("text")),
+          triLp, biLp,
+          round(log(lit(1.0) / K) * 1e6, 0).cast("long"),
+          lateness = "30 seconds"), "append")
+    }
     // per-source drift cells: state = t26's |sources|x64 table (here
     // 20x64), batches collapse map-side to bounded cell deltas
     drive("source_drift",

@@ -763,4 +763,52 @@ class StreamsSpec extends SparkSpec {
       batch.map(_.toString).sorted.toSeq,
       "replayed streaming cell table differs from batch t26 cells")
   }
+
+  test("streamingTargetLm == batch t27 per-doc rows (train batch, " +
+    "serve stream, split-independent)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val (triLp, biLp, lpFloor) = Queries.targetLmModel(spark, dir)
+    // the static model tables must be concrete relations for the
+    // stream-static join (and we don't want the stream re-running
+    // the trainer per micro-batch) — materialize them once
+    val triM = triLp.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toDF("tri", "lp_seen")
+    val biM = biLp.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toDF("bi", "lp_bi")
+    // replay the corpus with synthetic event times spread over
+    // minutes (20 docs per minute) so several windows are in flight
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val base = 1704067200000L
+    val timed = docs.zipWithIndex.map { case ((id, tx), i) =>
+      (new Timestamp(base + (i / 20) * 60000L + (i % 20) * 1000L),
+        id, tx)
+    }
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.streamingTargetLm(df, triM, biM, lpFloor)
+      .writeStream.format("memory").queryName("tlmserve")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      val (b1, rest) = timed.splitAt(29)
+      val (b2, b3) = rest.splitAt(113)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      // sentinel an hour later flushes every in-flight window
+      mem.addData((new Timestamp(timed.last._1.getTime + 3600000L),
+        999999L, "zzz"))
+      q.processAllAvailable()
+      spark.table("tlmserve").filter(col("doc_id") =!= 999999L)
+        .collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
+    val batch = Queries.t27_target_lm(spark, dir)
+      .select("doc_id", "n_tris", "n_unseen", "sum_lp_micro")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed per-doc LM rows differ from batch t27")
+  }
 }
