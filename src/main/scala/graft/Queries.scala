@@ -346,6 +346,126 @@ object Queries {
       |FROM prev s FULL OUTER JOIN f o ON s.user_id = o.user_id
       |WHERE o.op IS NULL OR o.op <> 'delete'""".stripMargin
 
+  /** OP-LOG COMPACTION — the third of the snapshot-maintenance
+    * family (q14 DIFFS two snapshots into ops, q67 APPLIES ops,
+    * this COMPACTS a multi-op-per-key log into the one net op per
+    * key — what a CDC pipeline ships downstream instead of the raw
+    * log, and what every log-structured store's compaction does):
+    *
+    *   - the LAST GROUNDING op (insert/delete) per key makes
+    *     everything before it irrelevant (an insert carries all
+    *     fields; a delete erases state — updates after a delete are
+    *     no-ops under the strict ES partial-update contract, q67's
+    *     declared semantics);
+    *   - net delete  ⇐ last grounding is a delete;
+    *   - net insert  ⇐ last grounding is an insert, fields = per-
+    *     field LAST non-null at-or-after it (the insert grounds
+    *     every field, later partial updates override);
+    *   - net update  ⇐ no grounding op: per-field last non-null
+    *     over the updates; all-null merges are no-ops and dropped.
+    *
+    * Spec pins the defining property replay(compact(log)) ==
+    * replay(log) against a sequential driver replay on hostile
+    * sequences (insert→update→delete→update→insert, update-on-
+    * absent, all-null updates) plus idempotence compact∘compact =
+    * compact. Scale shape: ONE key-partitioned aggregate pass for
+    * the grounding seq + a second over the at-or-after slice (both
+    * collapse map-side; `max_by … FILTER` keeps the per-field
+    * last-write-wins inside the aggregate — no window sort), joined
+    * on the op-log key; |log|-bounded throughout, never touching a
+    * snapshot. Seq/field values exact BIGINTs. */
+  val q68_compact_ops: QFn = (s, d) => {
+    val ops = compactOpLog(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ops.count() // feeds the grounding pass AND the field merge
+    compactOps(ops)
+  }
+
+  /** q68's compaction core over any (user_id, seq, op, n_new, s_new)
+    * log — shared with the fixture specs so test and query can't
+    * diverge. */
+  private[graft] def compactOps(ops: DataFrame): DataFrame = {
+    val g = ops.groupBy("user_id").agg(
+      max(when(col("op") =!= "update", col("seq"))).as("gseq"),
+      expr("max_by(op, seq) FILTER (WHERE op <> 'update')")
+        .as("gop"))
+    ops.join(g, Seq("user_id"))
+      .filter(col("gseq").isNull || col("seq") >= col("gseq"))
+      .groupBy("user_id")
+      .agg(max(col("gop")).as("gop"),
+        expr("max_by(n_new, seq) FILTER (WHERE n_new IS NOT NULL)")
+          .as("n_med"),
+        expr("max_by(s_new, seq) FILTER (WHERE s_new IS NOT NULL)")
+          .as("s_med"))
+      .select(col("user_id"),
+        coalesce(col("gop"), lit("update")).as("op"),
+        when(coalesce(col("gop"), lit("update")) =!= "delete",
+          col("n_med")).as("n_new"),
+        when(coalesce(col("gop"), lit("update")) =!= "delete",
+          col("s_med")).as("s_new"))
+      .filter(col("op") =!= "update" ||
+        col("n_new").isNotNull || col("s_new").isNotNull)
+  }
+
+  /** The deterministic multi-op-per-key log q68 compacts — derived
+    * from events so every path is exercised (deletes, full inserts,
+    * partial updates on alternating fields, update-only keys). */
+  private[graft] def compactOpLog(s: SparkSession, d: String)
+    : DataFrame =
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id").as("seq"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .select(col("user_id"), col("seq"),
+        when(col("seq") % 13 === 0, "delete")
+          .when(col("seq") % 3 === 0, "insert")
+          .otherwise("update").as("op"),
+        col("cents"))
+      .select(col("user_id"), col("seq"), col("op"),
+        when(col("op") === "insert", col("cents"))
+          .when(col("op") === "update" && col("seq") % 2 === 0,
+            col("cents")).as("n_new"),
+        when(col("op") === "insert", col("cents") * 2)
+          .when(col("op") === "update" && col("seq") % 2 === 1,
+            col("cents") * 3).as("s_new"))
+
+  val q68_sql: String =
+    """WITH raw AS (SELECT user_id, event_id AS seq,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |ops AS (SELECT user_id, seq,
+      |    CASE WHEN seq % 13 = 0 THEN 'delete'
+      |         WHEN seq % 3 = 0 THEN 'insert'
+      |         ELSE 'update' END AS op, cents
+      |  FROM raw),
+      |log AS (SELECT user_id, seq, op,
+      |    CASE WHEN op = 'insert' THEN cents
+      |         WHEN op = 'update' AND seq % 2 = 0 THEN cents
+      |    END AS n_new,
+      |    CASE WHEN op = 'insert' THEN cents * 2
+      |         WHEN op = 'update' AND seq % 2 = 1 THEN cents * 3
+      |    END AS s_new
+      |  FROM ops),
+      |g AS (SELECT user_id,
+      |    max(CASE WHEN op <> 'update' THEN seq END) AS gseq,
+      |    arg_max(op, seq) FILTER (WHERE op <> 'update') AS gop
+      |  FROM log GROUP BY user_id),
+      |m AS (SELECT l.user_id, max(g.gop) AS gop,
+      |    arg_max(n_new, seq) FILTER (WHERE n_new IS NOT NULL)
+      |      AS n_med,
+      |    arg_max(s_new, seq) FILTER (WHERE s_new IS NOT NULL)
+      |      AS s_med
+      |  FROM log l JOIN g ON l.user_id = g.user_id
+      |  WHERE g.gseq IS NULL OR l.seq >= g.gseq
+      |  GROUP BY l.user_id)
+      |SELECT user_id, coalesce(gop, 'update') AS op,
+      |  CAST(CASE WHEN coalesce(gop, 'update') <> 'delete'
+      |    THEN n_med END AS BIGINT) AS n_new,
+      |  CAST(CASE WHEN coalesce(gop, 'update') <> 'delete'
+      |    THEN s_med END AS BIGINT) AS s_new
+      |FROM m
+      |WHERE coalesce(gop, 'update') <> 'update'
+      |   OR n_med IS NOT NULL OR s_med IS NOT NULL""".stripMargin
+
   /** Interesting-score analog (create_merged.py:82): weighted
     * deterministic score from typed features.
     *
@@ -8027,6 +8147,7 @@ object Queries {
     "m05_header_probe" -> m05_header_probe,
     "m06_frame_sample" -> m06_frame_sample,
     "q67_apply_ops" -> q67_apply_ops,
+    "q68_compact_ops" -> q68_compact_ops,
     "t21_c4_rules" -> t21_c4_rules,
     "t22_source_report" -> t22_source_report,
     "t23_bpe_encode" -> t23_bpe_encode,
@@ -8193,6 +8314,7 @@ object Queries {
     "m05_header_probe" -> m05_sql,
     "m06_frame_sample" -> m06_sql,
     "q67_apply_ops" -> q67_sql,
+    "q68_compact_ops" -> q68_sql,
     "t21_c4_rules" -> t21_sql,
     "t22_source_report" -> t22_sql,
     "t23_bpe_encode" -> t23_sql,

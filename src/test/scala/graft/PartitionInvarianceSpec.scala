@@ -60,7 +60,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-15: per-source KL drift (three marginals off one persisted
     // bounded cell table), target-trained LM scoring (persisted model,
     // broadcast lookups, per-doc tf aggregate)
-    "t26_source_drift", "t27_target_lm")
+    "t26_source_drift", "t27_target_lm",
+    // round-15: two-phase grounding + last-write-wins aggregates
+    "q68_compact_ops")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")

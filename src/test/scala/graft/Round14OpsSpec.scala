@@ -177,6 +177,95 @@ class Round14OpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  /** Strict-ES sequential replay: the ground truth q68 must be
+    * equivalent to. insert grounds both fields; update coalesces
+    * onto EXISTING state only; delete removes. */
+  private def replay(log: Seq[(Long, Long, String, Option[Long],
+    Option[Long])]): Map[Long, (Option[Long], Option[Long])] = {
+    val st = scala.collection.mutable.Map
+      .empty[Long, (Option[Long], Option[Long])]
+    log.sortBy(r => (r._1, r._2)).foreach {
+      case (uid, _, "insert", n, sv) => st(uid) = (n, sv)
+      case (uid, _, "delete", _, _) => st.remove(uid)
+      case (uid, _, "update", n, sv) =>
+        st.get(uid).foreach { case (n0, s0) =>
+          st(uid) = (n.orElse(n0), sv.orElse(s0))
+        }
+      case other => fail(s"bad op $other")
+    }
+    st.toMap
+  }
+
+  private def asLog(df: org.apache.spark.sql.DataFrame,
+                    seqFrom: Long = 0L) =
+    df.collect().zipWithIndex.map { case (r, i) =>
+      (r.getAs[Long]("user_id"),
+        if (r.schema.fieldNames.contains("seq")) r.getAs[Long]("seq")
+        else seqFrom + i,
+        r.getAs[String]("op"),
+        Option(r.getAs[java.lang.Long]("n_new")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("s_new")).map(_.toLong))
+    }.toSeq
+
+  test("q68: replay(compact(log)) == replay(log) on the derived log " +
+    "at two SFs, and compaction is idempotent") {
+    for (sfName <- Seq("sf0.001", "sf0.01")) {
+      val dir = sf(sfName)
+      val raw = asLog(Queries.compactOpLog(spark, dir))
+      val net = asLog(Queries.q68_compact_ops(spark, dir),
+        seqFrom = 1000000000L)
+      // every key nets to at most one op
+      assert(net.map(_._1).distinct.length == net.length)
+      // applying the net ops to an empty store = full sequential
+      // replay (both all-update-net keys vanish on an empty base)
+      assert(replay(net) == replay(raw), s"closure broken at $sfName")
+      // idempotence: compacting a one-op-per-key log returns it
+      // (update-net ops keep their merged fields; grounded ops
+      // already carry final fields)
+      val again = asLog(Queries.q68_compact_ops(spark, dir))
+        .map(r => (r._1, 0L, r._3, r._4, r._5)).toSet
+      assert(net.map(r => (r._1, 0L, r._3, r._4, r._5)).toSet == again)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("q68: hostile sequences — delete shadows updates, reinsert " +
+    "regrounds, update-only keys merge fields, all-null drops") {
+    val log = Seq(
+      // key 1: insert, partial updates, delete, post-delete update
+      // (noop), REINSERT, then one partial override -> net insert
+      (1L, 1L, "insert", Some(10L), Some(20L)),
+      (1L, 2L, "update", Some(11L), None),
+      (1L, 3L, "delete", None, None),
+      (1L, 4L, "update", Some(99L), Some(99L)),
+      (1L, 5L, "insert", Some(30L), Some(40L)),
+      (1L, 6L, "update", None, Some(41L)),
+      // key 2: grounded by a final delete -> net delete
+      (2L, 1L, "insert", Some(1L), Some(2L)),
+      (2L, 2L, "update", Some(3L), None),
+      (2L, 3L, "delete", None, None),
+      // key 3: updates only, fields land on different ops
+      (3L, 1L, "update", Some(7L), None),
+      (3L, 2L, "update", None, Some(8L)),
+      (3L, 3L, "update", Some(9L), None),
+      // key 4: all-null updates only -> dropped entirely
+      (4L, 1L, "update", None, None),
+      (4L, 2L, "update", None, None))
+    val df = log.toDF("user_id", "seq", "op", "n_new", "s_new")
+    val net = Queries.compactOps(df)
+      .as[(Long, String, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(net(1L) == (("insert", Some(30L), Some(41L))))
+    assert(net(2L) == (("delete", None, None)))
+    assert(net(3L) == (("update", Some(9L), Some(8L))))
+    assert(!net.contains(4L))
+    // and the sequential-replay closure holds on the fixture too
+    val fixLog = log.map { case (u, q, o, n, sv) => (u, q, o, n, sv) }
+    val netLog = net.toSeq.map { case (u, (o, n, sv)) =>
+      (u, 0L, o, n, sv) }
+    assert(replay(netLog) == replay(fixLog))
+  }
+
   test("m06 plans ZERO exchanges (sample-then-decode, pure scan)") {
     val plan = Queries.all("m06_frame_sample")(spark, sf("sf0.001"))
       .queryExecution.executedPlan
