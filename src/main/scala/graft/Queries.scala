@@ -3465,13 +3465,24 @@ object Queries {
       round((log((col("np") + lit(1.0)) / (col("tp") + lit(64.0)))
         - log((col("nn") + lit(1.0)) / (col("tn") + lit(64.0))))
         * lit(1e6), 0).cast("long").as("w_micro"))
+    // The prior ln(npd/nnd) is ±Infinity/NaN when either class is
+    // empty, and Spark's round→cast would emit an overflowed long
+    // while the DuckDB oracle errors — a degenerate single-class
+    // corpus must break engine parity LOUDLY, not silently. The
+    // assert_true guard is null (coalesce → +0) on every valid
+    // corpus, so non-degenerate w_micro stays byte-identical.
+    val priorGuard = coalesce(
+      assert_true(col("npd") > lit(0L) && col("nnd") > lit(0L),
+        lit("nbWeights prior: degenerate single-class corpus " +
+          "(one of npd/nnd is zero)")).cast("long"),
+      lit(0L))
     val prior = docs.agg(
         sum(col("y")).cast("long").as("npd"),
         sum(lit(1) - col("y")).cast("long").as("nnd"))
       .select(lit(-1L).as("feature_id"),
         col("npd").as("n_pos"), col("nnd").as("n_neg"),
-        round(log(col("npd").cast("double") / col("nnd")) * lit(1e6),
-          0).cast("long").as("w_micro"))
+        (round(log(col("npd").cast("double") / col("nnd")) * lit(1e6),
+          0).cast("long") + priorGuard).as("w_micro"))
     w.unionAll(prior)
   }
 

@@ -210,12 +210,21 @@ object LabelPropagation {
         .select(col("node"),
           coalesce(col("newl"), col("label")).cast("long").as("label"))
     }
-    val ordered = between.unionAll(
-      between.select(col("p").as("c"), col("c").as("p"), col("ecd")))
+    // Distributed branch: `between` feeds both unionAll arms and
+    // `dc` feeds both gains joins — persist + count BOTH before the
+    // fan-out (house rule: independent parallel stages otherwise
+    // race-recompute the two edge-label join subtrees, exactly on
+    // the >driverFinishMaxEdges path where they are most expensive).
+    val betweenP = between.persist(StorageLevel.MEMORY_AND_DISK)
+    betweenP.count()
+    val dcP = dc.persist(StorageLevel.MEMORY_AND_DISK)
+    dcP.count()
+    val ordered = betweenP.unionAll(
+      betweenP.select(col("p").as("c"), col("c").as("p"), col("ecd")))
     val gains = ordered
-      .join(dc.select(col("label").as("c"), col("dc").as("dcc")),
+      .join(dcP.select(col("label").as("c"), col("dc").as("dcc")),
         Seq("c"))
-      .join(dc.select(col("label").as("p"), col("dc").as("dcp")),
+      .join(dcP.select(col("label").as("p"), col("dc").as("dcp")),
         Seq("p"))
       .select(col("c"), col("p"),
         (lit(4L) * lit(nEdges) * col("ecd")

@@ -598,20 +598,6 @@ object Streams {
         col("n_events"), col("volume_cents"), col("low"), col("high"),
         col("min_k"), col("max_k"), col("open"), col("close"))
 
-  /** STREAMING COUNT-MIN — batch t12's pure-sketch pipeline as an
-    * incremental Update-mode aggregate over a document feed: tokens
-    * → (r, cell) running counts, identical cell derivation
-    * ([[graft.text.TextFunctions.countMinCell]], 4 rows × 16
-    * counters). The state store IS the sketch — at most depth×width
-    * = 64 keys TOTAL regardless of feed size, and partial
-    * aggregation collapses each micro-batch map-side to ≤64 cell
-    * deltas before they touch state. Cells are pure sums, so the
-    * maintained sketch is independent of how the corpus is split
-    * into micro-batches and a full replay lands EXACTLY on batch
-    * t12's table (spec-pinned across arbitrary uneven splits).
-    * Point-query the live sketch as `min` of a token's depth cells;
-    * no watermark needed — the aggregate is keyed by sketch
-    * coordinates, not event time, and its state never grows. */
   /** STREAMING CLASSIFY — the SERVE half of the t24/t25 NB pair
     * (train batch, filter the live feed): each arriving document is
     * scored ROW-LOCALLY against the trained weight table — t24's
@@ -638,6 +624,20 @@ object Streams {
       (score >= 0L).cast("int").as("pred"))
   }
 
+  /** STREAMING COUNT-MIN — batch t12's pure-sketch pipeline as an
+    * incremental Update-mode aggregate over a document feed: tokens
+    * → (r, cell) running counts, identical cell derivation
+    * ([[graft.text.TextFunctions.countMinCell]], 4 rows × 16
+    * counters). The state store IS the sketch — at most depth×width
+    * = 64 keys TOTAL regardless of feed size, and partial
+    * aggregation collapses each micro-batch map-side to ≤64 cell
+    * deltas before they touch state. Cells are pure sums, so the
+    * maintained sketch is independent of how the corpus is split
+    * into micro-batches and a full replay lands EXACTLY on batch
+    * t12's table (spec-pinned across arbitrary uneven splits).
+    * Point-query the live sketch as `min` of a token's depth cells;
+    * no watermark needed — the aggregate is keyed by sketch
+    * coordinates, not event time, and its state never grows. */
   def streamingCountMin(docs: DataFrame, depth: Int = 4,
                         width: Int = 16): DataFrame =
     docs

@@ -23,7 +23,14 @@ object HllRegisters {
 }
 
 /** `hll_init(j, rho)` → 64-byte vector with register j = rho, rest
-  * 0. Codegen'd; j must be in [0, 64), rho in [0, 127]. */
+  * 0. Codegen'd. SQL-exposed, so the domain is ENFORCED, not
+  * assumed: j outside [0, 64) or rho outside [0, 40] throws a
+  * descriptive IllegalArgumentException from both eval and the
+  * generated code (rho > 40 would otherwise make hll_scaled_sum's
+  * `1L << (40 - rho)` a Java mod-64 negative shift — a silently
+  * wrong estimate, the worst failure mode for a sketch). HyperBall
+  * itself caps rho at 40; the check costs two branch-predicted
+  * compares per row. */
 case class HllRegInit(j: Expression, rho: Expression)
   extends BinaryExpression with ExpectsInputTypes {
   override def left: Expression = j
@@ -34,15 +41,30 @@ case class HllRegInit(j: Expression, rho: Expression)
   override def prettyName: String = "hll_init"
 
   override protected def nullSafeEval(jv: Any, rv: Any): Any = {
+    val ji = jv.asInstanceOf[Long]
+    val ri = rv.asInstanceOf[Long]
+    require(ji >= 0 && ji < HllRegisters.R,
+      s"hll_init: register index $ji outside [0, ${HllRegisters.R})")
+    require(ri >= 0 && ri <= 40,
+      s"hll_init: rho $ri outside [0, 40]")
     val out = new Array[Byte](HllRegisters.R)
-    out(jv.asInstanceOf[Long].toInt) = rv.asInstanceOf[Long].toByte
+    out(ji.toInt) = ri.toByte
     out
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (jv, rv) =>
-      s"""byte[] ${ev.value}_a =
+      s"""if ($jv < 0L || $jv >= ${HllRegisters.R}L) {
+         |  throw new IllegalArgumentException(
+         |    "hll_init: register index " + $jv +
+         |    " outside [0, ${HllRegisters.R})");
+         |}
+         |if ($rv < 0L || $rv > 40L) {
+         |  throw new IllegalArgumentException(
+         |    "hll_init: rho " + $rv + " outside [0, 40]");
+         |}
+         |byte[] ${ev.value}_a =
          |  new byte[${HllRegisters.R}];
          |${ev.value}_a[(int) $jv] = (byte) $rv;
          |${ev.value} = ${ev.value}_a;""".stripMargin)
@@ -54,7 +76,11 @@ case class HllRegInit(j: Expression, rho: Expression)
 
 /** `hll_scaled_sum(regs)` → Σ_j 2^(40 − rho_j) as BIGINT — the
   * integer-space harmonic denominator of the q42 HLL estimate (an
-  * empty register contributes 2^40). Codegen'd byte loop. */
+  * empty register contributes 2^40). Codegen'd byte loop. A
+  * register outside [0, 40] throws (eval AND codegen) rather than
+  * hitting Java's mod-64 negative shift and returning a silently
+  * wrong estimate — matters because the function is SQL-exposed to
+  * arbitrary binary inputs, not just HyperBall's capped vectors. */
 case class HllScaledSum(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
@@ -65,7 +91,13 @@ case class HllScaledSum(child: Expression)
     val a = v.asInstanceOf[Array[Byte]]
     var s = 0L
     var i = 0
-    while (i < a.length) { s += 1L << (40 - a(i)); i += 1 }
+    while (i < a.length) {
+      val r = a(i)
+      require(r >= 0 && r <= 40,
+        s"hll_scaled_sum: register value $r outside [0, 40]")
+      s += 1L << (40 - r)
+      i += 1
+    }
     s
   }
 
@@ -75,7 +107,13 @@ case class HllScaledSum(child: Expression)
       s"""long ${ev.value}_s = 0L;
          |for (int ${ev.value}_i = 0; ${ev.value}_i < ($v).length;
          |    ${ev.value}_i++) {
-         |  ${ev.value}_s += 1L << (40 - ($v)[${ev.value}_i]);
+         |  byte ${ev.value}_r = ($v)[${ev.value}_i];
+         |  if (${ev.value}_r < 0 || ${ev.value}_r > 40) {
+         |    throw new IllegalArgumentException(
+         |      "hll_scaled_sum: register value " + ${ev.value}_r +
+         |      " outside [0, 40]");
+         |  }
+         |  ${ev.value}_s += 1L << (40 - ${ev.value}_r);
          |}
          |${ev.value} = ${ev.value}_s;""".stripMargin)
 
@@ -157,11 +195,25 @@ case class ByteMaxAgg(
 
   override def eval(b: Array[Byte]): Any = b
 
+  // Marker-prefixed so a legitimately ZERO-LENGTH binary buffer and
+  // the null (no-input-seen) buffer survive a shuffle round trip as
+  // distinct states — serialize(null) = [], serialize(b) = 0x01 ++ b.
+  // Without the prefix, empty-binary inputs returned empty locally
+  // but null after a shuffle: a partition-count-dependent result
+  // (unreachable from HyperBall's fixed 64-byte vectors, but the
+  // function is SQL-exposed as bytewise_max).
   override def serialize(b: Array[Byte]): Array[Byte] =
-    if (b == null) Array.emptyByteArray else b
+    if (b == null) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](b.length + 1)
+      out(0) = 1
+      System.arraycopy(b, 0, out, 1, b.length)
+      out
+    }
 
   override def deserialize(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.isEmpty) null else bytes
+    if (bytes.isEmpty) null
+    else java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
 
   override def withNewMutableAggBufferOffset(offset: Int): ByteMaxAgg =
     copy(mutableAggBufferOffset = offset)

@@ -108,6 +108,37 @@ class PipelineAndSourcesSpec extends SparkSpec {
       assert(x.getInt(0) == 2)
       assert(x.getString(1) == "0,2,3")
       assert(x.getInt(2) >= 1)
+      // SQL-exposed HLL kernels ENFORCE their domain (ADVICE r8):
+      // out-of-range j / rho throw a descriptive error from the
+      // generated code instead of corrupting the estimate via a
+      // mod-64 negative shift or an ArrayIndexOutOfBounds.
+      def mustThrow(sql: String, frag: String): Unit = {
+        val e = intercept[Exception] { s2.sql(sql).collect() }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains(frag)),
+          s"expected '$frag' in: ${msgs(e).mkString(" | ")}")
+      }
+      mustThrow("SELECT hll_init(64L, 1L)", "outside [0, 64)")
+      mustThrow("SELECT hll_init(-1L, 1L)", "outside [0, 64)")
+      mustThrow("SELECT hll_init(3L, 41L)", "outside [0, 40]")
+      mustThrow(
+        "SELECT hll_scaled_sum(CAST(X'FF' AS BINARY))",
+        "outside [0, 40]")
+      // bytewise_max: a legitimately ZERO-LENGTH binary buffer must
+      // survive the shuffle round trip as empty, not null (the
+      // marker-prefixed serialize) — exercised with repartition so
+      // serialize/deserialize actually runs.
+      // (range(0, 8) spans >1 partition on local[2], so the global
+      // aggregate's partial→final exchange exercises the path)
+      val bm = s2.sql(
+        """SELECT bytewise_max(b) AS m FROM (
+          |  SELECT CAST(X'' AS BINARY) AS b FROM range(0, 8))
+          |""".stripMargin).collect()(0)
+      assert(!bm.isNullAt(0) &&
+        bm.getAs[Array[Byte]](0).length == 0,
+        "empty-binary bytewise_max must be empty, not null")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
