@@ -7476,42 +7476,42 @@ object Queries {
     * exact integer sums ÷ count so both engines derive identical
     * doubles.
     *
-    * Scale shape: ONE pass tags every token with its field (a
-    * struct-array concat inside the row — no per-field rescan), the
-    * tiny distinct (field,term) query set broadcast-filters the
-    * exploded stream BEFORE the (doc,field,term) aggregate (at
-    * 100 TB the postings for 8 queries are a few thousand rows —
-    * non-matching terms never reach an Exchange); df stats via a
-    * (field,term)-partitioned window over that pruned set; the `kw`
-    * field derives from the `desc` postings (tf ≥ 3) without
-    * another pass; corpus totals ride a scalar broadcast cross
-    * join; top-10 through the bounded-heap TopKBy aggregate
+    * Scale shape: ONE analyzer pass per document emits the FINAL
+    * per-doc postings — (field id, term id, tf) int structs,
+    * kw included — so the per-(doc,field,term) aggregation happens
+    * inside the expression against a ~100-slot counter array and no
+    * token-level row ever reaches an Exchange (at 100 TB the
+    * postings for 8 queries are bounded by |docs|×|vocab|, and only
+    * vocabulary hits are emitted at all); df stats via a bounded
+    * (fid,tid) aggregate broadcast back (≤ |fields|×|vocab| rows —
+    * no window sort over the postings); corpus totals ride a scalar
+    * broadcast cross join; all keys integer end-to-end (the string
+    * (field, term) keys measurably dominated the shuffle/hash cost:
+    * the synthetic vocabulary overlap makes ~60% of tokens query
+    * hits); top-10 through the bounded-heap TopKBy aggregate
     * (|queries|×10 rows, no qid-window sort). */
   val q60_search_score: QFn = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.graft.{ColumnBridge, SearchAnalyzeExpr}
-    // The ENTIRE six-analyzer pass is ONE codegen'd expression
+    // The ENTIRE seven-field analysis is ONE codegen'd expression
     // (SearchAnalyzeExpr): a single tokenization of the document
-    // yields every field length and every query-term hit — the
-    // declarative composition it replaces (tokens + 4 WordShingles
-    // scans + 2 regexp_replace rewrites) cost five whole-string
-    // passes per doc and dominated q60's wall time; the expression
-    // is spec-pinned field-for-field to that composition in
-    // Round13OpsSpec, and this query's oracle/replay are unchanged.
-    // The query vocabulary is a PLAN LITERAL (the query set is fixed
-    // at build time), so the hit arrays carry only query terms —
-    // the explode emits only matching tokens instead of
-    // 6×|corpus tokens| rows probed against a broadcast. Field
-    // lengths are taken before the filter, so BM25 length norms are
-    // unchanged. The slim projection (lens + filtered arrays, a few
-    // dozen bytes per doc) persists because BOTH the corpus totals
-    // and the postings read it — one analyzer pass total (CLAUDE.md:
-    // persist + count before the fan-out).
+    // yields every field length and the COMPLETE per-doc postings
+    // as (fid, tid, tf) int structs — tokenization spec-pinned to
+    // the declarative five-scan composition in Round13OpsSpec, and
+    // this query's oracle/replay are unchanged. The query
+    // vocabulary is a PLAN LITERAL (the query set is fixed at build
+    // time). Field lengths are taken before the vocabulary filter,
+    // so BM25 length norms are unchanged. The slim projection (five
+    // lens + the postings array, a few dozen ints per doc) persists
+    // because the corpus totals, the df table, and the scored
+    // postings all read it — one analyzer pass total (CLAUDE.md:
+    // persist + count before the fan-out). kw (desc tf >= 3,
+    // norms-off) is emitted by the expression itself, so no second
+    // branch re-reads the postings subtree (the pushed-filter
+    // asymmetry that used to recompute the whole explode+aggregate
+    // once per branch).
     val qWords = searchQueryWords
     val qBigrams = searchQueryBigrams
-    def tag(f: String, arr: Column): Column =
-      transform(arr, x =>
-        struct(lit(f).as("field"), x.as("term")))
     val slim = t(s, d, "documents")
       .select(col("doc_id"), col("n_chars"),
         ColumnBridge.column(SearchAnalyzeExpr(
@@ -7519,60 +7519,40 @@ object Queries {
           qWords, qBigrams)).as("z"))
       .select(col("doc_id"), col("n_chars"),
         col("z.name_len"), col("z.desc_len"), col("z.norm_len"),
-        col("z.tok_len"), col("z.ph_len"),
-        col("z.a_name"), col("z.a_exact"), col("z.a_desc"),
-        col("z.a_norm"), col("z.a_tok"), col("z.a_ph2"))
+        col("z.tok_len"), col("z.ph_len"), col("z.posts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     slim.count()
     val tots = slim.agg(count(lit(1)).as("nd"),
       sum("name_len").as("s_name"), sum("desc_len").as("s_desc"),
       sum("norm_len").as("s_norm"), sum("tok_len").as("s_tok"),
       sum("ph_len").as("s_ph"))
-    val tagged = slim.select(col("doc_id"), col("n_chars"),
-        col("name_len"), col("desc_len"), col("norm_len"),
-        col("tok_len"), col("ph_len"),
-        explode(concat(
-          tag("name", col("a_name")), tag("exact", col("a_exact")),
-          tag("desc", col("a_desc")), tag("norm", col("a_norm")),
-          tag("tok", col("a_tok")), tag("ph2", col("a_ph2"))))
-          .as("ft"))
+    // postings are FINAL rows off the cache: explode, attach the
+    // per-doc field length (kw is norms-off => len 1)
+    val post = slim
+      .select(col("doc_id"), col("n_chars"), col("name_len"),
+        col("desc_len"), col("norm_len"), col("tok_len"),
+        col("ph_len"), explode(col("posts")).as("p"))
       .select(col("doc_id"), col("n_chars"),
-        col("ft.field").as("field"), col("ft.term").as("term"),
-        expr("CASE ft.field WHEN 'name' THEN name_len " +
-          "WHEN 'exact' THEN name_len WHEN 'desc' THEN desc_len " +
-          "WHEN 'norm' THEN norm_len WHEN 'tok' THEN tok_len " +
-          "ELSE ph_len END").as("len"))
-    val qdf = searchQueries.toDF("qid", "qtext")
-      .withColumn("qt", split(col("qtext"), " "))
-    val qterms = Seq("name", "exact", "desc", "kw", "norm", "tok")
-      .map(f => qdf.select(col("qid"), lit(f).as("field"),
-        explode(col("qt")).as("term")))
-      .reduce(_ union _)
-      .union(qdf.select(col("qid"), lit("ph2").as("field"),
-        explode(expr("transform(" +
-          "slice(qt, 1, greatest(size(qt) - 1, 0)), " +
-          "(x, i) -> concat(x, ' ', qt[i + 1]))")).as("term")))
-      .distinct()
-    val post0 = tagged
-      .join(broadcast(qterms.select("field", "term").distinct()),
-        Seq("field", "term"))
-      .groupBy("doc_id", "field", "term")
-      .agg(max("n_chars").as("n_chars"), max("len").as("len"),
-        count(lit(1)).as("tf"))
-    // kw = keyword-set membership, derived from the desc postings
-    val postKw = post0
-      .filter(col("field") === "desc" && col("tf") >= 3)
-      .select(col("doc_id"), lit("kw").as("field"), col("term"),
-        col("n_chars"), lit(1L).as("len"), lit(1L).as("tf"))
-    val post = post0
-      .select("doc_id", "field", "term", "n_chars", "len", "tf")
-      .unionByName(postKw)
-    val wFT = Window.partitionBy("field", "term")
+        col("p.fid").as("fid"), col("p.tid").as("tid"),
+        col("p.tf").cast("long").as("tf"),
+        expr("CASE p.fid WHEN 0 THEN name_len WHEN 1 THEN name_len" +
+          " WHEN 2 THEN desc_len WHEN 3 THEN CAST(1 AS BIGINT)" +
+          " WHEN 4 THEN norm_len WHEN 5 THEN tok_len" +
+          " ELSE ph_len END").as("len"))
+    // df per (fid, tid): a bounded aggregate (<= |fields|x|vocab|
+    // rows) broadcast back — replaces a window sort over all
+    // postings with one map-side-collapsing count
+    val dfTab = post.groupBy("fid", "tid")
+      .agg(count(lit(1)).as("df"))
     val scored = post
-      .withColumn("df", count(lit(1)).over(wFT))
+      .join(broadcast(dfTab), Seq("fid", "tid"))
       .crossJoin(broadcast(tots))
       .withColumn("contrib", expr(q60Contrib))
-    val perq = scored.join(broadcast(qterms), Seq("field", "term"))
+    // the (qid, fid, tid) vocabulary is driver-computed from the
+    // literal query set — a LocalRelation, no cluster job per
+    // broadcast site
+    val qterms = searchQueryTerms.toDF("qid", "fid", "tid")
+    val perq = scored.join(broadcast(qterms), Seq("fid", "tid"))
       .groupBy("qid", "doc_id")
       .agg(sum("contrib").as("bm25_nano"),
         max("n_chars").as("n_chars"))
@@ -7582,7 +7562,7 @@ object Queries {
     // top-10 per query through the bounded-heap TopKBy aggregate: a
     // qid window would funnel EVERY candidate of a query into one of
     // 8 partitions and sort it; the aggregate keeps k rows of state
-    // per partition, combines map-side, and shuffles |queries|×10
+    // per partition, combines map-side, and shuffles |queries|x10
     // rows total. nano scores are < 2^53, so the double round-trip
     // is exact and (score desc, id asc) matches the oracle ordering.
     perq.groupBy("qid")
@@ -7603,6 +7583,26 @@ object Queries {
     searchQueries.flatMap(
       _._2.split(" ").toSeq.sliding(2).map(_.mkString(" "))).distinct
 
+  /** The full (qid, fid, tid) match vocabulary, driver-computed
+    * from the literal query set (single terms on the six word
+    * fields, adjacent bigrams on ph2; fid/tid codes are
+    * [[org.apache.spark.sql.graft.SearchAnalyzeUtil]]'s) so q60
+    * ships it as a LocalRelation instead of running a
+    * union/explode/distinct cluster job per broadcast site. */
+  private[graft] lazy val searchQueryTerms: Seq[(Long, Int, Int)] = {
+    val words = for {
+      (qid, q) <- searchQueries
+      f <- 0 to 5 // name, exact, desc, kw, norm, tok
+      t <- q.split(" ").toSeq
+    } yield (qid, f, searchQueryWords.indexOf(t))
+    val bigrams = for {
+      (qid, q) <- searchQueries
+      t <- q.split(" ").toSeq.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+    } yield (qid, 6, searchQueryBigrams.indexOf(t))
+    (words ++ bigrams).distinct
+  }
+
   /** The fixed annotated-query set (the eval suite's analog). */
   private val searchQueries: Seq[(Long, String)] = Seq(
     (1L, "spark window"), (2L, "hash join stream"),
@@ -7614,20 +7614,24 @@ object Queries {
   // deterministic given the same expression shape). Boost per the
   // LTR_QUERY field list; kw is a norms-off keyword field (tf = 1,
   // no length normalization -> the tf factor is exactly 1).
+  // fid codes per SearchAnalyzeUtil: 0 name, 1 exact, 2 desc, 3 kw,
+  // 4 norm, 5 tok, 6 ph2 — integer compares in the hot contrib
+  // expression (the value tree is double-identical to the string
+  // CASE it replaces, so committed score hashes are unchanged).
   private val q60Boost: String =
-    "CASE field WHEN 'name' THEN 3.0 WHEN 'exact' THEN 3.0" +
-      " WHEN 'kw' THEN 2.0 WHEN 'ph2' THEN 2.0 ELSE 1.0 END"
+    "CASE fid WHEN 0 THEN 3.0 WHEN 1 THEN 3.0" +
+      " WHEN 3 THEN 2.0 WHEN 6 THEN 2.0 ELSE 1.0 END"
   private val q60AvgLen: String =
-    "(CASE field WHEN 'name' THEN CAST(s_name AS DOUBLE)" +
-      " WHEN 'exact' THEN CAST(s_name AS DOUBLE)" +
-      " WHEN 'desc' THEN CAST(s_desc AS DOUBLE)" +
-      " WHEN 'norm' THEN CAST(s_norm AS DOUBLE)" +
-      " WHEN 'tok' THEN CAST(s_tok AS DOUBLE)" +
+    "(CASE fid WHEN 0 THEN CAST(s_name AS DOUBLE)" +
+      " WHEN 1 THEN CAST(s_name AS DOUBLE)" +
+      " WHEN 2 THEN CAST(s_desc AS DOUBLE)" +
+      " WHEN 4 THEN CAST(s_norm AS DOUBLE)" +
+      " WHEN 5 THEN CAST(s_tok AS DOUBLE)" +
       " ELSE CAST(s_ph AS DOUBLE) END / nd)"
   private val q60Contrib: String =
     s"CAST(round(($q60Boost)" +
       " * ln(1 + (nd - df + 0.5) / (df + 0.5))" +
-      " * (CASE WHEN field = 'kw' THEN 1.0 ELSE (tf * 2.2)" +
+      " * (CASE WHEN fid = 3 THEN 1.0 ELSE (tf * 2.2)" +
       s" / (tf + 1.2 * (1 - 0.75 + 0.75 * len / $q60AvgLen)) END)" +
       " * 1e9) AS BIGINT)"
 
@@ -7664,17 +7668,17 @@ object Queries {
        |    CAST(sum(tok_len) AS BIGINT) AS s_tok,
        |    CAST(sum(ph_len) AS BIGINT) AS s_ph FROM d3),
        |tall AS (
-       |  SELECT doc_id, n_chars, 'name' AS field,
+       |  SELECT doc_id, n_chars, 0 AS fid,
        |      unnest(toks[1:8]) AS term, name_len AS len FROM d3
-       |  UNION ALL SELECT doc_id, n_chars, 'exact',
+       |  UNION ALL SELECT doc_id, n_chars, 1,
        |      unnest(raw[1:8]), name_len FROM d3
-       |  UNION ALL SELECT doc_id, n_chars, 'desc',
+       |  UNION ALL SELECT doc_id, n_chars, 2,
        |      unnest(toks), desc_len FROM d3
-       |  UNION ALL SELECT doc_id, n_chars, 'norm',
+       |  UNION ALL SELECT doc_id, n_chars, 4,
        |      unnest(nrm), norm_len FROM d3
-       |  UNION ALL SELECT doc_id, n_chars, 'tok',
+       |  UNION ALL SELECT doc_id, n_chars, 5,
        |      unnest(sub), tok_len FROM d3
-       |  UNION ALL SELECT doc_id, n_chars, 'ph2',
+       |  UNION ALL SELECT doc_id, n_chars, 6,
        |      unnest(big), ph_len FROM d3),
        |qv AS (SELECT CAST(qid AS BIGINT) AS qid,
        |    string_split(qtext, ' ') AS qt
@@ -7683,31 +7687,31 @@ object Queries {
        |qb AS (SELECT qid, unnest(
        |    list_transform(range(1, greatest(len(qt), 1)),
        |      i -> qt[i] || ' ' || qt[i + 1])) AS term FROM qv),
-       |q AS (SELECT DISTINCT qid, f.field, qe.term
-       |  FROM qe CROSS JOIN (SELECT unnest(['name', 'exact', 'desc',
-       |      'kw', 'norm', 'tok']) AS field) f
+       |q AS (SELECT DISTINCT qid, f.fid, qe.term
+       |  FROM qe CROSS JOIN (SELECT unnest(
+       |      [0, 1, 2, 3, 4, 5]) AS fid) f
        |  UNION
-       |  SELECT DISTINCT qid, 'ph2' AS field, term FROM qb),
-       |qf AS (SELECT DISTINCT field, term FROM q),
-       |p0 AS (SELECT tall.doc_id, tall.field, tall.term,
+       |  SELECT DISTINCT qid, 6 AS fid, term FROM qb),
+       |qf AS (SELECT DISTINCT fid, term FROM q),
+       |p0 AS (SELECT tall.doc_id, tall.fid, tall.term,
        |    max(n_chars) AS n_chars, max(len) AS len,
        |    CAST(count(*) AS BIGINT) AS tf
-       |  FROM tall JOIN qf USING (field, term)
+       |  FROM tall JOIN qf USING (fid, term)
        |  GROUP BY 1, 2, 3),
        |post AS (SELECT * FROM p0
        |  UNION ALL
-       |  SELECT doc_id, 'kw' AS field, term, n_chars,
+       |  SELECT doc_id, 3 AS fid, term, n_chars,
        |      CAST(1 AS BIGINT) AS len, CAST(1 AS BIGINT) AS tf
-       |    FROM p0 WHERE field = 'desc' AND tf >= 3),
+       |    FROM p0 WHERE fid = 2 AND tf >= 3),
        |stat AS (SELECT *, CAST(count(*) OVER
-       |    (PARTITION BY field, term) AS BIGINT) AS df FROM post),
-       |c AS (SELECT doc_id, n_chars, field, term,
+       |    (PARTITION BY fid, term) AS BIGINT) AS df FROM post),
+       |c AS (SELECT doc_id, n_chars, fid, term,
        |    $q60Contrib AS contrib
        |  FROM stat CROSS JOIN tot),
        |pq AS (SELECT qid, doc_id,
        |    CAST(sum(contrib) AS BIGINT) AS bm25_nano,
        |    max(n_chars) AS n_chars
-       |  FROM c JOIN q USING (field, term) GROUP BY qid, doc_id),
+       |  FROM c JOIN q USING (fid, term) GROUP BY qid, doc_id),
        |fin AS (SELECT qid, doc_id, bm25_nano
        |    + CAST(round(2 * (n_chars / (n_chars + 300.0)) * 1e9)
        |        AS BIGINT) AS score_nano

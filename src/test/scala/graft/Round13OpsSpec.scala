@@ -209,11 +209,14 @@ class Round13OpsSpec extends SparkSpec {
   }
 
   /** SearchAnalyzeExpr (q60's one-pass analyzer) == the declarative
-    * composition it replaced, field for field: tokens + WordShingles
-    * uni/bigrams + the two whole-text regexp_replace analyzers, each
-    * filtered to the query vocabulary. Runs over real documents at
-    * two SFs PLUS a hostile fixture (punctuation-only tokens, mixed
-    * whitespace, case, empties, >8 tokens, adjacent bigram runs). */
+    * composition it replaced, field for field AS TF MULTISETS: the
+    * expression now emits aggregated (fid, tid, tf) postings, so the
+    * pin groups the declarative hit arrays into per-term counts,
+    * maps terms to vocabulary ids, and compares exactly — including
+    * the kw derivation (desc tf >= 3 -> tf 1) and all five lens.
+    * Runs over real documents at two SFs PLUS a hostile fixture
+    * (punctuation-only tokens, mixed whitespace, case, empties,
+    * >8 tokens, adjacent bigram runs). */
   test("q60 one-pass analyzer == declarative five-scan composition") {
     import org.apache.spark.sql.graft.{ColumnBridge, SearchAnalyzeExpr, WordShinglesExpr}
     val qWords = Queries.searchQueryWords
@@ -222,6 +225,10 @@ class Round13OpsSpec extends SparkSpec {
       ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(c), n))
     def hit(arr: org.apache.spark.sql.Column, terms: Seq[String]) =
       filter(arr, x => x.isInCollection(terms))
+    def counts(hits: Seq[String], vocab: Seq[String]): Map[Int, Int] =
+      hits.groupBy(identity).map { case (t, g) =>
+        vocab.indexOf(t) -> g.size
+      }
     def bothWays(df: org.apache.spark.sql.DataFrame): Unit = {
       val declarative = df.select(
           col("doc_id"),
@@ -244,26 +251,51 @@ class Round13OpsSpec extends SparkSpec {
           hit(col("nrm"), qWords).as("a_norm"),
           hit(col("sub"), qWords).as("a_tok"),
           hit(col("big"), qBigrams).as("a_ph2"))
+        .collect().map(r => r.getLong(0) -> r).toMap
       val onePass = df.select(col("doc_id"),
           ColumnBridge.column(SearchAnalyzeExpr(
             ColumnBridge.expression(col("text")),
             qWords, qBigrams)).as("z"))
         .select(col("doc_id"),
           col("z.name_len"), col("z.desc_len"), col("z.norm_len"),
-          col("z.tok_len"), col("z.ph_len"),
-          col("z.a_name"), col("z.a_exact"), col("z.a_desc"),
-          col("z.a_norm"), col("z.a_tok"), col("z.a_ph2"))
-      assert(declarative.exceptAll(onePass).isEmpty &&
-        onePass.exceptAll(declarative).isEmpty,
-        "analyzer outputs diverge")
+          col("z.tok_len"), col("z.ph_len"), col("z.posts"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(declarative.keySet == onePass.keySet)
+      declarative.foreach { case (id, d) =>
+        val o = onePass(id)
+        (1 to 5).foreach(i => assert(d.getLong(i) == o.getLong(i),
+          s"doc $id len field $i: ${d.getLong(i)} vs ${o.getLong(i)}"))
+        val posts = o.getSeq[org.apache.spark.sql.Row](6)
+          .map(p => (p.getInt(0), p.getInt(1)) -> p.getInt(2)).toMap
+        def fidOf(fid: Int): Map[Int, Int] =
+          posts.collect { case ((f, t), c) if f == fid => t -> c }
+        // fid codes: 0 name, 1 exact, 2 desc, 3 kw, 4 norm, 5 tok,
+        // 6 ph2
+        val descCnt = counts(d.getSeq[String](8), qWords)
+        assert(fidOf(0) == counts(d.getSeq[String](6), qWords),
+          s"doc $id name postings diverge")
+        assert(fidOf(1) == counts(d.getSeq[String](7), qWords),
+          s"doc $id exact postings diverge")
+        assert(fidOf(2) == descCnt, s"doc $id desc postings diverge")
+        assert(fidOf(3) == descCnt.collect {
+          case (t, c) if c >= 3 => t -> 1
+        }.toMap, s"doc $id kw postings diverge")
+        assert(fidOf(4) == counts(d.getSeq[String](9), qWords),
+          s"doc $id norm postings diverge")
+        assert(fidOf(5) == counts(d.getSeq[String](10), qWords),
+          s"doc $id tok postings diverge")
+        assert(fidOf(6) == counts(d.getSeq[String](11), qBigrams),
+          s"doc $id ph2 postings diverge")
+      }
     }
     Seq("sf0.001", "sf0.01").foreach { sfn =>
       bothWays(spark.read.parquet(sf(sfn) + "/documents.parquet")
         .select(col("doc_id"), col("text")))
     }
-    // ph_len vs empty big: one- and zero-token docs; the one-token
-    // case is where greatest(size-1, 0) and WordShingles' empty
-    // array must agree
+    // hostile fixture: tf >= 3 keyword runs, punctuation-only
+    // tokens, mixed whitespace/case, empties, >8 tokens, adjacent
+    // bigram runs; the one-token case is where greatest(size-1, 0)
+    // and WordShingles' empty array must agree
     val hostile = Seq(
       (1L, "spark window spark window spark window hash join x y"),
       (2L, "  SPARK\tWindow\nhash   join!! ... (stream) "),
