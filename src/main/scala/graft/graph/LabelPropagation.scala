@@ -205,6 +205,9 @@ object LabelPropagation {
       val ses = edges.sparkSession
       import ses.implicits._
       val mutualDf = merges.toDF("newl", "oldl")
+      // the returned remap reads only `lab` + the LocalRelation — the
+      // edge cache has served its two consumers (between/dc collects)
+      if (!canonical) e.unpersist(blocking = false)
       return lab
         .join(mutualDf, lab("label") === mutualDf("oldl"), "left")
         .select(col("node"),
@@ -241,7 +244,16 @@ object LabelPropagation {
     val out = lab.join(mutual, lab("label") === mutual("oldl"), "left")
       .select(col("node"),
         coalesce(col("newl"), col("label")).cast("long").as("label"))
-    out
+    // The caches exist only to keep this call's fan-out from
+    // race-recomputing; cut the result free of them (eager
+    // localCheckpoint — |nodes| rows) and release all three so a
+    // session making many refineMerge calls doesn't accumulate
+    // cached tables for its lifetime (round-9 advice).
+    val outM = out.localCheckpoint(true)
+    betweenP.unpersist(blocking = false)
+    dcP.unpersist(blocking = false)
+    if (!canonical) e.unpersist(blocking = false)
+    outM
   }
 
   /** MODULARITY of a node partition — the standard quality score for

@@ -109,9 +109,10 @@ class PipelineAndSourcesSpec extends SparkSpec {
       assert(x.getString(1) == "0,2,3")
       assert(x.getInt(2) >= 1)
       // SQL-exposed HLL kernels ENFORCE their domain (ADVICE r8):
-      // out-of-range j / rho throw a descriptive error from the
-      // generated code instead of corrupting the estimate via a
-      // mod-64 negative shift or an ArrayIndexOutOfBounds.
+      // out-of-range j / rho throw a descriptive error. Pure-literal
+      // args are constant-folded, so they exercise the EVAL guard;
+      // column-derived args (ADVICE r9) defeat folding so the same
+      // failure fires from the GENERATED-JAVA guard too.
       def mustThrow(sql: String, frag: String): Unit = {
         val e = intercept[Exception] { s2.sql(sql).collect() }
         def msgs(t: Throwable): Seq[String] =
@@ -120,11 +121,27 @@ class PipelineAndSourcesSpec extends SparkSpec {
         assert(msgs(e).exists(_.contains(frag)),
           s"expected '$frag' in: ${msgs(e).mkString(" | ")}")
       }
+      // eval path (constant-folded at optimization time)
       mustThrow("SELECT hll_init(64L, 1L)", "outside [0, 64)")
       mustThrow("SELECT hll_init(-1L, 1L)", "outside [0, 64)")
       mustThrow("SELECT hll_init(3L, 41L)", "outside [0, 40]")
       mustThrow(
         "SELECT hll_scaled_sum(CAST(X'FF' AS BINARY))",
+        "outside [0, 40]")
+      // codegen path (args derive from range's id column — not
+      // foldable, so the guard branch in the generated code runs)
+      mustThrow(
+        "SELECT hll_init(id + 64L, 1L) FROM range(0, 1)",
+        "outside [0, 64)")
+      mustThrow(
+        "SELECT hll_init(id - 1L, 1L) FROM range(0, 1)",
+        "outside [0, 64)")
+      mustThrow(
+        "SELECT hll_init(3L, id + 41L) FROM range(0, 1)",
+        "outside [0, 40]")
+      mustThrow(
+        """SELECT hll_scaled_sum(unhex(concat('F', chr(70 + id))))
+          |FROM range(0, 1)""".stripMargin,
         "outside [0, 40]")
       // bytewise_max: a legitimately ZERO-LENGTH binary buffer must
       // survive the shuffle round trip as empty, not null (the
