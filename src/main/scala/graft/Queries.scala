@@ -4005,30 +4005,98 @@ object Queries {
       |  sha256(text) AS sha
       |FROM documents""".stripMargin
 
-  /** Partition-wise decode plumbing, ORACLE-VERIFIED: on unrecognized
-    * (here: text) payloads the decoder emits exact integer byte-lane
-    * sums (see [[Multimodal.FakeDecoder]]), so the whole
-    * mapPartitions path — payload bytes in, fixed-width features
-    * out — hash-matches a SQL replay byte for byte. Features emitted
-    * as an integer CSV string (raw float arrays are unsortable/
-    * unhashable in the harness's pandas compare). The decoder's
-    * container arm is REAL — [[Multimodal.HeaderCodec]] parses
-    * BMP/PNG/GIF/WAV byte layouts; m05 oracle-verifies that path on
-    * byte-exact payloads. */
-  val m02_feature_stub: QFn = (s, d) =>
-    Multimodal.extractFeatures(s,
-      Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+  /** Partition-wise decode, ORACLE-VERIFIED on BOTH dispatch arms:
+    * every third document becomes a byte-exact 24-bpp BI_RGB BMP
+    * whose pixel bytes VARY by pixel-array position — byte p is
+    * (doc_id·7 + p·13) mod 251, planted over padding positions too —
+    * and the decoder ([[Multimodal.HeaderCodec.bmp24ChannelSums]])
+    * walks the header's declared offset + 4-byte row stride and
+    * EXCLUDES the padding, so the emitted per-channel (ΣB, ΣG, ΣR)
+    * sums prove REAL pixel decoding: a decoder that summed raw
+    * bytes, mis-walked the stride, or included row padding produces
+    * different numbers (stride > 3w whenever w mod 4 ≠ 0). The other
+    * documents stay text payloads and take the unrecognized arm's
+    * exact byte-lane sums — the original plumbing check. Features
+    * emitted as an integer CSV string (raw float arrays are
+    * unsortable/unhashable in the harness's pandas compare); the
+    * oracle recomputes BOTH arms from the same planted formulas.
+    * Compressed payload formats (PNG inflate, GIF LZW, non-PCM
+    * audio) remain the declared codec-library non-goal. */
+  val m02_feature_stub: QFn = (s, d) => {
+    def le(c: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+    val base = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("w", pmod(col("doc_id"), lit(31)) + 1)
+      .withColumn("h", pmod(col("doc_id"), lit(17)) + 1)
+      .withColumn("stride", expr("((w * 3 + 3) DIV 4) * 4"))
+      .withColumn("pix", col("stride") * col("h"))
+    val pixHex = array_join(
+      transform(sequence(lit(0L), col("pix") - 1),
+        p => lpad(hex(pmod(col("doc_id") * 7 + p * 13, lit(251))),
+          2, "0")), "")
+    val bmpHex = concat(
+      lit("424D"), le(col("pix") + 54, 4), lit("00000000"),
+      le(lit(54L), 4),                       // pixel-data offset
+      le(lit(40L), 4),                       // BITMAPINFOHEADER size
+      le(col("w"), 4), le(col("h"), 4),
+      le(lit(1L), 2),                        // planes
+      le(lit(24L), 2),                       // bits per pixel
+      le(lit(0L), 4),                        // BI_RGB
+      le(col("pix"), 4),
+      le(lit(2835L), 4), le(lit(2835L), 4),  // 72 dpi
+      le(lit(0L), 4), le(lit(0L), 4),
+      pixHex)
+    val media = base
+      .withColumn("payload",
+        when(pmod(col("doc_id"), lit(3)) === 0, unhex(bmpHex))
+          .otherwise(col("text").cast("binary")))
+      .select(col("doc_id").as("media_id"), col("payload"),
+        struct(lit("application/octet-stream").as("mime"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit("").as("sha")).as("meta"))
+    Multimodal.extractFeatures(s, media)
       .select(col("media_id"), col("n_bytes"),
         array_join(transform(col("features"),
           f => f.cast("long").cast("string")), ",")
           .as("features_csv"))
+  }
 
-  /** Oracle replay of the byte-lane decode: the corpus is ASCII, so
-    * `ord` over characters equals the UTF-8 payload bytes. */
+  /** Oracle replay of both decode arms from the planted formulas:
+    * BMP rows sum (doc_id·7 + p·13) mod 251 over NON-PADDING pixel
+    * positions per channel (p mod stride < 3w, channel = that mod
+    * 3); text rows replay the byte-lane sums via `ord` (the corpus
+    * is ASCII, so characters equal UTF-8 payload bytes). */
   val m02_sql: String =
-    """WITH m AS (SELECT doc_id AS media_id, text,
+    """WITH b AS (SELECT doc_id, doc_id % 31 + 1 AS w,
+      |    doc_id % 17 + 1 AS h,
+      |    (((doc_id % 31 + 1) * 3 + 3) // 4) * 4 AS stride
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT doc_id, w, h, stride, stride * h AS pix,
+      |    unnest(range(0, stride * h)) AS p FROM b),
+      |bsum AS (SELECT doc_id, w, h, pix,
+      |    CAST(sum(CASE WHEN p % stride < 3 * w
+      |      AND (p % stride) % 3 = 0
+      |      THEN (doc_id * 7 + p * 13) % 251 ELSE 0 END) AS BIGINT)
+      |      AS sb,
+      |    CAST(sum(CASE WHEN p % stride < 3 * w
+      |      AND (p % stride) % 3 = 1
+      |      THEN (doc_id * 7 + p * 13) % 251 ELSE 0 END) AS BIGINT)
+      |      AS sg,
+      |    CAST(sum(CASE WHEN p % stride < 3 * w
+      |      AND (p % stride) % 3 = 2
+      |      THEN (doc_id * 7 + p * 13) % 251 ELSE 0 END) AS BIGINT)
+      |      AS sr
+      |  FROM px GROUP BY doc_id, w, h, pix),
+      |bout AS (SELECT doc_id AS media_id,
+      |    CAST(54 + pix AS BIGINT) AS n_bytes,
+      |    '1,' || w || ',' || h || ',24,' || (54 + pix) || ',' ||
+      |      sb || ',' || sg || ',' || sr AS features_csv
+      |  FROM bsum),
+      |m AS (SELECT doc_id AS media_id, text,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      |  FROM documents),
+      |  FROM documents WHERE doc_id % 3 <> 0),
       |x AS (SELECT media_id, (i - 1) % 8 AS lane,
       |    ord(substring(text, CAST(i AS INTEGER), 1)) AS b
       |  FROM (SELECT media_id, text,
@@ -4038,11 +4106,12 @@ object Queries {
       |lanes AS (SELECT m.media_id, m.n_bytes, l.lane,
       |    coalesce(g.s, 0) AS s
       |  FROM m CROSS JOIN range(0, 8) l(lane)
-      |  LEFT JOIN g ON g.media_id = m.media_id AND g.lane = l.lane)
-      |SELECT media_id, n_bytes,
-      |  array_to_string(list(s::VARCHAR ORDER BY lane), ',')
-      |    AS features_csv
-      |FROM lanes GROUP BY media_id, n_bytes""".stripMargin
+      |  LEFT JOIN g ON g.media_id = m.media_id AND g.lane = l.lane),
+      |tout AS (SELECT media_id, n_bytes,
+      |    array_to_string(list(s::VARCHAR ORDER BY lane), ',')
+      |      AS features_csv
+      |  FROM lanes GROUP BY media_id, n_bytes)
+      |SELECT * FROM bout UNION ALL SELECT * FROM tout""".stripMargin
 
   /** Cross-document duplicated content tiles: payloads chunked into
     * fixed 256-byte tiles (binary substring — codegen'd), each tile
@@ -4081,66 +4150,131 @@ object Queries {
       |FROM tiles GROUP BY tile_hash
       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
-  /** Per-frame energy / silence map — the audio-feature shape on the
-    * binary plumbing: payloads window into fixed 64-byte frames
-    * ([[Multimodal.chunkPayload]] — codegen'd binary substring), each
-    * frame runs through the SAME per-partition decode boundary as m02
-    * ([[Multimodal.extractFeatures]], frame ids packed as
-    * media_id·100000 + idx — payloads are bounded well under the
-    * 100 000-frame pack limit), frame energy = the exact integer sum
-    * of the decoder's byte-lane sums (with a real codec this is RMS
-    * over PCM samples; the contract — bytes in, fixed-width features
-    * out, per-frame rows — is identical), and a per-media aggregate
-    * reports frame counts, sub-threshold "silence", peak and total
-    * energy. At 100 TB the frame fan-out and the media-keyed
-    * aggregate are the job; payload bytes shuffle once (the frame
-    * explode), never twice. Oracle: the corpus is ASCII, so `ord`
-    * over 64-char windows equals the byte sums, frame for frame. */
+  /** Per-frame energy / silence / RMS map with REAL PCM decode on
+    * the audio arm: every second document becomes a byte-exact
+    * RIFF/WAVE file (mono 16-bit PCM) whose planted samples VARY —
+    * sample k is ((doc_id·31 + k·7) mod 997) − 498, written s16le —
+    * and [[Multimodal.Decoder.frames]] decodes the data chunk back
+    * into signed samples and frames them into 64-SAMPLE windows with
+    * energy Σs² per frame (REAL signal energy: a decoder that missed
+    * the sign extension, the data-chunk offset, or the s16le layout
+    * produces different numbers). The other documents stay text
+    * payloads framed into 64-byte windows with Σb² energy — the
+    * plumbing arm. The fan-out happens INSIDE the per-partition
+    * decode boundary ([[Multimodal.extractFrameFeatures]]): payload
+    * bytes reach the decode once and never shuffle again — what the
+    * media-keyed aggregate shuffles is ~40 B/frame. Per media:
+    * frame count, silent-frame count (frame RMS < 100 milli-units),
+    * peak/total energy, and the media RMS — all EXACT integers: RMS
+    * in milli-units is isqrt((10⁶·Σv²) div n) with the ±1 correction
+    * that makes floor(sqrt(double)) exact for y < 2⁵², so no float
+    * rounding ever reaches the hash (house rounding-tie rule). */
   val m04_frame_energy: QFn = (s, d) => {
-    val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id",
-      "text")
-    val frames = Multimodal.chunkPayload(media, 64)
-      .filter(length(col("chunk")) > 0)
-      .select(
-        (col("media_id") * 100000 + col("chunk_idx")).as("media_id"),
-        col("chunk").as("payload"),
-        struct(lit("application/octet-stream").as("mime"),
-          length(col("chunk")).cast("long").as("n_bytes"),
-          lit("").as("sha")).as("meta"))
-    val energy = (0 until Multimodal.FakeDecoder.featureDim)
-      .map(i => element_at(col("features"), i + 1).cast("long"))
-      .reduce(_ + _)
-    Multimodal.extractFeatures(s, frames)
-      .select(expr("media_id DIV 100000").as("media_id"),
-        energy.as("e"))
-      .groupBy("media_id")
+    def le(c: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+    val base = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("rate",
+        lit(8000L) + pmod(col("doc_id"), lit(5)) * 1000)
+    val sampleHex = array_join(
+      transform(sequence(lit(0L), col("n") - 1), k => {
+        val u = pmod(
+          pmod(col("doc_id") * 31 + k * 7, lit(997)) - 498,
+          lit(65536))
+        concat(lpad(hex(pmod(u, lit(256))), 2, "0"),
+          lpad(hex(shiftright(u, 8)), 2, "0"))
+      }), "")
+    val wavHex = concat(
+      lit("52494646"), le(col("n") * 2 + 36, 4), // "RIFF" + size
+      lit("57415645"), lit("666D7420"),      // "WAVE" "fmt "
+      le(lit(16L), 4), le(lit(1L), 2),       // fmt size, PCM
+      le(lit(1L), 2), le(col("rate"), 4),    // mono, sample rate
+      le(col("rate") * 2, 4),                // byte rate
+      le(lit(2L), 2), le(lit(16L), 2),       // block align, bits
+      lit("64617461"), le(col("n") * 2, 4),  // "data" + size
+      sampleHex)
+    val media = base
+      .withColumn("payload",
+        when(pmod(col("doc_id"), lit(2)) === 1, unhex(wavHex))
+          .otherwise(col("text").cast("binary")))
+      .select(col("doc_id").as("media_id"), col("payload"))
+    // exact integer sqrt: floor(sqrt(double)) is within 1 of truth
+    // for y < 2^52 (IEEE sqrt is correctly rounded), so one ±1
+    // correction pins it — both engines compute identical BIGINTs
+    def isqrt(y: Column): Column = {
+      val r0 = floor(sqrt(y.cast("double"))).cast("long")
+      r0 + when((r0 + 1) * (r0 + 1) <= y, 1L).otherwise(0L) -
+        when(r0 * r0 > y, 1L).otherwise(0L)
+    }
+    Multimodal.extractFrameFeatures(s, media)
+      .withColumn("frame_rms_milli",
+        isqrt(expr("(1000000 * energy) DIV n_units")))
+      .groupBy("media_id", "mime")
       .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("e") < 3000, 1L).otherwise(0L)).as("n_silent"),
-        max("e").as("max_energy"),
-        sum("e").as("total_energy"))
+        sum(when(col("frame_rms_milli") < 100000L, 1L)
+          .otherwise(0L)).as("n_silent"),
+        max("energy").as("max_energy"),
+        sum("energy").as("total_energy"),
+        sum("n_units").as("total_units"))
+      .withColumn("rms_milli",
+        isqrt(expr("(1000000 * total_energy) DIV total_units")))
   }
 
+  /** Oracle replay from the planted formulas: the WAV arm recomputes
+    * sample k = (doc_id·31 + k·7) mod 997 − 498 directly (a hash
+    * match pins the s16le writer → sign-extending parser round
+    * trip); the text arm replays Σb² via `ord`; both mirror the
+    * exact-isqrt ±1 correction. */
   val m04_sql: String =
-    """WITH m AS (SELECT doc_id AS media_id, text,
-      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
-      |  FROM documents),
-      |f AS (SELECT media_id, k,
-      |    substring(text, CAST(k * 64 + 1 AS INT), 64) AS fr
-      |  FROM (SELECT media_id, text,
-      |      unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS k
-      |    FROM m WHERE n > 0)),
-      |x AS (SELECT media_id,
-      |    CAST(sum(ord(substring(fr, CAST(i AS INT), 1))) AS BIGINT)
-      |      AS e
-      |  FROM (SELECT media_id, k, fr,
-      |      unnest(range(1, length(fr) + 1)) AS i FROM f)
-      |  GROUP BY media_id, k)
-      |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
-      |  CAST(sum(CASE WHEN e < 3000 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_silent,
-      |  CAST(max(e) AS BIGINT) AS max_energy,
-      |  CAST(sum(e) AS BIGINT) AS total_energy
-      |FROM x GROUP BY media_id""".stripMargin
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(length(text) AS BIGINT) AS n FROM documents),
+      |wsam AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d
+      |  WHERE doc_id % 2 = 1),
+      |wval AS (SELECT doc_id, k // 64 AS f,
+      |    (doc_id * 31 + k * 7) % 997 - 498 AS v FROM wsam),
+      |wfr AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS n_units,
+      |    CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM wval GROUP BY doc_id, f),
+      |tby AS (SELECT doc_id, (i - 1) // 64 AS f,
+      |    ord(substring(text, CAST(i AS INT), 1)) AS b
+      |  FROM (SELECT doc_id, text,
+      |      unnest(range(1, length(text) + 1)) AS i
+      |    FROM d WHERE doc_id % 2 = 0)),
+      |tfr AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS n_units,
+      |    CAST(sum(b * b) AS BIGINT) AS e
+      |  FROM tby GROUP BY doc_id, f),
+      |fr AS (SELECT doc_id, 'audio/wav' AS mime, n_units, e FROM wfr
+      |  UNION ALL
+      |  SELECT doc_id, 'application/octet-stream' AS mime,
+      |    n_units, e FROM tfr),
+      |fr2 AS (SELECT doc_id, mime, n_units, e,
+      |    (1000000 * e) // n_units AS y,
+      |    CAST(floor(sqrt(CAST((1000000 * e) // n_units AS DOUBLE)))
+      |      AS BIGINT) AS r0
+      |  FROM fr),
+      |fr3 AS (SELECT doc_id, mime, n_units, e,
+      |    r0 + CASE WHEN (r0 + 1) * (r0 + 1) <= y THEN 1 ELSE 0 END
+      |       - CASE WHEN r0 * r0 > y THEN 1 ELSE 0 END AS frame_rms
+      |  FROM fr2),
+      |agg AS (SELECT doc_id AS media_id, mime,
+      |    CAST(count(*) AS BIGINT) AS n_frames,
+      |    CAST(sum(CASE WHEN frame_rms < 100000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_silent,
+      |    CAST(max(e) AS BIGINT) AS max_energy,
+      |    CAST(sum(e) AS BIGINT) AS total_energy,
+      |    CAST(sum(n_units) AS BIGINT) AS total_units
+      |  FROM fr3 GROUP BY doc_id, mime),
+      |a2 AS (SELECT *, (1000000 * total_energy) // total_units AS y,
+      |    CAST(floor(sqrt(CAST((1000000 * total_energy)
+      |      // total_units AS DOUBLE))) AS BIGINT) AS r0
+      |  FROM agg)
+      |SELECT media_id, mime, n_frames, n_silent, max_energy,
+      |  total_energy, total_units,
+      |  r0 + CASE WHEN (r0 + 1) * (r0 + 1) <= y THEN 1 ELSE 0 END
+      |     - CASE WHEN r0 * r0 > y THEN 1 ELSE 0 END AS rms_milli
+      |FROM a2""".stripMargin
 
   /** REAL container-header decode, oracle-verified end-to-end: each
     * document row is turned into a byte-exact media payload — a
@@ -7046,16 +7180,34 @@ object Queries {
     * rounding digit). Scale shape: the eight row_number windows
     * share ONE group Exchange (eight sorts, zero extra shuffles),
     * the Σd² aggregate collapses map-side, and the 8-row-per-group
-    * unpivot runs on |groups| rows. Declared simplification: ρ over
-    * the FULL group ordering (sort.py compares [:30] name-list
-    * prefixes, which is not a permutation metric when prefix
-    * membership differs). */
+    * unpivot runs on |groups| rows.
+    *
+    * BOTH metrics are reported: full-group ρ (columns rho_*_ppm —
+    * the permutation metric) AND sort.py's ACTUAL `spear_sorting`
+    * prefix metric (sort.py:19-20; columns rho30_*_ppm): scipy's
+    * spearmanr over the [:30] NAME-LIST prefixes of the two
+    * orderings, i.e. pair position i of ordering A with position i
+    * of B, rank each prefix's names LEXICOGRAPHICALLY (scipy
+    * rankdata over strings; ties → average ranks, carried exactly
+    * as 2·avgrank = 2·rank() + count(=) − 1), Pearson over the
+    * paired rank vectors. With ties the value is num/√(dx·dy) — not
+    * rational in general, but EXACTLY rational in the common no-tie
+    * case (where dx = dy) — so the ppm rounding is done in integer
+    * space: a double gives the candidate c ≈ ⌊10⁶·|num|/√D⌋, exact
+    * 128-bit-decimal comparisons (c²D ≤ N², HALF_UP test
+    * 4N² ≥ (2c+1)²D) pin it — no float ever reaches the hash.
+    * combined30_ppm is sort.py's printed harmonic_mean(a+1,b+1)−1
+    * over the PREFIX ρs (its actual ranking number). Zero-variance
+    * prefixes (all names equal) → NULL, matching scipy's nan.
+    * Scale shape: the prefix table is ≤ 8·30 rows per group
+    * regardless of group size; `ranked` feeds the full-group AND
+    * prefix branches, so it is persisted + counted (house rule). */
   val q59_sort_compare: QFn = (s, d) => {
     val g = col("p_brand")
     def w(cols: Column*) =
       Window.partitionBy(g).orderBy(cols: _*)
     val p = t(s, d, "part").select(
-        g, col("p_partkey"),
+        g, col("p_partkey"), col("p_name"),
         round(col("p_retailprice") * 100, 0).cast("long").as("rank_c"),
         col("p_size").cast("long").as("score"),
         length(col("p_name")).cast("long").as("len"))
@@ -7072,7 +7224,7 @@ object Queries {
     val lessFlag = when(col("rank_c") < 91000L, 1L).otherwise(0L)
     val splitKey = when(lessFlag === 0L, -col("score"))
       .otherwise(-col("rank_c"))
-    val ranked = p.select(g,
+    val ranked0 = p.select(g, col("p_name"),
       row_number().over(w(col("rank_c").desc, col("p_partkey")))
         .cast("long").as("r_rank"),
       row_number().over(w(col("len"), col("rank_c").desc,
@@ -7089,6 +7241,11 @@ object Queries {
         .cast("long").as("r_logm8"),
       row_number().over(w(col("k_logm10").desc, col("p_partkey")))
         .cast("long").as("r_logm10"))
+    // feeds the full-group Σd² branch AND the [:30] prefix branch —
+    // persist + count before the fan-out (house rule)
+    val ranked = ranked0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count()
     def d2(a: String, b: String): Column =
       sum((col(a) - col(b)) * (col(a) - col(b)))
     val agg = ranked.groupBy(g).agg(
@@ -7124,7 +7281,7 @@ object Queries {
          |    DIV (2*n*(n*n-1))
          |  ELSE -((2*1000000*(6*$dc - n*(n*n-1)) + n*(n*n-1))
          |    DIV (2*n*(n*n-1))) END""".stripMargin
-    rows
+    val full = rows
       .withColumn("rho_rank_ppm", expr(rho("d2a")))
       .withColumn("rho_lenrank_ppm", expr(rho("d2b")))
       .select(g, col("sorting"), col("n"),
@@ -7137,6 +7294,95 @@ object Queries {
           |    DIV (2*(rho_rank_ppm + rho_lenrank_ppm + 2000000))
           |    - 1000000
           |  ELSE -1000000 END""".stripMargin).as("combined_ppm"))
+    // --- sort.py's spear_sorting [:30] prefix metric -------------
+    // long-form prefix table: position i of each ordering's first 30
+    val prefix = ranked.select(g, col("p_name"), expr(
+      """stack(8,
+        |  'R',             r_rank,
+        |  'I',             r_score,
+        |  'I_logR',        r_ilogr,
+        |  'len_rank',      r_lenrank,
+        |  'split',         r_split,
+        |  'logR_len',      r_loglen,
+        |  'logR_maxlen8',  r_logm8,
+        |  'logR_maxlen10', r_logm10) AS (sorting, pos)"""
+        .stripMargin))
+      .filter(col("pos") <= 30)
+    // scipy rankdata over the prefix's NAMES: lexicographic, ties →
+    // average rank, carried exactly as 2·avgrank = 2·rank + cnt − 1
+    val wLex = Window.partitionBy(g, col("sorting"))
+      .orderBy(col("p_name"))
+    val wEq = Window.partitionBy(g, col("sorting"), col("p_name"))
+    val withX = prefix.withColumn("x2",
+      (lit(2L) * rank().over(wLex) + count(lit(1)).over(wEq) - 1L)
+        .cast("long"))
+    val base30 = withX
+      .filter(col("sorting").isin("R", "len_rank"))
+      .select(g, col("sorting").as("baseline"), col("pos"),
+        col("x2").as("y2"))
+    val mom = withX.join(base30, Seq("p_brand", "pos"))
+      .groupBy(g, col("sorting"), col("baseline"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x2") * col("y2")).as("sxy"),
+        sum(col("x2") * col("x2")).as("sxx"),
+        sum(col("y2") * col("y2")).as("syy"),
+        sum(col("x2")).as("sx"), sum(col("y2")).as("sy"))
+      .withColumn("num",
+        col("m") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("m") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("m") * col("syy") - col("sy") * col("sy"))
+    // ppm of num/√(dx·dy), HALF_UP, EXACT: double proposes
+    // c ≈ ⌊10⁶·|num|/√D⌋, 128-bit-decimal comparisons pin floor and
+    // the half-point (c²D ≤ N² picks floor; 4N² ≥ (2c+1)²D rounds up)
+    val rho30 = expr(
+      """CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(NULL AS BIGINT)
+        |ELSE CAST(sign(num) AS BIGINT) * (
+        |  CASE WHEN 4 * CAST(1000000 * abs(num) AS DECIMAL(14,0))
+        |           * CAST(1000000 * abs(num) AS DECIMAL(14,0))
+        |      >= CAST(2 * c30 + 1 AS DECIMAL(8,0))
+        |       * CAST(2 * c30 + 1 AS DECIMAL(8,0))
+        |       * CAST(dx * dy AS DECIMAL(14,0))
+        |    THEN c30 + 1 ELSE c30 END) END""".stripMargin)
+    val c30 = expr(
+      """c0
+        |+ (CASE WHEN CAST(c0 + 1 AS DECIMAL(8,0))
+        |       * CAST(c0 + 1 AS DECIMAL(8,0))
+        |       * CAST(dx * dy AS DECIMAL(14,0))
+        |    <= CAST(1000000 * abs(num) AS DECIMAL(14,0))
+        |     * CAST(1000000 * abs(num) AS DECIMAL(14,0))
+        |  THEN 1 ELSE 0 END)
+        |- (CASE WHEN CAST(c0 AS DECIMAL(8,0))
+        |       * CAST(c0 AS DECIMAL(8,0))
+        |       * CAST(dx * dy AS DECIMAL(14,0))
+        |    > CAST(1000000 * abs(num) AS DECIMAL(14,0))
+        |     * CAST(1000000 * abs(num) AS DECIMAL(14,0))
+        |  THEN 1 ELSE 0 END)""".stripMargin)
+    val rhoP = mom
+      .withColumn("c0", expr(
+        """CASE WHEN dx <= 0 OR dy <= 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor((1000000.0 * abs(num))
+          |  / sqrt(CAST(dx * dy AS DOUBLE))) AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("c30", c30)
+      .withColumn("rho30", rho30)
+    val pivot30 = rhoP.groupBy(g, col("sorting"))
+      .agg(min("m").as("prefix_m"),
+        min(when(col("baseline") === "R", col("rho30")))
+          .as("rho30_rank_ppm"),
+        min(when(col("baseline") === "len_rank", col("rho30")))
+          .as("rho30_lenrank_ppm"))
+    full.join(pivot30, Seq("p_brand", "sorting"))
+      .withColumn("combined30_ppm",
+        expr("""CASE
+          |  WHEN rho30_rank_ppm IS NULL
+          |    OR rho30_lenrank_ppm IS NULL THEN CAST(NULL AS BIGINT)
+          |  WHEN rho30_rank_ppm + rho30_lenrank_ppm + 2000000 > 0
+          |  THEN (2*(2*(rho30_rank_ppm + 1000000)
+          |      *(rho30_lenrank_ppm + 1000000))
+          |      + (rho30_rank_ppm + rho30_lenrank_ppm + 2000000))
+          |    DIV (2*(rho30_rank_ppm + rho30_lenrank_ppm + 2000000))
+          |    - 1000000
+          |  ELSE -1000000 END""".stripMargin))
   }
 
   val q59_sql: String = {
@@ -7146,7 +7392,7 @@ object Queries {
          |   // (2*n*(n*n-1))
          | ELSE -((2*1000000*(6*$dc - n*(n*n-1)) + n*(n*n-1))
          |   // (2*n*(n*n-1))) END""".stripMargin
-    s"""WITH p0 AS (SELECT p_brand, p_partkey,
+    s"""WITH p0 AS (SELECT p_brand, p_partkey, p_name,
        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS rank_c,
        |    CAST(p_size AS BIGINT) AS score,
        |    CAST(length(p_name) AS BIGINT) AS len
@@ -7161,7 +7407,7 @@ object Queries {
        |    CAST(round(ln(rank_c + 1) / greatest(len, 10) * 1e9)
        |      AS BIGINT) AS k_logm10
        |  FROM p0),
-       |r AS (SELECT p_brand,
+       |r AS (SELECT p_brand, p_name,
        |    CAST(row_number() OVER (PARTITION BY p_brand
        |      ORDER BY rank_c DESC, p_partkey) AS BIGINT) AS r_rank,
        |    CAST(row_number() OVER (PARTITION BY p_brand
@@ -7231,8 +7477,78 @@ object Queries {
        |rr AS (SELECT p_brand, sorting, n,
        |    CAST(${rho("d2a")} AS BIGINT) AS rho_rank_ppm,
        |    CAST(${rho("d2b")} AS BIGINT) AS rho_lenrank_ppm
-       |  FROM u)
-       |SELECT p_brand, sorting, n, rho_rank_ppm, rho_lenrank_ppm,
+       |  FROM u),
+       |pf AS (
+       |  SELECT p_brand, p_name, 'R' AS sorting, r_rank AS pos
+       |    FROM r WHERE r_rank <= 30
+       |  UNION ALL SELECT p_brand, p_name, 'I', r_score
+       |    FROM r WHERE r_score <= 30
+       |  UNION ALL SELECT p_brand, p_name, 'I_logR', r_ilogr
+       |    FROM r WHERE r_ilogr <= 30
+       |  UNION ALL SELECT p_brand, p_name, 'len_rank', r_lenrank
+       |    FROM r WHERE r_lenrank <= 30
+       |  UNION ALL SELECT p_brand, p_name, 'split', r_split
+       |    FROM r WHERE r_split <= 30
+       |  UNION ALL SELECT p_brand, p_name, 'logR_len', r_loglen
+       |    FROM r WHERE r_loglen <= 30
+       |  UNION ALL SELECT p_brand, p_name, 'logR_maxlen8', r_logm8
+       |    FROM r WHERE r_logm8 <= 30
+       |  UNION ALL SELECT p_brand, p_name, 'logR_maxlen10',
+       |    r_logm10 FROM r WHERE r_logm10 <= 30),
+       |px AS (SELECT p_brand, sorting, pos,
+       |    CAST(2 * rank() OVER (PARTITION BY p_brand, sorting
+       |        ORDER BY p_name)
+       |      + count(*) OVER (PARTITION BY p_brand, sorting, p_name)
+       |      - 1 AS BIGINT) AS x2
+       |  FROM pf),
+       |pb AS (SELECT p_brand, sorting AS baseline, pos, x2 AS y2
+       |  FROM px WHERE sorting IN ('R', 'len_rank')),
+       |pm AS (SELECT px.p_brand, px.sorting, pb.baseline,
+       |    CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(px.x2 * pb.y2) AS BIGINT) AS sxy,
+       |    CAST(sum(px.x2 * px.x2) AS BIGINT) AS sxx,
+       |    CAST(sum(pb.y2 * pb.y2) AS BIGINT) AS syy,
+       |    CAST(sum(px.x2) AS BIGINT) AS sx,
+       |    CAST(sum(pb.y2) AS BIGINT) AS sy
+       |  FROM px JOIN pb ON px.p_brand = pb.p_brand
+       |    AND px.pos = pb.pos
+       |  GROUP BY 1, 2, 3),
+       |pn AS (SELECT *, m * sxy - sx * sy AS num,
+       |    m * sxx - sx * sx AS dx, m * syy - sy * sy AS dy
+       |  FROM pm),
+       |pc0 AS (SELECT *, CASE WHEN dx <= 0 OR dy <= 0 THEN 0
+       |    ELSE CAST(floor((1000000.0 * abs(num))
+       |      / sqrt(CAST(dx * dy AS DOUBLE))) AS BIGINT) END AS c0
+       |  FROM pn),
+       |pcc AS (SELECT *, c0
+       |    + (CASE WHEN CAST(c0 + 1 AS HUGEINT) * (c0 + 1)
+       |          * (dx * dy)
+       |        <= CAST(1000000 * abs(num) AS HUGEINT)
+       |          * (1000000 * abs(num))
+       |      THEN 1 ELSE 0 END)
+       |    - (CASE WHEN CAST(c0 AS HUGEINT) * c0 * (dx * dy)
+       |        > CAST(1000000 * abs(num) AS HUGEINT)
+       |          * (1000000 * abs(num))
+       |      THEN 1 ELSE 0 END) AS c
+       |  FROM pc0),
+       |prho AS (SELECT p_brand, sorting, baseline, m,
+       |    CASE WHEN dx <= 0 OR dy <= 0 THEN NULL
+       |      ELSE CAST(sign(num) AS BIGINT) * (
+       |        CASE WHEN 4 * CAST(1000000 * abs(num) AS HUGEINT)
+       |                * (1000000 * abs(num))
+       |            >= CAST(2 * c + 1 AS HUGEINT) * (2 * c + 1)
+       |              * (dx * dy)
+       |          THEN c + 1 ELSE c END) END AS rho30
+       |  FROM pcc),
+       |p30 AS (SELECT p_brand, sorting,
+       |    CAST(min(m) AS BIGINT) AS prefix_m,
+       |    CAST(min(CASE WHEN baseline = 'R' THEN rho30 END)
+       |      AS BIGINT) AS rho30_rank_ppm,
+       |    CAST(min(CASE WHEN baseline = 'len_rank' THEN rho30 END)
+       |      AS BIGINT) AS rho30_lenrank_ppm
+       |  FROM prho GROUP BY 1, 2)
+       |SELECT rr.p_brand, rr.sorting, n, rho_rank_ppm,
+       |  rho_lenrank_ppm,
        |  CAST(CASE WHEN rho_rank_ppm + rho_lenrank_ppm
        |      + 2000000 > 0
        |    THEN (2*(2*(rho_rank_ppm + 1000000)
@@ -7240,8 +7556,20 @@ object Queries {
        |        + (rho_rank_ppm + rho_lenrank_ppm + 2000000))
        |      // (2*(rho_rank_ppm + rho_lenrank_ppm + 2000000))
        |      - 1000000
-       |    ELSE -1000000 END AS BIGINT) AS combined_ppm
-       |FROM rr""".stripMargin
+       |    ELSE -1000000 END AS BIGINT) AS combined_ppm,
+       |  prefix_m, rho30_rank_ppm, rho30_lenrank_ppm,
+       |  CAST(CASE
+       |    WHEN rho30_rank_ppm IS NULL
+       |      OR rho30_lenrank_ppm IS NULL THEN NULL
+       |    WHEN rho30_rank_ppm + rho30_lenrank_ppm + 2000000 > 0
+       |    THEN (2*(2*(rho30_rank_ppm + 1000000)
+       |        *(rho30_lenrank_ppm + 1000000))
+       |        + (rho30_rank_ppm + rho30_lenrank_ppm + 2000000))
+       |      // (2*(rho30_rank_ppm + rho30_lenrank_ppm + 2000000))
+       |      - 1000000
+       |    ELSE -1000000 END AS BIGINT) AS combined30_ppm
+       |FROM rr JOIN p30 ON rr.p_brand = p30.p_brand
+       |  AND rr.sorting = p30.sorting""".stripMargin
   }
 
   /** Per-user lag-1 autocorrelation of spend — the behavioral-

@@ -8,17 +8,21 @@ import org.apache.spark.sql.types._
   * typed metadata struct, with the decode/feature step isolated
   * behind a per-partition batch boundary.
   *
-  * The decode step is REAL for container headers: [[HeaderCodec]]
-  * parses the public byte layouts of BMP, PNG, GIF and RIFF/WAVE
-  * payloads (dimensions / bit depth / sample rate straight from the
-  * file-format specs) — no external codec library needed. Full
-  * pixel/sample decompression (JPEG DCT, PNG inflate, …) would need
-  * codec libraries this container doesn't ship, so payloads whose
-  * header doesn't match a known container fall back to
-  * [[FakeDecoder]]'s deterministic byte-lane histogram — the
-  * fallback keeps the mapPartitions plumbing oracle-checkable on
-  * text payloads, and swapping in a full codec touches only the
-  * dispatch in `FakeDecoder.decode`.
+  * The decode step is REAL for container headers AND for the
+  * UNCOMPRESSED payload formats: [[HeaderCodec]] parses the public
+  * byte layouts of BMP, PNG, GIF and RIFF/WAVE (dimensions / bit
+  * depth / sample rate straight from the file-format specs), and the
+  * sample arms decode actual content — 24-bpp BI_RGB BMP pixel rows
+  * (per-channel sums, row padding excluded) and 16-bit PCM WAVE
+  * sample data (count / Σ|s| / Σs², plus per-frame energies for the
+  * audio-feature fan-out) — no external codec library needed,
+  * because those formats store raw bytes. COMPRESSED payloads (JPEG
+  * DCT, PNG inflate, video codecs) would need libraries this
+  * container doesn't ship; payloads whose header doesn't match a
+  * known container fall back to [[Decoder]]'s deterministic
+  * byte-lane histogram — the fallback keeps the mapPartitions
+  * plumbing oracle-checkable on text payloads, and a full codec
+  * slots in as one more dispatch arm in `Decoder`.
   */
 object Multimodal {
 
@@ -125,6 +129,77 @@ object Multimodal {
     def probe(p: Array[Byte]): Option[MediaInfo] =
       if (p == null || p.length < 13) None
       else bmp(p).orElse(png(p)).orElse(gif(p)).orElse(wav(p))
+
+    /** REAL pixel decode for the uncompressed BMP arm: 24-bpp BI_RGB
+      * only (bit depth and the biCompression field @30 are checked),
+      * pixel rows read at the header's declared data offset @10 with
+      * the spec's 4-byte row-stride rule; ROW PADDING IS EXCLUDED —
+      * the point over a byte histogram. Returns (ΣB, ΣG, ΣR) over
+      * the w×h pixels as exact Longs (BMP stores pixels B,G,R; row
+      * order — bottom-up vs top-down — cannot change a sum). None
+      * unless the strict header checks pass and the declared pixel
+      * array fits inside the payload. */
+    def bmp24ChannelSums(p: Array[Byte]): Option[Array[Long]] =
+      bmp(p).filter(_.depth == 24).flatMap { info =>
+        val off = le32(p, 10)
+        val w = info.width.toInt
+        val h = info.height.toInt
+        val stride = ((3L * w + 3L) / 4L) * 4L
+        if (le32(p, 30) != 0L || off < 54L ||
+            off + stride * h > p.length) None
+        else {
+          val sums = new Array[Long](3)
+          var r = 0
+          while (r < h) {
+            val rowOff = (off + r * stride).toInt
+            var x = 0
+            while (x < w) {
+              val base = rowOff + 3 * x
+              sums(0) += u8(p, base)
+              sums(1) += u8(p, base + 1)
+              sums(2) += u8(p, base + 2)
+              x += 1
+            }
+            r += 1
+          }
+          Some(sums)
+        }
+      }
+
+    /** REAL sample decode for the uncompressed WAVE arm: 16-bit PCM
+      * only (fmt audio-format tag must be 1, bits 16), signed
+      * little-endian samples read out of the `data` chunk the scan
+      * locates (channels interleaved — callers' stats are over the
+      * flat stream). None unless the strict RIFF checks pass and the
+      * declared data chunk fits the payload with an even byte
+      * count. */
+    def wavPcm16Samples(p: Array[Byte]): Option[Array[Int]] =
+      wav(p).filter(_.depth == 16).flatMap { _ =>
+        var off = 12L
+        var pcm = false
+        var data: Option[(Int, Int)] = None
+        while (off + 8 <= p.length) {
+          val o = off.toInt
+          val size = le32(p, o + 4)
+          if (ascii(p, o, "fmt ") && size >= 16 &&
+              off + 8 + 16 <= p.length)
+            pcm = le16(p, o + 8) == 1L
+          if (ascii(p, o, "data") && data.isEmpty &&
+              off + 8L + size <= p.length && (size & 1L) == 0L)
+            data = Some((o + 8, size.toInt))
+          off += 8L + size + (size & 1L)
+        }
+        if (!pcm) None
+        else data.map { case (d0, n) =>
+          val out = new Array[Int](n / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = le16(p, d0 + 2 * i).toShort.toInt
+            i += 1
+          }
+          out
+        }
+      }
   }
 
   /** Canonical media schema: payload + typed metadata. */
@@ -150,31 +225,52 @@ object Multimodal {
         sha2(col("payload"), 256).as("sha")))
 
   /** Feature decoder at the per-partition batch boundary. The
-    * dispatch is REAL: payloads recognized by [[HeaderCodec]] (BMP /
-    * PNG / GIF / WAV — public byte layouts, parsed, not stubbed)
-    * emit container features `[formatTag, width, height, depth,
-    * nBytes, 0, 0, 0]` (tags: 1 BMP, 2 PNG, 3 GIF, 4 WAV). Anything
-    * unrecognized falls back to deterministic content features: an
-    * INTEGER byte-lane histogram (lane k sums the unsigned bytes at
-    * positions ≡ k mod 8) — every value an exact integer (payloads
-    * under ~500 KB keep lane sums below 2^24, so the Float carries
-    * them exactly), which is what lets the m02 plumbing be
-    * ORACLE-VERIFIED end-to-end. Full pixel/sample decompression
-    * (JPEG DCT, PNG inflate) would need codec libraries this
-    * container doesn't ship; that — and only that — would slot in
-    * here as an additional dispatch arm. */
-  object FakeDecoder {
+    * dispatch is REAL, content included for the uncompressed
+    * formats: payloads recognized by [[HeaderCodec]] (BMP / PNG /
+    * GIF / WAV — public byte layouts, parsed, not stubbed) emit
+    * `[formatTag, width, height, depth, nBytes, c5, c6, c7]` (tags:
+    * 1 BMP, 2 PNG, 3 GIF, 4 WAV) where the content slots c5..c7 are
+    * REAL decoded statistics when the payload stores raw data —
+    * 24-bpp BI_RGB BMP: per-channel pixel sums (ΣB, ΣG, ΣR), row
+    * padding excluded; 16-bit PCM WAVE: (sample count, Σ|s|, Σs²)
+    * over the decoded signed samples — and 0 for the compressed
+    * formats a real codec library would fill in (PNG inflate, GIF
+    * LZW, non-PCM audio: the one remaining declared non-goal).
+    * Anything unrecognized falls back to deterministic content
+    * features: an INTEGER byte-lane histogram (lane k sums the
+    * unsigned bytes at positions ≡ k mod 8). Every emitted value is
+    * an exact integer carried in a Double (exact to 2^53 — a WAV
+    * Σs² reaches ~2.7e14 at a 500 KB payload, far past Float's
+    * 2^24), which is what lets the m02 plumbing be ORACLE-VERIFIED
+    * end-to-end. */
+  object Decoder {
     val featureDim = 8
-    val tags: Map[String, Float] = Map("image/bmp" -> 1f,
-      "image/png" -> 2f, "image/gif" -> 3f, "audio/wav" -> 4f)
-    def decode(payload: Array[Byte]): Array[Float] =
+    val tags: Map[String, Double] = Map("image/bmp" -> 1d,
+      "image/png" -> 2d, "image/gif" -> 3d, "audio/wav" -> 4d)
+    def decode(payload: Array[Byte]): Array[Double] =
       HeaderCodec.probe(payload) match {
         case Some(info) =>
-          Array(tags(info.mime), info.width.toFloat,
-            info.height.toFloat, info.depth.toFloat,
-            payload.length.toFloat, 0f, 0f, 0f)
+          val content: Array[Long] = info.mime match {
+            case "image/bmp" =>
+              HeaderCodec.bmp24ChannelSums(payload)
+                .getOrElse(new Array[Long](3))
+            case "audio/wav" =>
+              HeaderCodec.wavPcm16Samples(payload).map { smp =>
+                var sa = 0L; var sq = 0L; var i = 0
+                while (i < smp.length) {
+                  val v = smp(i).toLong
+                  sa += math.abs(v); sq += v * v; i += 1
+                }
+                Array(smp.length.toLong, sa, sq)
+              }.getOrElse(new Array[Long](3))
+            case _ => new Array[Long](3)
+          }
+          Array(tags(info.mime), info.width.toDouble,
+            info.height.toDouble, info.depth.toDouble,
+            payload.length.toDouble, content(0).toDouble,
+            content(1).toDouble, content(2).toDouble)
         case None =>
-          val out = new Array[Float](featureDim)
+          val out = new Array[Double](featureDim)
           if (payload != null) {
             val acc = new Array[Long](featureDim)
             var i = 0
@@ -183,9 +279,43 @@ object Multimodal {
               i += 1
             }
             i = 0
-            while (i < featureDim) { out(i) = acc(i).toFloat; i += 1 }
+            while (i < featureDim) {
+              out(i) = acc(i).toDouble; i += 1
+            }
           }
           out
+      }
+
+    /** Per-frame energy decode for the audio-feature fan-out (m04):
+      * a 16-bit PCM WAVE payload frames into 64-SAMPLE windows of
+      * its decoded data chunk with energy Σ s² per frame; anything
+      * else frames into 64-BYTE windows with energy Σ b² over
+      * unsigned bytes. Emits (mime, frame_idx, n_units, energy) —
+      * all exact integers, so the whole fan-out is oracle-checkable
+      * on planted payloads. */
+    val frameUnits = 64
+    def frames(payload: Array[Byte])
+      : Iterator[(String, Long, Long, Long)] =
+      HeaderCodec.wavPcm16Samples(payload) match {
+        case Some(smp) =>
+          smp.grouped(frameUnits).zipWithIndex.map { case (fr, i) =>
+            var e = 0L; var k = 0
+            while (k < fr.length) {
+              val v = fr(k).toLong; e += v * v; k += 1
+            }
+            ("audio/wav", i.toLong, fr.length.toLong, e)
+          }
+        case None =>
+          if (payload == null) Iterator.empty
+          else payload.grouped(frameUnits).zipWithIndex.map {
+            case (fr, i) =>
+              var e = 0L; var k = 0
+              while (k < fr.length) {
+                val v = (fr(k) & 0xff).toLong; e += v * v; k += 1
+              }
+              ("application/octet-stream", i.toLong,
+                fr.length.toLong, e)
+          }
       }
   }
 
@@ -233,16 +363,47 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("media_id", LongType),
       StructField("n_bytes", LongType),
-      StructField("features", ArrayType(FloatType)))))
+      StructField("features", ArrayType(DoubleType)))))
     val ds: Dataset[Row] = media
       .select(col("media_id").cast("long"), col("payload"),
         col("meta.n_bytes").as("n_bytes"))
       .mapPartitions { rows =>
         // per-partition init happens here (codec/model load)
         rows.map { r =>
-          val feats = FakeDecoder.decode(r.getAs[Array[Byte]]("payload"))
+          val feats = Decoder.decode(r.getAs[Array[Byte]]("payload"))
           Row(r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
             feats.toSeq)
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** Per-FRAME feature extraction at the same per-partition decode
+    * boundary as [[extractFeatures]], fanning each payload out to
+    * its frames INSIDE the decode (16-bit PCM WAVE → 64-sample
+    * windows with real Σs² energy; anything else → 64-byte windows
+    * with Σb² energy — see [[Decoder.frames]]). Scale shape: payload
+    * bytes reach this boundary at most once; what leaves is
+    * (media_id, mime, frame_idx, n_units, energy) — fixed-width
+    * rows, never payload bytes again — so the downstream media-keyed
+    * aggregate shuffles ~40 B/frame regardless of media size.
+    */
+  def extractFrameFeatures(spark: SparkSession, media: DataFrame)
+    : DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("mime", StringType),
+      StructField("frame_idx", LongType),
+      StructField("n_units", LongType),
+      StructField("energy", LongType))))
+    val ds: Dataset[Row] = media
+      .select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          Decoder.frames(r.getAs[Array[Byte]]("payload")).map {
+            case (mime, idx, n, e) => Row(id, mime, idx, n, e)
+          }
         }
       }(enc)
     ds.toDF()

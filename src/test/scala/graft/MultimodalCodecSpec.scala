@@ -107,13 +107,67 @@ class MultimodalCodecSpec extends SparkSpec {
   }
 
   test("decode dispatches: containers → header features, else lanes") {
-    val f = Multimodal.FakeDecoder.decode(bmp2x2)
-    assert(f.toList === List(1f, 2f, 2f, 24f, 70f, 0f, 0f, 0f))
-    val w = Multimodal.FakeDecoder.decode(wav44)
-    assert(w.toList === List(4f, 8000f, 1f, 16f, 44f, 0f, 0f, 0f))
+    // 2×2 24-bpp BMP: white,white / black,black → each channel sums
+    // to 255+255 = 510 over the 4 pixels (row padding EXCLUDED)
+    val f = Multimodal.Decoder.decode(bmp2x2)
+    assert(f.toList === List(1d, 2d, 2d, 24d, 70d, 510d, 510d, 510d))
+    // zero-sample PCM WAV → count/Σ|s|/Σs² all 0
+    val w = Multimodal.Decoder.decode(wav44)
+    assert(w.toList === List(4d, 8000d, 1d, 16d, 44d, 0d, 0d, 0d))
     val txt = "abcdefgh".getBytes("UTF-8")
-    val lanes = Multimodal.FakeDecoder.decode(txt)
-    assert(lanes.toList === txt.map(b => (b & 0xff).toFloat).toList)
+    val lanes = Multimodal.Decoder.decode(txt)
+    assert(lanes.toList === txt.map(b => (b & 0xff).toDouble).toList)
+  }
+
+  test("BMP pixel decode: padding excluded, strict guards hold") {
+    // bmp2x2 stride is 8 (w=2 → 6 pixel bytes + 2 padding): corrupt
+    // a PADDING byte — channel sums must not move
+    val padded = bmp2x2.clone()
+    padded(54 + 6) = 0x7f // row 0 padding byte
+    assert(HeaderCodec.bmp24ChannelSums(padded).get.toList ===
+      List(510L, 510L, 510L))
+    // corrupt a PIXEL byte (row 0, pixel 0, channel G) — ΣG moves
+    val edited = bmp2x2.clone()
+    edited(54 + 1) = 0x00
+    assert(HeaderCodec.bmp24ChannelSums(edited).get.toList ===
+      List(510L, 255L, 510L))
+    // non-BI_RGB compression → None (header-only fallback)
+    val rle = bmp2x2.clone(); rle(30) = 1
+    assert(HeaderCodec.bmp24ChannelSums(rle) === None)
+    assert(Multimodal.Decoder.decode(rle).toList.drop(5) ===
+      List(0d, 0d, 0d))
+  }
+
+  test("WAV PCM decode: s16le sign extension, strict guards hold") {
+    // append 4 samples to wav44: 1, -1, -32768, 300 (s16le), fixing
+    // the RIFF and data sizes
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val samples = Array(1, -1, -32768, 300)
+    val body = samples.flatMap(le16)
+    val wav = wav44.clone() ++ body
+    wav(4) = (36 + 8).toByte            // riff size 44
+    wav(40) = 8                         // data size 8
+    assert(HeaderCodec.probe(wav).map(_.mime) === Some("audio/wav"))
+    assert(HeaderCodec.wavPcm16Samples(wav).get.toList ===
+      samples.toList)
+    val d = Multimodal.Decoder.decode(wav)
+    assert(d(5) === 4d)                 // sample count
+    assert(d(6) === (1 + 1 + 32768 + 300).toDouble)   // Σ|s|
+    assert(d(7) ===
+      (1L + 1L + 32768L * 32768L + 300L * 300L).toDouble) // Σs²
+    // per-frame decode: one partial frame of 4 samples, energy Σs²
+    val fr = Multimodal.Decoder.frames(wav).toList
+    assert(fr === List(("audio/wav", 0L, 4L,
+      1L + 1L + 32768L * 32768L + 300L * 300L)))
+    // non-PCM format tag (3 = IEEE float) → None → byte-window arm
+    val flt = wav.clone(); flt(20) = 3
+    assert(HeaderCodec.wavPcm16Samples(flt) === None)
+    assert(Multimodal.Decoder.frames(flt).next()._1 ===
+      "application/octet-stream")
+    // odd data size → None (would split a sample)
+    val odd = wav.clone(); odd(40) = 7
+    assert(HeaderCodec.wavPcm16Samples(odd) === None)
   }
 
   test("m05 writer emits byte-exact containers the codec re-reads") {

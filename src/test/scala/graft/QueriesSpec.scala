@@ -52,10 +52,10 @@ class QueriesSpec extends SparkSpec {
       "doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, media)
     val row = feats.filter("media_id = 0").collect()(0)
-    val f = row.getSeq[Float](row.fieldIndex("features")).toList
-    assert(f.length == Multimodal.FakeDecoder.featureDim)
+    val f = row.getSeq[Double](row.fieldIndex("features")).toList
+    assert(f.length == Multimodal.Decoder.featureDim)
     val r2 = Multimodal.extractFeatures(spark, media)
       .filter("media_id = 0").collect()(0)
-    assert(f == r2.getSeq[Float](r2.fieldIndex("features")).toList)
+    assert(f == r2.getSeq[Double](r2.fieldIndex("features")).toList)
   }
 }

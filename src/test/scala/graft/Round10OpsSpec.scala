@@ -362,27 +362,51 @@ class Round10OpsSpec extends SparkSpec {
     assert(nearRemoved.nonEmpty && rem > 0)
   }
 
-  test("m04 frame energies match a driver-side byte-sum replay") {
+  test("m04 frame energies match a driver-side PCM/byte-sq replay") {
     val dir = sf("sf0.001")
     val got = Queries.m04_frame_energy(spark, dir)
-      .as[(Long, Long, Long, Long, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7, r._8))
+      .toMap
     val docs = spark.read.parquet(dir + "/documents.parquet")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect()
+    // exact integer sqrt (truth for the query's corrected
+    // floor(sqrt(double)) idiom)
+    def isqrt(y: Long): Long = {
+      var r = math.sqrt(y.toDouble).toLong
+      while (r * r > y) r -= 1
+      while ((r + 1) * (r + 1) <= y) r += 1
+      r
+    }
     val want = docs.filter(_._2.nonEmpty).map { case (id, text) =>
-      val energies = text.getBytes("UTF-8").grouped(64)
-        .map(_.map(b => (b & 0xff).toLong).sum).toSeq
-      id -> (energies.length.toLong,
-        energies.count(_ < 3000).toLong,
-        energies.max, energies.sum)
+      // unit values: planted PCM samples for odd ids (the query
+      // writes them s16le into a real WAV), unsigned bytes otherwise
+      val (mime, units) =
+        if (id % 2 == 1)
+          ("audio/wav", (0 until text.length)
+            .map(k => (id * 31 + k * 7) % 997 - 498).toSeq)
+        else
+          ("application/octet-stream",
+            text.getBytes("UTF-8").map(b => (b & 0xff).toLong).toSeq)
+      val frames = units.grouped(64).map { fr =>
+        (fr.length.toLong, fr.map(v => v * v).sum)
+      }.toSeq
+      val rmsF = frames.map { case (n, e) => isqrt(1000000L * e / n) }
+      val totE = frames.map(_._2).sum
+      val totU = frames.map(_._1).sum
+      id -> (mime, frames.length.toLong,
+        rmsF.count(_ < 100000L).toLong,
+        frames.map(_._2).max, totE, totU,
+        isqrt(1000000L * totE / totU))
     }.toMap
     assert(got == want)
-    // non-vacuous: the silence cut discriminates (tail frames under
-    // the threshold exist, and most frames are loud)
-    assert(got.values.exists(_._2 > 0))
-    assert(got.values.map(_._4).sum >
-      got.values.map(v => v._2 * 3000).sum)
+    // non-vacuous: both arms present; the silence cut discriminates
+    assert(got.values.exists(_._1 == "audio/wav"))
+    assert(got.values.exists(_._1 == "application/octet-stream"))
+    assert(got.values.exists(_._3 > 0))
+    assert(got.values.exists(_._3 == 0))
   }
 
   test("t18 langid confusion matches a driver-side replay") {

@@ -62,6 +62,8 @@ class Round8OpsSpec extends SparkSpec {
 
   test("q59 sorting comparison matches a float driver replay") {
     val got = Queries.q59_sort_compare(spark, sf("sf0.001"))
+      .select("p_brand", "sorting", "n", "rho_rank_ppm",
+        "rho_lenrank_ppm", "combined_ppm")
       .as[(String, String, Long, Long, Long, Long)].collect()
     val parts = spark.read.parquet(sf("sf0.001") + "/part.parquet")
       .select(col("p_brand"), col("p_partkey").cast("long"),
@@ -116,6 +118,108 @@ class Round8OpsSpec extends SparkSpec {
         else -1000000L
       assert(comb == wantComb, s"$brand/$sorting combined")
     }
+  }
+
+  test("q59 prefix metric replays sort.py's spear_sorting exactly") {
+    // sf0.01: 25 brands exceed 30 members, so the [:30] cut is live
+    // and duplicate names within prefixes exercise the average-rank
+    // tie semantics (sort.py:19-20 — scipy.spearmanr over the two
+    // orderings' first-30 NAME lists, paired positionally)
+    val dir = sf("sf0.01")
+    val got = Queries.q59_sort_compare(spark, dir)
+      .select("p_brand", "sorting", "prefix_m", "rho30_rank_ppm",
+        "rho30_lenrank_ppm", "combined30_ppm")
+      .as[(String, String, Long, Option[Long], Option[Long],
+        Option[Long])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    case class Q(key: Long, name: String, rankC: Long, score: Long,
+      len: Long)
+    val parts = spark.read.parquet(dir + "/part.parquet")
+      .select(col("p_brand"), col("p_partkey").cast("long"),
+        col("p_name"),
+        expr("CAST(round(p_retailprice*100,0) AS BIGINT)"),
+        col("p_size").cast("long"), length(col("p_name")).cast("long"))
+      .as[(String, Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, Q(r._2, r._3, r._4, r._5, r._6)))
+    val byBrand = parts.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    assert(byBrand.values.exists(_.length > 30),
+      "fixture must have >30-member groups for the prefix cut")
+    def order(ps: Seq[Q], sorting: String): Seq[Q] = sorting match {
+      case "R" => ps.sortBy(p => (-p.rankC, p.key))
+      case "I" => ps.sortBy(p => (-p.score, p.key))
+      case "I_logR" => ps.sortBy(p => (-math.round(
+        p.score * math.log(p.rankC + 1) * 1e9), p.key))
+      case "len_rank" => ps.sortBy(p => (p.len, -p.rankC, p.key))
+      case "split" => ps.sortBy { p =>
+        val less = if (p.rankC < 91000L) 1L else 0L
+        (less, if (less == 0L) -p.score else -p.rankC, p.key)
+      }
+      case "logR_len" => ps.sortBy(p => (-math.round(
+        math.log(p.rankC + 1) / p.len * 1e9), p.key))
+      case "logR_maxlen8" => ps.sortBy(p => (-math.round(
+        math.log(p.rankC + 1) / math.max(p.len, 8L) * 1e9), p.key))
+      case "logR_maxlen10" => ps.sortBy(p => (-math.round(
+        math.log(p.rankC + 1) / math.max(p.len, 10L) * 1e9), p.key))
+    }
+    // 2× scipy rankdata over strings: 2·avgrank = 2(1+#<) + #= − 1
+    def ranks2(names: Seq[String]): Seq[Long] =
+      names.map(nm => 2L * (1 + names.count(_ < nm)) +
+        names.count(_ == nm) - 1)
+    def spearPrefix(a: Seq[Q], b: Seq[Q]): Option[Long] = {
+      val x = ranks2(a.take(30).map(_.name))
+      val y = ranks2(b.take(30).map(_.name))
+      val m = x.length.toLong
+      val sx = x.sum; val sy = y.sum
+      val sxy = x.lazyZip(y).map(_ * _).sum
+      val sxx = x.map(v => v * v).sum
+      val syy = y.map(v => v * v).sum
+      val num = m * sxy - sx * sy
+      val dx = m * sxx - sx * sx
+      val dy = m * syy - sy * sy
+      if (dx <= 0 || dy <= 0) None
+      else {
+        // HALF_UP ppm of num/√(dx·dy), exactly, in BigInt
+        val N = BigInt(1000000L) * num.abs
+        val D = BigInt(dx) * BigInt(dy)
+        var lo = BigInt(0); var hi = BigInt(2000000)
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (mid * mid * D <= N * N) lo = mid else hi = mid - 1
+        }
+        val k = if (4 * N * N >= (2 * lo + 1) * (2 * lo + 1) * D)
+          lo + 1 else lo
+        Some(num.sign * k.toLong)
+      }
+    }
+    var sawTie = false
+    val sortings = Seq("R", "I", "I_logR", "len_rank", "split",
+      "logR_len", "logR_maxlen8", "logR_maxlen10")
+    for ((brand, ps) <- byBrand if ps.length >= 2;
+         sorting <- sortings) {
+      val oA = order(ps, sorting)
+      val oR = order(ps, "R")
+      val oLR = order(ps, "len_rank")
+      if (ranks2(oA.take(30).map(_.name)).exists(_ % 2 == 1))
+        sawTie = true // odd 2×rank ⇔ an even-size tie group exists
+      val wantA = spearPrefix(oA, oR)
+      val wantB = spearPrefix(oA, oLR)
+      val (m, ga, gb, gc) = got((brand, sorting))
+      assert(m == math.min(30, ps.length), s"$brand/$sorting m")
+      assert(ga == wantA, s"$brand/$sorting rho30 vs R")
+      assert(gb == wantB, s"$brand/$sorting rho30 vs len_rank")
+      val wantC = for (a0 <- wantA; b0 <- wantB) yield {
+        val a = a0 + 1000000L; val b = b0 + 1000000L
+        if (a + b > 0)
+          (2L * (2L * a * b) + (a + b)) / (2L * (a + b)) - 1000000L
+        else -1000000L
+      }
+      assert(gc == wantC, s"$brand/$sorting combined30")
+      // self-comparison sanity: scipy gives exactly 1 for A vs A
+      if (sorting == "R") assert(ga.contains(1000000L))
+      if (sorting == "len_rank") assert(gb.contains(1000000L))
+    }
+    assert(sawTie, "fixture must exercise the average-rank tie path")
   }
 
   // --- e13: lag-1 autocorrelation ----------------------------------
