@@ -3280,16 +3280,7 @@ object Queries {
        |FROM u""".stripMargin
   }
 
-  /** Distributed BPE-style merge learning — three unrolled rounds of
-    * the tokenizer-training loop: count adjacent word pairs over the
-    * CURRENT tokenization, pick the most frequent (count desc, pair
-    * asc — deterministic), fuse its occurrences, recount. Each round
-    * is one map-side-combining bigram aggregate (the t05/t16
-    * machinery) over a corpus scan with the accumulated fuses applied
-    * in-flight — no intermediate corpus is ever materialized; the
-    * winning 1-row pair table broadcasts back as a scalar.
-    *
-    * Fusing is TOKENIZER-EXACT (left-to-right greedy over every
+  /** Fusing is TOKENIZER-EXACT (left-to-right greedy over every
     * adjacent occurrence — "a b a b" fuses BOTH, "a a a" fuses the
     * first pair only, exactly like BPE merge application): the text
     * is space-DOUBLED before the literal replace, so adjacent
@@ -3299,11 +3290,68 @@ object Queries {
     * (`' a  b '` → `' a_b '`) is replaced leftmost-non-overlapping —
     * identical scan semantics in Spark and DuckDB — and the doubles
     * collapse back to single spaces (every gap is exactly two spaces
-    * by construction). Reported count is the pair's pre-merge
-    * frequency. The per-round winner is a BOUNDED driver finish
-    * (exactly one row — the same economics as the graph drivers'
-    * bounded collects); it is inlined as a literal into the next
-    * round's scan expression. */
+    * by construction). Each learning round is one map-side-combining
+    * bigram aggregate (the t05/t16 machinery) over a corpus scan
+    * with the accumulated fuses applied in-flight.
+    *
+    * Batched-greedy distributed BPE learning — the standard trick
+    * for landing a REALISTIC merge count in a fixed number of driver
+    * rounds: per round, ONE map-side-combining bigram aggregate over
+    * the current tokenization, collect the top-`cand` candidate
+    * pairs (bounded driver finish — `cand` rows, same economics as
+    * the graph drivers' bounded collects), then greedily accept
+    * candidates in (count desc, pair asc) order whose two tokens are
+    * DISJOINT from every earlier-accepted pair's tokens this round.
+    * Disjointness makes the batch exact: fusing ' a b ' can neither
+    * create nor destroy an occurrence of ' c d ' when
+    * {a,b} ∩ {c,d} = ∅, so every accepted pair's reported freq is
+    * its true start-of-round count and the batch application is
+    * order-invariant. ~38 merges land in 3 driver rounds on the
+    * fixture corpus (vs 3 with one-per-round). Application is the
+    * space-doubling leftmost-non-overlapping fuse, which PRESERVES
+    * the doubling invariant across replaces (each ' a  b ' match
+    * borrows one space per side and its ' a_b ' replacement re-lends
+    * them), so one double + N replaces + one collapse per round
+    * fuses the whole batch in a single scan expression — no merged
+    * corpus is ever materialized. Returns the accepted merges as
+    * (round, seq, pair, freq) plus the accumulated scan expr. */
+  private def bpeLearnBatched(base: DataFrame, rounds: Int,
+      cand: Int): (Seq[(Long, Long, String, Long)], String) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    var txtExpr = "txt"
+    val out = Seq.newBuilder[(Long, Long, String, Long)]
+    (1 to rounds).foreach { round =>
+      val top = base.selectExpr(s"$txtExpr AS text")
+        .select(explode(org.apache.spark.sql.graft.ColumnBridge
+          .column(org.apache.spark.sql.graft.WordShinglesExpr(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("text")), 2))).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("sh").asc).limit(cand)
+        .as[(String, Long)].collect()
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val acc = top.iterator.filter { case (pair, _) =>
+        val ts = pair.split(" ")
+        if (ts.exists(used.contains)) false
+        else { used ++= ts; true }
+      }.toVector
+      var e = s"replace($txtExpr, ' ', '  ')"
+      acc.foreach { case (pair, _) =>
+        // corpus tokens are word characters; refuse to inline
+        // anything that could escape the SQL literal
+        require(pair.matches("[\\w ]+"), s"unexpected pair: $pair")
+        val doubled = pair.replace(" ", "  ")
+        e = s"replace($e, ' $doubled ', ' ${pair.replace(' ', '_')} ')"
+      }
+      txtExpr = s"replace($e, '  ', ' ')"
+      acc.zipWithIndex.foreach { case ((p, f), i) =>
+        out += ((round.toLong, (i + 1).toLong, p, f))
+      }
+    }
+    (out.result(), txtExpr)
+  }
+
   val q63_bpe_merges: QFn = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -3313,37 +3361,22 @@ object Queries {
         lit(" ")).as("txt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // three sequential rounds re-scan it (CLAUDE.md)
-    var txtExpr = "txt"
-    val merges = (1 to 3).map { round =>
-      val best = base.selectExpr(s"$txtExpr AS text")
-        .select(explode(org.apache.spark.sql.graft.ColumnBridge
-          .column(org.apache.spark.sql.graft.WordShinglesExpr(
-            org.apache.spark.sql.graft.ColumnBridge
-              .expression(col("text")), 2))).as("sh"))
-        .groupBy("sh").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("sh").asc).limit(1)
-        .as[(String, Long)].collect().head
-      val (pair, freq) = best
-      // corpus tokens are word characters; refuse to inline anything
-      // that could escape the SQL literal
-      require(pair.matches("[\\w ]+"), s"unexpected pair: $pair")
-      val doubled = pair.replace(" ", "  ")
-      txtExpr = s"replace(replace(replace($txtExpr, ' ', '  '), " +
-        s"' $doubled ', ' ${pair.replace(' ', '_')} '), '  ', ' ')"
-      (round.toLong, pair, freq)
-    }
-    merges.toDF("round", "pair", "freq")
+    val (merges, _) = bpeLearnBatched(base, 3, 64)
+    base.unpersist(blocking = false) // output is a LocalRelation
+    merges.toDF("round", "seq", "pair", "freq")
   }
 
   /** BPE ENCODE — the APPLY half of q63's merge learning (the step a
     * tokenizer pipeline runs over the whole corpus once training
-    * ends): learn the same 3 merges q63 learns, then apply the fused
-    * replace chain to EVERY document and report per-doc token counts
+    * ends): learn the same ~38 batched merges q63 learns
+    * ([[bpeLearnBatched]] — 3 driver rounds, 64 candidates each,
+    * greedy token-disjoint accept), then apply the fused replace
+    * chain to EVERY document and report per-doc token counts
     * before/after plus the saving in HALF_UP integer ppm — the
     * compression accounting a tokenizer-training run reports.
     *
     * The apply is the identical space-doubling leftmost-
-    * non-overlapping fuse q63's learning rounds use (tokenizer-exact:
+    * non-overlapping fuse the learning rounds use (tokenizer-exact:
     * "a b a b" fuses both, "a a a" only the first pair), inlined as
     * ONE expression over one corpus scan — the merged corpus is never
     * materialized, and the scan is embarrassingly parallel at any
@@ -3352,8 +3385,6 @@ object Queries {
     * BIGINTs and ppm is cross-multiplied HALF_UP (no float division
     * reaches the output). */
   val t23_bpe_encode: QFn = (s, d) => {
-    val spark = s
-    import spark.implicits._
     val base = t(s, d, "documents").select(
       col("doc_id"),
       concat(lit(" "),
@@ -3361,22 +3392,7 @@ object Queries {
         lit(" ")).as("txt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // three learning rounds + the encode re-scan it
-    var txtExpr = "txt"
-    (1 to 3).foreach { _ =>
-      val best = base.selectExpr(s"$txtExpr AS text")
-        .select(explode(org.apache.spark.sql.graft.ColumnBridge
-          .column(org.apache.spark.sql.graft.WordShinglesExpr(
-            org.apache.spark.sql.graft.ColumnBridge
-              .expression(col("text")), 2))).as("sh"))
-        .groupBy("sh").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("sh").asc).limit(1)
-        .as[(String, Long)].collect().head
-      val pair = best._1
-      require(pair.matches("[\\w ]+"), s"unexpected pair: $pair")
-      val doubled = pair.replace(" ", "  ")
-      txtExpr = s"replace(replace(replace($txtExpr, ' ', '  '), " +
-        s"' $doubled ', ' ${pair.replace(' ', '_')} '), '  ', ' ')"
-    }
+    val (_, txtExpr) = bpeLearnBatched(base.drop("doc_id"), 3, 64)
     base.selectExpr("doc_id", "txt", s"$txtExpr AS enc")
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("txt")).as("n_before"),
@@ -3387,29 +3403,65 @@ object Queries {
           "DIV (2 * n_before) END"))
   }
 
+  // shared oracle CTE for the batched BPE rounds (q63/t23): per
+  // round, bigram counts -> top-64 candidate lists -> a single-row
+  // RECURSIVE greedy walk accepting token-disjoint candidates ->
+  // a per-doc RECURSIVE fold applying the accepted batch with the
+  // space-doubling fuse. MATERIALIZED is load-bearing: recursive
+  // members re-evaluate referenced CTEs per iteration, which would
+  // otherwise recompute the whole upstream chain each step.
+  private def bpeRoundCte(k: Int, src: String): String =
+    s"""tok$k AS MATERIALIZED (SELECT list_filter(
+       |    regexp_split_to_array(trim(t), '\\s+'),
+       |    x -> len(x) > 0) AS tk FROM $src),
+       |bi$k AS MATERIALIZED (SELECT sh, CAST(count(*) AS BIGINT)
+       |      AS c FROM (
+       |    SELECT unnest(list_transform(range(1,
+       |      greatest(len(tk), 1)),
+       |      i -> tk[i] || ' ' || tk[i+1])) AS sh
+       |    FROM tok$k) GROUP BY sh),
+       |cand$k AS MATERIALIZED (SELECT
+       |    list(sh ORDER BY c DESC, sh)[:64] AS cs,
+       |    list(c ORDER BY c DESC, sh)[:64] AS cf FROM bi$k),
+       |a$k(i, acc, freqs, used) AS (
+       |  SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS BIGINT[]),
+       |    CAST([] AS VARCHAR[]) FROM cand$k
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    CASE WHEN ok THEN list_append(acc, cs[i+1]) ELSE acc END,
+       |    CASE WHEN ok THEN list_append(freqs, cf[i+1])
+       |      ELSE freqs END,
+       |    CASE WHEN ok THEN used || str_split(cs[i+1], ' ')
+       |      ELSE used END
+       |  FROM (SELECT i, acc, freqs, used, cs, cf,
+       |      len(list_filter(str_split(cs[i+1], ' '),
+       |        x -> list_contains(used, x))) = 0 AS ok
+       |    FROM a$k, cand$k WHERE i < len(cs))),
+       |f$k AS MATERIALIZED (SELECT acc, freqs FROM a$k
+       |  ORDER BY i DESC LIMIT 1),
+       |app$k(doc_id, t, j) AS (
+       |  SELECT doc_id, replace(t, ' ', '  '), 0 FROM $src
+       |  UNION ALL
+       |  SELECT doc_id, replace(t,
+       |      ' ' || replace(acc[j+1], ' ', '  ') || ' ',
+       |      ' ' || replace(acc[j+1], ' ', '_') || ' '), j + 1
+       |  FROM app$k, f$k WHERE j < len(acc)),
+       |t$k AS MATERIALIZED (SELECT doc_id, replace(t, '  ', ' ')
+       |      AS t FROM (
+       |    SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY j DESC) AS rn FROM app$k) WHERE rn = 1)"""
+      .stripMargin
+
   val t23_sql: String = {
-    // the same 3 learning rounds as q63's oracle, with doc_id carried
-    // through every fuse CTE so the final scan counts per document
-    def roundCte(k: Int, src: String) =
-      s"""tok$k AS (SELECT list_filter(regexp_split_to_array(
-         |    trim(t), '\\s+'), x -> len(x) > 0) AS tk FROM $src),
-         |bi$k AS (SELECT sh, count(*) AS c FROM (
-         |    SELECT unnest(list_transform(range(1,
-         |      greatest(len(tk), 1)),
-         |      i -> tk[i] || ' ' || tk[i+1])) AS sh
-         |    FROM tok$k) GROUP BY sh),
-         |b$k AS (SELECT sh, c FROM bi$k ORDER BY c DESC, sh LIMIT 1),
-         |t$k AS (SELECT doc_id, replace(replace(replace(t, ' ', '  '),
-         |    ' ' || replace(b$k.sh, ' ', '  ') || ' ',
-         |    ' ' || replace(b$k.sh, ' ', '_') || ' '), '  ', ' ')
-         |    AS t
-         |  FROM $src CROSS JOIN b$k)""".stripMargin
-    s"""WITH t0 AS (SELECT doc_id,
+    // the same 3 batched learning rounds as q63's oracle, with
+    // doc_id carried through every fuse CTE so the final scan counts
+    // per document
+    s"""WITH RECURSIVE t0 AS MATERIALIZED (SELECT doc_id,
        |    ' ' || regexp_replace(lower(trim(text)),
        |    '\\s+', ' ', 'g') || ' ' AS t FROM documents),
-       |${roundCte(1, "t0")},
-       |${roundCte(2, "t1")},
-       |${roundCte(3, "t2")},
+       |${bpeRoundCte(1, "t0")},
+       |${bpeRoundCte(2, "t1")},
+       |${bpeRoundCte(3, "t2")},
        |cnt AS (SELECT t0.doc_id,
        |    CAST(len(list_filter(regexp_split_to_array(trim(t0.t),
        |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_before,
@@ -3831,35 +3883,20 @@ object Queries {
       |FROM sc GROUP BY doc_id""".stripMargin
 
   val q63_sql: String = {
-    // round k: tok_k tokenizes the text with merges 1..k-1 applied,
-    // bi_k counts its adjacent pairs, b_k is the (count desc, pair
-    // asc) winner, t_k applies the fuse
-    def roundCte(k: Int, src: String) =
-      s"""tok$k AS (SELECT list_filter(regexp_split_to_array(
-         |    trim(t), '\\s+'), x -> len(x) > 0) AS tk FROM $src),
-         |bi$k AS (SELECT sh, count(*) AS c FROM (
-         |    SELECT unnest(list_transform(range(1,
-         |      greatest(len(tk), 1)),
-         |      i -> tk[i] || ' ' || tk[i+1])) AS sh
-         |    FROM tok$k) GROUP BY sh),
-         |b$k AS (SELECT sh, c FROM bi$k ORDER BY c DESC, sh LIMIT 1),
-         |t$k AS (SELECT replace(replace(replace(t, ' ', '  '),
-         |    ' ' || replace(b$k.sh, ' ', '  ') || ' ',
-         |    ' ' || replace(b$k.sh, ' ', '_') || ' '), '  ', ' ')
-         |    AS t
-         |  FROM $src CROSS JOIN b$k)""".stripMargin
-    s"""WITH t0 AS (SELECT ' ' || regexp_replace(lower(trim(text)),
+    // learning only: the accepted batches f1/f2/f3, unnested with
+    // their in-round sequence
+    s"""WITH RECURSIVE t0 AS MATERIALIZED (SELECT doc_id,
+       |    ' ' || regexp_replace(lower(trim(text)),
        |    '\\s+', ' ', 'g') || ' ' AS t FROM documents),
-       |${roundCte(1, "t0")},
-       |${roundCte(2, "t1")},
-       |${roundCte(3, "t2")}
-       |SELECT * FROM (
-       |  SELECT CAST(1 AS BIGINT) AS round, sh AS pair,
-       |    CAST(c AS BIGINT) AS freq FROM b1
-       |  UNION ALL SELECT CAST(2 AS BIGINT), sh, CAST(c AS BIGINT)
-       |    FROM b2
-       |  UNION ALL SELECT CAST(3 AS BIGINT), sh, CAST(c AS BIGINT)
-       |    FROM b3) u""".stripMargin
+       |${bpeRoundCte(1, "t0")},
+       |${bpeRoundCte(2, "t1")},
+       |${bpeRoundCte(3, "t2")}
+       |SELECT CAST(r AS BIGINT) AS round, CAST(seq AS BIGINT) AS seq,
+       |  acc[seq] AS pair, freqs[seq] AS freq FROM (
+       |  SELECT z.*, unnest(range(1, len(acc) + 1)) AS seq FROM (
+       |    SELECT 1 AS r, acc, freqs FROM f1
+       |    UNION ALL SELECT 2, acc, freqs FROM f2
+       |    UNION ALL SELECT 3, acc, freqs FROM f3) z)""".stripMargin
   }
 
   /** ANN RECALL AUDIT — the sketch-accuracy table for the ANN family

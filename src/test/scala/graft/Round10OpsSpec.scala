@@ -185,37 +185,65 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 100), "no large ball estimated")
   }
 
-  test("q63 BPE merges match a driver-side replay of the fuse loop") {
+  test("q63 BPE merges match a driver-side replay of the batched " +
+    "fuse loop") {
     val dir = sf("sf0.001")
     val got = Queries.q63_bpe_merges(spark, dir)
-      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+      .as[(Long, Long, String, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
     var texts = spark.read.parquet(dir + "/documents.parquet")
       .select(col("text")).as[String].collect()
       .map(t => " " + t.trim.toLowerCase(java.util.Locale.ROOT)
         .replaceAll("\\s+", " ") + " ")
-    val want = (1 to 3).map { round =>
+    val want = (1 to 3).flatMap { round =>
       val pairs = texts.flatMap { t =>
         val toks = t.trim.split(" ").filter(_.nonEmpty)
         toks.zip(toks.drop(1)).map(p => p._1 + " " + p._2)
       }
       val grouped = pairs.groupBy(identity).view
         .mapValues(_.length.toLong).toSeq
-      val (pair, freq) = grouped.minBy { case (p, c) => (-c, p) }
+      // top-64 candidates, greedy token-disjoint accept
+      val cands = grouped.sortBy { case (p, c) => (-c, p) }.take(64)
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val acc = cands.filter { case (p, _) =>
+        val ts = p.split(" ")
+        if (ts.exists(used.contains)) false
+        else { used ++= ts; true }
+      }
       // java String.replace = literal, non-overlapping, left-to-
       // right — the same scan as both engines' SQL replace; the
-      // space-doubling makes adjacent occurrences independent
-      texts = texts.map(_.replace(" ", "  ")
-        .replace(s" ${pair.replace(" ", "  ")} ",
-          s" ${pair.replace(' ', '_')} ")
-        .replace("  ", " "))
-      (round.toLong, pair, freq)
+      // space-doubling makes adjacent occurrences independent and
+      // SURVIVES each replacement (the ' a_b ' replacement re-lends
+      // one space per side), so the whole batch chains on one
+      // doubled text
+      texts = texts.map { t0 =>
+        val doubled = acc.foldLeft(t0.replace(" ", "  ")) {
+          case (t, (pair, _)) =>
+            t.replace(s" ${pair.replace(" ", "  ")} ",
+              s" ${pair.replace(' ', '_')} ")
+        }
+        doubled.replace("  ", " ")
+      }
+      acc.zipWithIndex.map { case ((p, f), i) =>
+        (round.toLong, (i + 1).toLong, p, f)
+      }
     }
     assert(got == want)
-    // the learned merges are distinct pairs with weakly-decreasing
-    // support (round k's winner was available and unpicked earlier)
-    assert(got.map(_._2).distinct.size == 3)
-    assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
-    assert(got.forall(_._2.contains(" ")))
+    // a realistic merge count lands in the same 3 driver rounds
+    assert(got.size >= 32, s"only ${got.size} merges")
+    // within a round: weakly-decreasing support in accept order and
+    // pairwise token-disjointness
+    got.groupBy(_._1).values.foreach { rnd =>
+      val byCeq = rnd.sortBy(_._2)
+      assert(byCeq.zip(byCeq.drop(1)).forall(p => p._1._4 >= p._2._4))
+      // pairwise disjoint across pairs (a self-pair "a a" counts a
+      // single token)
+      val toks = rnd.flatMap(_._3.split(" ").distinct)
+      assert(toks.distinct.size == toks.size,
+        "accepted batch must be token-disjoint")
+    }
+    assert(got.map(_._3).distinct.size == got.size)
+    assert(got.forall(_._3.contains(" ")))
   }
 
   test("q63 fuse step is tokenizer-exact on self-adjacent runs") {

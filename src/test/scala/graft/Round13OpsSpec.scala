@@ -322,10 +322,13 @@ class Round13OpsSpec extends SparkSpec {
         case x :: rest => x :: fuse(rest, a, b)
         case Nil => Nil
       }
+    // batched rounds: merges apply in (round, seq) order — within a
+    // round the batch is token-disjoint so sequential == batch
     val merges = Queries.q63_bpe_merges(spark, sf("sf0.001"))
-      .as[(Long, String, Long)].collect().sortBy(_._1)
-      .map(r => { val p = r._2.split(" "); (p(0), p(1)) })
-    assert(merges.length == 3)
+      .as[(Long, Long, String, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+      .map(r => { val p = r._3.split(" "); (p(0), p(1)) })
+    assert(merges.length >= 32, s"only ${merges.length} merges")
     val got = Queries.t23_bpe_encode(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
