@@ -610,18 +610,69 @@ object Streams {
     * state — the cheap gate a live ingestion feed runs before
     * anything heavier sees the doc. Spec pins streamed predictions
     * == the same scorer applied batch == t25's n_correct. */
-  def streamingClassify(docs: DataFrame, weights: Map[Long, Long],
-                        priorMicro: Long): DataFrame = {
+  /** The exact NB score column [[streamingClassify]] and batch t25
+    * use — exposed so compositions reuse the identical scorer. */
+  def nbScoreCol(text: org.apache.spark.sql.Column,
+                 weights: Map[Long, Long],
+                 priorMicro: Long): org.apache.spark.sql.Column = {
     val wArr = array((0 until 64).map(b =>
       lit(weights.getOrElse(b.toLong, 0L))): _*)
-    val score = aggregate(
-      transform(graft.text.TextFunctions.tokens(col("text")),
+    aggregate(
+      transform(graft.text.TextFunctions.tokens(text),
         t => element_at(wArr,
           (graft.text.TextFunctions.hashBucket(t, 64) + lit(1))
             .cast("int"))),
       lit(priorMicro), (acc, x) => acc + x)
+  }
+
+  def streamingClassify(docs: DataFrame, weights: Map[Long, Long],
+                        priorMicro: Long): DataFrame = {
+    val score = nbScoreCol(col("text"), weights, priorMicro)
     docs.select(col("doc_id"), score.as("score_micro"),
       (score >= 0L).cast("int").as("pred"))
+  }
+
+  /** COMPOSED live pipeline — the gate and both monitors CHAINED as
+    * ONE streaming query, the shape a real ingestion feed runs
+    * (round-9 advice #7): [[streamingClassify]]'s stateless NB gate
+    * admits a document (score ≥ 0), and only ADMITTED documents feed
+    * the two monitor sketches — t26's per-source drift cells and
+    * t12's count-min. Spark allows one streaming aggregation per
+    * query, so the two bounded cell tables ride a single Update-mode
+    * aggregate over a TAGGED UNION of their coordinate spaces
+    * (('drift', source, bucket) ∪ ('cm', row, cell)) — same running
+    * sums, one state store, state bounded by
+    * |sources|·driftWidth + cmDepth·cmWidth keys TOTAL regardless of
+    * feed size, each micro-batch collapsing map-side to ≤ that many
+    * deltas. Cells are pure sums over a row-local gate, so the
+    * maintained table is split-independent and a full replay lands
+    * EXACTLY on the batch composition (spec-pinned): batch-score →
+    * filter → the twins' own cell derivations. */
+  def streamingGatedMonitor(docs: DataFrame,
+                            weights: Map[Long, Long],
+                            priorMicro: Long,
+                            driftWidth: Int = 64,
+                            cmDepth: Int = 4,
+                            cmWidth: Int = 16): DataFrame = {
+    val gated = docs
+      .filter(nbScoreCol(col("text"), weights, priorMicro) >= 0L)
+    val drift = gated
+      .select(col("source"),
+        explode(graft.text.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      .select(lit("drift").as("kind"), col("source").as("k1"),
+        graft.text.TextFunctions.hashBucket(col("tok"), driftWidth)
+          .cast("string").as("k2"))
+    val cm = gated
+      .select(explode(graft.text.TextFunctions.tokens(
+        lower(col("text")))).as("tok"))
+      .select(col("tok"),
+        explode(array((0 until cmDepth).map(lit(_)): _*)).as("r"))
+      .select(lit("cm").as("kind"), col("r").cast("string").as("k1"),
+        graft.text.TextFunctions.countMinCell(col("r"), col("tok"),
+          cmWidth).cast("string").as("k2"))
+    drift.unionByName(cm).groupBy("kind", "k1", "k2")
+      .agg(count(lit(1)).as("c"))
   }
 
   /** STREAMING COUNT-MIN — batch t12's pure-sketch pipeline as an

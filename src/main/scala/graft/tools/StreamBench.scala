@@ -207,6 +207,20 @@ object StreamBench {
             .as("text")),
         (0L until 64L).map(b => b -> (b - 32L) * 1000L).toMap,
         priorMicro = 5000L), "append")
+    // composed gate->monitors chain as ONE query: stateless NB gate,
+    // admitted rows feed BOTH bounded sketches through one tagged
+    // Update aggregate (state <= |sources|*64 + 4*16 keys forever)
+    drive("gated_monitor",
+      Streams.streamingGatedMonitor(syntheticEvents()
+        .select(
+          concat(lit("src"), pmod(col("event_id"), lit(5L)))
+            .as("source"),
+          concat_ws(" ",
+            (0 until 8).map(i => concat(lit("w"),
+              pmod(col("event_id") * (i * 2 + 1), lit(200L)))): _*)
+            .as("text")),
+        (0L until 64L).map(b => b -> (b - 32L) * 1000L).toMap,
+        priorMicro = 5000L), "update")
     // target-LM serve gate: stream-static model joins (stateless) +
     // watermark-windowed per-doc fold — state = in-flight windows
     locally {

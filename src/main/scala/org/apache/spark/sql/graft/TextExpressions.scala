@@ -75,6 +75,10 @@ object QuantizeUtil {
     var mx = -Double.MaxValue
     var i = 0
     while (i < n) {
+      // SQL-exposed: ArrayData.getDouble on a null slot silently
+      // reads garbage — fail descriptively instead
+      if (vec.isNullAt(i)) throw new IllegalArgumentException(
+        s"quantize_csv: null element at index $i")
       val x = vec.getDouble(i)
       if (x < mn) mn = x
       if (x > mx) mx = x

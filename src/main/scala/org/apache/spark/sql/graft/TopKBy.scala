@@ -31,9 +31,16 @@ final class TopKBuffer(val k: Int) {
     if (n < k) n += 1
   }
 
+  // Double.compare is a TOTAL order (NaN greater than everything,
+  // matching Spark's own descending sort), so NaN scores rank
+  // deterministically instead of falling through ==/> comparisons
+  // into an insertion-order- (and therefore partition-) dependent
+  // buffer — the function is SQL-exposed to arbitrary doubles.
   @inline private def better(s1: Double, i1: Long, s2: Double,
-                             i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+                             i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def merge(other: TopKBuffer): Unit = {
     var i = 0
@@ -63,8 +70,21 @@ case class TopKBy(
   override def inputTypes: Seq[AbstractDataType] =
     Seq(DoubleType, LongType, IntegerType)
 
-  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
-  require(kExpr.foldable, "k must be a literal")
+  // SQL-exposed: the domain is ENFORCED, not assumed — k = 0 would
+  // otherwise index scores(-1) in the insert fast path and a
+  // negative k would throw a bare NegativeArraySizeException. All
+  // checks (including foldability) live INSIDE the lazy val, never
+  // in the constructor body: Spark's error formatter rebuilds
+  // expressions with PrettyAttribute children, and a constructor
+  // require would throw during that copy and MASK the real error.
+  private lazy val k: Int = {
+    require(kExpr.foldable, "top_k_by: k must be a literal")
+    val v = kExpr.eval()
+    require(v != null, "top_k_by: k must be a non-null literal")
+    val ki = v.asInstanceOf[Number].intValue
+    require(ki >= 1, s"top_k_by: k must be >= 1, got $ki")
+    ki
+  }
 
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   override def nullable: Boolean = false

@@ -156,6 +156,71 @@ class PipelineAndSourcesSpec extends SparkSpec {
       assert(!bm.isNullAt(0) &&
         bm.getAs[Array[Byte]](0).length == 0,
         "empty-binary bytewise_max must be empty, not null")
+      // ---- hostile-input sweep for the remaining SQL-exposed
+      // kernels (ADVICE r9 #5): out-of-domain args fail
+      // DESCRIPTIVELY, edge inputs have pinned, partition-stable
+      // behavior ----
+      // top_k_by: k = 0 used to index scores(-1); negative k threw a
+      // bare NegativeArraySizeException; NULL k NPE'd
+      mustThrow("SELECT top_k_by(1.0d, id, 0) FROM range(0, 4)",
+        "top_k_by: k must be >= 1")
+      mustThrow("SELECT top_k_by(1.0d, id, -3) FROM range(0, 4)",
+        "top_k_by: k must be >= 1")
+      mustThrow(
+        "SELECT top_k_by(1.0d, id, CAST(NULL AS INT)) FROM range(0, 4)",
+        "top_k_by: k must be a non-null literal")
+      mustThrow(
+        """SELECT top_k_by(1.0d, id, CAST(id AS INT))
+          |FROM range(1, 3)""".stripMargin,
+        "top_k_by: k must be a literal")
+      // NaN scores rank via Double.compare (NaN greatest — Spark's
+      // own descending sort order), so the result is deterministic
+      // across partitionings instead of insertion-order-dependent
+      val nan = s2.sql(
+        """SELECT top_k_by(s, id, 2) AS tk FROM (
+          |  SELECT id, CASE WHEN id = 0 THEN CAST('NaN' AS DOUBLE)
+          |    ELSE CAST(id AS DOUBLE) END AS s
+          |  FROM range(0, 8) DISTRIBUTE BY id)
+          |""".stripMargin).collect()(0)
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(nan.length == 2 && nan.head._1.isNaN &&
+        nan.head._2 == 0L && nan(1) == (7.0, 7L),
+        s"NaN must rank first, deterministically: $nan")
+      // quantize_csv: a null element used to be read as garbage
+      mustThrow(
+        "SELECT quantize_csv(array(0.0d, CAST(NULL AS DOUBLE)), 4)",
+        "quantize_csv: null element at index 1")
+      mustThrow( // column-derived → the codegen path, not folding
+        """SELECT quantize_csv(array(CAST(id AS DOUBLE),
+          |  CAST(NULL AS DOUBLE)), 4) FROM range(0, 1)""".stripMargin,
+        "quantize_csv: null element at index 1")
+      mustThrow("SELECT quantize_csv(array(1.0d), 1)",
+        "levels must be >= 2")
+      // empty vector → empty CSV (pinned, not a crash)
+      assert(s2.sql(
+        "SELECT quantize_csv(CAST(array() AS ARRAY<DOUBLE>), 4) AS q")
+        .collect()(0).getString(0) == "")
+      // char_trigrams: short inputs → empty; supplementary planes
+      // pack correctly (21 bits per code point)
+      val tri = s2.sql(
+        """SELECT size(char_trigrams('')) AS a,
+          |  size(char_trigrams('ab')) AS b,
+          |  char_trigrams('😀😀😀') AS c""".stripMargin).collect()(0)
+      assert(tri.getInt(0) == 0 && tri.getInt(1) == 0)
+      val cp = 0x1F600L
+      assert(tri.getSeq[Long](2) ==
+        Seq((cp << 42) | (cp << 21) | cp))
+      // cdc_chunks: empty/short → no chunks; multi-byte text chunks
+      // cover every code point exactly once
+      val cdc = s2.sql(
+        """SELECT size(cdc_chunks('')) AS a,
+          |  size(cdc_chunks('abcdefg')) AS b,
+          |  aggregate(cdc_chunks(repeat('é', 9)), 0L,
+          |    (acc, x) -> acc + x.clen) AS c""".stripMargin)
+        .collect()(0)
+      assert(cdc.getInt(0) == 0 && cdc.getInt(1) == 0 &&
+        cdc.getLong(2) == 9L)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

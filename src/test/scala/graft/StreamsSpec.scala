@@ -764,6 +764,69 @@ class StreamsSpec extends SparkSpec {
       "replayed streaming cell table differs from batch t26 cells")
   }
 
+  test("streamingGatedMonitor: classify gate -> both monitor cell " +
+    "tables chained as ONE query == sequential batch, bounded keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{array, count, explode,
+      lit, lower}
+    val dir = sf("sf0.001")
+    // train batch (t24), serve the composition on the stream
+    val w = Queries.t24_nb_train(spark, dir).collect()
+    val weights = w.filter(_.getAs[Long]("feature_id") >= 0)
+      .map(r => r.getAs[Long]("feature_id") ->
+        r.getAs[Long]("w_micro")).toMap
+    val prior = w.find(_.getAs[Long]("feature_id") == -1L)
+      .get.getAs[Long]("w_micro")
+    val docsDf = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val docs = docsDf.as[(Long, String, String)].collect()
+    val mem = MemoryStream[(Long, String, String)]
+    val df = mem.toDF().toDF("doc_id", "source", "text")
+    val q = Streams.streamingGatedMonitor(df, weights, prior)
+      .writeStream.format("memory").queryName("gatedmon")
+      .outputMode(OutputMode.Complete()).start()
+    val streamed = try {
+      val (b1, rest) = docs.splitAt(19)
+      val (b2, b3) = rest.splitAt(173)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      spark.table("gatedmon").collect()
+    } finally q.stop()
+    // state bound: both sketches together
+    val nSources = docs.map(_._2).distinct.length
+    assert(streamed.nonEmpty &&
+      streamed.length <= nSources * 64 + 4 * 16,
+      s"cell state has ${streamed.length} keys")
+    // sequential batch composition: batch-score -> filter -> the
+    // twins' own cell derivations, tagged identically
+    val gated = docsDf.filter(
+      Streams.nbScoreCol(col("text"), weights, prior) >= 0L)
+    val driftB = gated
+      .select(col("source"), explode(
+        graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(lit("drift").as("kind"), col("source").as("k1"),
+        graft.text.TextFunctions.hashBucket(col("tok"), 64)
+          .cast("string").as("k2"))
+    val cmB = gated
+      .select(explode(graft.text.TextFunctions.tokens(
+        lower(col("text")))).as("tok"))
+      .select(col("tok"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("r"))
+      .select(lit("cm").as("kind"), col("r").cast("string").as("k1"),
+        graft.text.TextFunctions.countMinCell(col("r"), col("tok"), 16)
+          .cast("string").as("k2"))
+    val batch = driftB.unionByName(cmB).groupBy("kind", "k1", "k2")
+      .agg(count(lit(1)).as("c")).collect()
+    assert(streamed.map(_.toString).sorted.toSeq ==
+      batch.map(_.toString).sorted.toSeq,
+      "chained streaming composition differs from sequential batch")
+    // the gate is live: some documents rejected, some admitted
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated < docs.length,
+      s"gate admits $nGated of ${docs.length} — vacuous")
+  }
+
   test("streamingTargetLm == batch t27 per-doc rows (train batch, " +
     "serve stream, split-independent)") {
     implicit val sqlCtx = spark.sqlContext
