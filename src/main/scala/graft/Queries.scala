@@ -7332,8 +7332,16 @@ object Queries {
           |    - 1000000
           |  ELSE -1000000 END""".stripMargin).as("combined_ppm"))
     // --- sort.py's spear_sorting [:30] prefix metric -------------
-    // long-form prefix table: position i of each ordering's first 30
-    val prefix = ranked.select(g, col("p_name"), expr(
+    // long-form prefix table: position i of each ordering's first 30.
+    // Pre-filter on least(all eight ranks) so the 8-way stack fans
+    // out over prefix member rows only (≤ 8·30 per group), never the
+    // whole table — the row-local cut that keeps this branch O(|groups|)
+    // at any corpus size
+    val inAnyPrefix = least(col("r_rank"), col("r_score"),
+      col("r_ilogr"), col("r_lenrank"), col("r_split"),
+      col("r_loglen"), col("r_logm8"), col("r_logm10")) <= 30
+    val prefix = ranked.filter(inAnyPrefix)
+      .select(g, col("p_name"), expr(
       """stack(8,
         |  'R',             r_rank,
         |  'I',             r_score,
