@@ -4042,33 +4042,51 @@ object Queries {
       |  sha256(text) AS sha
       |FROM documents""".stripMargin
 
-  /** Partition-wise decode, ORACLE-VERIFIED on BOTH dispatch arms:
-    * every third document becomes a byte-exact 24-bpp BI_RGB BMP
-    * whose pixel bytes VARY by pixel-array position — byte p is
-    * (doc_id·7 + p·13) mod 251, planted over padding positions too —
-    * and the decoder ([[Multimodal.HeaderCodec.bmp24ChannelSums]])
-    * walks the header's declared offset + 4-byte row stride and
-    * EXCLUDES the padding, so the emitted per-channel (ΣB, ΣG, ΣR)
-    * sums prove REAL pixel decoding: a decoder that summed raw
-    * bytes, mis-walked the stride, or included row padding produces
-    * different numbers (stride > 3w whenever w mod 4 ≠ 0). The other
-    * documents stay text payloads and take the unrecognized arm's
-    * exact byte-lane sums — the original plumbing check. Features
-    * emitted as an integer CSV string (raw float arrays are
+  /** Partition-wise decode, ORACLE-VERIFIED on ALL THREE dispatch
+    * arms. Documents rotate by doc_id mod 3:
+    *  - 0 → a byte-exact 24-bpp BI_RGB BMP whose pixel bytes VARY by
+    *    pixel-array position ((doc_id·7 + p·13) mod 251, planted
+    *    over padding positions too); the decoder
+    *    ([[Multimodal.HeaderCodec.bmp24ChannelSums]]) walks the
+    *    declared offset + 4-byte row stride and EXCLUDES the
+    *    padding, so the (ΣB, ΣG, ΣR) sums prove REAL pixel decoding
+    *    (stride > 3w whenever w mod 4 ≠ 0).
+    *  - 1 → a structurally valid PNG whose zlib stream is REAL
+    *    (stored deflate block + closed-form Adler-32 the JDK
+    *    Inflater VERIFIES) and whose rows carry live FILTER TYPES
+    *    (None/Sub/Up planted declaratively over raw pixels
+    *    (doc_id·11 + q·17) mod 251); the decoder
+    *    ([[Multimodal.HeaderCodec.pngRgb8ChannelSums]]) inflates and
+    *    REVERSES the filters, so the (ΣR, ΣG, ΣB) sums prove real
+    *    PNG pixel decoding — a wrong adler, a mis-reversed filter,
+    *    or a mis-walked chunk hash-mismatches. (Average/Paeth are
+    *    pinned by real-deflate golden vectors in the codec spec;
+    *    they have no declarative closed form worth mirroring.)
+    *  - 2 → text payloads on the unrecognized arm's exact byte-lane
+    *    sums — the original plumbing check.
+    * Features emitted as an integer CSV string (raw float arrays are
     * unsortable/unhashable in the harness's pandas compare); the
-    * oracle recomputes BOTH arms from the same planted formulas.
-    * Compressed payload formats (PNG inflate, GIF LZW, non-PCM
-    * audio) remain the declared codec-library non-goal. */
+    * oracle recomputes ALL arms from the planted formulas. Remaining
+    * declared gap: formats needing codec libraries the JDK lacks
+    * (GIF LZW, palette/alpha PNG, non-PCM audio). */
   val m02_feature_stub: QFn = (s, d) => {
     def le(c: Column, n: Int): Column =
       concat((0 until n).map(i =>
         lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+    def be32(c: Column): Column = lpad(hex(c), 8, "0")
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
     val base = t(s, d, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .withColumn("w", pmod(col("doc_id"), lit(31)) + 1)
       .withColumn("h", pmod(col("doc_id"), lit(17)) + 1)
       .withColumn("stride", expr("((w * 3 + 3) DIV 4) * 4"))
       .withColumn("pix", col("stride") * col("h"))
+      // PNG arm dimensions (kept small: no padding, one filter byte
+      // per row; plen = decompressed stream length h·(1+3·pw))
+      .withColumn("pw", pmod(col("doc_id"), lit(13)) + 1)
+      .withColumn("ph", pmod(col("doc_id"), lit(7)) + 1)
+      .withColumn("plen", col("ph") * (col("pw") * 3 + 1))
     val pixHex = array_join(
       transform(sequence(lit(0L), col("pix") - 1),
         p => lpad(hex(pmod(col("doc_id") * 7 + p * 13, lit(251))),
@@ -4085,9 +4103,62 @@ object Queries {
       le(lit(2835L), 4), le(lit(2835L), 4),  // 72 dpi
       le(lit(0L), 4), le(lit(0L), 4),
       pixHex)
-    val media = base
+    // ---- PNG writer: raw pixel byte at raw index q is
+    // (doc_id·11 + q·17) mod 251; row r carries FILTER TYPE r mod 3
+    // (None / Sub / Up), applied DECLARATIVELY — the decoder must
+    // reverse them to land back on the planted values. The zlib
+    // stream is a single STORED deflate block (header 0x78 0x01,
+    // block 0x01 + LEN + ~LEN) with a closed-form Adler-32:
+    // s1 = 1+ΣD, s2 = L+Σ(L−i)·D_i, both mod 65521 — Inflater
+    // VERIFIES the adler, so a wrong closed form would fail the
+    // whole arm, not just a checksum nobody reads. Chunk CRCs are
+    // planted zero (the decoder is CRC-lenient, golden vectors pin
+    // it against real-CRC files; CRC32 has no closed positional
+    // form). ----
+    val strideP = col("pw") * 3 + 1
+    def vAt(q: Column): Column =
+      pmod(col("doc_id") * 11 + q * 17, lit(251))
+    val dArr = transform(sequence(lit(0L), col("plen") - 1), i => {
+      val r = idiv(i, strideP)
+      val o = pmod(i, strideP)
+      val j = o - 1
+      val q = r * (col("pw") * 3) + j
+      val t0 = pmod(r, lit(3))
+      when(o === 0, t0).otherwise(
+        when(t0 === 0, vAt(q))
+          .when(t0 === 1,
+            when(j >= 3, pmod(vAt(q) - vAt(q - 3), lit(256)))
+              .otherwise(vAt(q)))
+          .otherwise(
+            when(r >= 1,
+              pmod(vAt(q) - vAt(q - col("pw") * 3), lit(256)))
+              .otherwise(vAt(q))))
+    })
+    val withD = base.withColumn("pd", dArr)
+    val s1 = pmod(lit(1L) +
+      aggregate(col("pd"), lit(0L), (a, x) => a + x), lit(65521L))
+    val s2 = pmod(col("plen") +
+      aggregate(zip_with(col("pd"),
+        sequence(col("plen"), lit(1L), lit(-1L)),
+        (b, wt) => b * wt), lit(0L), (a, x) => a + x), lit(65521L))
+    val zlibHex = concat(
+      lit("780101"),                          // zlib hdr + final stored block
+      le(col("plen"), 2), le(lit(65535L) - col("plen"), 2),
+      array_join(transform(col("pd"),
+        b => lpad(hex(b), 2, "0")), ""),
+      lpad(hex(s2), 4, "0"), lpad(hex(s1), 4, "0"))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"),
+      lit("0000000D"), lit("49484452"),       // IHDR len + type
+      be32(col("pw")), be32(col("ph")), lit("0802000000"),
+      lit("00000000"),                        // IHDR CRC (lenient)
+      be32(col("plen") + 11), lit("49444154"), // IDAT len + type
+      zlibHex, lit("00000000"),               // IDAT CRC (lenient)
+      lit("00000000"), lit("49454E44"), lit("00000000")) // IEND
+    val media = withD
       .withColumn("payload",
         when(pmod(col("doc_id"), lit(3)) === 0, unhex(bmpHex))
+          .when(pmod(col("doc_id"), lit(3)) === 1, unhex(pngHex))
           .otherwise(col("text").cast("binary")))
       .select(col("doc_id").as("media_id"), col("payload"),
         struct(lit("application/octet-stream").as("mime"),
@@ -4131,9 +4202,29 @@ object Queries {
       |    '1,' || w || ',' || h || ',24,' || (54 + pix) || ',' ||
       |      sb || ',' || sg || ',' || sr AS features_csv
       |  FROM bsum),
+      |png AS (SELECT doc_id, doc_id % 13 + 1 AS pw,
+      |    doc_id % 7 + 1 AS ph FROM documents WHERE doc_id % 3 = 1),
+      |pq AS (SELECT doc_id, pw, ph, ph * (3 * pw + 1) AS plen,
+      |    unnest(range(0, 3 * pw * ph)) AS q FROM png),
+      |psum AS (SELECT doc_id, pw, ph, plen,
+      |    CAST(sum(CASE WHEN q % 3 = 0
+      |      THEN (doc_id * 11 + q * 17) % 251 ELSE 0 END) AS BIGINT)
+      |      AS sr,
+      |    CAST(sum(CASE WHEN q % 3 = 1
+      |      THEN (doc_id * 11 + q * 17) % 251 ELSE 0 END) AS BIGINT)
+      |      AS sg,
+      |    CAST(sum(CASE WHEN q % 3 = 2
+      |      THEN (doc_id * 11 + q * 17) % 251 ELSE 0 END) AS BIGINT)
+      |      AS sb
+      |  FROM pq GROUP BY doc_id, pw, ph, plen),
+      |pout AS (SELECT doc_id AS media_id,
+      |    CAST(68 + plen AS BIGINT) AS n_bytes,
+      |    '2,' || pw || ',' || ph || ',24,' || (68 + plen) || ',' ||
+      |      sr || ',' || sg || ',' || sb AS features_csv
+      |  FROM psum),
       |m AS (SELECT doc_id AS media_id, text,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      |  FROM documents WHERE doc_id % 3 <> 0),
+      |  FROM documents WHERE doc_id % 3 = 2),
       |x AS (SELECT media_id, (i - 1) % 8 AS lane,
       |    ord(substring(text, CAST(i AS INTEGER), 1)) AS b
       |  FROM (SELECT media_id, text,
@@ -4148,7 +4239,8 @@ object Queries {
       |    array_to_string(list(s::VARCHAR ORDER BY lane), ',')
       |      AS features_csv
       |  FROM lanes GROUP BY media_id, n_bytes)
-      |SELECT * FROM bout UNION ALL SELECT * FROM tout""".stripMargin
+      |SELECT * FROM bout UNION ALL SELECT * FROM pout
+      |UNION ALL SELECT * FROM tout""".stripMargin
 
   /** Cross-document duplicated content tiles: payloads chunked into
     * fixed 256-byte tiles (binary substring — codegen'd), each tile

@@ -138,6 +138,78 @@ class MultimodalCodecSpec extends SparkSpec {
       List(0d, 0d, 0d))
   }
 
+  // 3×5 8-bit RGB PNG, REAL deflate + CRCs, one row per FILTER TYPE
+  // (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth); raw pixel byte at
+  // position q is (10 + 7q) mod 251 → channel sums R 1602, G 1707,
+  // B 1561 (external ground truth: assembled with python zlib)
+  private val png3x5 = bytes(
+    "89504E470D0A1A0A0000000D49484452000000030000000508020000000F" +
+      "13C1F50000002A49444154789C63E012949057D335B17662F40C08170503" +
+      "267B18606E6EEFD202017D16171717B0A43D00D907090F4A25D1E7000000" +
+      "0049454E44AE426082")
+
+  test("PNG pixel decode: real inflate + all five filters, strict " +
+    "guards hold") {
+    assert(HeaderCodec.probe(png3x5) ===
+      Some(MediaInfo("image/png", 3, 5, 24)))
+    assert(HeaderCodec.pngRgb8ChannelSums(png3x5).get.toList ===
+      List(1602L, 1707L, 1561L))
+    val d = Multimodal.Decoder.decode(png3x5)
+    assert(d.toList ===
+      List(2d, 3d, 5d, 24d, 99d, 1602d, 1707d, 1561d))
+    // corrupt the DEFLATE stream → inflate fails → header-only
+    val bad = png3x5.clone(); bad(50) = 0x7f
+    assert(HeaderCodec.pngRgb8ChannelSums(bad) === None)
+    assert(Multimodal.Decoder.decode(bad).toList.drop(5) ===
+      List(0d, 0d, 0d))
+    // truncated IDAT (chunk length points past the payload) → None
+    assert(HeaderCodec.pngRgb8ChannelSums(png3x5.take(60)) === None)
+    // RGBA (color type 6) → header-only fallback, not a wrong sum
+    val rgba = png3x5.clone(); rgba(25) = 6
+    assert(HeaderCodec.pngRgb8ChannelSums(rgba) === None)
+    // the 1×1 RGBA golden vector from the probe tests has no IDAT →
+    // decode must not crash, content slots stay 0
+    assert(Multimodal.Decoder.decode(png1x1).toList.drop(5) ===
+      List(0d, 0d, 0d))
+  }
+
+  // 4×3 8-bit PALETTE PNG (color type 3), real deflate + CRCs:
+  // 5-entry PLTE, index at (r,j) is (r·4+j) mod 5, rows filtered
+  // None/Sub/Up at bpp=1 → palette-resolved sums R 1050, G 1395,
+  // B 815 (python zlib ground truth)
+  private val pngPal = bytes(
+    "89504E470D0A1A0A0000000D494844520000000400000003080300000083" +
+      "2A5EF40000000F504C54450AC81EFA0163074DB180402000FF05975344A1" +
+      "0000001749444154789C63606064626664F9C3C8C8F49FE5FF7F000F7F04" +
+      "0DFC4AC68A0000000049454E44AE426082")
+
+  test("palette PNG pixel decode: PLTE lookup after unfiltering") {
+    assert(HeaderCodec.probe(pngPal) ===
+      Some(MediaInfo("image/png", 4, 3, 8)))
+    assert(HeaderCodec.pngRgb8ChannelSums(pngPal).get.toList ===
+      List(1050L, 1395L, 815L))
+    assert(Multimodal.Decoder.decode(pngPal).toList.drop(5) ===
+      List(1050d, 1395d, 815d))
+    // palette removed → color type 3 without PLTE must reject
+    val noPlte = bytes(
+      "89504E470D0A1A0A0000000D494844520000000400000003080300000083" +
+        "2A5EF4" +
+        "0000001749444154789C63606064626664F9C3C8C8F49FE5FF7F000F7F04" +
+        "0DFC4AC68A0000000049454E44AE426082")
+    assert(HeaderCodec.pngRgb8ChannelSums(noPlte) === None)
+    // an index past the palette must reject, not read garbage: a
+    // real-deflate variant with a ONE-entry PLTE while the indices
+    // reach 4
+    val shortPlte = bytes(
+      "89504E470D0A1A0A0000000D494844520000000400000003080300000083" +
+        "2A5EF400000003504C54450AC81E53C1D8290000001749444154789C6360" +
+        "6064626664F9C3C8C8F49FE5FF7F000F7F040DFC4AC68A0000000049454E" +
+        "44AE426082")
+    assert(HeaderCodec.pngRgb8ChannelSums(shortPlte) === None)
+    assert(Multimodal.Decoder.decode(shortPlte).toList.drop(5) ===
+      List(0d, 0d, 0d))
+  }
+
   test("WAV PCM decode: s16le sign extension, strict guards hold") {
     // append 4 samples to wav44: 1, -1, -32768, 300 (s16le), fixing
     // the RIFF and data sizes
