@@ -8,21 +8,24 @@ import org.apache.spark.sql.types._
   * typed metadata struct, with the decode/feature step isolated
   * behind a per-partition batch boundary.
   *
-  * The decode step is REAL for container headers AND for the
-  * UNCOMPRESSED payload formats: [[HeaderCodec]] parses the public
-  * byte layouts of BMP, PNG, GIF and RIFF/WAVE (dimensions / bit
-  * depth / sample rate straight from the file-format specs), and the
-  * sample arms decode actual content — 24-bpp BI_RGB BMP pixel rows
-  * (per-channel sums, row padding excluded) and 16-bit PCM WAVE
-  * sample data (count / Σ|s| / Σs², plus per-frame energies for the
-  * audio-feature fan-out) — no external codec library needed,
-  * because those formats store raw bytes. COMPRESSED payloads (JPEG
-  * DCT, PNG inflate, video codecs) would need libraries this
-  * container doesn't ship; payloads whose header doesn't match a
-  * known container fall back to [[Decoder]]'s deterministic
-  * byte-lane histogram — the fallback keeps the mapPartitions
-  * plumbing oracle-checkable on text payloads, and a full codec
-  * slots in as one more dispatch arm in `Decoder`.
+  * The decode step is REAL for container headers AND for payload
+  * content across all four containers: [[HeaderCodec]] parses the
+  * public byte layouts of BMP, PNG, GIF and RIFF/WAVE (dimensions /
+  * bit depth / sample rate straight from the file-format specs), and
+  * the content arms decode actual data with nothing beyond the JDK —
+  * 24-bpp BI_RGB BMP pixel rows (per-channel sums, row padding
+  * excluded); 8-bit RGB and palette PNG through java.util.zip
+  * inflate + all-five filter reversal; GIF first frames through a
+  * spec-implemented LZW decoder + global-color-table resolution;
+  * 16-bit PCM WAVE samples (count / Σ|s| / Σs², plus per-frame
+  * energies for the audio-feature fan-out). Formats that genuinely
+  * need external codecs (JPEG DCT, video, non-PCM audio) and the
+  * remaining PNG/GIF variants (grey/alpha, interlaced) fall back to
+  * header-only or byte-lane features; payloads whose header matches
+  * no container take [[Decoder]]'s deterministic byte-lane
+  * histogram — the fallback keeps the mapPartitions plumbing
+  * oracle-checkable on text payloads, and a full codec slots in as
+  * one more dispatch arm in `Decoder`.
   */
 object Multimodal {
 
@@ -292,6 +295,188 @@ object Multimodal {
         }
       }
 
+    /** GIF-variant LZW decode, straight off the published spec (no
+      * library): little-endian bit stream, clear = 2^min,
+      * end = clear+1, dictionary to 4096 entries as prefix/suffix
+      * arrays, code width grows to 12 bits — the DECODER bumps width
+      * when `next == 2^width` (it lags the encoder by exactly one
+      * table entry, the classic deferred rule). Handles the KwKwK
+      * case (incoming code == next). Decoding STOPS once `expected`
+      * bytes are out (the frame is full) — real decoders do the
+      * same, and it sidesteps the end-code width ambiguity: the
+      * encoder's final flush emission adds no table entry, so a
+      * decoder that kept reading would sit one entry ahead and can
+      * mis-size the END code right at a width boundary. Returns
+      * exactly `expected` bytes or None on any malformation
+      * (underrun, code past the table, early END, literal out of
+      * range). */
+    private def lzwDecode(minCode: Int, data: Array[Byte],
+                          expected: Int): Option[Array[Byte]] = {
+      val clear = 1 << minCode
+      val end = clear + 1
+      val MAX = 4096
+      val out = new Array[Byte](expected)
+      var outN = 0
+      val prefix = new Array[Int](MAX)
+      val suffix = new Array[Byte](MAX)
+      val stack = new Array[Byte](MAX)
+      var next = end + 1
+      var width = minCode + 1
+      var bitPos = 0L
+      val totalBits = data.length.toLong * 8
+      var prev = -1
+      var ok = true
+      var finished = false
+      def read(): Int = {
+        if (bitPos + width > totalBits) -1
+        else {
+          var v = 0
+          var b = 0
+          while (b < width) {
+            val bit = bitPos + b
+            if (((data((bit >> 3).toInt) >> (bit & 7).toInt) & 1) != 0)
+              v |= 1 << b
+            b += 1
+          }
+          bitPos += width
+          v
+        }
+      }
+      def firstByteOf(code: Int): Int = {
+        var c = code
+        while (c >= end + 1) c = prefix(c)
+        c
+      }
+      def output(code: Int): Boolean = {
+        var n = 0
+        var c = code
+        while (c >= end + 1 && n < MAX) {
+          stack(n) = suffix(c); n += 1; c = prefix(c)
+        }
+        if (c >= clear || n >= MAX || outN + n + 1 > expected) false
+        else {
+          stack(n) = c.toByte; n += 1
+          var i = n - 1
+          while (i >= 0) { out(outN) = stack(i); outN += 1; i -= 1 }
+          true
+        }
+      }
+      while (ok && !finished && outN < expected) {
+        val code = read()
+        if (code < 0) ok = false
+        else if (code == clear) {
+          next = end + 1; width = minCode + 1; prev = -1
+        } else if (code == end) finished = true // early END → short
+        else if (prev < 0) {
+          if (code >= clear) ok = false
+          else { ok = output(code); prev = code }
+        } else if (code > next || (code > clear && code <= end)) {
+          ok = false
+        } else if (code == next && next >= MAX) {
+          ok = false
+        } else {
+          val suf = if (code == next) firstByteOf(prev)
+            else firstByteOf(code)
+          if (next < MAX) {
+            prefix(next) = prev
+            suffix(next) = suf.toByte
+            next += 1
+            // decoder lags the encoder one entry: bump at 2^width
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          ok = output(code)
+          prev = code
+        }
+      }
+      if (ok && outN == expected) Some(out) else None
+    }
+
+    /** REAL pixel decode for GIF — LZW is the published spec's ~60
+      * lines, no library needed ([[lzwDecode]]): the FIRST image
+      * frame's sub-blocks are reassembled, LZW-decoded against the
+      * GLOBAL color table, and per-channel (ΣR, ΣG, ΣB) sums
+      * returned over the frame's palette-resolved pixels. Strict:
+      * the GCT must exist, the frame must be non-interlaced with no
+      * local color table, the decoded stream must carry exactly
+      * frame-w·h indices, every index inside the palette; extension
+      * blocks are skipped by the spec's sub-block walk. Interlaced
+      * or LCT frames fall back to header-only features — the
+      * remaining declared GIF gap. */
+    def gifFirstFramePixelSums(p: Array[Byte]): Option[Array[Long]] =
+      gif(p).flatMap { _ =>
+        val packed = u8(p, 10).toInt
+        val gctSize = 2 << (packed & 7)
+        val gctOff = 13
+        val gctLen = 3 * gctSize
+        if ((packed & 0x80) == 0 || gctOff + gctLen > p.length) None
+        else {
+          // block walk to the first image descriptor
+          var off = gctOff + gctLen
+          var img = -1
+          var bad = false
+          while (img < 0 && !bad && off < p.length) {
+            (p(off) & 0xff) match {
+              case 0x2C => img = off
+              case 0x21 =>
+                off += 2 // introducer + label
+                var done = false
+                while (!done && !bad) {
+                  if (off >= p.length) bad = true
+                  else {
+                    val n = p(off) & 0xff
+                    if (n == 0) { done = true; off += 1 }
+                    else off += 1 + n
+                  }
+                }
+              case _ => bad = true // trailer/garbage before an image
+            }
+          }
+          if (bad || img < 0 || img + 11 > p.length) None
+          else {
+            val iw = le16(p, img + 5).toInt
+            val ih = le16(p, img + 7).toInt
+            val ipacked = p(img + 9) & 0xff
+            if ((ipacked & 0x80) != 0 || (ipacked & 0x40) != 0 ||
+                iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 24))
+              None
+            else {
+              val minCode = p(img + 10) & 0xff
+              var o2 = img + 11
+              val dat = new java.io.ByteArrayOutputStream()
+              var done = false
+              var bad2 = minCode < 2 || minCode > 8
+              while (!done && !bad2) {
+                if (o2 >= p.length) bad2 = true
+                else {
+                  val n = p(o2) & 0xff
+                  if (n == 0) { done = true; o2 += 1 }
+                  else if (o2 + 1 + n > p.length) bad2 = true
+                  else { dat.write(p, o2 + 1, n); o2 += 1 + n }
+                }
+              }
+              if (bad2) None
+              else lzwDecode(minCode, dat.toByteArray, iw * ih)
+                .flatMap { idx =>
+                  val sums = new Array[Long](3)
+                  var i = 0
+                  var good = true
+                  while (good && i < idx.length) {
+                    val v = idx(i) & 0xff
+                    if (v >= gctSize) good = false
+                    else {
+                      sums(0) += u8(p, gctOff + 3 * v)
+                      sums(1) += u8(p, gctOff + 3 * v + 1)
+                      sums(2) += u8(p, gctOff + 3 * v + 2)
+                    }
+                    i += 1
+                  }
+                  if (good) Some(sums) else None
+                }
+            }
+          }
+        }
+      }
+
     /** REAL sample decode for the uncompressed WAVE arm: 16-bit PCM
       * only (fmt audio-format tag must be 1, bits 16), signed
       * little-endian samples read out of the `data` chunk the scan
@@ -362,9 +547,11 @@ object Multimodal {
     * pixel sums (ΣR, ΣG, ΣB) through REAL zlib inflate + all-five
     * filter reversal ([[HeaderCodec.pngRgb8ChannelSums]]); 16-bit
     * PCM WAVE: (sample count, Σ|s|, Σs²) over the decoded signed
-    * samples — and 0 for the formats that would need codec libraries
-    * this container doesn't ship (GIF LZW, palette/alpha PNG,
-    * non-PCM audio: the remaining declared gap).
+    * samples; GIF: per-channel sums of the first frame's
+    * palette-resolved pixels through a REAL spec-implemented LZW
+    * decoder ([[HeaderCodec.gifFirstFramePixelSums]]) — and 0 for
+    * what's left (grey/alpha PNG, interlaced frames, non-PCM audio:
+    * the remaining declared gap).
     * Anything unrecognized falls back to deterministic content
     * features: an INTEGER byte-lane histogram (lane k sums the
     * unsigned bytes at positions ≡ k mod 8). Every emitted value is
@@ -385,6 +572,9 @@ object Multimodal {
                 .getOrElse(new Array[Long](3))
             case "image/png" =>
               HeaderCodec.pngRgb8ChannelSums(payload)
+                .getOrElse(new Array[Long](3))
+            case "image/gif" =>
+              HeaderCodec.gifFirstFramePixelSums(payload)
                 .getOrElse(new Array[Long](3))
             case "audio/wav" =>
               HeaderCodec.wavPcm16Samples(payload).map { smp =>

