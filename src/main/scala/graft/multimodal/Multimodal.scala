@@ -14,14 +14,16 @@ import org.apache.spark.sql.types._
   * bit depth / sample rate straight from the file-format specs), and
   * the content arms decode actual data with nothing beyond the JDK —
   * 24-bpp BI_RGB BMP pixel rows (per-channel sums, row padding
-  * excluded); 8-bit RGB and palette PNG through java.util.zip
-  * inflate + all-five filter reversal; GIF first frames through a
-  * spec-implemented LZW decoder + global-color-table resolution;
-  * 16-bit PCM WAVE samples (count / Σ|s| / Σs², plus per-frame
-  * energies for the audio-feature fan-out). Formats that genuinely
-  * need external codecs (JPEG DCT, video, non-PCM audio) and the
-  * remaining PNG/GIF variants (grey/alpha, interlaced) fall back to
-  * header-only or byte-lane features; payloads whose header matches
+  * excluded); every 8-bit PNG color type (grey / RGB / palette /
+  * grey+alpha / RGBA) through java.util.zip inflate + all-five
+  * filter reversal; GIF first frames (interlace included — a row
+  * permutation can't change a sum) through a spec-implemented LZW
+  * decoder + global-color-table resolution; 16-bit PCM WAVE samples
+  * (count / Σ|s| / Σs², plus per-frame energies for the
+  * audio-feature fan-out). Formats that genuinely need external
+  * codecs (JPEG DCT, video, non-PCM audio) and the exotic variants
+  * (16-bit / sub-8-bit PNG depths, Adam7, GIF local color tables)
+  * fall back to header-only or byte-lane features; payloads whose header matches
   * no container take [[Decoder]]'s deterministic byte-lane
   * histogram — the fallback keeps the mapPartitions plumbing
   * oracle-checkable on text payloads, and a full codec slots in as
@@ -178,26 +180,31 @@ object Multimodal {
       * decode for real — IDAT chunks concatenated, inflated, every
       * row's filter reversed (None/Sub/Up/Average/Paeth, all five,
       * at the color type's bpp distance), per-channel (ΣR, ΣG, ΣB)
-      * pixel sums returned as exact Longs. Strict where it matters
-      * (bit depth 8, compression/filter/interlace 0, inflated length
-      * must equal h·(1+bpp·w), unknown filter type or an index past
-      * the palette rejects); LENIENT on chunk CRCs (like most real
-      * decoders — and what lets the m02 oracle's declarative writer
-      * emit valid zlib via stored blocks + closed-form Adler-32
-      * without needing a CRC32 closed form, which doesn't exist).
-      * Grey/alpha color types fall back to header-only features —
-      * the remaining declared gap. */
+      * pixel sums returned as exact Longs. ALL five 8-bit color
+      * types decode: grey (0) contributes its value to every
+      * channel, RGB (2) per channel, palette (3) through PLTE,
+      * grey+alpha (4) the grey byte to every channel, RGBA (6) the
+      * color bytes per channel — alpha is transparency, not color,
+      * so it never enters a sum. Strict where it matters (bit depth
+      * 8, compression/filter/interlace 0, inflated length must equal
+      * h·(1+bpp·w), unknown filter type or an index past the palette
+      * rejects); LENIENT on chunk CRCs (like most real decoders —
+      * and what lets the m02 oracle's declarative writer emit valid
+      * zlib via stored blocks + closed-form Adler-32 without needing
+      * a CRC32 closed form, which doesn't exist). Remaining PNG
+      * gaps: 16-bit / sub-8-bit depths and Adam7 interlace. */
     def pngRgb8ChannelSums(p: Array[Byte]): Option[Array[Long]] =
       png(p).flatMap { info =>
-        val colorType = u8(p, 25)
-        // 8-bit, color type 2 (RGB, bpp 3) or 3 (palette, bpp 1),
+        val colorType = u8(p, 25).toInt
+        // 8-bit depth, every defined color type (0 grey, 2 RGB,
+        // 3 palette, 4 grey+alpha, 6 RGBA);
         // deflate/adaptive/non-interlaced only
-        if (u8(p, 24) != 8L ||
-            (colorType != 2L && colorType != 3L) ||
+        val bppByType = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+        if (u8(p, 24) != 8L || !bppByType.contains(colorType) ||
             u8(p, 26) != 0L || u8(p, 27) != 0L || u8(p, 28) != 0L)
           None
         else {
-          val bpp = if (colorType == 2L) 3 else 1
+          val bpp = bppByType(colorType)
           val w = info.width.toInt
           val h = info.height.toInt
           // chunk walk from the signature, concatenating IDAT data
@@ -222,7 +229,7 @@ object Multimodal {
               off += 12L + len
             }
           }
-          if (colorType == 3L && palette == null) ok = false
+          if (colorType == 3 && palette == null) ok = false
           val stride = 1 + bpp * w
           if (!ok || idat.size() == 0) None
           else {
@@ -277,12 +284,23 @@ object Multimodal {
                       case _ => (x + paeth(a, b, c)) & 0xff
                     }
                     cur(j) = v
-                    if (bpp == 3) sums(j % 3) += v
-                    else if (3 * v + 2 < palette.length) {
-                      sums(0) += palette(3 * v) & 0xff
-                      sums(1) += palette(3 * v + 1) & 0xff
-                      sums(2) += palette(3 * v + 2) & 0xff
-                    } else good = false // index past the palette
+                    colorType match {
+                      case 2 => sums(j % 3) += v
+                      case 0 => // grey: one byte -> every channel
+                        sums(0) += v; sums(1) += v; sums(2) += v
+                      case 4 => // grey+alpha: alpha is not color
+                        if (j % 2 == 0) {
+                          sums(0) += v; sums(1) += v; sums(2) += v
+                        }
+                      case 6 => // RGBA: alpha byte never enters
+                        if (j % 4 < 3) sums(j % 4) += v
+                      case _ => // palette
+                        if (3 * v + 2 < palette.length) {
+                          sums(0) += palette(3 * v) & 0xff
+                          sums(1) += palette(3 * v + 1) & 0xff
+                          sums(2) += palette(3 * v + 2) & 0xff
+                        } else good = false // index past the palette
+                    }
                     j += 1
                   }
                   val tmp = prev; prev = cur; cur = tmp
@@ -396,12 +414,16 @@ object Multimodal {
       * frame's sub-blocks are reassembled, LZW-decoded against the
       * GLOBAL color table, and per-channel (ΣR, ΣG, ΣB) sums
       * returned over the frame's palette-resolved pixels. Strict:
-      * the GCT must exist, the frame must be non-interlaced with no
-      * local color table, the decoded stream must carry exactly
-      * frame-w·h indices, every index inside the palette; extension
-      * blocks are skipped by the spec's sub-block walk. Interlaced
-      * or LCT frames fall back to header-only features — the
-      * remaining declared GIF gap. */
+      * the GCT must exist, the frame must carry no local color
+      * table, the decoded stream must carry exactly frame-w·h
+      * indices, every index inside the palette; extension blocks are
+      * skipped by the spec's sub-block walk. INTERLACED frames are
+      * accepted as-is: GIF interlace is a pure ROW PERMUTATION of
+      * the stored scanlines, and a sum is permutation-invariant, so
+      * no de-interlacing pass is needed for these statistics
+      * (per-pixel features would need the 4-pass reorder). LCT
+      * frames fall back to header-only features — the remaining
+      * declared GIF gap. */
     def gifFirstFramePixelSums(p: Array[Byte]): Option[Array[Long]] =
       gif(p).flatMap { _ =>
         val packed = u8(p, 10).toInt
@@ -436,7 +458,7 @@ object Multimodal {
             val iw = le16(p, img + 5).toInt
             val ih = le16(p, img + 7).toInt
             val ipacked = p(img + 9) & 0xff
-            if ((ipacked & 0x80) != 0 || (ipacked & 0x40) != 0 ||
+            if ((ipacked & 0x80) != 0 ||
                 iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 24))
               None
             else {
@@ -550,8 +572,8 @@ object Multimodal {
     * samples; GIF: per-channel sums of the first frame's
     * palette-resolved pixels through a REAL spec-implemented LZW
     * decoder ([[HeaderCodec.gifFirstFramePixelSums]]) — and 0 for
-    * what's left (grey/alpha PNG, interlaced frames, non-PCM audio:
-    * the remaining declared gap).
+    * what's left (16-bit/sub-8-bit PNG depths, Adam7, GIF local
+    * color tables, non-PCM audio: the remaining declared gap).
     * Anything unrecognized falls back to deterministic content
     * features: an INTEGER byte-lane histogram (lane k sums the
     * unsigned bytes at positions ≡ k mod 8). Every emitted value is

@@ -164,7 +164,8 @@ class MultimodalCodecSpec extends SparkSpec {
       List(0d, 0d, 0d))
     // truncated IDAT (chunk length points past the payload) → None
     assert(HeaderCodec.pngRgb8ChannelSums(png3x5.take(60)) === None)
-    // RGBA (color type 6) → header-only fallback, not a wrong sum
+    // MISDECLARED RGBA (color type byte flipped on RGB data): the
+    // inflated length no longer matches h·(1+4w) → reject
     val rgba = png3x5.clone(); rgba(25) = 6
     assert(HeaderCodec.pngRgb8ChannelSums(rgba) === None)
     // the 1×1 RGBA golden vector from the probe tests has no IDAT →
@@ -245,10 +246,16 @@ class MultimodalCodecSpec extends SparkSpec {
     val d = Multimodal.Decoder.decode(gifBig)
     assert(d.toList ===
       List(3d, 40d, 30d, 2d, 112d, 85800d, 131700d, 78000d))
-    // interlaced flag → header-only fallback
+    // interlaced flag: GIF interlace is a pure row permutation and
+    // sums are permutation-invariant → SAME sums, no deinterlace pass
     val inter = gifSmall.clone()
     inter(34) = 0x40 // image-descriptor packed byte
-    assert(HeaderCodec.gifFirstFramePixelSums(inter) === None)
+    assert(HeaderCodec.gifFirstFramePixelSums(inter).get.toList ===
+      List(1430L, 2195L, 1300L))
+    // a local color table still rejects (its bytes are not parsed)
+    val lct = gifSmall.clone()
+    lct(34) = 0x80.toByte
+    assert(HeaderCodec.gifFirstFramePixelSums(lct) === None)
     // truncated LZW data (chop before the terminator) → None
     assert(HeaderCodec.gifFirstFramePixelSums(
       gifSmall.take(gifSmall.length - 3)) === None)
@@ -263,6 +270,36 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(HeaderCodec.gifFirstFramePixelSums(gifHdr) === None)
     assert(Multimodal.Decoder.decode(gifHdr).toList.drop(5) ===
       List(0d, 0d, 0d))
+  }
+
+  // 3×4 RGBA PNG (color type 6), real deflate, all five filters at
+  // bpp=4: raw byte q = (5+3q) mod 251 → COLOR sums R 852, G 888,
+  // B 924 (the alpha lane never enters a sum)
+  private val pngRgba = bytes(
+    "89504E470D0A1A0A0000000D49484452000000030000000408060000004B2D85" +
+      "070000002749444154789C6360E5E0E6131411979255505663D4D4D137E28102" +
+      "261524C0ECEDE3E72F010500831B05C30B75D1180000000049454E44AE426082")
+
+  // 6×3 GREYSCALE PNG (color type 0): raw byte q = (100+9q) mod 256,
+  // total 3177 — grey contributes to all three channel sums
+  private val pngGrey = bytes(
+    "89504E470D0A1A0A0000000D4948445200000006000000030800000000956A21" +
+      "270000001749444154789C6348C92DABEF98C8388B130498CCC000003FD404EE" +
+      "DBA213520000000049454E44AE426082")
+
+  test("RGBA / grey PNG decode: alpha excluded, grey fills all " +
+    "channels") {
+    assert(HeaderCodec.pngRgb8ChannelSums(pngRgba).get.toList ===
+      List(852L, 888L, 924L))
+    assert(Multimodal.Decoder.decode(pngRgba).toList.drop(5) ===
+      List(852d, 888d, 924d))
+    assert(HeaderCodec.pngRgb8ChannelSums(pngGrey).get.toList ===
+      List(3177L, 3177L, 3177L))
+    // grey+alpha (type 4) with a type-4 payload is covered by the
+    // same bpp machinery; a MISDECLARED type (grey data relabeled
+    // grey+alpha) must reject on the length check
+    val ga = pngGrey.clone(); ga(25) = 4
+    assert(HeaderCodec.pngRgb8ChannelSums(ga) === None)
   }
 
   test("WAV PCM decode: s16le sign extension, strict guards hold") {
