@@ -726,6 +726,79 @@ object Streams {
           .as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("c"))
 
+  /** STREAMING FRAME ENERGY — batch m04's media-ingest twin on a
+    * live feed, completing the multimodal family's streaming arc:
+    * each arriving payload fans out to its frames INSIDE the same
+    * STATELESS per-partition decode boundary batch m04 uses
+    * ([[graft.multimodal.Multimodal.Decoder.frames]] — a real 16-bit
+    * PCM WAV decodes to 64-sample windows with Σs² energy, anything
+    * else to 64-byte Σb² windows), then ONE watermark-windowed
+    * per-media fold reassembles the frame rows into m04's aggregate
+    * columns. Every frame row carries its media's single event time,
+    * so each media lands in exactly one window and emits exactly
+    * once in Append mode when the watermark passes. Frame RMS and
+    * media RMS are the same exact-integer corrected-isqrt
+    * milli-units as batch m04 — replay lands row-for-row on the
+    * batch composition (spec-pinned, split-independent). State =
+    * in-flight windows only; payload bytes never survive the decode
+    * boundary (~40 B/frame is what the fold sees).
+    *
+    * Input: (ts, media_id, payload). Output per media: mime,
+    * n_frames, n_silent, max_energy, total_energy, total_units,
+    * rms_milli. */
+  def streamingFrameEnergy(media: DataFrame,
+                           lateness: String = "1 minute"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mime",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_units",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("energy",
+          org.apache.spark.sql.types.LongType))))
+    def isqrt(y: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+      val r0 = floor(sqrt(y.cast("double"))).cast("long")
+      r0 + when((r0 + 1) * (r0 + 1) <= y, 1L).otherwise(0L) -
+        when(r0 * r0 > y, 1L).otherwise(0L)
+    }
+    media
+      .select(col("ts"), col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val ts = r.getAs[java.sql.Timestamp]("ts")
+          val id = r.getAs[Long]("media_id")
+          graft.multimodal.Multimodal.Decoder
+            .frames(r.getAs[Array[Byte]]("payload")).map {
+              case (mime, _, n, e) =>
+                org.apache.spark.sql.Row(ts, id, mime, n, e)
+            }
+        }
+      }(enc)
+      // watermark AFTER the decode: event-time metadata does not
+      // survive an object-level mapPartitions, so tag the re-emitted
+      // ts column (each media's frames share one event time)
+      .withWatermark("ts", lateness)
+      .withColumn("frame_rms_milli",
+        isqrt(expr("(1000000 * energy) DIV n_units")))
+      .groupBy(window(col("ts"), "1 minute"), col("media_id"),
+        col("mime"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("frame_rms_milli") < 100000L, 1L)
+          .otherwise(0L)).as("n_silent"),
+        max("energy").as("max_energy"),
+        sum("energy").as("total_energy"),
+        sum("n_units").as("total_units"))
+      .withColumn("rms_milli",
+        isqrt(expr("(1000000 * total_energy) DIV total_units")))
+      .select("media_id", "mime", "n_frames", "n_silent",
+        "max_energy", "total_energy", "total_units", "rms_milli")
+  }
+
   /** STREAMING TARGET-LM SCORING — the serve half of batch t27 (the
     * second-stage quality gate a live feed runs after the cheap
     * [[streamingClassify]] pass): each arriving document's char

@@ -207,6 +207,17 @@ object StreamBench {
             .as("text")),
         (0L until 64L).map(b => b -> (b - 32L) * 1000L).toMap,
         priorMicro = 5000L), "append")
+    // media frame-energy ingest: stateless per-partition frame
+    // decode (text payloads -> 64-byte windows) + watermark-windowed
+    // per-media fold — state = in-flight windows only
+    drive("frame_energy",
+      Streams.streamingFrameEnergy(syntheticEvents()
+        .select(col("ts"), col("event_id").as("media_id"),
+          concat_ws(" ",
+            (0 until 8).map(i => concat(lit("w"),
+              pmod(col("event_id") * (i * 2 + 1), lit(200L)))): _*)
+            .cast("binary").as("payload")),
+        lateness = "30 seconds"), "append")
     // composed gate->monitors chain as ONE query: stateless NB gate,
     // admitted rows feed BOTH bounded sketches through one tagged
     // Update aggregate (state <= |sources|*64 + 4*16 keys forever)

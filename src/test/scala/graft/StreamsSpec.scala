@@ -827,6 +827,87 @@ class StreamsSpec extends SparkSpec {
       s"gate admits $nGated of ${docs.length} — vacuous")
   }
 
+  test("streamingFrameEnergy == batch m04 composition on identical " +
+    "payloads (real WAV + text arms, split-independent)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, expr, floor,
+      lit, max, sqrt, sum, when}
+    val dir = sf("sf0.001")
+    // build the SAME payload mix batch m04 constructs, driver-side:
+    // odd ids -> mono 16-bit PCM WAV with planted varying samples,
+    // even ids -> raw text bytes
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def wavBytes(id: Long, nSamples: Int): Array[Byte] = {
+      val rate = 8000L + (id % 5) * 1000L
+      val data = (0 until nSamples).flatMap { k =>
+        val s = ((id * 31 + k * 7) % 997 - 498).toInt
+        le(s & 0xffffL, 2)
+      }.toArray
+      "RIFF".getBytes ++ le(data.length + 36L, 4) ++
+        "WAVE".getBytes ++ "fmt ".getBytes ++ le(16L, 4) ++
+        le(1L, 2) ++ le(1L, 2) ++ le(rate, 4) ++ le(rate * 2, 4) ++
+        le(2L, 2) ++ le(16L, 2) ++
+        "data".getBytes ++ le(data.length.toLong, 4) ++ data
+    }
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val base = 1704067200000L
+    val timed = docs.zipWithIndex.map { case ((id, tx), i) =>
+      val payload =
+        if (id % 2 == 1) wavBytes(id, tx.length)
+        else tx.getBytes("UTF-8")
+      (new Timestamp(base + (i / 20) * 60000L + (i % 20) * 1000L),
+        id, payload)
+    }
+    val mem = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val df = mem.toDF().toDF("ts", "media_id", "payload")
+    val q = Streams.streamingFrameEnergy(df, lateness = "30 seconds")
+      .writeStream.format("memory").queryName("fenergy")
+      .outputMode(OutputMode.Append()).start()
+    val streamed = try {
+      val (b1, rest) = timed.splitAt(37)
+      val (b2, b3) = rest.splitAt(191)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      // one late tick far past every window so the watermark closes
+      // them all and Append emits the tail
+      mem.addData((new Timestamp(base + 3600L * 1000000L), -1L,
+        "zz".getBytes("UTF-8")))
+      q.processAllAvailable()
+      spark.table("fenergy").filter(col("media_id") >= 0).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    } finally q.stop()
+    // the identical batch composition over the same payloads
+    def isqrtC(y: org.apache.spark.sql.Column) = {
+      val r0 = floor(sqrt(y.cast("double"))).cast("long")
+      r0 + when((r0 + 1) * (r0 + 1) <= y, 1L).otherwise(0L) -
+        when(r0 * r0 > y, 1L).otherwise(0L)
+    }
+    val payloadDf = spark.createDataFrame(
+      timed.map(t => (t._2, t._3)).toSeq).toDF("media_id", "payload")
+    val batch = graft.multimodal.Multimodal
+      .extractFrameFeatures(spark, payloadDf)
+      .withColumn("frame_rms_milli",
+        isqrtC(expr("(1000000 * energy) DIV n_units")))
+      .groupBy("media_id", "mime")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("frame_rms_milli") < 100000L, 1L)
+          .otherwise(0L)).as("n_silent"),
+        max("energy").as("max_energy"),
+        sum("energy").as("total_energy"),
+        sum("n_units").as("total_units"))
+      .withColumn("rms_milli",
+        isqrtC(expr("(1000000 * total_energy) DIV total_units")))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // both arms live: real PCM media and byte-window media present
+    assert(streamed.values.exists(_.head == "audio/wav"))
+    assert(streamed.values.exists(_.head == "application/octet-stream"))
+  }
+
   test("streamingTargetLm == batch t27 per-doc rows (train batch, " +
     "serve stream, split-independent)") {
     implicit val sqlCtx = spark.sqlContext
