@@ -18,11 +18,12 @@ import org.apache.spark.sql.types._
   * grey+alpha / RGBA) through java.util.zip inflate + all-five
   * filter reversal; GIF first frames (interlace included — a row
   * permutation can't change a sum) through a spec-implemented LZW
-  * decoder + global-color-table resolution; 16-bit PCM WAVE samples
+  * decoder + color-table resolution (local table wins per spec);
+  * 16-bit PCM WAVE samples
   * (count / Σ|s| / Σs², plus per-frame energies for the
   * audio-feature fan-out). Formats that genuinely need external
   * codecs (JPEG DCT, video, non-PCM audio) and the exotic variants
-  * (16-bit / sub-8-bit PNG depths, Adam7, GIF local color tables)
+  * (16-bit / sub-8-bit PNG depths, Adam7 interlace)
   * fall back to header-only or byte-lane features; payloads whose header matches
   * no container take [[Decoder]]'s deterministic byte-lane
   * histogram — the fallback keeps the mapPartitions plumbing
@@ -413,24 +414,25 @@ object Multimodal {
       * lines, no library needed ([[lzwDecode]]): the FIRST image
       * frame's sub-blocks are reassembled, LZW-decoded against the
       * GLOBAL color table, and per-channel (ΣR, ΣG, ΣB) sums
-      * returned over the frame's palette-resolved pixels. Strict:
-      * the GCT must exist, the frame must carry no local color
-      * table, the decoded stream must carry exactly frame-w·h
-      * indices, every index inside the palette; extension blocks are
-      * skipped by the spec's sub-block walk. INTERLACED frames are
-      * accepted as-is: GIF interlace is a pure ROW PERMUTATION of
-      * the stored scanlines, and a sum is permutation-invariant, so
-      * no de-interlacing pass is needed for these statistics
-      * (per-pixel features would need the 4-pass reorder). LCT
-      * frames fall back to header-only features — the remaining
-      * declared GIF gap. */
+      * returned over the frame's palette-resolved pixels. The
+      * frame's LOCAL color table, when present, wins over the
+      * global one (per spec); at least one of the two must exist.
+      * Strict: the decoded stream must carry exactly frame-w·h
+      * indices, every index inside the active palette; extension
+      * blocks are skipped by the spec's sub-block walk. INTERLACED
+      * frames are accepted as-is: GIF interlace is a pure ROW
+      * PERMUTATION of the stored scanlines, and a sum is
+      * permutation-invariant, so no de-interlacing pass is needed
+      * for these statistics (per-pixel features would need the
+      * 4-pass reorder). */
     def gifFirstFramePixelSums(p: Array[Byte]): Option[Array[Long]] =
       gif(p).flatMap { _ =>
         val packed = u8(p, 10).toInt
-        val gctSize = 2 << (packed & 7)
+        val hasGct = (packed & 0x80) != 0
+        val gctSize = if (hasGct) 2 << (packed & 7) else 0
         val gctOff = 13
         val gctLen = 3 * gctSize
-        if ((packed & 0x80) == 0 || gctOff + gctLen > p.length) None
+        if (gctOff + gctLen > p.length) None
         else {
           // block walk to the first image descriptor
           var off = gctOff + gctLen
@@ -458,12 +460,19 @@ object Multimodal {
             val iw = le16(p, img + 5).toInt
             val ih = le16(p, img + 7).toInt
             val ipacked = p(img + 9) & 0xff
-            if ((ipacked & 0x80) != 0 ||
+            // the frame's local color table (if flagged) follows the
+            // descriptor and REPLACES the global one for this frame
+            val hasLct = (ipacked & 0x80) != 0
+            val lctSize = if (hasLct) 2 << (ipacked & 7) else 0
+            val palOff = if (hasLct) img + 10 else gctOff
+            val palSize = if (hasLct) lctSize else gctSize
+            val dataOff = img + 10 + 3 * lctSize
+            if (palSize == 0 || dataOff + 1 > p.length ||
                 iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 24))
               None
             else {
-              val minCode = p(img + 10) & 0xff
-              var o2 = img + 11
+              val minCode = p(dataOff) & 0xff
+              var o2 = dataOff + 1
               val dat = new java.io.ByteArrayOutputStream()
               var done = false
               var bad2 = minCode < 2 || minCode > 8
@@ -481,14 +490,14 @@ object Multimodal {
                 .flatMap { idx =>
                   val sums = new Array[Long](3)
                   var i = 0
-                  var good = true
+                  var good = palOff + 3 * palSize <= p.length
                   while (good && i < idx.length) {
                     val v = idx(i) & 0xff
-                    if (v >= gctSize) good = false
+                    if (v >= palSize) good = false
                     else {
-                      sums(0) += u8(p, gctOff + 3 * v)
-                      sums(1) += u8(p, gctOff + 3 * v + 1)
-                      sums(2) += u8(p, gctOff + 3 * v + 2)
+                      sums(0) += u8(p, palOff + 3 * v)
+                      sums(1) += u8(p, palOff + 3 * v + 1)
+                      sums(2) += u8(p, palOff + 3 * v + 2)
                     }
                     i += 1
                   }
@@ -572,8 +581,8 @@ object Multimodal {
     * samples; GIF: per-channel sums of the first frame's
     * palette-resolved pixels through a REAL spec-implemented LZW
     * decoder ([[HeaderCodec.gifFirstFramePixelSums]]) — and 0 for
-    * what's left (16-bit/sub-8-bit PNG depths, Adam7, GIF local
-    * color tables, non-PCM audio: the remaining declared gap).
+    * what's left (16-bit/sub-8-bit PNG depths, Adam7, non-PCM
+    * audio: the remaining declared gap).
     * Anything unrecognized falls back to deterministic content
     * features: an INTEGER byte-lane histogram (lane k sums the
     * unsigned bytes at positions ≡ k mod 8). Every emitted value is

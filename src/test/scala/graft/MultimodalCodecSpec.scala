@@ -252,10 +252,19 @@ class MultimodalCodecSpec extends SparkSpec {
     inter(34) = 0x40 // image-descriptor packed byte
     assert(HeaderCodec.gifFirstFramePixelSums(inter).get.toList ===
       List(1430L, 2195L, 1300L))
-    // a local color table still rejects (its bytes are not parsed)
-    val lct = gifSmall.clone()
-    lct(34) = 0x80.toByte
-    assert(HeaderCodec.gifFirstFramePixelSums(lct) === None)
+    // a CORRUPT local-color-table flag (no LCT bytes follow — the
+    // supposed LCT swallows the minCode/data region) must reject or
+    // at least never crash; here the stream no longer parses
+    val lctFlag = gifSmall.clone()
+    lctFlag(34) = 0x80.toByte
+    assert(HeaderCodec.gifFirstFramePixelSums(lctFlag) === None)
+    // a REAL local color table wins over the (deliberately zeroed)
+    // global one — per-spec LCT precedence, python ground truth
+    val gifLct = bytes(
+      "474946383961050004009100000000000000000000000000002C000000000500" +
+        "0400810B1621FAF0E601020363584D02064434869AD758003B")
+    assert(HeaderCodec.gifFirstFramePixelSums(gifLct).get.toList ===
+      List(1805L, 1760L, 1715L))
     // truncated LZW data (chop before the terminator) → None
     assert(HeaderCodec.gifFirstFramePixelSums(
       gifSmall.take(gifSmall.length - 3)) === None)
