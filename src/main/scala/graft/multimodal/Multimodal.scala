@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * (count / Σ|s| / Σs², plus per-frame energies for the
   * audio-feature fan-out). Formats that genuinely need external
   * codecs (JPEG DCT, video, non-PCM audio) and the exotic variants
-  * (16-bit / sub-8-bit PNG depths, Adam7 interlace)
+  * (sub-8-bit PNG depths, Adam7 interlace)
   * fall back to header-only or byte-lane features; payloads whose header matches
   * no container take [[Decoder]]'s deterministic byte-lane
   * histogram — the fallback keeps the mapPartitions plumbing
@@ -182,12 +182,15 @@ object Multimodal {
       * row's filter reversed (None/Sub/Up/Average/Paeth, all five,
       * at the color type's bpp distance), per-channel (ΣR, ΣG, ΣB)
       * pixel sums returned as exact Longs. ALL five 8-bit color
-      * types decode: grey (0) contributes its value to every
+      * types decode — grey (0) contributes its value to every
       * channel, RGB (2) per channel, palette (3) through PLTE,
-      * grey+alpha (4) the grey byte to every channel, RGBA (6) the
-      * color bytes per channel — alpha is transparency, not color,
-      * so it never enters a sum. Strict where it matters (bit depth
-      * 8, compression/filter/interlace 0, inflated length must equal
+      * grey+alpha (4) the grey sample to every channel, RGBA (6) the
+      * color samples per channel (alpha is transparency, not color,
+      * so it never enters a sum) — and the non-palette types at
+      * 16-BIT depth too (big-endian samples; filters operate
+      * per-BYTE at the pixel's byte distance per the spec; sums are
+      * over the full 16-bit values). Strict where it matters
+      * (compression/filter/interlace 0, inflated length must equal
       * h·(1+bpp·w), unknown filter type or an index past the palette
       * rejects); LENIENT on chunk CRCs (like most real decoders —
       * and what lets the m02 oracle's declarative writer emit valid
@@ -197,15 +200,20 @@ object Multimodal {
     def pngRgb8ChannelSums(p: Array[Byte]): Option[Array[Long]] =
       png(p).flatMap { info =>
         val colorType = u8(p, 25).toInt
-        // 8-bit depth, every defined color type (0 grey, 2 RGB,
-        // 3 palette, 4 grey+alpha, 6 RGBA);
-        // deflate/adaptive/non-interlaced only
-        val bppByType = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
-        if (u8(p, 24) != 8L || !bppByType.contains(colorType) ||
+        val depth = u8(p, 24).toInt
+        // every defined color type (0 grey, 2 RGB, 3 palette,
+        // 4 grey+alpha, 6 RGBA) at 8-bit depth, plus the non-palette
+        // types at 16-bit (big-endian samples; sums are over the
+        // full 16-bit values); deflate/adaptive/non-interlaced only
+        val chByType = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+        val depthOk = depth == 8 ||
+          (depth == 16 && colorType != 3)
+        if (!depthOk || !chByType.contains(colorType) ||
             u8(p, 26) != 0L || u8(p, 27) != 0L || u8(p, 28) != 0L)
           None
         else {
-          val bpp = bppByType(colorType)
+          val sampleBytes = depth / 8
+          val bpp = chByType(colorType) * sampleBytes
           val w = info.width.toInt
           val h = info.height.toInt
           // chunk walk from the signature, concatenating IDAT data
@@ -285,22 +293,31 @@ object Multimodal {
                       case _ => (x + paeth(a, b, c)) & 0xff
                     }
                     cur(j) = v
-                    colorType match {
-                      case 2 => sums(j % 3) += v
-                      case 0 => // grey: one byte -> every channel
-                        sums(0) += v; sums(1) += v; sums(2) += v
-                      case 4 => // grey+alpha: alpha is not color
-                        if (j % 2 == 0) {
-                          sums(0) += v; sums(1) += v; sums(2) += v
-                        }
-                      case 6 => // RGBA: alpha byte never enters
-                        if (j % 4 < 3) sums(j % 4) += v
-                      case _ => // palette
-                        if (3 * v + 2 < palette.length) {
-                          sums(0) += palette(3 * v) & 0xff
-                          sums(1) += palette(3 * v + 1) & 0xff
-                          sums(2) += palette(3 * v + 2) & 0xff
-                        } else good = false // index past the palette
+                    // accumulate per SAMPLE: at depth 16 a sample is
+                    // the big-endian pair (previous byte << 8 | v),
+                    // complete when j lands on the low byte
+                    if (sampleBytes == 1 || j % 2 == 1) {
+                      val sv =
+                        if (sampleBytes == 1) v
+                        else (cur(j - 1) << 8) | v
+                      val si = j / sampleBytes // sample index in row
+                      colorType match {
+                        case 2 => sums(si % 3) += sv
+                        case 0 => // grey: one sample -> every channel
+                          sums(0) += sv; sums(1) += sv; sums(2) += sv
+                        case 4 => // grey+alpha: alpha is not color
+                          if (si % 2 == 0) {
+                            sums(0) += sv; sums(1) += sv; sums(2) += sv
+                          }
+                        case 6 => // RGBA: alpha sample never enters
+                          if (si % 4 < 3) sums(si % 4) += sv
+                        case _ => // palette (8-bit only)
+                          if (3 * sv + 2 < palette.length) {
+                            sums(0) += palette(3 * sv) & 0xff
+                            sums(1) += palette(3 * sv + 1) & 0xff
+                            sums(2) += palette(3 * sv + 2) & 0xff
+                          } else good = false // index past the palette
+                      }
                     }
                     j += 1
                   }
@@ -581,8 +598,8 @@ object Multimodal {
     * samples; GIF: per-channel sums of the first frame's
     * palette-resolved pixels through a REAL spec-implemented LZW
     * decoder ([[HeaderCodec.gifFirstFramePixelSums]]) — and 0 for
-    * what's left (16-bit/sub-8-bit PNG depths, Adam7, non-PCM
-    * audio: the remaining declared gap).
+    * what's left (sub-8-bit PNG depths, Adam7, non-PCM audio: the
+    * remaining declared gap).
     * Anything unrecognized falls back to deterministic content
     * features: an INTEGER byte-lane histogram (lane k sums the
     * unsigned bytes at positions ≡ k mod 8). Every emitted value is

@@ -309,6 +309,18 @@ class MultimodalCodecSpec extends SparkSpec {
     // grey+alpha) must reject on the length check
     val ga = pngGrey.clone(); ga(25) = 4
     assert(HeaderCodec.pngRgb8ChannelSums(ga) === None)
+    // 2x3 16-BIT RGB (real deflate, all five filter types over the
+    // first five rows' worth): big-endian sample sums R 127538,
+    // G 161462, B 195130 (python zlib ground truth)
+    val png16 = bytes(
+      "89504E470D0A1A0A0000000D4948445200000002000000031002000000661895" +
+        "950000002249444154789C6360E69354D1B7720D884E2BAC616C9F3477C5E67D" +
+        "4E60C0D4820400F1A20E899924C4A70000000049454E44AE426082")
+    assert(HeaderCodec.pngRgb8ChannelSums(png16).get.toList ===
+      List(127538L, 161462L, 195130L))
+    // 16-bit PALETTE is not a defined PNG combination → reject
+    val p16 = png16.clone(); p16(25) = 3
+    assert(HeaderCodec.pngRgb8ChannelSums(p16) === None)
   }
 
   test("WAV PCM decode: s16le sign extension, strict guards hold") {

@@ -55,11 +55,14 @@ class MultimodalFuzzSpec extends SparkSpec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  test("PNG writer->decoder round trip over 60 random images " +
-    "(all color types, real deflate, random per-row filters)") {
-    (1 to 60).foreach { trial =>
+  test("PNG writer->decoder round trip over 80 random images " +
+    "(all color types, 8- and 16-bit, real deflate, random filters)") {
+    (1 to 80).foreach { trial =>
       val colorType = Seq(0, 2, 3, 4, 6)(rnd.nextInt(5))
-      val bpp = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(colorType)
+      val depth = if (colorType == 3) 8
+        else Seq(8, 16)(rnd.nextInt(2))
+      val ch = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(colorType)
+      val bpp = ch * (depth / 8)
       val w = 1 + rnd.nextInt(24)
       val h = 1 + rnd.nextInt(12)
       val palN = 2 + rnd.nextInt(127)
@@ -100,7 +103,7 @@ class MultimodalFuzzSpec extends SparkSpec {
         be(data.length.toLong, 4) ++ typ.getBytes ++ data ++
           le(0L, 4) // CRC lenient
       val ihdr = be(w.toLong, 4) ++ be(h.toLong, 4) ++
-        Array[Byte](8, colorType.toByte, 0, 0, 0)
+        Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
       val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
           0x1a, 0x0a) ++
         chunk("IHDR", ihdr) ++
@@ -108,26 +111,29 @@ class MultimodalFuzzSpec extends SparkSpec {
           chunk("PLTE", palette.map(_.toByte)) else Array.empty[Byte]) ++
         chunk("IDAT", comp.take(compLen)) ++
         chunk("IEND", Array.empty)
-      // channel-sum truth
+      // channel-sum truth over SAMPLES (16-bit: big-endian pairs)
       val want = Array.ofDim[Long](3)
-      for (r <- 0 until h; j <- 0 until bpp * w) {
-        val v = raw(r)(j)
+      val sb = depth / 8
+      for (r <- 0 until h; si <- 0 until ch * w) {
+        val v = if (sb == 1) raw(r)(si)
+          else (raw(r)(2 * si) << 8) | raw(r)(2 * si + 1)
         colorType match {
           case 0 => want(0) += v; want(1) += v; want(2) += v
-          case 2 => want(j % 3) += v
+          case 2 => want(si % 3) += v
           case 3 =>
             want(0) += palette(3 * v)
             want(1) += palette(3 * v + 1)
             want(2) += palette(3 * v + 2)
-          case 4 => if (j % 2 == 0) {
+          case 4 => if (si % 2 == 0) {
             want(0) += v; want(1) += v; want(2) += v
           }
-          case _ => if (j % 4 < 3) want(j % 4) += v
+          case _ => if (si % 4 < 3) want(si % 4) += v
         }
       }
       val got = HeaderCodec.pngRgb8ChannelSums(png)
       assert(got.exists(_.toList == want.toList),
-        s"trial $trial type=$colorType w=$w h=$h got=$got")
+        s"trial $trial type=$colorType depth=$depth w=$w h=$h " +
+          s"got=$got want=${want.toList}")
     }
   }
 
