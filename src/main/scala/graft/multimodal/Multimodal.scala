@@ -22,9 +22,8 @@ import org.apache.spark.sql.types._
   * 16-bit PCM WAVE samples
   * (count / Σ|s| / Σs², plus per-frame energies for the
   * audio-feature fan-out). Formats that genuinely need external
-  * codecs (JPEG DCT, video, non-PCM audio) and the exotic variants
-  * (sub-8-bit PNG depths, Adam7 interlace)
-  * fall back to header-only or byte-lane features; payloads whose header matches
+  * codecs (JPEG DCT, video, non-PCM audio) and Adam7-interlaced
+  * PNGs fall back to header-only or byte-lane features; payloads whose header matches
   * no container take [[Decoder]]'s deterministic byte-lane
   * histogram — the fallback keeps the mapPartitions plumbing
   * oracle-checkable on text payloads, and a full codec slots in as
@@ -186,10 +185,13 @@ object Multimodal {
       * channel, RGB (2) per channel, palette (3) through PLTE,
       * grey+alpha (4) the grey sample to every channel, RGBA (6) the
       * color samples per channel (alpha is transparency, not color,
-      * so it never enters a sum) — and the non-palette types at
-      * 16-BIT depth too (big-endian samples; filters operate
-      * per-BYTE at the pixel's byte distance per the spec; sums are
-      * over the full 16-bit values). Strict where it matters
+      * so it never enters a sum) — and EVERY other defined depth:
+      * 16-bit for the non-palette types (big-endian samples; filters
+      * operate per-BYTE at the pixel's byte distance per the spec;
+      * sums over the full 16-bit values) and 1/2/4-bit grey and
+      * palette (MSB-first unpacking, trailing pad bits excluded).
+      * That is the complete non-interlaced PNG matrix. Strict where
+      * it matters
       * (compression/filter/interlace 0, inflated length must equal
       * h·(1+bpp·w), unknown filter type or an index past the palette
       * rejects); LENIENT on chunk CRCs (like most real decoders —
@@ -206,14 +208,18 @@ object Multimodal {
         // types at 16-bit (big-endian samples; sums are over the
         // full 16-bit values); deflate/adaptive/non-interlaced only
         val chByType = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+        // defined (depth, type) combos: 8-bit everything, 16-bit
+        // non-palette, 1/2/4-bit grey and palette
         val depthOk = depth == 8 ||
-          (depth == 16 && colorType != 3)
+          (depth == 16 && colorType != 3) ||
+          (Set(1, 2, 4).contains(depth) &&
+            (colorType == 0 || colorType == 3))
         if (!depthOk || !chByType.contains(colorType) ||
             u8(p, 26) != 0L || u8(p, 27) != 0L || u8(p, 28) != 0L)
           None
         else {
-          val sampleBytes = depth / 8
-          val bpp = chByType(colorType) * sampleBytes
+          val sampleBytes = depth / 8 // 0 for sub-byte depths
+          val bpp = math.max(1, chByType(colorType) * sampleBytes)
           val w = info.width.toInt
           val h = info.height.toInt
           // chunk walk from the signature, concatenating IDAT data
@@ -239,7 +245,10 @@ object Multimodal {
             }
           }
           if (colorType == 3 && palette == null) ok = false
-          val stride = 1 + bpp * w
+          // bytes per scanline: ceil(w·channels·depth / 8)
+          val rowBytes =
+            (w.toLong * chByType(colorType) * depth + 7).toInt / 8
+          val stride = 1 + rowBytes
           if (!ok || idat.size() == 0) None
           else {
             val raw = new Array[Byte](stride * h)
@@ -269,7 +278,6 @@ object Multimodal {
                 if (pa <= pb && pa <= pc) a
                 else if (pb <= pc) b else c
               }
-              val rowBytes = bpp * w
               val sums = new Array[Long](3)
               var prev = new Array[Int](rowBytes)
               var cur = new Array[Int](rowBytes)
@@ -293,10 +301,25 @@ object Multimodal {
                       case _ => (x + paeth(a, b, c)) & 0xff
                     }
                     cur(j) = v
-                    // accumulate per SAMPLE: at depth 16 a sample is
-                    // the big-endian pair (previous byte << 8 | v),
-                    // complete when j lands on the low byte
-                    if (sampleBytes == 1 || j % 2 == 1) {
+                    // accumulate per SAMPLE. Sub-byte depths: unpack
+                    // MSB-first, capped at w samples (trailing pad
+                    // bits are not pixels)
+                    if (depth < 8) {
+                      val per = 8 / depth
+                      val mask = (1 << depth) - 1
+                      var k = 0
+                      while (good && k < per && j * per + k < w) {
+                        val sv = (v >> (8 - depth * (k + 1))) & mask
+                        if (colorType == 0) {
+                          sums(0) += sv; sums(1) += sv; sums(2) += sv
+                        } else if (3 * sv + 2 < palette.length) {
+                          sums(0) += palette(3 * sv) & 0xff
+                          sums(1) += palette(3 * sv + 1) & 0xff
+                          sums(2) += palette(3 * sv + 2) & 0xff
+                        } else good = false
+                        k += 1
+                      }
+                    } else if (sampleBytes == 1 || j % 2 == 1) {
                       val sv =
                         if (sampleBytes == 1) v
                         else (cur(j - 1) << 8) | v
@@ -598,7 +621,7 @@ object Multimodal {
     * samples; GIF: per-channel sums of the first frame's
     * palette-resolved pixels through a REAL spec-implemented LZW
     * decoder ([[HeaderCodec.gifFirstFramePixelSums]]) — and 0 for
-    * what's left (sub-8-bit PNG depths, Adam7, non-PCM audio: the
+    * what's left (Adam7-interlaced PNG, non-PCM audio: the
     * remaining declared gap).
     * Anything unrecognized falls back to deterministic content
     * features: an INTEGER byte-lane histogram (lane k sums the

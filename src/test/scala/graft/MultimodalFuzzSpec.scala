@@ -55,28 +55,46 @@ class MultimodalFuzzSpec extends SparkSpec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  test("PNG writer->decoder round trip over 80 random images " +
-    "(all color types, 8- and 16-bit, real deflate, random filters)") {
-    (1 to 80).foreach { trial =>
+  test("PNG writer->decoder round trip over 100 random images " +
+    "(all color types, 1/2/4/8/16-bit, real deflate, random filters)") {
+    (1 to 100).foreach { trial =>
       val colorType = Seq(0, 2, 3, 4, 6)(rnd.nextInt(5))
-      val depth = if (colorType == 3) 8
-        else Seq(8, 16)(rnd.nextInt(2))
+      val depth = colorType match {
+        case 0 => Seq(1, 2, 4, 8, 16)(rnd.nextInt(5))
+        case 3 => Seq(1, 2, 4, 8)(rnd.nextInt(4))
+        case _ => Seq(8, 16)(rnd.nextInt(2))
+      }
       val ch = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(colorType)
-      val bpp = ch * (depth / 8)
       val w = 1 + rnd.nextInt(24)
       val h = 1 + rnd.nextInt(12)
-      val palN = 2 + rnd.nextInt(127)
+      val maxV = (1L << depth).toInt - 1
+      val palN = math.min(1 + rnd.nextInt(126) + 1, maxV + 1)
       val palette = Array.fill(3 * palN)(rnd.nextInt(256))
-      val raw = Array.fill(h, bpp * w)(
-        if (colorType == 3) rnd.nextInt(palN) else rnd.nextInt(256))
-      // filter each row with a random type
+      // per-row SAMPLES (palette indices bounded by the table)
+      val samples = Array.fill(h, ch * w)(
+        if (colorType == 3) rnd.nextInt(palN)
+        else rnd.nextInt(maxV + 1))
+      // pack samples into scanline bytes
+      def packRow(row: Array[Int]): Array[Int] = depth match {
+        case 16 => row.flatMap(v => Seq((v >> 8) & 0xff, v & 0xff))
+        case 8 => row
+        case d =>
+          val per = 8 / d
+          val out = Array.fill((row.length + per - 1) / per)(0)
+          row.zipWithIndex.foreach { case (v, i) =>
+            out(i / per) |= v << (8 - d * (i % per + 1))
+          }
+          out
+      }
+      val packed = samples.map(packRow)
+      val bpp = math.max(1, ch * (depth / 8))
       val stream = new java.io.ByteArrayOutputStream()
-      var prev = new Array[Int](bpp * w)
+      var prev = new Array[Int](packed(0).length)
       for (r <- 0 until h) {
         val t = rnd.nextInt(5)
         stream.write(t)
-        val cur = raw(r)
-        for (j <- 0 until bpp * w) {
+        val cur = packed(r)
+        for (j <- cur.indices) {
           val a = if (j >= bpp) cur(j - bpp) else 0
           val b = prev(j)
           val c = if (j >= bpp) prev(j - bpp) else 0
@@ -92,7 +110,7 @@ class MultimodalFuzzSpec extends SparkSpec {
         }
         prev = cur
       }
-      // REAL zlib deflate (best-compression level varies the stream)
+      // REAL zlib deflate (compression level varies the stream)
       val defl = new java.util.zip.Deflater(1 + rnd.nextInt(9))
       defl.setInput(stream.toByteArray)
       defl.finish()
@@ -111,12 +129,10 @@ class MultimodalFuzzSpec extends SparkSpec {
           chunk("PLTE", palette.map(_.toByte)) else Array.empty[Byte]) ++
         chunk("IDAT", comp.take(compLen)) ++
         chunk("IEND", Array.empty)
-      // channel-sum truth over SAMPLES (16-bit: big-endian pairs)
+      // channel-sum truth from the SAMPLES
       val want = Array.ofDim[Long](3)
-      val sb = depth / 8
       for (r <- 0 until h; si <- 0 until ch * w) {
-        val v = if (sb == 1) raw(r)(si)
-          else (raw(r)(2 * si) << 8) | raw(r)(2 * si + 1)
+        val v = samples(r)(si)
         colorType match {
           case 0 => want(0) += v; want(1) += v; want(2) += v
           case 2 => want(si % 3) += v
