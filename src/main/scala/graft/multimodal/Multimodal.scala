@@ -22,8 +22,8 @@ import org.apache.spark.sql.types._
   * 16-bit PCM WAVE samples
   * (count / Σ|s| / Σs², plus per-frame energies for the
   * audio-feature fan-out). Formats that genuinely need external
-  * codecs (JPEG DCT, video, non-PCM audio) and Adam7-interlaced
-  * PNGs fall back to header-only or byte-lane features; payloads whose header matches
+  * codecs (JPEG DCT, video, non-PCM audio) fall back to
+  * header-only or byte-lane features; payloads whose header matches
   * no container take [[Decoder]]'s deterministic byte-lane
   * histogram — the fallback keeps the mapPartitions plumbing
   * oracle-checkable on text payloads, and a full codec slots in as
@@ -190,10 +190,14 @@ object Multimodal {
       * operate per-BYTE at the pixel's byte distance per the spec;
       * sums over the full 16-bit values) and 1/2/4-bit grey and
       * palette (MSB-first unpacking, trailing pad bits excluded).
-      * That is the complete non-interlaced PNG matrix. Strict where
-      * it matters
-      * (compression/filter/interlace 0, inflated length must equal
-      * h·(1+bpp·w), unknown filter type or an index past the palette
+      * ADAM7-interlaced images decode too: the seven passes
+      * PARTITION the pixels, so channel sums are the sum over the
+      * pass sub-images (each unfiltered independently at its own
+      * scanline width) with no pixel placement needed. That is the
+      * COMPLETE PNG matrix — every defined depth × color type ×
+      * interlace combination. Strict where it matters (compression/
+      * filter methods 0, inflated length must equal the exact pass
+      * geometry, unknown filter type or an index past the palette
       * rejects); LENIENT on chunk CRCs (like most real decoders —
       * and what lets the m02 oracle's declarative writer emit valid
       * zlib via stored blocks + closed-form Adler-32 without needing
@@ -214,8 +218,9 @@ object Multimodal {
           (depth == 16 && colorType != 3) ||
           (Set(1, 2, 4).contains(depth) &&
             (colorType == 0 || colorType == 3))
+        val interlace = u8(p, 28).toInt
         if (!depthOk || !chByType.contains(colorType) ||
-            u8(p, 26) != 0L || u8(p, 27) != 0L || u8(p, 28) != 0L)
+            u8(p, 26) != 0L || u8(p, 27) != 0L || interlace > 1)
           None
         else {
           val sampleBytes = depth / 8 // 0 for sub-byte depths
@@ -245,13 +250,28 @@ object Multimodal {
             }
           }
           if (colorType == 3 && palette == null) ok = false
-          // bytes per scanline: ceil(w·channels·depth / 8)
-          val rowBytes =
-            (w.toLong * chByType(colorType) * depth + 7).toInt / 8
-          val stride = 1 + rowBytes
-          if (!ok || idat.size() == 0) None
+          // bytes per scanline: ceil(width·channels·depth / 8)
+          def rowB(wi: Int): Int =
+            (wi.toLong * chByType(colorType) * depth + 7).toInt / 8
+          // pass geometry: one full image, or the seven Adam7
+          // sub-images (x0, y0, dx, dy per the spec) — the passes
+          // PARTITION the pixels, so channel sums are just the sum
+          // over the pass sub-images, no pixel placement needed
+          val passes: Seq[(Int, Int)] =
+            if (interlace == 0) Seq((w, h))
+            else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+              (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+              .map { case (x0, y0, dx, dy) =>
+                (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+                  if (h > y0) (h - y0 + dy - 1) / dy else 0)
+              }
+              .filter(pq => pq._1 > 0 && pq._2 > 0)
+          val rawLen = passes.map { case (wi, hi) =>
+            (1 + rowB(wi)).toLong * hi }.sum
+          if (!ok || idat.size() == 0 || rawLen <= 0 ||
+              rawLen > (1L << 27)) None
           else {
-            val raw = new Array[Byte](stride * h)
+            val raw = new Array[Byte](rawLen.toInt)
             val inf = new java.util.zip.Inflater()
             val inflated = try {
               inf.setInput(idat.toByteArray)
@@ -279,17 +299,25 @@ object Multimodal {
                 else if (pb <= pc) b else c
               }
               val sums = new Array[Long](3)
+              var good = true
+              var base = 0
+              // each pass is an independent little image: its own
+              // scanline width and its own filter history
+              passes.foreach { case (wImg, hImg) =>
+                if (good) {
+              val w = wImg
+              val rowBytes = rowB(wImg)
+              val stride = 1 + rowBytes
               var prev = new Array[Int](rowBytes)
               var cur = new Array[Int](rowBytes)
               var r = 0
-              var good = true
-              while (good && r < h) {
-                val t = d(r * stride) & 0xff
+              while (good && r < hImg) {
+                val t = d(base + r * stride) & 0xff
                 if (t > 4) good = false
                 else {
                   var j = 0
                   while (good && j < rowBytes) {
-                    val x = d(r * stride + 1 + j) & 0xff
+                    val x = d(base + r * stride + 1 + j) & 0xff
                     val a = if (j >= bpp) cur(j - bpp) else 0
                     val b = prev(j)
                     val c = if (j >= bpp) prev(j - bpp) else 0
@@ -347,6 +375,9 @@ object Multimodal {
                   val tmp = prev; prev = cur; cur = tmp
                 }
                 r += 1
+              }
+              base += stride * hImg
+                }
               }
               if (good) Some(sums) else None
             }
@@ -621,8 +652,8 @@ object Multimodal {
     * samples; GIF: per-channel sums of the first frame's
     * palette-resolved pixels through a REAL spec-implemented LZW
     * decoder ([[HeaderCodec.gifFirstFramePixelSums]]) — and 0 for
-    * what's left (Adam7-interlaced PNG, non-PCM audio: the
-    * remaining declared gap).
+    * what's left (non-PCM audio — the one remaining payload gap;
+    * image containers decode completely).
     * Anything unrecognized falls back to deterministic content
     * features: an INTEGER byte-lane histogram (lane k sums the
     * unsigned bytes at positions ≡ k mod 8). Every emitted value is

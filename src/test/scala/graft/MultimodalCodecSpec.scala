@@ -321,6 +321,20 @@ class MultimodalCodecSpec extends SparkSpec {
     // 16-bit PALETTE is not a defined PNG combination → reject
     val p16 = png16.clone(); p16(25) = 3
     assert(HeaderCodec.pngRgb8ChannelSums(p16) === None)
+    // 9×7 8-bit RGB ADAM7-INTERLACED (real deflate; filter types
+    // cycle 0..4 across the seven passes' scanlines): the passes
+    // PARTITION the pixels, so the channel sums must equal the
+    // whole-image truth R 7431, G 7370, B 7811 (python zlib)
+    val pngA7 = bytes(
+      "89504E470D0A1A0A0000000D494844520000000900000007080200000122FEC0" +
+        "A10000008849444154789C6360E511CE2DA966B47470679AB570C5B9AB77D8F9" +
+        "4499E5D5745DDCBD59A64E9D6A6262C270F6CAEDE7EFBEB2F18A28A8EB59397A" +
+        "30A6E7954A2101262149051D632B37DF9084F43CE68B576F149695957D010196" +
+        "B367CF3E3F71E2045091BC3C43497553DFD4392BD66F3B74F202636641392F0E" +
+        "C0741637607EF1E6FD5B1C0000C1135EB275CEAF260000000049454E44AE4260" +
+        "82")
+    assert(HeaderCodec.pngRgb8ChannelSums(pngA7).get.toList ===
+      List(7431L, 7370L, 7811L))
   }
 
   test("WAV PCM decode: s16le sign extension, strict guards hold") {

@@ -56,7 +56,8 @@ class MultimodalFuzzSpec extends SparkSpec {
   }
 
   test("PNG writer->decoder round trip over 100 random images " +
-    "(all color types, 1/2/4/8/16-bit, real deflate, random filters)") {
+    "(all color types, 1/2/4/8/16-bit, linear AND Adam7, real " +
+    "deflate, random filters)") {
     (1 to 100).foreach { trial =>
       val colorType = Seq(0, 2, 3, 4, 6)(rnd.nextInt(5))
       val depth = colorType match {
@@ -86,30 +87,50 @@ class MultimodalFuzzSpec extends SparkSpec {
           }
           out
       }
-      val packed = samples.map(packRow)
+      val interlace = rnd.nextInt(2)
       val bpp = math.max(1, ch * (depth / 8))
       val stream = new java.io.ByteArrayOutputStream()
-      var prev = new Array[Int](packed(0).length)
-      for (r <- 0 until h) {
-        val t = rnd.nextInt(5)
-        stream.write(t)
-        val cur = packed(r)
-        for (j <- cur.indices) {
-          val a = if (j >= bpp) cur(j - bpp) else 0
-          val b = prev(j)
-          val c = if (j >= bpp) prev(j - bpp) else 0
-          val x = cur(j)
-          val f = t match {
-            case 0 => x
-            case 1 => (x - a) & 0xff
-            case 2 => (x - b) & 0xff
-            case 3 => (x - (a + b) / 2) & 0xff
-            case _ => (x - paeth(a, b, c)) & 0xff
+      // write one (sub-)image: rows of SAMPLE vectors, packed,
+      // random filter per row, fresh filter history
+      def writeImage(rows: Seq[Array[Int]]): Unit = {
+        if (rows.nonEmpty) {
+          var prev = new Array[Int](packRow(rows.head).length)
+          rows.foreach { rowSamples =>
+            val cur = packRow(rowSamples)
+            val t = rnd.nextInt(5)
+            stream.write(t)
+            for (j <- cur.indices) {
+              val a = if (j >= bpp) cur(j - bpp) else 0
+              val b = prev(j)
+              val c = if (j >= bpp) prev(j - bpp) else 0
+              val x = cur(j)
+              val f = t match {
+                case 0 => x
+                case 1 => (x - a) & 0xff
+                case 2 => (x - b) & 0xff
+                case 3 => (x - (a + b) / 2) & 0xff
+                case _ => (x - paeth(a, b, c)) & 0xff
+              }
+              stream.write(f)
+            }
+            prev = cur
           }
-          stream.write(f)
         }
-        prev = cur
       }
+      if (interlace == 0) writeImage((0 until h).map(samples(_)))
+      else
+        // Adam7: each pass is its own sub-image of the pixels at
+        // (x0 + i*dx, y0 + j*dy)
+        Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)).foreach {
+          case (x0, y0, dx, dy) =>
+            val cols = x0 until w by dx
+            val rows = y0 until h by dy
+            if (cols.nonEmpty && rows.nonEmpty)
+              writeImage(rows.map(r => cols.flatMap(x =>
+                (0 until ch).map(k => samples(r)(x * ch + k)))
+                .toArray))
+        }
       // REAL zlib deflate (compression level varies the stream)
       val defl = new java.util.zip.Deflater(1 + rnd.nextInt(9))
       defl.setInput(stream.toByteArray)
@@ -121,7 +142,8 @@ class MultimodalFuzzSpec extends SparkSpec {
         be(data.length.toLong, 4) ++ typ.getBytes ++ data ++
           le(0L, 4) // CRC lenient
       val ihdr = be(w.toLong, 4) ++ be(h.toLong, 4) ++
-        Array[Byte](depth.toByte, colorType.toByte, 0, 0, 0)
+        Array[Byte](depth.toByte, colorType.toByte, 0, 0,
+          interlace.toByte)
       val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
           0x1a, 0x0a) ++
         chunk("IHDR", ihdr) ++
@@ -149,7 +171,7 @@ class MultimodalFuzzSpec extends SparkSpec {
       val got = HeaderCodec.pngRgb8ChannelSums(png)
       assert(got.exists(_.toList == want.toList),
         s"trial $trial type=$colorType depth=$depth w=$w h=$h " +
-          s"got=$got want=${want.toList}")
+          s"i=$interlace got=$got want=${want.toList}")
     }
   }
 
