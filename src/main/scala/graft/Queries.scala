@@ -4066,9 +4066,15 @@ object Queries {
     *    sums — the original plumbing check.
     * Features emitted as an integer CSV string (raw float arrays are
     * unsortable/unhashable in the harness's pandas compare); the
-    * oracle recomputes ALL arms from the planted formulas. Remaining
-    * declared gap: formats needing codec libraries the JDK lacks
-    * (GIF LZW, palette/alpha PNG, non-PCM audio). */
+    * oracle recomputes ALL arms from the planted formulas. The
+    * decoder itself handles MORE than m02 plants: GIF (clean-room
+    * LZW), every PNG depth×color-type×interlace combination — those
+    * arms are oracle-verified via golden vectors + the randomized
+    * writer→decoder fuzz suite (MultimodalCodecSpec /
+    * MultimodalFuzzSpec) rather than m02's declarative oracle,
+    * because a valid GIF/compressed-PNG payload can't be assembled
+    * declaratively in SQL. Remaining declared gap: video and
+    * non-G.711/PCM audio (true DCT/DSP codecs). */
   val m02_feature_stub: QFn = (s, d) => {
     def le(c: Column, n: Int): Column =
       concat((0 until n).map(i =>
@@ -4338,6 +4344,8 @@ object Queries {
         when(r0 * r0 > y, 1L).otherwise(0L)
     }
     Multimodal.extractFrameFeatures(s, media)
+      // per-FRAME the Long product is safe by construction: frames
+      // are ≤64 units, so 1e6·Σs² ≤ 1e6·64·32768² ≈ 6.9e16 < 2^63
       .withColumn("frame_rms_milli",
         isqrt(expr("(1000000 * energy) DIV n_units")))
       .groupBy("media_id", "mime")
@@ -4347,8 +4355,16 @@ object Queries {
         max("energy").as("max_energy"),
         sum("energy").as("total_energy"),
         sum("n_units").as("total_units"))
+      // the MEDIA-level product 1e6·total_energy overflows Long
+      // after ~8,600 full-scale s16 samples (~0.2 s @ 44.1 kHz), so
+      // scale in 128-bit space: DECIMAL(38,0)·1e6 DIV units — the
+      // quotient itself is ≤ 1e6·32768² ≈ 1.07e15, back in Long (and
+      // under isqrt's 2^52 double-exactness bound). Oracle mirrors
+      // with HUGEINT.
       .withColumn("rms_milli",
-        isqrt(expr("(1000000 * total_energy) DIV total_units")))
+        isqrt(expr(
+          "(CAST(total_energy AS DECIMAL(38,0)) * 1000000)" +
+            " DIV total_units")))
   }
 
   /** Oracle replay from the planted formulas: the WAV arm recomputes
@@ -4395,8 +4411,9 @@ object Queries {
       |    CAST(sum(e) AS BIGINT) AS total_energy,
       |    CAST(sum(n_units) AS BIGINT) AS total_units
       |  FROM fr3 GROUP BY doc_id, mime),
-      |a2 AS (SELECT *, (1000000 * total_energy) // total_units AS y,
-      |    CAST(floor(sqrt(CAST((1000000 * total_energy)
+      |a2 AS (SELECT *, CAST((1000000::HUGEINT * total_energy)
+      |      // total_units AS BIGINT) AS y,
+      |    CAST(floor(sqrt(CAST((1000000::HUGEINT * total_energy)
       |      // total_units AS DOUBLE))) AS BIGINT) AS r0
       |  FROM agg)
       |SELECT media_id, mime, n_frames, n_silent, max_energy,

@@ -201,8 +201,7 @@ object Multimodal {
       * rejects); LENIENT on chunk CRCs (like most real decoders —
       * and what lets the m02 oracle's declarative writer emit valid
       * zlib via stored blocks + closed-form Adler-32 without needing
-      * a CRC32 closed form, which doesn't exist). Remaining PNG
-      * gaps: 16-bit / sub-8-bit depths and Adam7 interlace. */
+      * a CRC32 closed form, which doesn't exist). */
     def pngRgb8ChannelSums(p: Array[Byte]): Option[Array[Long]] =
       png(p).flatMap { info =>
         val colorType = u8(p, 25).toInt

@@ -783,6 +783,10 @@ object Streams {
       // survive an object-level mapPartitions, so tag the re-emitted
       // ts column (each media's frames share one event time)
       .withWatermark("ts", lateness)
+      // per-FRAME Long product is safe (≤64 units/frame bounds
+      // 1e6·Σs² at ~6.9e16); the MEDIA total is NOT — scale it in
+      // DECIMAL(38,0) exactly like batch m04 so long media can't
+      // silently wrap
       .withColumn("frame_rms_milli",
         isqrt(expr("(1000000 * energy) DIV n_units")))
       .groupBy(window(col("ts"), "1 minute"), col("media_id"),
@@ -794,7 +798,9 @@ object Streams {
         sum("energy").as("total_energy"),
         sum("n_units").as("total_units"))
       .withColumn("rms_milli",
-        isqrt(expr("(1000000 * total_energy) DIV total_units")))
+        isqrt(expr(
+          "(CAST(total_energy AS DECIMAL(38,0)) * 1000000)" +
+            " DIV total_units")))
       .select("media_id", "mime", "n_frames", "n_silent",
         "max_energy", "total_energy", "total_units", "rms_milli")
   }

@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * committed showed it BEATING the unsalted plan on a genuinely hot
   * key. This main builds that fixture and takes the measurement.
   *
-  * Fixture: GenData's lineitem with ~20% of rows remapped to ONE
-  * supplier key (deterministic xxhash64 coin, seed 42) — the
-  * one-customer-is-a-whale shape that breaks hash-partitioned joins:
-  * after the join shuffle, one task owns 20% of the fact table.
+  * Fixture: GenData's lineitem with ~HALF of its rows remapped to
+  * ONE supplier key (deterministic xxhash64 mod-2 coin, seed 42) —
+  * the one-customer-is-a-whale shape that breaks hash-partitioned
+  * joins: after the join shuffle, one task owns ~50% of the fact
+  * table (the measured share is printed as hot_share).
   *
   * Regime: the dim side is forced PAST the broadcast threshold
   * (autoBroadcastJoinThreshold = -1). With a broadcastable dim there
@@ -88,7 +89,14 @@ object SkewBench {
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
             -> "8m",
           "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")),
-        ("salted", () => salted(), Seq(noBroadcast)))
+        // the salted arm sets the AQE skew confs EXPLICITLY (back to
+        // Spark's defaults) so its regime never depends on which arm
+        // ran before it — session confs otherwise leak across arms
+        ("salted", () => salted(), Seq(noBroadcast,
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            -> "256m",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")))
 
     // all three must agree before any timing means a thing: counts
     // exactly; the double revenue sum to a cent (summation order is

@@ -900,7 +900,9 @@ class StreamsSpec extends SparkSpec {
         sum("energy").as("total_energy"),
         sum("n_units").as("total_units"))
       .withColumn("rms_milli",
-        isqrtC(expr("(1000000 * total_energy) DIV total_units")))
+        isqrtC(expr(
+          "(CAST(total_energy AS DECIMAL(38,0)) * 1000000)" +
+            " DIV total_units")))
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(streamed.nonEmpty && streamed == batch)
     // both arms live: real PCM media and byte-window media present
