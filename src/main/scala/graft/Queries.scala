@@ -1763,17 +1763,17 @@ object Queries {
        |ecs AS (SELECT x.label AS label, count(*) AS ec FROM e0
        |  JOIN l4 x ON e0.a = x.node JOIN l4 y ON e0.b = y.node
        |  WHERE x.label = y.label GROUP BY 1),
-       |terms AS (SELECT 4 * mm.m * coalesce(ecs.ec, 0)
-       |    - dcs.dc * dcs.dc AS term
+       |terms AS (SELECT 4::HUGEINT * mm.m * coalesce(ecs.ec, 0)
+       |    - dcs.dc::HUGEINT * dcs.dc AS term
        |  FROM dcs LEFT JOIN ecs ON dcs.label = ecs.label, mm),
        |agg AS (SELECT count(*) AS nc, sum(term) AS num FROM terms)
        |SELECT CAST(nc AS BIGINT) AS n_communities,
        |  CAST(mm.m AS BIGINT) AS m_edges,
        |  CAST(CASE WHEN num >= 0
-       |    THEN (2 * 1000000 * num + 4 * mm.m * mm.m)
-       |      // (2 * 4 * mm.m * mm.m)
-       |    ELSE -((2 * 1000000 * (-num) + 4 * mm.m * mm.m)
-       |      // (2 * 4 * mm.m * mm.m)) END AS BIGINT)
+       |    THEN (2::HUGEINT * 1000000 * num + 4::HUGEINT * mm.m * mm.m)
+       |      // (8::HUGEINT * mm.m * mm.m)
+       |    ELSE -((2::HUGEINT * 1000000 * (-num) + 4::HUGEINT * mm.m * mm.m)
+       |      // (8::HUGEINT * mm.m * mm.m)) END AS BIGINT)
        |    AS modularity_ppm
        |FROM agg, mm""".stripMargin
   }
@@ -1850,7 +1850,8 @@ object Queries {
        |ord AS (SELECT c, p, ecd FROM bet
        |  UNION ALL SELECT p, c, ecd FROM bet),
        |gains AS (SELECT o.c, o.p,
-       |    CAST(4 * mm.m * o.ecd - 2 * d1.dc * d2.dc AS BIGINT) AS gain
+       |    4::HUGEINT * mm.m * o.ecd - 2::HUGEINT * d1.dc * d2.dc
+       |      AS gain
        |  FROM ord o JOIN dcs d1 ON d1.label = o.c
        |  JOIN dcs d2 ON d2.label = o.p, mm),
        |best AS MATERIALIZED (SELECT c, p, gain FROM (

@@ -135,9 +135,11 @@ object LabelPropagation {
     * driver finish (spec-pinned to the distributed fallback — one
     * row_number window over |communities| rows + a best-pair
     * self-join) and the merge map remaps via a LocalRelation join
-    * Catalyst broadcasts itself. Same BIGINT envelope as
-    * [[modularityPpm]] (gains reach ~8m²): exact to m ≈ 10^6 edges;
-    * past that, pre-divide m's scale or two-stage the gain test.
+    * Catalyst broadcasts itself. Gains reach ~8m², so the
+    * distributed branch computes them in DECIMAL(38,0) (exact to
+    * m ≈ 3e15 edges — same widening as [[modularityPpm]]) and the
+    * driver branch in BigInt; no edge count a real deployment has
+    * overflows the merge test.
     *
     * @return (node, label) after the sweep — merged communities take
     *         the smaller of the two labels
@@ -183,11 +185,13 @@ object LabelPropagation {
       val dcm = dc.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       val m = nEdges
-      // both directions of every community pair
+      // both directions of every community pair; gains in BigInt so
+      // a caller raising driverFinishMaxEdges past ~1e9 edges can't
+      // silently wrap 2·d_c·d_d (~8m²) through Long
       val best = scala.collection.mutable.LongMap
-        .empty[(Long, Long)] // c -> (best partner, gain)
+        .empty[(Long, BigInt)] // c -> (best partner, gain)
       def offer(c: Long, p: Long, ecd: Long): Unit = {
-        val gain = 4L * m * ecd - 2L * dcm(c) * dcm(p)
+        val gain = BigInt(4) * m * ecd - BigInt(2) * dcm(c) * dcm(p)
         best.get(c) match {
           case Some((bp, bg)) if bg > gain ||
             (bg == gain && bp <= p) => ()
@@ -230,8 +234,12 @@ object LabelPropagation {
       .join(dcP.select(col("label").as("p"), col("dc").as("dcp")),
         Seq("p"))
       .select(col("c"), col("p"),
-        (lit(4L) * lit(nEdges) * col("ecd")
-          - lit(2L) * col("dcc") * col("dcp")).as("gain"))
+        // DECIMAL(38,0): 2·d_c·d_d reaches ~8m², past 2^63 at
+        // m ≈ 1.07e9 edges — decimal keeps the merge test exact to
+        // ~3e15 edges at zero cost (community-bounded table)
+        (lit(4L) * lit(nEdges) * col("ecd").cast("decimal(38,0)")
+          - lit(2L) * col("dcc").cast("decimal(38,0)")
+            * col("dcp")).as("gain"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c").orderBy(col("gain").desc, col("p").asc)
     val best = gains.withColumn("r", row_number().over(w))
@@ -293,21 +301,31 @@ object LabelPropagation {
       .join(labels, Seq("node"))
       .groupBy("label").agg(sum("deg").as("dc"))
     // per community: 4m*ec - dc^2 (communities with zero intra edges
-    // still contribute -dc^2 — hence the left join from dc)
+    // still contribute -dc^2 — hence the left join from dc). The
+    // whole numerator chain runs in DECIMAL(38,0): the scaled ppm
+    // product 2e6·Σ(4m·ec − dc²) ≈ 8e6·m² passes 2^63 already at
+    // m ≈ 1.07e6 edges, and 4m·ec itself at m ≈ 1.5e9 — both well
+    // inside what a 100 TB graph carries. Decimal(38) holds exact
+    // integers to 1e38, i.e. m up to ~3e15 edges; the per-community
+    // table is bounded, so the wider arithmetic costs nothing.
     val terms = dc.join(ec, Seq("label"), "left")
       .select(col("label"), col("dc"),
         coalesce(col("ec"), lit(0L)).as("ec"))
-      .select((lit(4L) * lit(m) * col("ec")
-        - col("dc") * col("dc")).as("term"))
+      .select((lit(4L) * lit(m) * col("ec").cast("decimal(38,0)")
+        - col("dc").cast("decimal(38,0)") * col("dc")).as("term"))
+    val fourM2 = BigInt(4) * BigInt(m) * BigInt(m)  // HALF_UP bias
+    val eightM2 = fourM2 * 2                        // denominator
     terms.agg(count(lit(1)).as("n_communities"),
         sum("term").as("num"))
       .select(col("n_communities"),
         lit(m).as("m_edges"),
         expr(s"CAST(CASE WHEN num >= 0" +
-          s" THEN (2 * 1000000 * num + 4 * ${m}L * ${m}L)" +
-          s"   DIV (2 * 4 * ${m}L * ${m}L)" +
-          s" ELSE -((2 * 1000000 * (-num) + 4 * ${m}L * ${m}L)" +
-          s"   DIV (2 * 4 * ${m}L * ${m}L)) END AS BIGINT)")
+          s" THEN (2 * 1000000 * num" +
+          s"       + CAST('$fourM2' AS DECIMAL(38,0)))" +
+          s"   DIV CAST('$eightM2' AS DECIMAL(38,0))" +
+          s" ELSE -((2 * 1000000 * (-num)" +
+          s"       + CAST('$fourM2' AS DECIMAL(38,0)))" +
+          s"   DIV CAST('$eightM2' AS DECIMAL(38,0))) END AS BIGINT)")
           .as("modularity_ppm"))
   }
 }

@@ -76,4 +76,40 @@ class Round15OpsSpec extends SparkSpec {
     assert(chain(old).exists(t =>
       Option(t.getMessage).exists(_.contains("ARITHMETIC_OVERFLOW"))))
   }
+
+  test("modularityPpm exact at m = 1e7 edges — past the old Long " +
+    "ppm-product envelope (2e6*num + 4m^2 > 2^63 on this fixture)") {
+    // ring of n nodes in 1000-node blocks: m = n−1 edges, 999 intra
+    // edges per community, one cross edge between neighbours — a
+    // closed form for every aggregate, at a size (1e7 edges) where
+    // the pre-widening BIGINT expression provably overflowed
+    val n = 10000001L
+    val m = n - 1 // 1e7
+    val nc = 10001L // communities 0..10000 (last holds 1 node)
+    val edges = spark.range(n - 1)
+      .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+    val labels = spark.range(n)
+      .select(col("id").as("node"),
+        expr("id DIV 1000").as("label"))
+    val got = graft.graph.LabelPropagation
+      .modularityPpm(edges, labels, canonical = true)
+      .as[(Long, Long, Long)].head()
+    // closed form in BigInt: e_c = 999 for the 10,000 full blocks,
+    // 0 for the 1-node tail; d_c = 2000 except block 0 (1999: node 0
+    // has degree 1) and the tail block (1: node n−1 alone)
+    val sumEc = BigInt(10000) * 999
+    val sumDc2 = BigInt(9999) * 2000 * 2000 +
+      BigInt(1999) * 1999 + BigInt(1)
+    val num = BigInt(4) * m * sumEc - sumDc2
+    // the point: the old Long product 2e6·num (+4m²) cannot be formed
+    assert(BigInt(2) * 1000000 * num > BigInt(Long.MaxValue),
+      "fixture must exceed the old BIGINT ppm envelope")
+    val fourM2 = BigInt(4) * m * m
+    val ppm = // sign-aware HALF_UP, mirroring the query
+      if (num >= 0) (BigInt(2) * 1000000 * num + fourM2) /
+        (fourM2 * 2)
+      else -((BigInt(2) * 1000000 * -num + fourM2) / (fourM2 * 2))
+    assert(got == ((nc, m, ppm.toLong)),
+      s"got $got want ($nc, $m, $ppm)")
+  }
 }
