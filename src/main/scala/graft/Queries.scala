@@ -4287,16 +4287,22 @@ object Queries {
       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
   /** Per-frame energy / silence / RMS map with REAL PCM decode on
-    * the audio arm: every second document becomes a byte-exact
-    * RIFF/WAVE file (mono 16-bit PCM) whose planted samples VARY —
+    * the audio arms: documents ≡ 1 mod 4 become byte-exact
+    * RIFF/WAVE files (mono 16-bit PCM) whose planted samples VARY —
     * sample k is ((doc_id·31 + k·7) mod 997) − 498, written s16le —
     * and [[Multimodal.Decoder.frames]] decodes the data chunk back
     * into signed samples and frames them into 64-SAMPLE windows with
     * energy Σs² per frame (REAL signal energy: a decoder that missed
     * the sign extension, the data-chunk offset, or the s16le layout
-    * produces different numbers). The other documents stay text
-    * payloads framed into 64-byte windows with Σb² energy — the
-    * plumbing arm. The fan-out happens INSIDE the per-partition
+    * produces different numbers). Documents ≡ 3 mod 4 become G.711
+    * telephony WAVs (format code 6 A-law / 7 μ-law, one code byte
+    * per sample from (doc_id·13 + k·11) mod 256) that the decoder
+    * expands through the ITU companding tables — and because G.711
+    * is closed-form integer arithmetic, the ORACLE mirrors the
+    * expansion formula itself — any payload past 256 samples walks
+    * the whole code space (gcd(11, 256) = 1), so the hash pins the
+    * full tables end-to-end. Even documents stay text payloads framed
+    * into 64-byte windows with Σb² energy — the plumbing arm. The fan-out happens INSIDE the per-partition
     * decode boundary ([[Multimodal.extractFrameFeatures]]): payload
     * bytes reach the decode once and never shuffle again — what the
     * media-keyed aggregate shuffles is ~40 B/frame. Per media:
@@ -4331,9 +4337,30 @@ object Queries {
       le(lit(2L), 2), le(lit(16L), 2),       // block align, bits
       lit("64617461"), le(col("n") * 2, 4),  // "data" + size
       sampleHex)
+    // G.711 arm (doc_id ≡ 3 mod 4): one code byte per sample from
+    // the planted formula (doc_id·13 + k·11) mod 256, format code 6
+    // (A-law, doc_id ≡ 3 mod 8) or 7 (μ-law, ≡ 7 mod 8) at 8 bits —
+    // the decoder expands through the ITU tables and the oracle
+    // mirrors the same closed-form companding arithmetic
+    val g711Hex = array_join(
+      transform(sequence(lit(0L), col("n") - 1), k =>
+        lpad(hex(pmod(col("doc_id") * 13 + k * 11, lit(256))),
+          2, "0")), "")
+    val fmtCode = when(pmod(col("doc_id"), lit(8)) === 3, lit(6L))
+      .otherwise(lit(7L))
+    val g711WavHex = concat(
+      lit("52494646"), le(col("n") + 36, 4),  // "RIFF" + size
+      lit("57415645"), lit("666D7420"),       // "WAVE" "fmt "
+      le(lit(16L), 4), le(fmtCode, 2),        // fmt size, 6/7
+      le(lit(1L), 2), le(col("rate"), 4),     // mono, sample rate
+      le(col("rate"), 4),                     // byte rate (1 B/smp)
+      le(lit(1L), 2), le(lit(8L), 2),         // block align, bits
+      lit("64617461"), le(col("n"), 4),       // "data" + size
+      g711Hex)
     val media = base
       .withColumn("payload",
-        when(pmod(col("doc_id"), lit(2)) === 1, unhex(wavHex))
+        when(pmod(col("doc_id"), lit(4)) === 1, unhex(wavHex))
+          .when(pmod(col("doc_id"), lit(4)) === 3, unhex(g711WavHex))
           .otherwise(col("text").cast("binary")))
       .select(col("doc_id").as("media_id"), col("payload"))
     // exact integer sqrt: floor(sqrt(double)) is within 1 of truth
@@ -4368,21 +4395,44 @@ object Queries {
             " DIV total_units")))
   }
 
-  /** Oracle replay from the planted formulas: the WAV arm recomputes
+  /** Oracle replay from the planted formulas: the PCM arm recomputes
     * sample k = (doc_id·31 + k·7) mod 997 − 498 directly (a hash
     * match pins the s16le writer → sign-extending parser round
-    * trip); the text arm replays Σb² via `ord`; both mirror the
-    * exact-isqrt ±1 correction. */
+    * trip); the G.711 arm replays the ITU companding expansion as
+    * closed-form integer arithmetic (xor/shift/bias — the same
+    * formulas the decoder's 256-entry tables were built from); the
+    * text arm replays Σb² via `ord`; all mirror the exact-isqrt ±1
+    * correction. */
   val m04_sql: String =
     """WITH d AS (SELECT doc_id, text,
       |    CAST(length(text) AS BIGINT) AS n FROM documents),
       |wsam AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d
-      |  WHERE doc_id % 2 = 1),
+      |  WHERE doc_id % 4 = 1),
       |wval AS (SELECT doc_id, k // 64 AS f,
       |    (doc_id * 31 + k * 7) % 997 - 498 AS v FROM wsam),
       |wfr AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS n_units,
       |    CAST(sum(v * v) AS BIGINT) AS e
       |  FROM wval GROUP BY doc_id, f),
+      |gsam AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d
+      |  WHERE doc_id % 4 = 3),
+      |gcode AS (SELECT doc_id, k // 64 AS f,
+      |    (doc_id * 13 + k * 11) % 256 AS code FROM gsam),
+      |gval AS (SELECT doc_id, f,
+      |    CASE WHEN doc_id % 8 = 3 THEN
+      |      (CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END) *
+      |      (CASE WHEN (xor(code, 85) // 16) % 8 = 0
+      |        THEN (xor(code, 85) % 16) * 16 + 8
+      |        ELSE ((xor(code, 85) % 16) * 16 + 264)
+      |          * (1 << ((xor(code, 85) // 16) % 8 - 1)) END)
+      |    ELSE
+      |      (CASE WHEN 255 - code >= 128 THEN -1 ELSE 1 END) *
+      |      ((((255 - code) % 16) * 8 + 132)
+      |        * (1 << (((255 - code) // 16) % 8)) - 132)
+      |    END AS v
+      |  FROM gcode),
+      |gfr AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS n_units,
+      |    CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM gval GROUP BY doc_id, f),
       |tby AS (SELECT doc_id, (i - 1) // 64 AS f,
       |    ord(substring(text, CAST(i AS INT), 1)) AS b
       |  FROM (SELECT doc_id, text,
@@ -4392,6 +4442,8 @@ object Queries {
       |    CAST(sum(b * b) AS BIGINT) AS e
       |  FROM tby GROUP BY doc_id, f),
       |fr AS (SELECT doc_id, 'audio/wav' AS mime, n_units, e FROM wfr
+      |  UNION ALL
+      |  SELECT doc_id, 'audio/wav' AS mime, n_units, e FROM gfr
       |  UNION ALL
       |  SELECT doc_id, 'application/octet-stream' AS mime,
       |    n_units, e FROM tfr),
@@ -4426,9 +4478,11 @@ object Queries {
   /** REAL container-header decode, oracle-verified end-to-end: each
     * document row is turned into a byte-exact media payload — a
     * complete 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
-    * padded pixel rows), a GIF89a logical-screen header, or a
-    * RIFF/WAVE file with a 16-byte `fmt ` chunk — with dimensions /
-    * sample rate planted as doc_id-derived formulas. Construction is
+    * padded pixel rows), a GIF89a logical-screen header, a
+    * RIFF/WAVE file with a 16-byte `fmt ` chunk, or an abbreviated
+    * JPEG stream (SOI + SOF0 frame header + EOI, big-endian per
+    * ISO 10918) — with dimensions / sample rate planted as
+    * doc_id-derived formulas. Construction is
     * fully DECLARATIVE (hex-string assembly + `unhex`, all
     * whole-stage codegen — little-endian fields via a byte-reversal
     * `concat` over `shiftright`/`pmod`); the payloads then run
@@ -4451,7 +4505,7 @@ object Queries {
         lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
     val base = t(s, d, "documents")
       .select(col("doc_id").cast("long").as("doc_id"))
-      .withColumn("fmt", pmod(col("doc_id"), lit(3)))
+      .withColumn("fmt", pmod(col("doc_id"), lit(4)))
       .withColumn("w", pmod(col("doc_id"), lit(31)) + 1)
       .withColumn("h", pmod(col("doc_id"), lit(17)) + 1)
       .withColumn("pix",
@@ -4487,11 +4541,21 @@ object Queries {
       le(col("ch") * 2, 2), le(lit(16L), 2), // block align, bits
       lit("64617461"), le(col("ndata"), 4),  // "data" + size
       expr("repeat('00', CAST(ndata AS INT))"))
+    // JPEG frame header, big-endian per ISO 10918: SOI, SOF0 with
+    // length 17 (8-bit precision, h, w, 3 components with standard
+    // 4:2:0 sampling/quant ids), EOI — a byte-exact abbreviated
+    // stream the marker walk parses dimensions out of
+    val jpgHex = concat(
+      lit("FFD8FFC0001108"),
+      lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"),
+      lit("03"), lit("012200"), lit("021101"), lit("031101"),
+      lit("FFD9"))
     val media = base
       .withColumn("payload", unhex(
         when(col("fmt") === 0, bmpHex)
           .when(col("fmt") === 1, gifHex)
-          .otherwise(wavHex)))
+          .when(col("fmt") === 2, wavHex)
+          .otherwise(jpgHex)))
       .select(col("doc_id").as("media_id"), col("payload"),
         struct(lit("application/octet-stream").as("mime"),
           length(col("payload")).cast("long").as("n_bytes"),
@@ -4502,7 +4566,8 @@ object Queries {
         when(feat(1) === 1L, "image/bmp")
           .when(feat(1) === 2L, "image/png")
           .when(feat(1) === 3L, "image/gif")
-          .when(feat(1) === 4L, "audio/wav").as("mime"),
+          .when(feat(1) === 4L, "audio/wav")
+          .when(feat(1) === 5L, "image/jpeg").as("mime"),
         feat(2).as("width"), feat(3).as("height"),
         feat(4).as("depth"), feat(5).as("n_bytes"))
   }
@@ -4511,7 +4576,7 @@ object Queries {
     * doc_id formulas — it never parses bytes, so a hash match pins
     * the Spark writer+parser round trip to the intended values. */
   val m05_sql: String =
-    """WITH p AS (SELECT doc_id, doc_id % 3 AS fmt,
+    """WITH p AS (SELECT doc_id, doc_id % 4 AS fmt,
       |    doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS h,
       |    (((doc_id % 31 + 1) * 3 + 3) // 4) * 4 * (doc_id % 17 + 1)
       |      AS pix,
@@ -4521,15 +4586,15 @@ object Queries {
       |  FROM documents)
       |SELECT doc_id AS media_id,
       |  CASE fmt WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/gif'
-      |    ELSE 'audio/wav' END AS mime,
+      |    WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,
       |  CAST(CASE fmt WHEN 2 THEN rate ELSE w END AS BIGINT)
       |    AS width,
       |  CAST(CASE fmt WHEN 2 THEN ch ELSE h END AS BIGINT)
       |    AS height,
       |  CAST(CASE fmt WHEN 0 THEN 24 WHEN 1 THEN doc_id % 8 + 1
-      |    ELSE 16 END AS BIGINT) AS depth,
+      |    WHEN 2 THEN 16 ELSE 24 END AS BIGINT) AS depth,
       |  CAST(CASE fmt WHEN 0 THEN 54 + pix WHEN 1 THEN 14
-      |    ELSE 44 + ndata END AS BIGINT) AS n_bytes
+      |    WHEN 2 THEN 44 + ndata ELSE 23 END AS BIGINT) AS n_bytes
       |FROM p""".stripMargin
 
   /** Uniform K-FRAME SAMPLING over binary payloads — the video-model

@@ -19,15 +19,17 @@ import org.apache.spark.sql.types._
   * filter reversal; GIF first frames (interlace included — a row
   * permutation can't change a sum) through a spec-implemented LZW
   * decoder + color-table resolution (local table wins per spec);
-  * 16-bit PCM WAVE samples
-  * (count / Σ|s| / Σs², plus per-frame energies for the
-  * audio-feature fan-out). Formats that genuinely need external
-  * codecs (JPEG DCT, video, non-PCM audio) fall back to
-  * header-only or byte-lane features; payloads whose header matches
-  * no container take [[Decoder]]'s deterministic byte-lane
-  * histogram — the fallback keeps the mapPartitions plumbing
-  * oracle-checkable on text payloads, and a full codec slots in as
-  * one more dispatch arm in `Decoder`.
+  * JPEG through the JDK's OWN javax.imageio baseline decoder behind
+  * the same strict clean-room marker-walk gate; 16-bit PCM and
+  * G.711 μ-law/A-law WAVE samples (count / Σ|s| / Σs², plus
+  * per-frame energies for the audio-feature fan-out — the G.711
+  * expansion is the published ITU companding formula, clean-room).
+  * Formats that genuinely need external codecs (video, compressed
+  * non-G.711 audio) fall back to header-only or byte-lane features;
+  * payloads whose header matches no container take [[Decoder]]'s
+  * deterministic byte-lane histogram — the fallback keeps the
+  * mapPartitions plumbing oracle-checkable on text payloads, and a
+  * full codec slots in as one more dispatch arm in `Decoder`.
   */
 object Multimodal {
 
@@ -55,6 +57,8 @@ object Multimodal {
       u8(p, i) | (u8(p, i + 1) << 8)
     private def le32(p: Array[Byte], i: Int): Long =
       le16(p, i) | (le16(p, i + 2) << 16)
+    private def be16(p: Array[Byte], i: Int): Long =
+      (u8(p, i) << 8) | u8(p, i + 1)
     private def be32(p: Array[Byte], i: Int): Long =
       (u8(p, i) << 24) | (u8(p, i + 1) << 16) |
         (u8(p, i + 2) << 8) | u8(p, i + 3)
@@ -93,6 +97,43 @@ object Multimodal {
             u8(p, 24) * ch))
       else None
     }
+
+    /** JPEG (ISO/IEC 10918-1): SOI (FFD8) immediately followed by a
+      * marker, then the standard marker-segment walk — every segment
+      * is FF xx + u16be length (standalone markers TEM/RSTn have
+      * none) — to the first SOFn frame header (C0–CF except the
+      * non-frame C4 DHT / C8 JPG / CC DAC), which carries sample
+      * precision u8, height u16be, width u16be, component count u8.
+      * depth = precision × components. Stops at SOS/EOI (frame
+      * headers precede the scan) and on any malformed length. */
+    private def jpeg(p: Array[Byte]): Option[MediaInfo] =
+      if (p.length >= 4 && u8(p, 0) == 0xffL && u8(p, 1) == 0xd8L &&
+          u8(p, 2) == 0xffL) {
+        var i = 2
+        var out: Option[MediaInfo] = None
+        var stop = false
+        while (!stop && out.isEmpty && i + 4 <= p.length) {
+          if (u8(p, i) != 0xffL) stop = true
+          else u8(p, i + 1).toInt match {
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+              i += 2 // TEM / RSTn: standalone, no length field
+            case m if m == 0xd9 || m == 0xda => stop = true
+            case m =>
+              val len = be16(p, i + 2)
+              if (len < 2 || i + 2 + len > p.length) stop = true
+              else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 &&
+                  m != 0xc8 && m != 0xcc) {
+                if (len >= 8)
+                  out = Some(MediaInfo("image/jpeg",
+                    be16(p, i + 7),             // width
+                    be16(p, i + 5),             // height
+                    u8(p, i + 4) * u8(p, i + 9))) // prec × ncomp
+                else stop = true
+              } else i += 2 + len.toInt
+          }
+        }
+        out
+      } else None
 
     /** GIF: "GIF87a"/"GIF89a", u16le screen width @6, u16le height
       * @8, packed byte @10 whose low 3 bits encode color resolution
@@ -134,6 +175,52 @@ object Multimodal {
     def probe(p: Array[Byte]): Option[MediaInfo] =
       if (p == null || p.length < 13) None
       else bmp(p).orElse(png(p)).orElse(gif(p)).orElse(wav(p))
+        .orElse(jpeg(p))
+
+    /** REAL JPEG pixel decode through the JDK's OWN baseline decoder
+      * — javax.imageio ships one (com.sun.imageio.plugins.jpeg), so
+      * "needs an external codec library" stopped being true for
+      * JPEG. Gate on the clean-room [[jpeg]] marker walk first (the
+      * strict header contract every other arm follows), then hand
+      * the payload to ImageIO and sum the decoded raster per channel
+      * — (ΣR, ΣG, ΣB) over getRGB's sRGB view, exact Longs, one row
+      * buffer (no w×h int matrix). None when ImageIO can't decode
+      * (truncated scan, arithmetic coding, CMYK variants some JDKs
+      * reject) — the caller falls back to header-only features, the
+      * declared behavior for codec-bound payloads. Pinned by
+      * writer→decoder fuzz (ImageIO encode at random sizes/colors →
+      * sums match a direct-raster reference walk) rather than a
+      * declarative oracle: entropy-coded scans have no closed form a
+      * SQL writer could emit — the same reason PNG's compressed path
+      * is golden-pinned. */
+    def jpegChannelSums(p: Array[Byte]): Option[Array[Long]] =
+      jpeg(p).flatMap { _ =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sums = new Array[Long](3)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val v = row(x)
+                sums(0) += (v >> 16) & 0xff
+                sums(1) += (v >> 8) & 0xff
+                sums(2) += v & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some(sums)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
 
     /** REAL pixel decode for the uncompressed BMP arm: 24-bpp BI_RGB
       * only (bit depth and the biCompression field @30 are checked),
@@ -585,33 +672,94 @@ object Multimodal {
       * flat stream). None unless the strict RIFF checks pass and the
       * declared data chunk fits the payload with an even byte
       * count. */
-    def wavPcm16Samples(p: Array[Byte]): Option[Array[Int]] =
-      wav(p).filter(_.depth == 16).flatMap { _ =>
+    /** One strict chunk scan shared by the WAV sample arms: returns
+      * (audio format code, bits per sample, data offset, data
+      * length) when the payload is a well-formed RIFF/WAVE carrying
+      * both a `fmt ` and a `data` chunk. Same hardened walk as
+      * [[wav]]: Long offsets so a lying u32 size field runs the scan
+      * off the end rather than wrapping an index. */
+    private def wavChunks(p: Array[Byte])
+      : Option[(Long, Long, Int, Int)] =
+      wav(p).flatMap { _ =>
         var off = 12L
-        var pcm = false
+        var fmtCode = -1L
+        var bits = -1L
         var data: Option[(Int, Int)] = None
         while (off + 8 <= p.length) {
           val o = off.toInt
           val size = le32(p, o + 4)
           if (ascii(p, o, "fmt ") && size >= 16 &&
-              off + 8 + 16 <= p.length)
-            pcm = le16(p, o + 8) == 1L
+              off + 8 + 16 <= p.length) {
+            fmtCode = le16(p, o + 8)
+            bits = le16(p, o + 22)
+          }
           if (ascii(p, o, "data") && data.isEmpty &&
-              off + 8L + size <= p.length && (size & 1L) == 0L)
+              off + 8L + size <= p.length)
             data = Some((o + 8, size.toInt))
           off += 8L + size + (size & 1L)
         }
-        if (!pcm) None
-        else data.map { case (d0, n) =>
+        data.map { case (d0, n) => (fmtCode, bits, d0, n) }
+      }
+
+    def wavPcm16Samples(p: Array[Byte]): Option[Array[Int]] =
+      wavChunks(p) match {
+        case Some((1L, 16L, d0, n)) if n % 2 == 0 =>
           val out = new Array[Int](n / 2)
           var i = 0
           while (i < out.length) {
             out(i) = le16(p, d0 + 2 * i).toShort.toInt
             i += 1
           }
-          out
-        }
+          Some(out)
+        case _ => None
       }
+
+    /** G.711 expansion tables, built from the PUBLISHED ITU-T G.711
+      * segment-companding formulas (clean-room, 256 entries each —
+      * the codec IS a table lookup, which is why "non-PCM audio"
+      * stopped excusing the telephony formats).
+      * μ-law: complement the code, then linear = ((mant·8 + 0x84) <<
+      * exponent) with the 0x84 bias re-subtracted, sign from the top
+      * bit. A-law: XOR 0x55 (the spec's even-bit inversion), then
+      * segment 0 is (mant·16 + 8), higher segments (mant·16 + 0x108)
+      * << (seg − 1); sign bit SET means positive in A-law. Both land
+      * on the standard 16-bit scale (μ-law ±32124, A-law ±32256). */
+    private val ulawTable: Array[Int] = Array.tabulate(256) { code =>
+      val u = ~code & 0xff
+      val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    private val alawTable: Array[Int] = Array.tabulate(256) { code =>
+      val c = code ^ 0x55
+      val seg = (c >> 4) & 0x07
+      val mant = (c & 0x0f) << 4
+      val t = if (seg == 0) mant + 8
+        else (mant + 0x108) << (seg - 1)
+      if ((c & 0x80) != 0) t else -t
+    }
+
+    /** G.711 WAVE decode: format code 6 (A-law) / 7 (μ-law) at 8
+      * bits per sample, each byte expanded through the table. Odd
+      * data sizes are legal here (1 byte per sample). */
+    def wavG711Samples(p: Array[Byte]): Option[Array[Int]] =
+      wavChunks(p) match {
+        case Some((code, 8L, d0, n)) if code == 6L || code == 7L =>
+          val table = if (code == 6L) alawTable else ulawTable
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = table(p(d0 + i) & 0xff)
+            i += 1
+          }
+          Some(out)
+        case _ => None
+      }
+
+    /** Linear samples from any decodable WAVE arm: 16-bit PCM or
+      * G.711 μ-law/A-law — the one entry point the feature/frame
+      * decoders fan out over. */
+    def wavLinearSamples(p: Array[Byte]): Option[Array[Int]] =
+      wavPcm16Samples(p).orElse(wavG711Samples(p))
   }
 
   /** Canonical media schema: payload + typed metadata. */
@@ -637,22 +785,24 @@ object Multimodal {
         sha2(col("payload"), 256).as("sha")))
 
   /** Feature decoder at the per-partition batch boundary. The
-    * dispatch is REAL, content included for the uncompressed
-    * formats: payloads recognized by [[HeaderCodec]] (BMP / PNG /
-    * GIF / WAV — public byte layouts, parsed, not stubbed) emit
+    * dispatch is REAL, content included: payloads recognized by
+    * [[HeaderCodec]] (BMP / PNG / GIF / WAV / JPEG — public byte
+    * layouts, parsed, not stubbed) emit
     * `[formatTag, width, height, depth, nBytes, c5, c6, c7]` (tags:
-    * 1 BMP, 2 PNG, 3 GIF, 4 WAV) where the content slots c5..c7 are
-    * REAL decoded statistics when the payload stores data the JDK
-    * can reach — 24-bpp BI_RGB BMP: per-channel pixel sums
+    * 1 BMP, 2 PNG, 3 GIF, 4 WAV, 5 JPEG) where the content slots
+    * c5..c7 are REAL decoded statistics when the payload stores data
+    * the JDK can reach — 24-bpp BI_RGB BMP: per-channel pixel sums
     * (ΣB, ΣG, ΣR), row padding excluded; 8-bit RGB PNG: per-channel
     * pixel sums (ΣR, ΣG, ΣB) through REAL zlib inflate + all-five
-    * filter reversal ([[HeaderCodec.pngRgb8ChannelSums]]); 16-bit
-    * PCM WAVE: (sample count, Σ|s|, Σs²) over the decoded signed
-    * samples; GIF: per-channel sums of the first frame's
-    * palette-resolved pixels through a REAL spec-implemented LZW
-    * decoder ([[HeaderCodec.gifFirstFramePixelSums]]) — and 0 for
-    * what's left (non-PCM audio — the one remaining payload gap;
-    * image containers decode completely).
+    * filter reversal ([[HeaderCodec.pngRgb8ChannelSums]]); WAVE
+    * (16-bit PCM or G.711 μ-law/A-law): (sample count, Σ|s|, Σs²)
+    * over the decoded linear samples; GIF: per-channel sums of the
+    * first frame's palette-resolved pixels through a REAL
+    * spec-implemented LZW decoder
+    * ([[HeaderCodec.gifFirstFramePixelSums]]); JPEG: per-channel
+    * sums through the JDK's own ImageIO baseline decoder
+    * ([[HeaderCodec.jpegChannelSums]]) — and 0 for what's left
+    * (video and compressed non-G.711 audio — true DCT/DSP codecs).
     * Anything unrecognized falls back to deterministic content
     * features: an INTEGER byte-lane histogram (lane k sums the
     * unsigned bytes at positions ≡ k mod 8). Every emitted value is
@@ -663,7 +813,8 @@ object Multimodal {
   object Decoder {
     val featureDim = 8
     val tags: Map[String, Double] = Map("image/bmp" -> 1d,
-      "image/png" -> 2d, "image/gif" -> 3d, "audio/wav" -> 4d)
+      "image/png" -> 2d, "image/gif" -> 3d, "audio/wav" -> 4d,
+      "image/jpeg" -> 5d)
     def decode(payload: Array[Byte]): Array[Double] =
       HeaderCodec.probe(payload) match {
         case Some(info) =>
@@ -677,8 +828,11 @@ object Multimodal {
             case "image/gif" =>
               HeaderCodec.gifFirstFramePixelSums(payload)
                 .getOrElse(new Array[Long](3))
+            case "image/jpeg" =>
+              HeaderCodec.jpegChannelSums(payload)
+                .getOrElse(new Array[Long](3))
             case "audio/wav" =>
-              HeaderCodec.wavPcm16Samples(payload).map { smp =>
+              HeaderCodec.wavLinearSamples(payload).map { smp =>
                 var sa = 0L; var sq = 0L; var i = 0
                 while (i < smp.length) {
                   val v = smp(i).toLong
@@ -710,16 +864,17 @@ object Multimodal {
       }
 
     /** Per-frame energy decode for the audio-feature fan-out (m04):
-      * a 16-bit PCM WAVE payload frames into 64-SAMPLE windows of
-      * its decoded data chunk with energy Σ s² per frame; anything
-      * else frames into 64-BYTE windows with energy Σ b² over
-      * unsigned bytes. Emits (mime, frame_idx, n_units, energy) —
+      * a decodable WAVE payload (16-bit PCM, or G.711 μ-law/A-law
+      * expanded through the ITU tables) frames into 64-SAMPLE
+      * windows of its decoded data chunk with energy Σ s² per frame;
+      * anything else frames into 64-BYTE windows with energy Σ b²
+      * over unsigned bytes. Emits (mime, frame_idx, n_units, energy) —
       * all exact integers, so the whole fan-out is oracle-checkable
       * on planted payloads. */
     val frameUnits = 64
     def frames(payload: Array[Byte])
       : Iterator[(String, Long, Long, Long)] =
-      HeaderCodec.wavPcm16Samples(payload) match {
+      HeaderCodec.wavLinearSamples(payload) match {
         case Some(smp) =>
           smp.grouped(frameUnits).zipWithIndex.map { case (fr, i) =>
             var e = 0L; var k = 0

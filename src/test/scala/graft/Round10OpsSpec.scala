@@ -408,14 +408,33 @@ class Round10OpsSpec extends SparkSpec {
       while ((r + 1) * (r + 1) <= y) r += 1
       r
     }
+    // ITU G.711 expansion, independently re-derived for the replay
+    def ulaw(code: Long): Long = {
+      val x = ~code.toInt & 0xff
+      val t = (((x & 0x0f) << 3) + 0x84) << ((x >> 4) & 7)
+      if ((x & 0x80) != 0) 0x84L - t else t.toLong - 0x84
+    }
+    def alaw(code: Long): Long = {
+      val c = code.toInt ^ 0x55
+      val seg = (c >> 4) & 7
+      val t = if (seg == 0) ((c & 0xf) << 4) + 8
+        else (((c & 0xf) << 4) + 0x108) << (seg - 1)
+      if ((c & 0x80) != 0) t.toLong else -t.toLong
+    }
     val want = docs.filter(_._2.nonEmpty).map { case (id, text) =>
-      // unit values: planted PCM samples for odd ids (the query
-      // writes them s16le into a real WAV), unsigned bytes otherwise
+      // unit values per arm: planted PCM samples (id ≡ 1 mod 4,
+      // written s16le into a real WAV), G.711 code bytes expanded
+      // through the ITU formulas (id ≡ 3 mod 4; A-law when
+      // id ≡ 3 mod 8, μ-law when ≡ 7), unsigned bytes otherwise
       val (mime, units) =
-        if (id % 2 == 1)
+        if (id % 4 == 1)
           ("audio/wav", (0 until text.length)
             .map(k => (id * 31 + k * 7) % 997 - 498).toSeq)
-        else
+        else if (id % 4 == 3) {
+          val fn = if (id % 8 == 3) alaw _ else ulaw _
+          ("audio/wav", (0 until text.length)
+            .map(k => fn((id * 13 + k * 11) % 256)).toSeq)
+        } else
           ("application/octet-stream",
             text.getBytes("UTF-8").map(b => (b & 0xff).toLong).toSeq)
       val frames = units.grouped(64).map { fr =>

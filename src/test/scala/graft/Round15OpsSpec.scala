@@ -112,4 +112,171 @@ class Round15OpsSpec extends SparkSpec {
     assert(got == ((nc, m, ppm.toLong)),
       s"got $got want ($nc, $m, $ppm)")
   }
+
+  // ---- JPEG arm (JDK javax.imageio baseline decoder) ----
+
+  private val jrnd = new scala.util.Random(1511)
+
+  private def encodeJpeg(w: Int, h: Int,
+                         px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, px(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "JDK must ship a JPEG writer")
+    bos.toByteArray
+  }
+
+  test("JPEG header walk: SOF dims exact over 40 random encodes " +
+    "(marker-segment walk past APPn/DQT/DHT)") {
+    (1 to 40).foreach { _ =>
+      val w = 1 + jrnd.nextInt(40)
+      val h = 1 + jrnd.nextInt(40)
+      val p = encodeJpeg(w, h, (_, _) => jrnd.nextInt(0x1000000))
+      val info = graft.multimodal.Multimodal.HeaderCodec.probe(p)
+      assert(info.exists(i => i.mime == "image/jpeg" &&
+        i.width == w && i.height == h && i.depth == 24),
+        s"w=$w h=$h got=$info")
+    }
+  }
+
+  test("jpegChannelSums == a direct-raster reference walk over the " +
+    "SAME ImageIO decode (40 random images) and lands near the " +
+    "planted color on solid fills") {
+    (1 to 40).foreach { trial =>
+      val w = 1 + jrnd.nextInt(32)
+      val h = 1 + jrnd.nextInt(32)
+      val solid = trial % 2 == 0
+      val c = jrnd.nextInt(0x1000000)
+      val p = encodeJpeg(w, h,
+        if (solid) (_, _) => c else (_, _) => jrnd.nextInt(0x1000000))
+      val got = graft.multimodal.Multimodal.HeaderCodec
+        .jpegChannelSums(p)
+      assert(got.isDefined, s"trial $trial w=$w h=$h undecodable")
+      // reference: decode independently and walk the full raster
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p))
+      val want = new Array[Long](3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = img.getRGB(x, y)
+        want(0) += (v >> 16) & 0xff
+        want(1) += (v >> 8) & 0xff
+        want(2) += v & 0xff
+      }
+      assert(got.get.toList == want.toList,
+        s"trial $trial w=$w h=$h got=${got.get.toList} " +
+          s"want=${want.toList}")
+      if (solid) {
+        // lossy, but a solid fill survives the DCT nearly exactly:
+        // per-channel MEAN within ±3 of the planted value
+        val n = w.toLong * h
+        val planted = Seq((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+        got.get.toSeq.zip(planted).foreach { case (s, pc) =>
+          assert(math.abs(s.toDouble / n - pc) <= 3.0,
+            s"trial $trial solid mean ${s.toDouble / n} vs $pc")
+        }
+      }
+    }
+  }
+
+  test("m05's abbreviated JPEG stream parses to the planted dims " +
+    "and undecodable-scan payloads fall back to zero content") {
+    // the exact bytes m05 assembles declaratively: SOI+SOF0+EOI
+    def hdr(w: Int, h: Int): Array[Byte] = {
+      val hex = "FFD8FFC0001108" +
+        f"$h%04X" + f"$w%04X" + "03" + "012200" + "021101" +
+        "031101" + "FFD9"
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    val p = hdr(31, 17)
+    val info = graft.multimodal.Multimodal.HeaderCodec.probe(p)
+    assert(info.exists(i => i.mime == "image/jpeg" &&
+      i.width == 31 && i.height == 17 && i.depth == 24))
+    // no scan data -> ImageIO can't decode -> None -> Decoder zeros
+    assert(graft.multimodal.Multimodal.HeaderCodec
+      .jpegChannelSums(p).isEmpty)
+    val feats = graft.multimodal.Multimodal.Decoder.decode(p)
+    assert(feats.toList == List(5d, 31d, 17d, 24d,
+      p.length.toDouble, 0d, 0d, 0d))
+  }
+
+  // ---- G.711 μ-law / A-law WAV arm ----
+
+  /** Minimal G.711 WAV: format code 6 (A-law) / 7 (μ-law), mono,
+    * 8 bits per sample, one code byte per sample. */
+  private def g711Wav(fmtCode: Int, codes: Array[Int]): Array[Byte] = {
+    val data = codes.map(_.toByte)
+    val fmt = "fmt ".getBytes ++ le(16L, 4) ++ le(fmtCode.toLong, 2) ++
+      le(1L, 2) ++ le(8000L, 4) ++ le(8000L, 4) ++
+      le(1L, 2) ++ le(8L, 2)
+    val dataCk = "data".getBytes ++ le(data.length.toLong, 4) ++
+      data ++ (if (data.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte])
+    val bodyLen = 4 + fmt.length + dataCk.length
+    "RIFF".getBytes ++ le(bodyLen.toLong, 4) ++ "WAVE".getBytes ++
+      fmt ++ dataCk
+  }
+
+  test("G.711 expansion hits the published ITU landmark values and " +
+    "round-trips through the WAV decode") {
+    import graft.multimodal.Multimodal.HeaderCodec
+    // published landmarks: μ-law's two zero codes 0xFF/0x7F, its
+    // extremes ±32124 at codes 0x80/0x00; A-law's near-zero codes
+    // 0xD5/0x55 → ±8, its extremes ±32256 at codes 0xAA/0x2A
+    val uCodes = Array(0xff, 0x7f, 0x80, 0x00)
+    val uWant = Array(0, 0, 32124, -32124)
+    val aCodes = Array(0xd5, 0x55, 0xaa, 0x2a)
+    val aWant = Array(8, -8, 32256, -32256)
+    val u = HeaderCodec.wavG711Samples(g711Wav(7, uCodes))
+    assert(u.exists(_.toList == uWant.toList), s"ulaw got $u")
+    val a = HeaderCodec.wavG711Samples(g711Wav(6, aCodes))
+    assert(a.exists(_.toList == aWant.toList), s"alaw got $a")
+    // wavLinearSamples routes G.711 too; PCM16 path is untouched
+    assert(HeaderCodec.wavLinearSamples(g711Wav(7, uCodes))
+      .exists(_.toList == uWant.toList))
+    // every μ-law code decodes and re-encodes consistently with the
+    // companding formula's monotonicity: codes ordered by decoded
+    // value are exactly the negative half descending + positive half
+    val all = HeaderCodec
+      .wavG711Samples(g711Wav(7, (0 until 256).toArray)).get
+    assert(all.length == 256)
+    assert(all.slice(0, 128).forall(_ <= 0) &&
+      all.slice(128, 256).forall(_ >= 0))
+    // odd-length data chunks are legal at 1 byte/sample
+    val odd = HeaderCodec.wavG711Samples(g711Wav(7, Array(0x80,
+      0x00, 0xff)))
+    assert(odd.exists(_.toList == List(32124, -32124, 0)))
+  }
+
+  test("Decoder.frames energies over a G.711 payload == a BigInt " +
+    "replay of the ITU expansion (both laws, 300 random codes)") {
+    import graft.multimodal.Multimodal.Decoder
+    def ulaw(code: Int): Int = {
+      val x = ~code & 0xff
+      val t = (((x & 0x0f) << 3) + 0x84) << ((x >> 4) & 7)
+      if ((x & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    def alaw(code: Int): Int = {
+      val c = code ^ 0x55
+      val seg = (c >> 4) & 7
+      val t = if (seg == 0) ((c & 0xf) << 4) + 8
+        else (((c & 0xf) << 4) + 0x108) << (seg - 1)
+      if ((c & 0x80) != 0) t else -t
+    }
+    Seq((6, alaw _), (7, ulaw _)).foreach { case (fmtCode, fn) =>
+      val codes = Array.fill(300)(jrnd.nextInt(256))
+      val got = Decoder.frames(g711Wav(fmtCode, codes)).toList
+      val want = codes.map(fn).grouped(64).zipWithIndex.map {
+        case (fr, i) => ("audio/wav", i.toLong, fr.length.toLong,
+          fr.map(v => v.toLong * v).sum)
+      }.toList
+      assert(got == want, s"fmt $fmtCode")
+    }
+  }
 }
