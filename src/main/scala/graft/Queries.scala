@@ -3307,27 +3307,36 @@ object Queries {
     * create nor destroy an occurrence of ' c d ' when
     * {a,b} ∩ {c,d} = ∅, so every accepted pair's reported freq is
     * its true start-of-round count and the batch application is
-    * order-invariant. ~38 merges land in 3 driver rounds on the
-    * fixture corpus (vs 3 with one-per-round). Application is the
-    * space-doubling leftmost-non-overlapping fuse, which PRESERVES
-    * the doubling invariant across replaces (each ' a  b ' match
-    * borrows one space per side and its ' a_b ' replacement re-lends
-    * them), so one double + N replaces + one collapse per round
-    * fuses the whole batch in a single scan expression — no merged
-    * corpus is ever materialized. Returns the accepted merges as
-    * (round, seq, pair, freq) plus the accumulated scan expr. */
+    * order-invariant. Application is
+    * [[org.apache.spark.sql.graft.BpeApplyExpr]]: the accumulated
+    * plan rides as ONE codegen'd expression whose hot path is a
+    * single O(len) token scan per round (disjointness makes the
+    * batch a hash-set lookup, not merges separate replace passes),
+    * so the merge count can reach the hundreds a real tokenizer
+    * wants without the corpus scan degrading — 300+ merges land in
+    * 6 driver rounds of 256 candidates on the fixture corpus. The
+    * DuckDB oracle applies the equivalent doubled-space replace fold
+    * via list_reduce. Returns the accepted merges as
+    * (round, seq, pair, freq) plus the per-round accepted batches
+    * (the [[org.apache.spark.sql.graft.BpeApplyExpr]] plan). */
   private def bpeLearnBatched(base: DataFrame, rounds: Int,
-      cand: Int): (Seq[(Long, Long, String, Long)], String) = {
+      cand: Int): (Seq[(Long, Long, String, Long)], Seq[Seq[String]],
+        DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._
-    var txtExpr = "txt"
+    def bridgeCol(e: org.apache.spark.sql.catalyst.expressions
+        .Expression) =
+      org.apache.spark.sql.graft.ColumnBridge.column(e)
+    def bridgeExpr(c: Column) =
+      org.apache.spark.sql.graft.ColumnBridge.expression(c)
+    var plan = Vector.empty[Seq[String]]
+    var cur = base
     val out = Seq.newBuilder[(Long, Long, String, Long)]
     (1 to rounds).foreach { round =>
-      val top = base.selectExpr(s"$txtExpr AS text")
-        .select(explode(org.apache.spark.sql.graft.ColumnBridge
-          .column(org.apache.spark.sql.graft.WordShinglesExpr(
-            org.apache.spark.sql.graft.ColumnBridge
-              .expression(col("text")), 2))).as("sh"))
+      val top = cur
+        .select(explode(bridgeCol(
+          org.apache.spark.sql.graft.WordShinglesExpr(
+            bridgeExpr(col("txt")), 2))).as("sh"))
         .groupBy("sh").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("sh").asc).limit(cand)
         .as[(String, Long)].collect()
@@ -3337,21 +3346,44 @@ object Queries {
         if (ts.exists(used.contains)) false
         else { used ++= ts; true }
       }.toVector
-      var e = s"replace($txtExpr, ' ', '  ')"
-      acc.foreach { case (pair, _) =>
-        // corpus tokens are word characters; refuse to inline
-        // anything that could escape the SQL literal
-        require(pair.matches("[\\w ]+"), s"unexpected pair: $pair")
-        val doubled = pair.replace(" ", "  ")
-        e = s"replace($e, ' $doubled ', ' ${pair.replace(' ', '_')} ')"
-      }
-      txtExpr = s"replace($e, '  ', ' ')"
+      plan :+= acc.map(_._1)
       acc.zipWithIndex.foreach { case ((p, f), i) =>
         out += ((round.toLong, (i + 1).toLong, p, f))
       }
+      // apply the round's batch lazily, and MATERIALIZE the fused
+      // corpus every few rounds (eager localCheckpoint — the
+      // CLAUDE.md iterative-loop rule): each scan then applies at
+      // most `bpeCheckpointEvery` batches on top of the last
+      // checkpoint, so the whole learn is O(rounds·len) string work
+      // instead of the O(rounds²·len) a re-apply-from-scratch
+      // accumulates, while the checkpoint job count stays
+      // rounds/4 — at 20 sequential driver rounds, per-job
+      // scheduling overhead is the floor the round count pays
+      cur = cur.withColumn("txt",
+        bridgeCol(org.apache.spark.sql.graft.BpeApplyExpr(
+          bridgeExpr(col("txt")), Seq(acc.map(_._1)))))
+      // LAZY here, not the usual eager: the very next round's top-k
+      // collect is this frame's single consumer and materializes the
+      // checkpoint blocks inside its own job — eager would pay one
+      // extra full job per round for nothing, and the plan stays
+      // bounded (≤ bpeCheckpointEvery applies) either way
+      if (round % bpeCheckpointEvery == 0 || round == rounds)
+        cur = cur.localCheckpoint()
     }
-    (out.result(), txtExpr)
+    (out.result(), plan, cur)
   }
+
+  /** Batched-BPE scale knobs shared by q63/t23 and their oracles:
+    * 20 driver rounds × 2048 candidates lands 300+ token-disjoint
+    * merges at every test SF (a realistic tokenizer-training merge
+    * count), at one bounded 2048-row collect per round. The corpus
+    * vocabulary is tiny (31 tokens), so per-round acceptance is
+    * matching-limited (~vocab/2 at best) and grows only as fused
+    * tokens enter the pool — the round count, not the candidate
+    * depth, is what buys merges. */
+  private val bpeRounds = 20
+  private val bpeCand = 2048
+  private val bpeCheckpointEvery = 4
 
   val q63_bpe_merges: QFn = (s, d) => {
     val spark = s
@@ -3361,30 +3393,30 @@ object Queries {
         regexp_replace(lower(trim(col("text"))), "\\s+", " "),
         lit(" ")).as("txt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count() // three sequential rounds re-scan it (CLAUDE.md)
-    val (merges, _) = bpeLearnBatched(base, 3, 64)
+    base.count() // the sequential rounds re-scan it (CLAUDE.md)
+    val (merges, _, _) = bpeLearnBatched(base, bpeRounds, bpeCand)
     base.unpersist(blocking = false) // output is a LocalRelation
     merges.toDF("round", "seq", "pair", "freq")
   }
 
   /** BPE ENCODE — the APPLY half of q63's merge learning (the step a
     * tokenizer pipeline runs over the whole corpus once training
-    * ends): learn the same ~38 batched merges q63 learns
-    * ([[bpeLearnBatched]] — 3 driver rounds, 64 candidates each,
-    * greedy token-disjoint accept), then apply the fused replace
-    * chain to EVERY document and report per-doc token counts
+    * ends): learn the same 300+ batched merges q63 learns
+    * ([[bpeLearnBatched]] — 20 driver rounds, 2048 candidates each,
+    * greedy token-disjoint accept), and report per-doc token counts
     * before/after plus the saving in HALF_UP integer ppm — the
     * compression accounting a tokenizer-training run reports.
     *
-    * The apply is the identical space-doubling leftmost-
-    * non-overlapping fuse the learning rounds use (tokenizer-exact:
-    * "a b a b" fuses both, "a a a" only the first pair), inlined as
-    * ONE expression over one corpus scan — the merged corpus is never
-    * materialized, and the scan is embarrassingly parallel at any
-    * corpus size. Learning re-runs q63's three bounded driver rounds
-    * off the same persisted normalized corpus; counts are exact
-    * BIGINTs and ppm is cross-multiplied HALF_UP (no float division
-    * reaches the output). */
+    * The apply semantics are [[org.apache.spark.sql.graft
+    * .BpeApplyExpr]]'s — the space-doubled leftmost-non-overlapping
+    * fuse the learning rounds and the oracle share (tokenizer-exact:
+    * "a b a b" fuses both, "a a a" only the first pair), one O(len)
+    * token scan per round. The encode reads the learner's final
+    * checkpointed corpus directly (doc_id rides through the rounds),
+    * so the full plan is applied exactly once per document across
+    * the whole run; counts are exact BIGINTs and ppm is
+    * cross-multiplied HALF_UP (no float division reaches the
+    * output). */
   val t23_bpe_encode: QFn = (s, d) => {
     val base = t(s, d, "documents").select(
       col("doc_id"),
@@ -3392,12 +3424,16 @@ object Queries {
         regexp_replace(lower(trim(col("text"))), "\\s+", " "),
         lit(" ")).as("txt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count() // three learning rounds + the encode re-scan it
-    val (_, txtExpr) = bpeLearnBatched(base.drop("doc_id"), 3, 64)
-    base.selectExpr("doc_id", "txt", s"$txtExpr AS enc")
-      .select(col("doc_id"),
-        TextFunctions.tokenCount(col("txt")).as("n_before"),
-        TextFunctions.tokenCount(col("enc")).as("n_after"))
+    base.count() // the learning rounds + the encode re-scan it
+    // carry doc_id and n_before THROUGH the learning rounds: the
+    // learner's final checkpoint IS the encoded corpus
+    val withBefore = base.select(col("doc_id"),
+      TextFunctions.tokenCount(col("txt")).as("n_before"), col("txt"))
+    val (_, _, fused) = bpeLearnBatched(withBefore,
+      bpeRounds, bpeCand)
+    fused
+      .select(col("doc_id"), col("n_before"),
+        TextFunctions.tokenCount(col("txt")).as("n_after"))
       .withColumn("saved_ppm",
         expr("CASE WHEN n_before = 0 THEN 0 ELSE " +
           "((n_before - n_after) * 2000000 + n_before) " +
@@ -3405,12 +3441,15 @@ object Queries {
   }
 
   // shared oracle CTE for the batched BPE rounds (q63/t23): per
-  // round, bigram counts -> top-64 candidate lists -> a single-row
-  // RECURSIVE greedy walk accepting token-disjoint candidates ->
-  // a per-doc RECURSIVE fold applying the accepted batch with the
-  // space-doubling fuse. MATERIALIZED is load-bearing: recursive
-  // members re-evaluate referenced CTEs per iteration, which would
-  // otherwise recompute the whole upstream chain each step.
+  // round, bigram counts -> top-`bpeCand` candidate lists -> a
+  // single-row RECURSIVE greedy walk accepting token-disjoint
+  // candidates -> a per-doc list_reduce fold applying the accepted
+  // batch with the space-doubling fuse (one projection, not a
+  // per-merge recursive step — at 50+ accepted merges a round the
+  // recursive form materialized a full corpus copy per merge).
+  // MATERIALIZED is load-bearing: recursive members re-evaluate
+  // referenced CTEs per iteration, which would otherwise recompute
+  // the whole upstream chain each step.
   private def bpeRoundCte(k: Int, src: String): String =
     s"""tok$k AS MATERIALIZED (SELECT list_filter(
        |    regexp_split_to_array(trim(t), '\\s+'),
@@ -3422,8 +3461,8 @@ object Queries {
        |      i -> tk[i] || ' ' || tk[i+1])) AS sh
        |    FROM tok$k) GROUP BY sh),
        |cand$k AS MATERIALIZED (SELECT
-       |    list(sh ORDER BY c DESC, sh)[:64] AS cs,
-       |    list(c ORDER BY c DESC, sh)[:64] AS cf FROM bi$k),
+       |    list(sh ORDER BY c DESC, sh)[:$bpeCand] AS cs,
+       |    list(c ORDER BY c DESC, sh)[:$bpeCand] AS cf FROM bi$k),
        |a$k(i, acc, freqs, used) AS (
        |  SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS BIGINT[]),
        |    CAST([] AS VARCHAR[]) FROM cand$k
@@ -3440,35 +3479,32 @@ object Queries {
        |    FROM a$k, cand$k WHERE i < len(cs))),
        |f$k AS MATERIALIZED (SELECT acc, freqs FROM a$k
        |  ORDER BY i DESC LIMIT 1),
-       |app$k(doc_id, t, j) AS (
-       |  SELECT doc_id, replace(t, ' ', '  '), 0 FROM $src
-       |  UNION ALL
-       |  SELECT doc_id, replace(t,
-       |      ' ' || replace(acc[j+1], ' ', '  ') || ' ',
-       |      ' ' || replace(acc[j+1], ' ', '_') || ' '), j + 1
-       |  FROM app$k, f$k WHERE j < len(acc)),
-       |t$k AS MATERIALIZED (SELECT doc_id, replace(t, '  ', ' ')
-       |      AS t FROM (
-       |    SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id
-       |      ORDER BY j DESC) AS rn FROM app$k) WHERE rn = 1)"""
-      .stripMargin
+       |t$k AS MATERIALIZED (SELECT doc_id,
+       |    replace(list_reduce(
+       |      list_prepend(replace(t, ' ', '  '), acc),
+       |      (s, p) -> replace(s,
+       |        ' ' || replace(p, ' ', '  ') || ' ',
+       |        ' ' || replace(p, ' ', '_') || ' ')),
+       |    '  ', ' ') AS t
+       |  FROM $src, f$k)""".stripMargin
 
   val t23_sql: String = {
-    // the same 3 batched learning rounds as q63's oracle, with
-    // doc_id carried through every fuse CTE so the final scan counts
-    // per document
+    // the same batched learning rounds as q63's oracle, with doc_id
+    // carried through every fuse CTE so the final scan counts per
+    // document
+    val ctes = (1 to bpeRounds)
+      .map(k => bpeRoundCte(k, s"t${k - 1}")).mkString(",\n")
     s"""WITH RECURSIVE t0 AS MATERIALIZED (SELECT doc_id,
        |    ' ' || regexp_replace(lower(trim(text)),
        |    '\\s+', ' ', 'g') || ' ' AS t FROM documents),
-       |${bpeRoundCte(1, "t0")},
-       |${bpeRoundCte(2, "t1")},
-       |${bpeRoundCte(3, "t2")},
+       |$ctes,
        |cnt AS (SELECT t0.doc_id,
        |    CAST(len(list_filter(regexp_split_to_array(trim(t0.t),
        |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_before,
-       |    CAST(len(list_filter(regexp_split_to_array(trim(t3.t),
+       |    CAST(len(list_filter(regexp_split_to_array(
+       |      trim(t$bpeRounds.t),
        |      '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_after
-       |  FROM t0 JOIN t3 USING (doc_id))
+       |  FROM t0 JOIN t$bpeRounds USING (doc_id))
        |SELECT doc_id, n_before, n_after,
        |  CAST(CASE WHEN n_before = 0 THEN 0 ELSE
        |    ((n_before - n_after) * 2000000 + n_before)
@@ -3884,20 +3920,21 @@ object Queries {
       |FROM sc GROUP BY doc_id""".stripMargin
 
   val q63_sql: String = {
-    // learning only: the accepted batches f1/f2/f3, unnested with
+    // learning only: the accepted batches f1..fR, unnested with
     // their in-round sequence
+    val ctes = (1 to bpeRounds)
+      .map(k => bpeRoundCte(k, s"t${k - 1}")).mkString(",\n")
+    val union = (1 to bpeRounds)
+      .map(k => s"SELECT $k AS r, acc, freqs FROM f$k")
+      .mkString("\n    UNION ALL ")
     s"""WITH RECURSIVE t0 AS MATERIALIZED (SELECT doc_id,
        |    ' ' || regexp_replace(lower(trim(text)),
        |    '\\s+', ' ', 'g') || ' ' AS t FROM documents),
-       |${bpeRoundCte(1, "t0")},
-       |${bpeRoundCte(2, "t1")},
-       |${bpeRoundCte(3, "t2")}
+       |$ctes
        |SELECT CAST(r AS BIGINT) AS round, CAST(seq AS BIGINT) AS seq,
        |  acc[seq] AS pair, freqs[seq] AS freq FROM (
        |  SELECT z.*, unnest(range(1, len(acc) + 1)) AS seq FROM (
-       |    SELECT 1 AS r, acc, freqs FROM f1
-       |    UNION ALL SELECT 2, acc, freqs FROM f2
-       |    UNION ALL SELECT 3, acc, freqs FROM f3) z)""".stripMargin
+       |    $union) z)""".stripMargin
   }
 
   /** ANN RECALL AUDIT — the sketch-accuracy table for the ANN family

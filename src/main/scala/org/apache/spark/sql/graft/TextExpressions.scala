@@ -204,3 +204,118 @@ case class CharTrigramCodes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression)
     : Expression = copy(child = newChild)
 }
+
+/** Sequential-batch BPE merge application. A plan is R ROUNDS of
+  * token-DISJOINT merge pairs (the batched-greedy learner's output);
+  * semantics per round are the space-doubling sequential literal
+  * replaces both engines spec (double every space, replace each
+  * delimited doubled pair `' a  b '` with `' a_b '` leftmost-
+  * non-overlapping in batch order, collapse doubles) — the DuckDB
+  * oracle applies exactly that fold via list_reduce.
+  *
+  * The hot path exploits within-round disjointness: because fusing
+  * `a b` can neither create nor destroy an occurrence of `c d` when
+  * {a,b} ∩ {c,d} = ∅, the whole batch equals ONE left-to-right token
+  * scan (fuse when the adjacent pair is in the round's hash set,
+  * then skip both tokens — which also reproduces the leftmost rule
+  * for self-adjacent pairs: `a a a` fuses only the first two). That
+  * makes a round O(len) instead of O(merges·len), which is what lets
+  * the learner carry hundreds of merges without the corpus scan
+  * degrading — the nested-replace form this replaces grew one full
+  * string pass per accepted merge. Inputs not in canonical shape
+  * (leading+trailing single space, single spaces between nonempty
+  * tokens — everything the q63/t23 normalizer emits) take the
+  * literal replace-chain fallback so the expression equals the spec
+  * on EVERY input, not just well-formed ones (spec fuzz-pins fast ==
+  * fallback on canonical corpora). */
+final class BpePlan(val rounds: Array[Array[String]])
+  extends Serializable {
+  // pair "a b" -> fused "a_b"; rebuilt per executor after serialize
+  @transient lazy val maps: Array[java.util.HashMap[String, String]] =
+    rounds.map { ps =>
+      val m = new java.util.HashMap[String, String](ps.length * 2)
+      ps.foreach { p =>
+        val i = p.indexOf(' ')
+        require(i > 0 && p.indexOf(' ', i + 1) < 0,
+          s"merge pair must be two space-separated tokens: '$p'")
+        m.put(p, p.substring(0, i) + "_" + p.substring(i + 1))
+      }
+      m
+    }
+}
+
+object BpeUtil {
+  private def canonical(s: String): Boolean =
+    s.length >= 2 && s.charAt(0) == ' ' &&
+      s.charAt(s.length - 1) == ' ' && !s.contains("  ")
+
+  def applyRounds(text: UTF8String, plan: BpePlan): UTF8String = {
+    var s = text.toString
+    var r = 0
+    while (r < plan.rounds.length) {
+      if (canonical(s)) {
+        // one token scan per round (disjoint batch == single pass)
+        val m = plan.maps(r)
+        val toks = s.substring(1, s.length - 1).split(" ", -1)
+        val sb = new java.lang.StringBuilder(s.length + 1)
+        sb.append(' ')
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length) {
+            val fused = m.get(toks(i) + " " + toks(i + 1))
+            if (fused != null) {
+              sb.append(fused).append(' ')
+              i += 2
+            } else {
+              sb.append(toks(i)).append(' ')
+              i += 1
+            }
+          } else {
+            sb.append(toks(i)).append(' ')
+            i += 1
+          }
+        }
+        s = sb.toString
+      } else {
+        // exact spec fallback: doubled-space sequential replaces
+        var t = s.replace(" ", "  ")
+        plan.rounds(r).foreach { p =>
+          t = t.replace(" " + p.replace(" ", "  ") + " ",
+            " " + p.replace(' ', '_') + " ")
+        }
+        s = t.replace("  ", " ")
+      }
+      r += 1
+    }
+    UTF8String.fromString(s)
+  }
+}
+
+/** [[BpeUtil.applyRounds]] as a codegen'd unary expression; the plan
+  * rides as a referenced object (rebuilding its per-round hash maps
+  * lazily on each executor), so hundreds of merges never appear in
+  * the expression tree or the generated source. */
+case class BpeApplyExpr(child: Expression, rounds: Seq[Seq[String]])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_apply"
+
+  @transient private lazy val plan =
+    new BpePlan(rounds.map(_.toArray).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeUtil.applyRounds(input.asInstanceOf[UTF8String], plan)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+    : ExprCode = {
+    val ref = ctx.addReferenceObj("bpePlan", plan,
+      classOf[BpePlan].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.BpeUtil.applyRounds($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+    : Expression = copy(child = newChild)
+}

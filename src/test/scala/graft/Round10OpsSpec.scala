@@ -195,15 +195,15 @@ class Round10OpsSpec extends SparkSpec {
       .select(col("text")).as[String].collect()
       .map(t => " " + t.trim.toLowerCase(java.util.Locale.ROOT)
         .replaceAll("\\s+", " ") + " ")
-    val want = (1 to 3).flatMap { round =>
+    val want = (1 to 20).flatMap { round =>
       val pairs = texts.flatMap { t =>
         val toks = t.trim.split(" ").filter(_.nonEmpty)
         toks.zip(toks.drop(1)).map(p => p._1 + " " + p._2)
       }
       val grouped = pairs.groupBy(identity).view
         .mapValues(_.length.toLong).toSeq
-      // top-64 candidates, greedy token-disjoint accept
-      val cands = grouped.sortBy { case (p, c) => (-c, p) }.take(64)
+      // top-2048 candidates, greedy token-disjoint accept
+      val cands = grouped.sortBy { case (p, c) => (-c, p) }.take(2048)
       val used = scala.collection.mutable.HashSet.empty[String]
       val acc = cands.filter { case (p, _) =>
         val ts = p.split(" ")
@@ -229,8 +229,8 @@ class Round10OpsSpec extends SparkSpec {
       }
     }
     assert(got == want)
-    // a realistic merge count lands in the same 3 driver rounds
-    assert(got.size >= 32, s"only ${got.size} merges")
+    // a realistic tokenizer-scale merge count lands in 20 rounds
+    assert(got.size >= 300, s"only ${got.size} merges")
     // within a round: weakly-decreasing support in accept order and
     // pairwise token-disjointness
     got.groupBy(_._1).values.foreach { rnd =>
@@ -247,13 +247,12 @@ class Round10OpsSpec extends SparkSpec {
   }
 
   test("q63 fuse step is tokenizer-exact on self-adjacent runs") {
-    // the exact SQL expression q63 inlines, pointed at hostile runs
+    // the BpeApplyExpr q63 scans with, pointed at hostile runs
     def fuse(txt: String, pair: String): String = {
-      val doubled = pair.replace(" ", "  ")
-      val fused = pair.replace(' ', '_')
-      spark.sql(
-        s"SELECT replace(replace(replace('$txt', ' ', '  '), " +
-          s"' $doubled ', ' $fused '), '  ', ' ') AS t")
+      import org.apache.spark.sql.graft.{BpeApplyExpr, ColumnBridge}
+      Seq(txt).toDF("t")
+        .select(ColumnBridge.column(BpeApplyExpr(
+          ColumnBridge.expression(col("t")), Seq(Seq(pair)))).as("t"))
         .as[String].collect().head
     }
     // both adjacent occurrences fuse (the round-7 verdict case)

@@ -328,7 +328,7 @@ class Round13OpsSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect()
       .sortBy(r => (r._1, r._2))
       .map(r => { val p = r._3.split(" "); (p(0), p(1)) })
-    assert(merges.length >= 32, s"only ${merges.length} merges")
+    assert(merges.length >= 300, s"only ${merges.length} merges")
     val got = Queries.t23_bpe_encode(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap

@@ -279,4 +279,65 @@ class Round15OpsSpec extends SparkSpec {
       assert(got == want, s"fmt $fmtCode")
     }
   }
+
+  // ---- BpeApplyExpr: token-scan fast path == replace-chain spec ----
+
+  test("BpeApplyExpr single token scan == the doubled-space " +
+    "sequential replace chain over 200 random multi-round plans") {
+    // the spec semantics, applied literally (java String.replace is
+    // the same leftmost-non-overlapping literal scan as SQL replace)
+    def replayRounds(text: String, rounds: Seq[Seq[String]]): String =
+      rounds.foldLeft(text) { (s, batch) =>
+        batch.foldLeft(s.replace(" ", "  ")) { (t, p) =>
+          t.replace(" " + p.replace(" ", "  ") + " ",
+            " " + p.replace(' ', '_') + " ")
+        }.replace("  ", " ")
+      }
+    val vocab = Vector("a", "b", "c", "d", "e", "ab", "a_b", "x")
+    (1 to 200).foreach { trial =>
+      val nTok = jrnd.nextInt(30)
+      val text =
+        " " + Seq.fill(nTok)(vocab(jrnd.nextInt(vocab.size)))
+          .mkString(" ") + (if (nTok == 0) "" else " ")
+      // 1-3 rounds of token-DISJOINT batches drawn from live bigrams
+      // (plus decoys), mirroring what the learner feeds the expr
+      var cur = text
+      val rounds = (1 to 1 + jrnd.nextInt(3)).map { _ =>
+        val toks = cur.trim.split(" ").filter(_.nonEmpty)
+        val bigrams = toks.zip(toks.drop(1))
+          .map(p => p._1 + " " + p._2).distinct
+        val shuffled = jrnd.shuffle(bigrams.toVector) ++
+          Vector("zz qq") // decoy that never occurs
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val batch = shuffled.filter { p =>
+          val ts = p.split(" ")
+          if (ts.exists(used.contains)) false
+          else { used ++= ts; true }
+        }
+        cur = replayRounds(cur, Seq(batch))
+        batch
+      }
+      val viaExpr = {
+        import org.apache.spark.sql.graft.{BpeApplyExpr, ColumnBridge}
+        Seq(text).toDF("t")
+          .select(ColumnBridge.column(BpeApplyExpr(
+            ColumnBridge.expression(col("t")), rounds)).as("t"))
+          .as[String].head()
+      }
+      assert(viaExpr == replayRounds(text, rounds),
+        s"trial $trial text='$text' rounds=$rounds")
+      assert(viaExpr == cur)
+    }
+    // non-canonical inputs take the exact fallback: double spaces,
+    // missing sentinels — the replace chain is still matched
+    import org.apache.spark.sql.graft.{BpeApplyExpr, ColumnBridge}
+    Seq("", " ", "  ", "a b", " a  b ", "a b ").foreach { weird =>
+      val rounds = Seq(Seq("a b"))
+      val got = Seq(weird).toDF("t")
+        .select(ColumnBridge.column(BpeApplyExpr(
+          ColumnBridge.expression(col("t")), rounds)).as("t"))
+        .as[String].head()
+      assert(got == replayRounds(weird, rounds), s"input '$weird'")
+    }
+  }
 }
