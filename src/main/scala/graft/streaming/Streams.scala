@@ -147,6 +147,77 @@ object Streams {
         col("novel_bands"))
   }
 
+  /** Streaming near-dup IMPACT: [[streamingNearDupSignal]]'s band
+    * novelty chained into a windowed d17-style accounting row — per
+    * window: docs seen, docs a dedup gate would SUPPRESS (zero novel
+    * bands ⇒ every LSH band collided with something earlier inside
+    * the watermark horizon), tokens total/suppressed, and the
+    * HALF_UP suppressed-tokens ppm — the live twin of the batch
+    * d17 impact report, as ONE query.
+    *
+    * Shape: each eligible doc emits its exploded band-key rows PLUS
+    * one MARKER row whose key (`d|doc_id`) is doc-unique, so a
+    * single `dropDuplicatesWithinWatermark` passes every marker
+    * while keeping only first-seen bands; the first windowed
+    * aggregate folds a doc's surviving rows into (novel_bands,
+    * ntok) — the marker guarantees a row exists even when ALL bands
+    * were dups, which is exactly the doc the impact report must
+    * count — and a second window-on-window aggregate
+    * (`window(window_time(...))`, the chained-aggregation form)
+    * collapses docs into the per-window totals. Three chained
+    * stateful operators, all watermark-bounded (band/marker dedup
+    * state, per-doc windows, per-window totals). Docs shorter than
+    * one shingle are excluded like the signal query (their minhash
+    * is undefined); a marker's ntok rides the fold so suppressed
+    * token mass needs no second scan of the feed. */
+  def streamingNearDupImpact(docs: DataFrame, lateness: String,
+                             window: String = "1 minute",
+                             shingleSize: Int = 3, numHashes: Int = 12,
+                             bands: Int = 4): DataFrame = {
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    val shingles = array_distinct(
+      graft.text.TextFunctions.wordShingles(col("text"), shingleSize))
+    val sig = graft.dedup.Dedup.minhashSignature(shingles, numHashes)
+    val bandKeys = graft.dedup.Dedup.lshBandKeys(sig, bands,
+      numHashes / bands)
+    val eligible = docs
+      .filter(size(toks) >= shingleSize)
+      .select(col("ts"), col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("ntok"),
+        bandKeys.as("bands"))
+    val bandRows = eligible
+      .select(col("ts"), col("doc_id"), lit(0L).as("ntok"),
+        explode(col("bands")).as("b"), lit(1L).as("is_band"))
+      .select(col("ts"), col("doc_id"), col("ntok"),
+        concat(lit("b|"), col("b")).as("k"), col("is_band"))
+    val markerRows = eligible
+      .select(col("ts"), col("doc_id"), col("ntok"),
+        concat(lit("d|"), col("doc_id").cast("string")).as("k"),
+        lit(0L).as("is_band"))
+    val winDur = window
+    bandRows.unionByName(markerRows)
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("k"))
+      .groupBy(org.apache.spark.sql.functions
+          .window(col("ts"), winDur), col("doc_id"))
+      .agg(sum("is_band").as("novel_bands"), sum("ntok").as("ntok"))
+      .groupBy(org.apache.spark.sql.functions
+        .window(window_time(col("window")), winDur).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("novel_bands") === 0, 1L).otherwise(0L))
+          .as("n_suppressed"),
+        sum("ntok").as("tokens_total"),
+        sum(when(col("novel_bands") === 0, col("ntok"))
+          .otherwise(0L)).as("tokens_suppressed"))
+      .select(col("w.start").as("window_start"), col("n_docs"),
+        col("n_suppressed"), col("tokens_total"),
+        col("tokens_suppressed"),
+        expr("CASE WHEN tokens_total = 0 THEN 0 ELSE " +
+          "CAST((2 * 1000000 * tokens_suppressed + tokens_total) " +
+          "DIV (2 * tokens_total) AS BIGINT) END")
+          .as("tokens_suppressed_ppm"))
+  }
+
   case class Scored(user_id: Long, item_id: Long, score: Double)
   case class TopKOut(user_id: Long, item_ids: Seq[Long],
                      scores: Seq[Double])

@@ -187,6 +187,17 @@ object StreamBench {
               pmod(col("event_id") * (i * 2 + 1), lit(5000L)))): _*)
             .as("text")),
         lateness = "30 seconds"), "update")
+    // the chained d17-style impact accounting: band+marker dedup ->
+    // per-doc window fold -> window-on-window totals (three stateful
+    // ops, all watermark-bounded)
+    drive("near_dup_impact",
+      Streams.streamingNearDupImpact(syntheticEvents()
+        .select(col("ts"), col("event_id").as("doc_id"),
+          concat_ws(" ",
+            (0 until 12).map(i => concat(lit("w"),
+              pmod(col("event_id") * (i * 2 + 1), lit(5000L)))): _*)
+            .as("text")),
+        lateness = "30 seconds"), "append")
     // count-min maintenance: state = the 4x16 sketch itself (64 keys
     // forever); per-row cost is tokenize + depth md5s, and partial
     // aggregation collapses each batch to <=64 cell deltas

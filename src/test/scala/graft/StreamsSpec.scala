@@ -283,6 +283,87 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupImpact: chained impact rows == a batch " +
+    "replay of band novelty over identical payloads") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.streamingNearDupImpact(df, lateness = "5 minutes",
+        window = "10 minutes")
+      .writeStream.format("memory").queryName("ndimpact")
+      .outputMode(OutputMode.Append()).start()
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine"
+    val docs = Seq( // (minute, doc_id, text)
+      (1, 1L, text),            // window 0: novel
+      (2, 2L, text),            // window 0: exact dup → suppressed
+      (3, 3L, "too short"),     // excluded (< 3 tokens)
+      (12, 4L, other),          // window 1: novel
+      (14, 5L, other),          // window 1: dup inside the horizon
+      (16, 6L, text))           // window 1: doc 1's bands EXPIRED
+                                // (lateness horizon) → novel again
+    try {
+      // one doc per micro-batch: first-seen band order is then the
+      // arrival order, which the replay below assumes
+      docs.foreach { case (m, id, t) =>
+        mem.addData((ts(m), id, t)); q.processAllAvailable()
+      }
+      // minute 40: watermark (35) passes both windows' ends
+      mem.addData((ts(40), 99L, "closing filler words here now"))
+      q.processAllAvailable()
+      val got = spark.table("ndimpact")
+        .select("window_start", "n_docs", "n_suppressed",
+          "tokens_total", "tokens_suppressed", "tokens_suppressed_ppm")
+        .as[(Timestamp, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1.getTime -> ((r._2, r._3, r._4, r._5, r._6)))
+        .toMap
+      // batch replay: band keys via the SAME batch dedup kernels
+      val bandsOf = docs.filter(_._3.split("\\s+").length >= 3)
+        .map { case (m, id, t) => (m, id, t) }
+      val bdf = bandsOf.toDF("m", "doc_id", "text")
+      val shingles = array_distinct(
+        graft.text.TextFunctions.wordShingles(col("text"), 3))
+      val sig = graft.dedup.Dedup.minhashSignature(shingles, 12)
+      val keys = graft.dedup.Dedup.lshBandKeys(sig, 4, 3)
+      val rows = bdf.select(col("m"), col("doc_id"), keys.as("bands"),
+          graft.text.TextFunctions.tokenCount(col("text")).as("ntok"))
+        .as[(Int, Long, Seq[String], Long)].collect().sortBy(_._1)
+      val ts0 = ts(0).getTime
+      // horizon-aware replay: dropDuplicatesWithinWatermark keeps a
+      // band key only for `lateness` past its event time, and the
+      // one-doc-per-batch feed advances the watermark to
+      // (max prior ts − lateness) before each doc processes — so a
+      // band dedups iff its previous occurrence is still unexpired
+      val lateMin = 5
+      val seen = scala.collection.mutable.HashMap.empty[String, Int]
+      var maxM = Int.MinValue
+      val perDoc = rows.map { case (m, id, bands, ntok) =>
+        val wm = maxM - lateMin
+        seen.filterInPlace { case (_, expiry) => expiry >= wm }
+        val novel = bands.count { b =>
+          val isNew = !seen.contains(b)
+          seen(b) = m + lateMin
+          isNew
+        }
+        maxM = math.max(maxM, m)
+        (m / 10, id, novel, ntok)
+      }
+      val want = perDoc.groupBy(_._1).map { case (w, ds) =>
+        val supp = ds.filter(_._3 == 0)
+        val tot = ds.map(_._4).sum
+        val ts = supp.map(_._4).sum
+        val ppm = if (tot == 0) 0L else (2 * 1000000 * ts + tot) / (2 * tot)
+        (ts0 + w * 600000L) -> ((ds.length.toLong, supp.length.toLong,
+          tot, ts, ppm))
+      }
+      assert(got == want.toMap, s"got $got want $want")
+      // non-vacuous: both windows emitted, suppression happened
+      assert(want.values.exists(_._2 > 0))
+      assert(want.size == 2)
+    } finally q.stop()
+  }
+
   test("sessionWindowStats emits closed sessions under the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
