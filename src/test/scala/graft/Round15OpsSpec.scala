@@ -340,4 +340,39 @@ class Round15OpsSpec extends SparkSpec {
       assert(got == replayRounds(weird, rounds), s"input '$weird'")
     }
   }
+
+  // ---- Z-ordered layout: read-side row-group pruning ----
+
+  test("writeZOrdered clusters a 2-D box into few row groups where " +
+    "the unsorted layout overlaps nearly all (same scan results)") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-ztest").toString
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 16 * 1024)
+    // uniform 2-D points, deliberately row-shuffled so neither
+    // layout inherits accidental order from the generator
+    val pts = spark.range(60000).select(
+      pmod(col("id") * 7919L, lit(1000L)).as("x"),
+      pmod(col("id") * 104729L, lit(1000L)).as("y"))
+    val zDir = s"$scratch/z.parquet"
+    val uDir = s"$scratch/u.parquet"
+    graft.sinks.Sinks.writeZOrdered(pts, zDir, "x", "y", 8)
+    pts.repartition(8).write.mode("overwrite").parquet(uDir)
+    val box = (100L, 160L, 400L, 460L) // ~0.36% of the plane
+    def scan(d: String) = spark.read.parquet(d)
+      .filter(col("x").between(box._1, box._2) &&
+        col("y").between(box._3, box._4))
+      .agg(count(lit(1)), sum("x"), sum("y")).head
+    assert(scan(zDir) == scan(uDir), "layouts must return equal data")
+    val (zt, zo) = graft.tools.ZOrderScan.rowGroupOverlap(spark,
+      zDir, "x", box._1, box._2, "y", box._3, box._4)
+    val (ut, uo) = graft.tools.ZOrderScan.rowGroupOverlap(spark,
+      uDir, "x", box._1, box._2, "y", box._3, box._4)
+    assert(zt > 8 && ut > 8, s"need multi-row-group files: $zt/$ut")
+    // unsorted: every group spans the whole plane -> nothing prunes
+    assert(uo == ut, s"unsorted unexpectedly pruned: $uo/$ut")
+    // z-ordered: the box touches a small fraction of the groups
+    assert(zo.toDouble / zt < 0.2,
+      s"z-order pruned too little: $zo/$zt")
+  }
 }
