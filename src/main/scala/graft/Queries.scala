@@ -4516,9 +4516,13 @@ object Queries {
     * document row is turned into a byte-exact media payload — a
     * complete 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
     * padded pixel rows), a GIF89a logical-screen header, a
-    * RIFF/WAVE file with a 16-byte `fmt ` chunk, or an abbreviated
+    * RIFF/WAVE file with a 16-byte `fmt ` chunk, an abbreviated
     * JPEG stream (SOI + SOF0 frame header + EOI, big-endian per
-    * ISO 10918) — with dimensions / sample rate planted as
+    * ISO 10918), a RIFF/'AVI ' file with the 56-byte 'avih' main
+    * header (VfW layout — frames/width/height), or an ISO BMFF MP4
+    * (ftyp + moov with v0 mvhd/tkhd: millisecond duration at
+    * timescale 1000, 16.16 fixed-point track dimensions) — with
+    * dimensions / sample rate / frame counts / durations planted as
     * doc_id-derived formulas. Construction is
     * fully DECLARATIVE (hex-string assembly + `unhex`, all
     * whole-stage codegen — little-endian fields via a byte-reversal
@@ -4542,7 +4546,7 @@ object Queries {
         lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
     val base = t(s, d, "documents")
       .select(col("doc_id").cast("long").as("doc_id"))
-      .withColumn("fmt", pmod(col("doc_id"), lit(4)))
+      .withColumn("fmt", pmod(col("doc_id"), lit(6)))
       .withColumn("w", pmod(col("doc_id"), lit(31)) + 1)
       .withColumn("h", pmod(col("doc_id"), lit(17)) + 1)
       .withColumn("pix",
@@ -4551,6 +4555,8 @@ object Queries {
       .withColumn("rate",
         lit(8000) + pmod(col("doc_id"), lit(5)) * 1000)
       .withColumn("ch", pmod(col("doc_id"), lit(2)) + 1)
+      .withColumn("nframes", pmod(col("doc_id"), lit(1000)) + 1)
+      .withColumn("durms", pmod(col("doc_id"), lit(5000)) + 1000)
     val bmpHex = concat(
       lit("424D"), le(col("pix") + 54, 4), lit("00000000"),
       le(lit(54L), 4),                       // pixel-data offset
@@ -4587,12 +4593,57 @@ object Queries {
       lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"),
       lit("03"), lit("012200"), lit("021101"), lit("031101"),
       lit("FFD9"))
+    // AVI main header, little-endian RIFF per the published VfW
+    // layout: RIFF/'AVI ' + LIST/'hdrl' whose first chunk is the
+    // 56-byte 'avih' (dwTotalFrames @+16, dwWidth @+32, dwHeight
+    // @+36; remaining fields zero) — 88 bytes total
+    val aviHex = concat(
+      lit("52494646"), le(lit(80L), 4),      // "RIFF", size 80
+      lit("41564920"),                       // "AVI "
+      lit("4C495354"), le(lit(68L), 4),      // "LIST", size 68
+      lit("6864726C"),                       // "hdrl"
+      lit("61766968"), le(lit(56L), 4),      // "avih", size 56
+      le(lit(33367L), 4),                    // usec/frame (~30fps)
+      le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4),
+      le(col("nframes"), 4),                 // dwTotalFrames
+      le(lit(0L), 4), le(lit(1L), 4), le(lit(0L), 4),
+      le(col("w"), 4), le(col("h"), 4),      // dwWidth, dwHeight
+      le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4))
+    // MP4 / ISO BMFF, big-endian box walk: ftyp(16) + moov(140)
+    // holding a minimal v0 mvhd (timescale 1000 -> duration IS ms)
+    // and a trak/tkhd whose width/height are 16.16 fixed — 156 bytes
+    def be(c: Column, n: Int): Column = lpad(hex(c), 2 * n, "0")
+    val mp4Hex = concat(
+      lit("00000010"), lit("66747970"),      // ftyp, size 16
+      lit("69736F6D"), lit("00000000"),      // brand isom, minor 0
+      lit("0000008C"), lit("6D6F6F76"),      // moov, size 140
+      lit("00000020"), lit("6D766864"),      // mvhd, size 32
+      lit("00000000"),                       // version 0 + flags
+      lit("00000000"), lit("00000000"),      // creation, modification
+      be(lit(1000L), 4),                     // timescale 1000
+      be(col("durms"), 4),                   // duration (= ms)
+      lit("00000000"),                       // pad
+      lit("00000064"), lit("7472616B"),      // trak, size 100
+      lit("0000005C"), lit("746B6864"),      // tkhd, size 92
+      lit("00000000"),                       // version 0 + flags
+      lit("00000000"), lit("00000000"),      // creation, modification
+      lit("00000001"), lit("00000000"),      // track id, reserved
+      be(col("durms"), 4),                   // duration
+      lit("0000000000000000"),               // reserved[8]
+      lit("00000000"), lit("00000000"),      // layer/alt, volume/res
+      lit("00010000"), lit("00000000"), lit("00000000"), // matrix
+      lit("00000000"), lit("00010000"), lit("00000000"),
+      lit("00000000"), lit("00000000"), lit("40000000"),
+      be(col("w"), 2), lit("0000"),          // width  16.16
+      be(col("h"), 2), lit("0000"))          // height 16.16
     val media = base
       .withColumn("payload", unhex(
         when(col("fmt") === 0, bmpHex)
           .when(col("fmt") === 1, gifHex)
           .when(col("fmt") === 2, wavHex)
-          .otherwise(jpgHex)))
+          .when(col("fmt") === 3, jpgHex)
+          .when(col("fmt") === 4, aviHex)
+          .otherwise(mp4Hex)))
       .select(col("doc_id").as("media_id"), col("payload"),
         struct(lit("application/octet-stream").as("mime"),
           length(col("payload")).cast("long").as("n_bytes"),
@@ -4604,7 +4655,9 @@ object Queries {
           .when(feat(1) === 2L, "image/png")
           .when(feat(1) === 3L, "image/gif")
           .when(feat(1) === 4L, "audio/wav")
-          .when(feat(1) === 5L, "image/jpeg").as("mime"),
+          .when(feat(1) === 5L, "image/jpeg")
+          .when(feat(1) === 6L, "video/avi")
+          .when(feat(1) === 7L, "video/mp4").as("mime"),
         feat(2).as("width"), feat(3).as("height"),
         feat(4).as("depth"), feat(5).as("n_bytes"))
   }
@@ -4613,25 +4666,30 @@ object Queries {
     * doc_id formulas — it never parses bytes, so a hash match pins
     * the Spark writer+parser round trip to the intended values. */
   val m05_sql: String =
-    """WITH p AS (SELECT doc_id, doc_id % 4 AS fmt,
+    """WITH p AS (SELECT doc_id, doc_id % 6 AS fmt,
       |    doc_id % 31 + 1 AS w, doc_id % 17 + 1 AS h,
       |    (((doc_id % 31 + 1) * 3 + 3) // 4) * 4 * (doc_id % 17 + 1)
       |      AS pix,
       |    (doc_id % 32) * 2 AS ndata,
       |    8000 + (doc_id % 5) * 1000 AS rate,
-      |    doc_id % 2 + 1 AS ch
+      |    doc_id % 2 + 1 AS ch,
+      |    doc_id % 1000 + 1 AS nframes,
+      |    doc_id % 5000 + 1000 AS durms
       |  FROM documents)
       |SELECT doc_id AS media_id,
       |  CASE fmt WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/gif'
-      |    WHEN 2 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime,
+      |    WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/jpeg'
+      |    WHEN 4 THEN 'video/avi' ELSE 'video/mp4' END AS mime,
       |  CAST(CASE fmt WHEN 2 THEN rate ELSE w END AS BIGINT)
       |    AS width,
       |  CAST(CASE fmt WHEN 2 THEN ch ELSE h END AS BIGINT)
       |    AS height,
       |  CAST(CASE fmt WHEN 0 THEN 24 WHEN 1 THEN doc_id % 8 + 1
-      |    WHEN 2 THEN 16 ELSE 24 END AS BIGINT) AS depth,
+      |    WHEN 2 THEN 16 WHEN 3 THEN 24 WHEN 4 THEN nframes
+      |    ELSE durms END AS BIGINT) AS depth,
       |  CAST(CASE fmt WHEN 0 THEN 54 + pix WHEN 1 THEN 14
-      |    WHEN 2 THEN 44 + ndata ELSE 23 END AS BIGINT) AS n_bytes
+      |    WHEN 2 THEN 44 + ndata WHEN 3 THEN 23 WHEN 4 THEN 88
+      |    ELSE 156 END AS BIGINT) AS n_bytes
       |FROM p""".stripMargin
 
   /** Uniform K-FRAME SAMPLING over binary payloads — the video-model

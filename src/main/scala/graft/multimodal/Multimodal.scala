@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * G.711 μ-law/A-law WAVE samples (count / Σ|s| / Σs², plus
   * per-frame energies for the audio-feature fan-out — the G.711
   * expansion is the published ITU companding formula, clean-room).
-  * Formats that genuinely need external codecs (video, compressed
-  * non-G.711 audio) fall back to header-only or byte-lane features;
+  * Formats that genuinely need external codecs (video PIXEL data,
+  * compressed non-G.711 audio) fall back to header-only or byte-lane
+  * features — video CONTAINER metadata does parse (AVI 'avih'
+  * frames/dims, MP4 mvhd/tkhd duration/dims, both clean-room);
   * payloads whose header matches no container take [[Decoder]]'s
   * deterministic byte-lane histogram — the fallback keeps the
   * mapPartitions plumbing oracle-checkable on text payloads, and a
@@ -35,8 +37,10 @@ object Multimodal {
 
   /** Probed container facts. For images: pixel width/height and
     * bits-per-pixel. For RIFF/WAVE audio the same three slots carry
-    * (sample rate, channel count, bits per sample) — the natural
-    * "dimensions" of an audio stream. */
+    * (sample rate, channel count, bits per sample); for video
+    * containers, (width, height, total frames) for AVI and
+    * (width, height, duration in ms) for MP4 — the natural
+    * "dimensions" of each stream kind. */
   final case class MediaInfo(
     mime: String, width: Long, height: Long, depth: Long)
 
@@ -44,7 +48,10 @@ object Multimodal {
     * byte layouts (no library): BMP (BITMAPFILEHEADER +
     * BITMAPINFOHEADER, little-endian), PNG (8-byte signature + IHDR,
     * big-endian), GIF87a/89a (logical screen descriptor,
-    * little-endian), RIFF/WAVE (`fmt ` chunk scan, little-endian).
+    * little-endian), RIFF/WAVE (`fmt ` chunk scan, little-endian),
+    * JPEG (ISO 10918 marker-segment walk to SOFn, big-endian),
+    * AVI (RIFF 'hdrl'/'avih' main header) and MP4 (ISO BMFF box walk
+    * to mvhd/tkhd, big-endian).
     * Strict where the format allows it — BMP's file-size field and
     * WAV's RIFF size must match the actual payload length, BMP's DIB
     * header size must be a published variant — so text payloads that
@@ -172,10 +179,97 @@ object Multimodal {
         found
       } else None
 
+    /** AVI (RIFF 'AVI ', the published OpenDML/VfW layout): the same
+      * strict RIFF walk as [[wav]] but into the 'LIST'/'hdrl' list
+      * whose FIRST chunk is the 56-byte 'avih' main header —
+      * dwWidth u32le @+32 and dwHeight @+36 fill the dimension
+      * slots; the third slot carries dwTotalFrames @+16 (the natural
+      * "depth" of a video stream). Pixel/codec data stays declared
+      * codec-bound; the container metadata is pure byte layout. */
+    private def avi(p: Array[Byte]): Option[MediaInfo] =
+      if (p.length >= 12 && ascii(p, 0, "RIFF") &&
+          le32(p, 4) == p.length.toLong - 8L && ascii(p, 8, "AVI ")) {
+        var off = 12L
+        var found: Option[MediaInfo] = None
+        while (found.isEmpty && off + 12 <= p.length) {
+          val o = off.toInt
+          val size = le32(p, o + 4)
+          if (ascii(p, o, "LIST") && ascii(p, o + 8, "hdrl") &&
+              ascii(p, o + 12, "avih") &&
+              le32(p, o + 16) >= 40L && off + 20 + 40 <= p.length)
+            found = Some(MediaInfo("video/avi",
+              le32(p, o + 20 + 32),   // dwWidth
+              le32(p, o + 20 + 36),   // dwHeight
+              le32(p, o + 20 + 16)))  // dwTotalFrames
+          else off += 8L + size + (size & 1L)
+        }
+        found
+      } else None
+
+    /** MP4 / ISO BMFF (ISO 14496-12): big-endian [u32 size][4cc]
+      * box walk at the top level into 'moov', then within it the
+      * first 'trak'/'tkhd' supplies width/height (16.16 fixed-point
+      * at the end of the v0/v1 track header — integer part taken)
+      * and 'mvhd' the duration in TIMESCALE units, converted to
+      * whole milliseconds for the third slot. Strict: an 'ftyp'
+      * first box and in-bounds sizes (size 0 = to-end, size 1 =
+      * 64-bit largesize are accepted per spec). */
+    private def mp4(p: Array[Byte]): Option[MediaInfo] = {
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] { // (type, payloadOff, end)
+          private var i = lo
+          def hasNext: Boolean = i + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val sz = be32(p, i)
+            val tp = new String(p, i + 4, 4, "ISO-8859-1")
+            val (off, end) =
+              if (sz == 1L && i + 16 <= hi) {
+                val big = (be32(p, i + 8) << 32) | be32(p, i + 12)
+                (i + 16, i + big)
+              } else if (sz == 0L) (i + 8, hi.toLong)
+              else (i + 8, i + sz)
+            val e = if (end < off || end > hi) hi else end.toInt
+            val r = (tp, off, e)
+            i = math.max(e, i + 8) // malformed size can't stall
+            r
+          }
+        }
+      if (p.length < 16 || be32(p, 0) < 8L || !ascii(p, 4, "ftyp"))
+        None
+      else boxes(0, p.length).find(_._1 == "moov").flatMap {
+        case (_, mo, me) =>
+          var durMs = 0L
+          var w = 0L
+          var h = 0L
+          boxes(mo, me).foreach {
+            case ("mvhd", o, e) if e - o >= 24 =>
+              val v = u8(p, o)
+              if (v == 0L && durMs == 0L) {
+                val scale = be32(p, o + 12)
+                if (scale > 0) durMs = be32(p, o + 16) * 1000 / scale
+              }
+            case ("trak", to, te) if w == 0L =>
+              boxes(to, te).foreach {
+                case ("tkhd", o, e) if e - o >= 84 && w == 0L =>
+                  val v = u8(p, o)
+                  val base = if (v == 1L) o + 96 else o + 84
+                  if (base <= e) {
+                    w = be32(p, base - 8) >> 16   // 16.16 fixed
+                    h = be32(p, base - 4) >> 16
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+          if (w > 0 && h > 0) Some(MediaInfo("video/mp4", w, h, durMs))
+          else None
+      }
+    }
+
     def probe(p: Array[Byte]): Option[MediaInfo] =
       if (p == null || p.length < 13) None
       else bmp(p).orElse(png(p)).orElse(gif(p)).orElse(wav(p))
-        .orElse(jpeg(p))
+        .orElse(jpeg(p)).orElse(avi(p)).orElse(mp4(p))
 
     /** REAL JPEG pixel decode through the JDK's OWN baseline decoder
       * — javax.imageio ships one (com.sun.imageio.plugins.jpeg), so
@@ -814,7 +908,7 @@ object Multimodal {
     val featureDim = 8
     val tags: Map[String, Double] = Map("image/bmp" -> 1d,
       "image/png" -> 2d, "image/gif" -> 3d, "audio/wav" -> 4d,
-      "image/jpeg" -> 5d)
+      "image/jpeg" -> 5d, "video/avi" -> 6d, "video/mp4" -> 7d)
     def decode(payload: Array[Byte]): Array[Double] =
       HeaderCodec.probe(payload) match {
         case Some(info) =>

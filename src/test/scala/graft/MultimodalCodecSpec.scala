@@ -373,21 +373,29 @@ class MultimodalCodecSpec extends SparkSpec {
     val df = Queries.m05_header_probe(spark, sf("sf0.001"))
     val rows = df.collect()
     assert(rows.length == 500)
-    // spot-check planted formulas for one row per format (mod-4
-    // rotation: 0 BMP, 1 GIF, 2 WAV, 3 JPEG)
+    // spot-check planted formulas for one row per format (mod-6
+    // rotation: 0 BMP, 1 GIF, 2 WAV, 3 JPEG, 4 AVI, 5 MP4)
     val byId = rows.map(r => r.getLong(0) -> r).toMap
-    val r4 = byId(4L) // fmt 0 → BMP, w=4%31+1=5, h=4%17+1=5
-    assert(r4.getString(1) == "image/bmp" && r4.getLong(2) == 5 &&
-      r4.getLong(3) == 5 && r4.getLong(4) == 24)
-    val r5 = byId(5L) // fmt 1 → GIF, depth=5%8+1=6
-    assert(r5.getString(1) == "image/gif" && r5.getLong(4) == 6)
-    val r6 = byId(6L) // fmt 2 → WAV: rate 8000+(6%5)*1000=9000
-    assert(r6.getString(1) == "audio/wav" && r6.getLong(2) == 9000 &&
-      r6.getLong(3) == 1 && r6.getLong(4) == 16)
+    val r6 = byId(6L) // fmt 0 → BMP, w=6%31+1=7, h=6%17+1=7
+    assert(r6.getString(1) == "image/bmp" && r6.getLong(2) == 7 &&
+      r6.getLong(3) == 7 && r6.getLong(4) == 24)
+    val r7 = byId(7L) // fmt 1 → GIF, depth=7%8+1=8
+    assert(r7.getString(1) == "image/gif" && r7.getLong(4) == 8)
+    val r8 = byId(8L) // fmt 2 → WAV: rate 8000+(8%5)*1000=11000
+    assert(r8.getString(1) == "audio/wav" && r8.getLong(2) == 11000 &&
+      r8.getLong(3) == 1 && r8.getLong(4) == 16)
     val r3 = byId(3L) // fmt 3 → JPEG, w=4, h=4, 8-bit × 3 comp
     assert(r3.getString(1) == "image/jpeg" && r3.getLong(2) == 4 &&
       r3.getLong(3) == 4 && r3.getLong(4) == 24 &&
       r3.getLong(5) == 23)
+    val r4 = byId(4L) // fmt 4 → AVI: frames=4%1000+1=5, w=5, h=5
+    assert(r4.getString(1) == "video/avi" && r4.getLong(2) == 5 &&
+      r4.getLong(3) == 5 && r4.getLong(4) == 5 &&
+      r4.getLong(5) == 88)
+    val r5 = byId(5L) // fmt 5 → MP4: dur=5%5000+1000=1005ms, w=6
+    assert(r5.getString(1) == "video/mp4" && r5.getLong(2) == 6 &&
+      r5.getLong(3) == 6 && r5.getLong(4) == 1005 &&
+      r5.getLong(5) == 156)
     // no row fell through to the histogram path (mime never null)
     assert(rows.forall(_.getString(1) != null))
   }

@@ -2,10 +2,21 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-15 hardening: arithmetic envelopes that only bite at
-  * 100 TB-realistic inputs — media long enough that 1e6·Σs²
-  * overflows Long (m04's media-level RMS), and graphs with enough
-  * edges that the modularity ppm division overflows BIGINT. */
+/** Round-17 (driver round 11) hardening and new arms:
+  *  - arithmetic envelopes that only bite at 100 TB-realistic
+  *    inputs — media long enough that 1e6·Σs² overflows Long (m04's
+  *    media-level RMS) and graphs with enough edges that the
+  *    modularity ppm division overflowed BIGINT (1e7-edge ring with
+  *    closed-form aggregates);
+  *  - the JPEG decode arm (clean-room marker walk + JDK ImageIO,
+  *    fuzz-pinned against a direct-raster reference);
+  *  - G.711 μ-law/A-law expansion (published ITU landmark values +
+  *    a BigInt frame-energy replay);
+  *  - BpeApplyExpr's token-scan fast path == the literal
+  *    doubled-space replace chain (random multi-round plans +
+  *    non-canonical fallbacks);
+  *  - z-ordered parquet layout: footer-stats row-group pruning vs
+  *    an unsorted write. */
 class Round15OpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -339,6 +350,89 @@ class Round15OpsSpec extends SparkSpec {
         .as[String].head()
       assert(got == replayRounds(weird, rounds), s"input '$weird'")
     }
+  }
+
+  // ---- video container headers: AVI 'avih' and MP4 mvhd/tkhd ----
+
+  private def beBytes(v: Long, n: Int): Array[Byte] =
+    (0 until n).reverse.map(i => ((v >> (8 * i)) & 0xff).toByte)
+      .toArray
+
+  /** Minimal RIFF/'AVI ' with the 56-byte 'avih' main header. */
+  private def aviBytes(frames: Long, w: Long, h: Long): Array[Byte] = {
+    val avih = le(33367L, 4) ++ le(0L, 4) ++ le(0L, 4) ++ le(0L, 4) ++
+      le(frames, 4) ++ le(0L, 4) ++ le(1L, 4) ++ le(0L, 4) ++
+      le(w, 4) ++ le(h, 4) ++ Array.fill(16)(0.toByte)
+    val hdrl = "hdrl".getBytes ++ "avih".getBytes ++ le(56L, 4) ++ avih
+    val list = "LIST".getBytes ++ le(hdrl.length.toLong, 4) ++ hdrl
+    "RIFF".getBytes ++ le((4 + list.length).toLong, 4) ++
+      "AVI ".getBytes ++ list
+  }
+
+  /** Minimal ISO BMFF MP4: ftyp + moov(mvhd v0 + trak/tkhd). */
+  private def mp4Bytes(durMs: Long, w: Long, h: Long,
+                       v1Tkhd: Boolean = false): Array[Byte] = {
+    val mvhd = beBytes(32, 4) ++ "mvhd".getBytes ++
+      beBytes(0, 4) ++ beBytes(0, 4) ++ beBytes(0, 4) ++
+      beBytes(1000, 4) ++ beBytes(durMs, 4) ++ beBytes(0, 4)
+    val tkhdPay =
+      if (v1Tkhd)
+        Array(1.toByte) ++ Array.fill(3)(0.toByte) ++
+          Array.fill(8)(0.toByte) ++ Array.fill(8)(0.toByte) ++
+          beBytes(1, 4) ++ beBytes(0, 4) ++ Array.fill(8)(0.toByte) ++
+          Array.fill(8)(0.toByte) ++ Array.fill(8)(0.toByte) ++
+          (beBytes(0x00010000L, 4) ++ beBytes(0, 4) ++ beBytes(0, 4) ++
+            beBytes(0, 4) ++ beBytes(0x00010000L, 4) ++ beBytes(0, 4) ++
+            beBytes(0, 4) ++ beBytes(0, 4) ++ beBytes(0x40000000L, 4)) ++
+          beBytes(w << 16, 4) ++ beBytes(h << 16, 4)
+      else
+        Array.fill(4)(0.toByte) ++ beBytes(0, 4) ++ beBytes(0, 4) ++
+          beBytes(1, 4) ++ beBytes(0, 4) ++ beBytes(durMs, 4) ++
+          Array.fill(8)(0.toByte) ++ Array.fill(8)(0.toByte) ++
+          (beBytes(0x00010000L, 4) ++ beBytes(0, 4) ++ beBytes(0, 4) ++
+            beBytes(0, 4) ++ beBytes(0x00010000L, 4) ++ beBytes(0, 4) ++
+            beBytes(0, 4) ++ beBytes(0, 4) ++ beBytes(0x40000000L, 4)) ++
+          beBytes(w << 16, 4) ++ beBytes(h << 16, 4)
+    val tkhd = beBytes(8L + tkhdPay.length, 4) ++ "tkhd".getBytes ++
+      tkhdPay
+    val trak = beBytes(8L + tkhd.length, 4) ++ "trak".getBytes ++ tkhd
+    val moov = beBytes(8L + mvhd.length + trak.length, 4) ++
+      "moov".getBytes ++ mvhd ++ trak
+    val ftyp = beBytes(16, 4) ++ "ftyp".getBytes ++
+      "isom".getBytes ++ beBytes(0, 4)
+    ftyp ++ moov
+  }
+
+  test("AVI/MP4 container headers parse (frames/dims, ms duration, " +
+    "v0+v1 tkhd) and hostile variants fall to None") {
+    import graft.multimodal.Multimodal.{HeaderCodec, MediaInfo}
+    assert(HeaderCodec.probe(aviBytes(240, 320, 200)) ===
+      Some(MediaInfo("video/avi", 320, 200, 240)))
+    // RIFF size lie → None (strict like WAV)
+    val lie = aviBytes(240, 320, 200) ++ Array[Byte](0)
+    assert(HeaderCodec.probe(lie) === None)
+    val m0 = mp4Bytes(1005, 640, 360)
+    assert(HeaderCodec.probe(m0) ===
+      Some(MediaInfo("video/mp4", 640, 360, 1005)))
+    // v1 track header: dims sit 12 bytes later — still parsed
+    val m1 = mp4Bytes(2500, 1920, 1080, v1Tkhd = true)
+    assert(HeaderCodec.probe(m1) ===
+      Some(MediaInfo("video/mp4", 1920, 1080, 2500)))
+    // no ftyp first box → None; lying box size must not loop/crash
+    assert(HeaderCodec.probe(m0.drop(16)) === None)
+    val lying = m0.clone()
+    lying(16) = 0x7f // moov size absurdly large
+    assert(HeaderCodec.probe(lying) === None ||
+      HeaderCodec.probe(lying).isDefined) // total: no crash, no hang
+    // Decoder dispatch: video arms emit header features + zero
+    // content (pixel decode is the declared codec-bound gap)
+    val f = graft.multimodal.Multimodal.Decoder
+      .decode(aviBytes(240, 320, 200))
+    assert(f.toList === List(6d, 320d, 200d, 240d,
+      aviBytes(240, 320, 200).length.toDouble, 0d, 0d, 0d))
+    val g = graft.multimodal.Multimodal.Decoder.decode(m0)
+    assert(g.toList === List(7d, 640d, 360d, 1005d,
+      m0.length.toDouble, 0d, 0d, 0d))
   }
 
   // ---- Z-ordered layout: read-side row-group pruning ----
