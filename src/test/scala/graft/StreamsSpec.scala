@@ -915,7 +915,8 @@ class StreamsSpec extends SparkSpec {
       lit, max, sqrt, sum, when}
     val dir = sf("sf0.001")
     // build the SAME payload mix batch m04 constructs, driver-side:
-    // odd ids -> mono 16-bit PCM WAV with planted varying samples,
+    // ids ≡ 1 mod 4 -> mono 16-bit PCM WAV with planted varying
+    // samples, ids ≡ 3 mod 4 -> G.711 telephony WAVs (A-law/μ-law),
     // even ids -> raw text bytes
     def le(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
@@ -931,13 +932,27 @@ class StreamsSpec extends SparkSpec {
         le(2L, 2) ++ le(16L, 2) ++
         "data".getBytes ++ le(data.length.toLong, 4) ++ data
     }
+    def g711Bytes(id: Long, nSamples: Int): Array[Byte] = {
+      val rate = 8000L + (id % 5) * 1000L
+      val fmtCode = if (id % 8 == 3) 6L else 7L
+      val data = (0 until nSamples)
+        .map(k => ((id * 13 + k * 11) % 256).toByte).toArray
+      "RIFF".getBytes ++ le(data.length + 36L, 4) ++
+        "WAVE".getBytes ++ "fmt ".getBytes ++ le(16L, 4) ++
+        le(fmtCode, 2) ++ le(1L, 2) ++ le(rate, 4) ++ le(rate, 4) ++
+        le(1L, 2) ++ le(8L, 2) ++
+        "data".getBytes ++ le(data.length.toLong, 4) ++ data ++
+        (if (nSamples % 2 == 1) Array(0.toByte)
+         else Array.empty[Byte])
+    }
     val docs = graft.sources.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect()
     val base = 1704067200000L
     val timed = docs.zipWithIndex.map { case ((id, tx), i) =>
       val payload =
-        if (id % 2 == 1) wavBytes(id, tx.length)
+        if (id % 4 == 1) wavBytes(id, tx.length)
+        else if (id % 4 == 3) g711Bytes(id, tx.length)
         else tx.getBytes("UTF-8")
       (new Timestamp(base + (i / 20) * 60000L + (i % 20) * 1000L),
         id, payload)
@@ -986,8 +1001,13 @@ class StreamsSpec extends SparkSpec {
             " DIV total_units")))
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(streamed.nonEmpty && streamed == batch)
-    // both arms live: real PCM media and byte-window media present
-    assert(streamed.values.exists(_.head == "audio/wav"))
+    // all three arms live: PCM and G.711 media decode as audio (the
+    // G.711 ids must NOT fall to the byte-window arm), text stays on
+    // byte windows
+    assert(streamed.exists { case (id, v) =>
+      id % 4 == 1 && v.head == "audio/wav" })
+    assert(streamed.exists { case (id, v) =>
+      id % 4 == 3 && v.head == "audio/wav" })
     assert(streamed.values.exists(_.head == "application/octet-stream"))
   }
 
