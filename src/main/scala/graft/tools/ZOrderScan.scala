@@ -112,10 +112,15 @@ object ZOrderScan {
           col("sk").between(skLo, skHi))
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 2).as("s"))
-    // both layouts must agree before timings mean anything
+    // both layouts must agree before timings mean anything; counts
+    // compare exactly, revenue with a cent tolerance (the two
+    // layouts sum doubles in different orders — same discipline as
+    // SkewBench)
     val rz = scan(zDir).head
     val ru = scan(uDir).head
-    require(rz == ru, s"layouts disagree: $rz vs $ru")
+    require(rz.getLong(0) == ru.getLong(0) &&
+      math.abs(rz.getDouble(1) - ru.getDouble(1)) <= 0.01,
+      s"layouts disagree: $rz vs $ru")
 
     val (zTotal, zOverlap) = rowGroupOverlap(spark, zDir,
       "pk", pkLo, pkHi, "sk", skLo, skHi)

@@ -195,20 +195,26 @@ class Round10OpsSpec extends SparkSpec {
       .select(col("text")).as[String].collect()
       .map(t => " " + t.trim.toLowerCase(java.util.Locale.ROOT)
         .replaceAll("\\s+", " ") + " ")
-    val want = (1 to 20).flatMap { round =>
+    val want = (1 to 6).flatMap { round =>
       val pairs = texts.flatMap { t =>
         val toks = t.trim.split(" ").filter(_.nonEmpty)
         toks.zip(toks.drop(1)).map(p => p._1 + " " + p._2)
       }
       val grouped = pairs.groupBy(identity).view
         .mapValues(_.length.toLong).toSeq
-      // top-2048 candidates, greedy token-disjoint accept
+      // top-2048 candidates, greedy NON-INTERFERING accept: left not
+      // an accepted right, right not an accepted left, fused name
+      // fresh — the exactness rule bpeLearnBatched documents
       val cands = grouped.sortBy { case (p, c) => (-c, p) }.take(2048)
-      val used = scala.collection.mutable.HashSet.empty[String]
+      val ul = scala.collection.mutable.HashSet.empty[String]
+      val ur = scala.collection.mutable.HashSet.empty[String]
       val acc = cands.filter { case (p, _) =>
         val ts = p.split(" ")
-        if (ts.exists(used.contains)) false
-        else { used ++= ts; true }
+        val fused = p.replace(' ', '_')
+        if (ur.contains(ts(0)) || ul.contains(ts(1)) ||
+          ul.contains(fused) || ur.contains(fused)) false
+        else { ul += ts(0); ul += fused; ur += ts(1); ur += fused
+          true }
       }
       // java String.replace = literal, non-overlapping, left-to-
       // right — the same scan as both engines' SQL replace; the
@@ -229,18 +235,24 @@ class Round10OpsSpec extends SparkSpec {
       }
     }
     assert(got == want)
-    // a realistic tokenizer-scale merge count lands in 20 rounds
+    // a realistic tokenizer-scale merge count lands in 6 rounds
     assert(got.size >= 300, s"only ${got.size} merges")
     // within a round: weakly-decreasing support in accept order and
-    // pairwise token-disjointness
+    // the non-interference invariant (no pair's LEFT token equals
+    // another pair's RIGHT token — overlap-freedom — and no fused
+    // name collides with any accepted token or other fused name)
     got.groupBy(_._1).values.foreach { rnd =>
       val byCeq = rnd.sortBy(_._2)
       assert(byCeq.zip(byCeq.drop(1)).forall(p => p._1._4 >= p._2._4))
-      // pairwise disjoint across pairs (a self-pair "a a" counts a
-      // single token)
-      val toks = rnd.flatMap(_._3.split(" ").distinct)
-      assert(toks.distinct.size == toks.size,
-        "accepted batch must be token-disjoint")
+      val prs = rnd.map(_._3.split(" "))
+      for (p <- prs; q <- prs if !(p sameElements q))
+        assert(p(0) != q(1),
+          s"interfering pair: ${p.mkString(" ")} vs ${q.mkString(" ")}")
+      val fused = rnd.map(_._3.replace(' ', '_'))
+      val toks = prs.flatMap(t => t).toSet
+      assert(fused.distinct.size == fused.size)
+      assert(fused.forall(f => !toks.contains(f)),
+        "fused name collides with an accepted token")
     }
     assert(got.map(_._3).distinct.size == got.size)
     assert(got.forall(_._3.contains(" ")))

@@ -323,7 +323,9 @@ class Round13OpsSpec extends SparkSpec {
         case Nil => Nil
       }
     // batched rounds: merges apply in (round, seq) order — within a
-    // round the batch is token-disjoint so sequential == batch
+    // round the batch is NON-INTERFERING (no accepted left equals an
+    // accepted right, fused names fresh), so occurrences never
+    // overlap and sequential application == the single-scan batch
     val merges = Queries.q63_bpe_merges(spark, sf("sf0.001"))
       .as[(Long, Long, String, Long)].collect()
       .sortBy(r => (r._1, r._2))

@@ -937,13 +937,17 @@ class StreamsSpec extends SparkSpec {
       val fmtCode = if (id % 8 == 3) 6L else 7L
       val data = (0 until nSamples)
         .map(k => ((id * 13 + k * 11) % 256).toByte).toArray
-      "RIFF".getBytes ++ le(data.length + 36L, 4) ++
+      // the odd-length pad byte counts toward the RIFF size (strict
+      // readers reject a RIFF size that excludes it, silently
+      // dropping these docs to the byte-lane fallback)
+      val pad =
+        if (nSamples % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte]
+      "RIFF".getBytes ++ le(data.length + pad.length + 36L, 4) ++
         "WAVE".getBytes ++ "fmt ".getBytes ++ le(16L, 4) ++
         le(fmtCode, 2) ++ le(1L, 2) ++ le(rate, 4) ++ le(rate, 4) ++
         le(1L, 2) ++ le(8L, 2) ++
-        "data".getBytes ++ le(data.length.toLong, 4) ++ data ++
-        (if (nSamples % 2 == 1) Array(0.toByte)
-         else Array.empty[Byte])
+        "data".getBytes ++ le(data.length.toLong, 4) ++ data ++ pad
     }
     val docs = graft.sources.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
