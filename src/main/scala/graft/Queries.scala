@@ -4136,8 +4136,10 @@ object Queries {
     * writer→decoder fuzz suite (MultimodalCodecSpec /
     * MultimodalFuzzSpec) rather than m02's declarative oracle,
     * because a valid GIF/compressed-PNG payload can't be assembled
-    * declaratively in SQL. Remaining declared gap: video and
-    * non-G.711/PCM audio (true DCT/DSP codecs). */
+    * declaratively in SQL. Remaining declared gap: true
+    * transform-coded media — DCT video (H.264…; MJPEG decodes via
+    * m07's frame walk) and MP3/AAC audio (PCM, G.711, and IMA ADPCM
+    * all decode). */
   val m02_feature_stub: QFn = (s, d) => {
     def le(c: Column, n: Int): Column =
       concat((0 until n).map(i =>
@@ -4758,6 +4760,93 @@ object Queries {
           "substring(payload, CAST(frame_idx * 64 + 1 AS INT), 64)")))
           .as("frame_md5"))
   }
+
+  /** MJPEG-in-AVI FRAME PIXEL DECODE — the JDK-reachable slice of
+    * the declared video gap (round-11 verdict item 2). Each document
+    * becomes a byte-exact RIFF/'AVI ' file: the 56-byte 'avih' main
+    * header (m05's arm), then a LIST/'movi' holding nf = doc_id%8+1
+    * '00dc' video chunks, each an abbreviated ISO 10918 JPEG stream
+    * (SOI + SOF0 + EOI) whose per-FRAME dimensions vary by
+    * (doc_id, frame) formulas — assembly is fully declarative
+    * (hex + unhex, whole-stage codegen), including the per-frame
+    * chunk fan-out via `transform(sequence(...))` and RIFF's
+    * even-byte chunk padding. The payloads then cross the SAME
+    * mapPartitions decode boundary as m02/m04
+    * ([[Multimodal.extractMjpegFrames]]): a strict AVI walk to every
+    * 'movi' video chunk, per-chunk marker-walk dimensions, ImageIO
+    * pixel sums when the scan is decodable. The ORACLE recomputes
+    * the planted per-frame metadata from the doc_id formulas —
+    * pinning the container walk (chunk count, order, sizes, padding)
+    * and the per-frame SOF parse; the abbreviated streams carry no
+    * entropy-coded scan, so their pixel sums are the declared ZERO
+    * fallback on both sides. REAL pixel sums through the same walk
+    * (ImageIO-encoded MJPEG frames at random sizes/colors, wrapped
+    * in writer-exact AVI bytes) are pinned by the writer→decoder
+    * fuzz spec, like the JPEG/PNG compressed paths — an
+    * entropy-coded scan has no closed form a SQL writer could emit.
+    * At 100 TB: one embarrassingly parallel scan, zero exchanges;
+    * payload bytes never leave the decode boundary (~56 B/frame
+    * does). */
+  val m07_mjpeg_frames: QFn = (s, d) => {
+    def le(c: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+    val base = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("nf", pmod(col("doc_id"), lit(8)) + 1)
+      .withColumn("w0", pmod(col("doc_id") * 3, lit(31)) + 1)
+      .withColumn("h0", pmod(col("doc_id") * 7, lit(17)) + 1)
+    // one 32-byte '00dc' chunk per frame: header(8) + 23-byte
+    // abbreviated JPEG + 1 RIFF pad byte (odd size); SOF0 dims are
+    // the planted (doc_id, frame) formulas
+    val chunksHex = array_join(
+      transform(sequence(lit(0L), col("nf") - 1), f =>
+        concat(
+          lit("30306463"), le(lit(23L), 4),       // "00dc", size 23
+          lit("FFD8FFC0001108"),                  // SOI + SOF0 head
+          lpad(hex(pmod(col("doc_id") * 7 + f * 11, lit(17)) + 1),
+            4, "0"),                              // frame height
+          lpad(hex(pmod(col("doc_id") * 3 + f * 5, lit(31)) + 1),
+            4, "0"),                              // frame width
+          lit("03012200021101031101FFD9"),        // components + EOI
+          lit("00"))), "")                        // pad byte
+    val aviHex = concat(
+      lit("52494646"), le(col("nf") * 32 + 92, 4), // RIFF, file-8
+      lit("41564920"),                             // "AVI "
+      lit("4C495354"), le(lit(68L), 4),            // LIST hdrl
+      lit("6864726C"),
+      lit("61766968"), le(lit(56L), 4),            // avih, size 56
+      le(lit(33367L), 4),                          // usec/frame
+      le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4),
+      le(col("nf"), 4),                            // dwTotalFrames
+      le(lit(0L), 4), le(lit(1L), 4), le(lit(0L), 4),
+      le(col("w0"), 4), le(col("h0"), 4),          // dwWidth/Height
+      le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4), le(lit(0L), 4),
+      lit("4C495354"), le(col("nf") * 32 + 4, 4),  // LIST movi
+      lit("6D6F7669"),
+      chunksHex)
+    val media = base.select(col("doc_id").as("media_id"),
+      unhex(aviHex).as("payload"))
+    Multimodal.extractMjpegFrames(s, media)
+  }
+
+  /** Oracle recomputes the PLANTED per-frame container metadata from
+    * the doc_id formulas (never parses bytes): a hash match pins the
+    * Spark writer + RIFF walk + per-frame SOF parse round trip.
+    * Pixel sums are the declared zero fallback (no decodable scan in
+    * an abbreviated stream) — the REAL-pixel path is fuzz-pinned. */
+  val m07_sql: String =
+    """WITH p AS (SELECT doc_id, doc_id % 8 + 1 AS nf
+      |  FROM documents),
+      |f AS (SELECT doc_id, unnest(range(nf)) AS fi FROM p)
+      |SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+      |  CAST(23 AS BIGINT) AS frame_bytes,
+      |  CAST((doc_id * 3 + fi * 5) % 31 + 1 AS BIGINT) AS w,
+      |  CAST((doc_id * 7 + fi * 11) % 17 + 1 AS BIGINT) AS h,
+      |  CAST(0 AS BIGINT) AS sum_r,
+      |  CAST(0 AS BIGINT) AS sum_g,
+      |  CAST(0 AS BIGINT) AS sum_b
+      |FROM f""".stripMargin
 
   val m06_sql: String =
     """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
@@ -8829,6 +8918,7 @@ object Queries {
     "m04_frame_energy" -> m04_frame_energy,
     "m05_header_probe" -> m05_header_probe,
     "m06_frame_sample" -> m06_frame_sample,
+    "m07_mjpeg_frames" -> m07_mjpeg_frames,
     "q67_apply_ops" -> q67_apply_ops,
     "q68_compact_ops" -> q68_compact_ops,
     "t21_c4_rules" -> t21_c4_rules,
@@ -8996,6 +9086,7 @@ object Queries {
     "m04_frame_energy" -> m04_sql,
     "m05_header_probe" -> m05_sql,
     "m06_frame_sample" -> m06_sql,
+    "m07_mjpeg_frames" -> m07_sql,
     "q67_apply_ops" -> q67_sql,
     "q68_compact_ops" -> q68_sql,
     "t21_c4_rules" -> t21_sql,

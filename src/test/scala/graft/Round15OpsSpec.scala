@@ -217,6 +217,110 @@ class Round15OpsSpec extends SparkSpec {
       p.length.toDouble, 0d, 0d, 0d))
   }
 
+  // ---- MJPEG-in-AVI frame decode arm ----
+
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int)
+    : Array[Byte] = {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val hdrl = "LIST".getBytes ++ le(68, 4) ++ "hdrl".getBytes ++
+      "avih".getBytes ++ le(56, 4) ++ le(33367, 4) ++ le(0, 4) ++
+      le(0, 4) ++ le(0, 4) ++ le(frames.length, 4) ++ le(0, 4) ++
+      le(1, 4) ++ le(0, 4) ++ le(w, 4) ++ le(h, 4) ++
+      le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4)
+    val chunks = frames.zipWithIndex.flatMap { case (f, i) =>
+      // real VfW stream naming: two ASCII digits + 'dc', chunks
+      // even-byte padded (odd JPEG lengths exercise the pad rule)
+      f"${i % 100}%02ddc".getBytes ++ le(f.length, 4) ++ f ++
+        (if (f.length % 2 == 1) Array(0.toByte)
+         else Array.empty[Byte])
+    }.toArray
+    val movi = "LIST".getBytes ++ le(4L + chunks.length, 4) ++
+      "movi".getBytes ++ chunks
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    "RIFF".getBytes ++ le(body.length.toLong, 4) ++ body
+  }
+
+  test("MJPEG-in-AVI: aviMjpegFrames decodes REAL ImageIO-encoded " +
+    "frames through the RIFF walk — per-frame sums == an " +
+    "independent per-frame reference decode, solid fills land " +
+    "near the planted color") {
+    val codec = graft.multimodal.Multimodal.HeaderCodec
+    (1 to 6).foreach { trial =>
+      val nf = 1 + jrnd.nextInt(5)
+      val metas = (0 until nf).map { _ =>
+        val w = 1 + jrnd.nextInt(24)
+        val h = 1 + jrnd.nextInt(24)
+        val solid = jrnd.nextBoolean()
+        val c = jrnd.nextInt(0x1000000)
+        val bytes = encodeJpeg(w, h,
+          if (solid) (_, _) => c
+          else (_, _) => jrnd.nextInt(0x1000000))
+        (w, h, solid, c, bytes)
+      }
+      val got = codec.aviMjpegFrames(
+        aviBytes(metas.map(_._5), metas.head._1, metas.head._2))
+      assert(got.isDefined, s"trial $trial: strict AVI rejected")
+      assert(got.get.length == nf)
+      got.get.zip(metas).zipWithIndex.foreach {
+        case (((idx, nb, w, h, sums), (ew, eh, solid, c, bytes)), i)
+          =>
+          assert(idx == i.toLong && nb == bytes.length.toLong &&
+            w == ew.toLong && h == eh.toLong,
+            s"trial $trial frame $i meta ($idx,$nb,$w,$h)")
+          // reference: decode the SAME frame bytes independently
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val want = new Array[Long](3)
+          for (y <- 0 until eh; x <- 0 until ew) {
+            val v = img.getRGB(x, y)
+            want(0) += (v >> 16) & 0xff
+            want(1) += (v >> 8) & 0xff
+            want(2) += v & 0xff
+          }
+          assert(sums.toList == want.toList,
+            s"trial $trial frame $i sums")
+          if (solid) {
+            val n = ew.toLong * eh
+            val planted =
+              Seq((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+            sums.toSeq.zip(planted).foreach { case (s, pc) =>
+              assert(math.abs(s.toDouble / n - pc) <= 3.0,
+                s"trial $trial frame $i mean ${s.toDouble / n} " +
+                  s"vs $pc")
+            }
+          }
+      }
+    }
+  }
+
+  test("MJPEG-in-AVI hostile variants: RIFF-size mismatch and " +
+    "movi-less AVIs fall to None; non-JPEG chunk bodies emit " +
+    "zero-dim zero-sum frames") {
+    val codec = graft.multimodal.Multimodal.HeaderCodec
+    val frame = encodeJpeg(4, 3, (_, _) => 0x336699)
+    val ok = aviBytes(Seq(frame), 4, 3)
+    assert(codec.aviMjpegFrames(ok).isDefined)
+    // corrupt the RIFF size field -> strict header gate rejects
+    val bad = ok.clone(); bad(4) = (bad(4) + 1).toByte
+    assert(codec.aviMjpegFrames(bad).isEmpty)
+    // hdrl but no movi list -> None (m05's metadata arm still works)
+    val noMovi = ok.take(12 + 76)
+    val fixed = noMovi.clone()
+    // patch RIFF size to the truncated length
+    val sz = noMovi.length - 8
+    (0 until 4).foreach(i => fixed(4 + i) = ((sz >> (8 * i)) & 0xff)
+      .toByte)
+    assert(codec.aviMjpegFrames(fixed).isEmpty)
+    assert(codec.probe(fixed).exists(_.mime == "video/avi"))
+    // a '00dc' chunk that isn't a JPEG still counts as a frame but
+    // carries zero dims and zero sums (codec-bound fallback)
+    val junk = aviBytes(Seq("not a jpeg".getBytes), 4, 3)
+    val fr = codec.aviMjpegFrames(junk)
+    assert(fr.exists(v => v.length == 1 && v.head._3 == 0L &&
+      v.head._4 == 0L && v.head._5.forall(_ == 0L)))
+  }
+
   // ---- G.711 μ-law / A-law WAV arm ----
 
   /** Minimal G.711 WAV: format code 6 (A-law) / 7 (μ-law), mono,
@@ -289,6 +393,118 @@ class Round15OpsSpec extends SparkSpec {
       }.toList
       assert(got == want, s"fmt $fmtCode")
     }
+  }
+
+  // ---- IMA ADPCM WAV arm (format 17) ----
+
+  /** Minimal IMA ADPCM WAV: format 17, mono, 4 bits per sample,
+    * `blocks` of (pred int16le, index u8, reserved u8, data bytes). */
+  private def imaWav(blocks: Seq[(Int, Int, Array[Int])])
+    : Array[Byte] = {
+    val ba = 4 + blocks.head._3.length
+    val data = blocks.flatMap { case (pred, idx, bytes) =>
+      le(pred.toLong & 0xffffL, 2) ++ le(idx.toLong, 2) ++
+        bytes.map(_.toByte)
+    }.toArray
+    val fmt = "fmt ".getBytes ++ le(16L, 4) ++ le(17L, 2) ++
+      le(1L, 2) ++ le(8000L, 4) ++ le(4000L, 4) ++
+      le(ba.toLong, 2) ++ le(4L, 2)
+    val dataCk = "data".getBytes ++ le(data.length.toLong, 4) ++
+      data ++ (if (data.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte])
+    val bodyLen = 4 + fmt.length + dataCk.length
+    "RIFF".getBytes ++ le(bodyLen.toLong, 4) ++ "WAVE".getBytes ++
+      fmt ++ dataCk
+  }
+
+  test("IMA ADPCM expansion hits hand-derived golden vectors from " +
+    "the published reference algorithm (both blocks re-init, " +
+    "+32767 clamp, sign nibble, index walk)") {
+    import graft.multimodal.Multimodal.HeaderCodec
+    // block 1: pred=0, idx=0, nibble codes 4,4,0,12,7,1,8,15
+    // (low nibble first: bytes 0x44, 0xC0, 0x17, 0xF8); stepping
+    // the spec by hand: step 7→9→11→10→12→25→23→21,
+    // diffs 7,10,1,-11,22,9,-2,-38
+    val b1 = (0, 0, Array(0x44, 0xc0, 0x17, 0xf8))
+    val want1 = List(0, 7, 17, 18, 7, 29, 38, 36, -2)
+    // block 2: pred=-100, idx=88 (step 32767) — codes 3,8,0,0,0,0,
+    // 0,0 walk the top of the table and clamp at +32767
+    val b2 = (-100, 88, Array(0x83, 0x00, 0x00, 0x00))
+    val want2 = List(-100, 28569, 24845, 28230, 31307, 32767,
+      32767, 32767, 32767)
+    val got = HeaderCodec.wavImaAdpcmSamples(imaWav(Seq(b1, b2)))
+    assert(got.exists(_.toList == want1 ++ want2),
+      s"got ${got.map(_.toList)}")
+    // wavLinearSamples routes format 17 too
+    assert(HeaderCodec.wavLinearSamples(imaWav(Seq(b1)))
+      .exists(_.toList == want1))
+  }
+
+  test("IMA ADPCM decode == an independent replay over random " +
+    "payloads; Decoder.frames energies ride the same samples; " +
+    "hostile variants fall to None") {
+    import graft.multimodal.Multimodal.{Decoder, HeaderCodec}
+    val stepT = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21,
+      23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88,
+      97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279,
+      307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876,
+      963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+      2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+      15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    val idxT = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+    // independent replay: decode via the exact (2m+1)·step/8 shift
+    // sum written as a fold over nibbles, not the arm's while loop
+    def replay(blocks: Seq[(Int, Int, Array[Int])]): List[Int] =
+      blocks.flatMap { case (p0, i0, bytes) =>
+        val nibbles = bytes.flatMap(b =>
+          Seq(b & 0x0f, (b >> 4) & 0x0f))
+        val (_, _, acc) = nibbles.foldLeft((p0, i0, List(p0))) {
+          case ((pred, idx, acc), code) =>
+            val step = stepT(idx)
+            val mag = (if ((code & 4) != 0) step else 0) +
+              (if ((code & 2) != 0) step >> 1 else 0) +
+              (if ((code & 1) != 0) step >> 2 else 0) + (step >> 3)
+            val np = if ((code & 8) != 0)
+              math.max(pred - mag, -32768)
+            else math.min(pred + mag, 32767)
+            val ni = math.min(math.max(idx + idxT(code & 7), 0), 88)
+            (np, ni, np :: acc)
+        }
+        acc.reverse
+      }.toList
+    (1 to 20).foreach { trial =>
+      val nBlocks = 1 + jrnd.nextInt(3)
+      val dataBytes = 4 * (1 + jrnd.nextInt(4))
+      val blocks = (0 until nBlocks).map { _ =>
+        (jrnd.nextInt(65536).toShort.toInt, jrnd.nextInt(89),
+          Array.fill(dataBytes)(jrnd.nextInt(256)))
+      }
+      val p = imaWav(blocks)
+      val got = HeaderCodec.wavImaAdpcmSamples(p)
+      val want = replay(blocks)
+      assert(got.exists(_.toList == want), s"trial $trial")
+      // the m04 frame fan-out rides the same decoded samples
+      val frames = Decoder.frames(p).toList
+      val wantFrames = want.grouped(64).zipWithIndex.map {
+        case (fr, i) => ("audio/wav", i.toLong, fr.length.toLong,
+          fr.map(v => v.toLong * v).sum)
+      }.toList
+      assert(frames == wantFrames, s"trial $trial frames")
+    }
+    // hostile: header index > 88 -> None (strict, not a guess)
+    assert(HeaderCodec.wavImaAdpcmSamples(
+      imaWav(Seq((0, 89, Array(0, 0, 0, 0))))).isEmpty)
+    // ragged data chunk (not a whole number of blocks) -> None:
+    // build a 1-block payload then claim a bigger blockAlign
+    val ragged = imaWav(Seq((0, 0, Array(0, 0, 0, 0))))
+    // fmt blockAlign field lives at offset 12+8+12 = 32
+    ragged(32) = 9
+    assert(HeaderCodec.wavImaAdpcmSamples(ragged).isEmpty)
+    // stereo -> None (mono-only arm); channels field at offset 22
+    val stereo = imaWav(Seq((0, 0, Array(0, 0, 0, 0))))
+    stereo(22) = 2
+    assert(HeaderCodec.wavImaAdpcmSamples(stereo).isEmpty)
   }
 
   // ---- BpeApplyExpr: token-scan fast path == replace-chain spec ----
