@@ -307,12 +307,39 @@ object Queries {
           col("p.sum_cents") =!= col("c.sum_cents"),
           col("c.sum_cents")).as("s_new"))
       .filter(col("op") =!= "noop")
-    prev.as("s").join(ops.as("o"), Seq("user_id"), "full_outer")
-      .filter(col("o.op").isNull || col("o.op") =!= "delete")
-      .select(col("user_id"),
-        coalesce(col("o.n_new"), col("s.n_events")).as("n_events"),
-        coalesce(col("o.s_new"), col("s.sum_cents")).as("sum_cents"))
+    applyOps(prev, ops)
   }
+
+  /** q67's APPLY core over any (user_id, n_events, sum_cents)
+    * snapshot and (user_id, op, n_new, s_new) net-op set — shared
+    * with the streaming maintainer
+    * ([[graft.streaming.Streams.streamingApplyOps]]) and the fixture
+    * specs so batch, stream and test can't diverge. Strict ES
+    * partial-update semantics (the Round14OpsSpec.replay contract,
+    * exactly): delete removes the key; insert REGROUNDS the row —
+    * the op's fields verbatim, never coalesced from a superseded
+    * row; update coalesces onto an EXISTING row only — an update on
+    * an ABSENT key is a dropped no-op. The last two rules can't fire
+    * differently in q67's diff-derived ops (inserts are always
+    * snapshot-absent, updates always have a prev row — replace ≡
+    * coalesce there) but CAN under a stream's batch split (a
+    * post-delete update landing in a later micro-batch); enforcing
+    * them here keeps foldBatch∘…∘foldBatch == sequential replay
+    * across ANY split. One full-outer join on the snapshot key. */
+  private[graft] def applyOps(snap: DataFrame, ops: DataFrame)
+    : DataFrame =
+    snap.select(col("user_id"), col("n_events"), col("sum_cents"),
+        lit(1).as("s_present")).as("s")
+      .join(ops.as("o"), Seq("user_id"), "full_outer")
+      .filter(col("o.op").isNull || col("o.op") =!= "delete")
+      .filter(col("s_present").isNotNull || col("o.op") === "insert")
+      .select(col("user_id"),
+        when(col("o.op") === "insert", col("o.n_new"))
+          .otherwise(coalesce(col("o.n_new"), col("s.n_events")))
+          .as("n_events"),
+        when(col("o.op") === "insert", col("o.s_new"))
+          .otherwise(coalesce(col("o.s_new"), col("s.sum_cents")))
+          .as("sum_cents"))
 
   val q67_sql: String =
     """WITH e AS (SELECT user_id, event_id,

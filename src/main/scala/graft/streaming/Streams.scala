@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode}
@@ -587,6 +587,67 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** STREAMING CDC APPLY — the live half of the q14/q67/q68 snapshot
+    * trio and the actual shape of the reference's continuous
+    * update-the-index loop: an op feed (insert/update/delete, updates
+    * carrying ONLY changed fields) maintains the snapshot by folding
+    * every micro-batch through THE SAME bodies the batch queries run
+    * — [[graft.Queries.compactOps]] nets the batch's multi-op-per-key
+    * slice to one op per key, [[graft.Queries.applyOps]] folds the
+    * net ops onto the held snapshot — one shared implementation, so
+    * batch, stream and spec can't drift. Drive it with the
+    * foreachBatch sink: `ops.writeStream.foreachBatch(m.foldBatch _)`.
+    *
+    * State is the snapshot itself — the honest minimum (the product
+    * IS the state), bounded by LIVE KEY COUNT, never by history:
+    * each fold ends in an eager localCheckpoint (the CLAUDE.md
+    * iterative-loop rule — the logical plan stays one batch deep)
+    * and the PREVIOUS snapshot's checkpoint blocks are released, so
+    * a feed running for months holds exactly one snapshot copy. (A
+    * production deployment would make the snapshot a table write in
+    * the same foreachBatch — this maintainer is that loop with the
+    * table kept in the block manager.)
+    *
+    * No engine-side stateful operator, hence no watermark: the fold
+    * is deterministic given batch contents. The delivery contract is
+    * CDC's — per-key ops arrive seq-nondecreasing ACROSS batches
+    * (any order WITHIN a batch; compactOps nets by seq), the same
+    * declared caveat as [[streamingTransitions]]. Spec-pinned: after
+    * every batch boundary the held snapshot equals the strict-ES
+    * sequential replay of the whole op prefix, including the hostile
+    * split that lands post-delete updates in a later batch. */
+  final class SnapshotMaintainer(spark: SparkSession) {
+    import org.apache.spark.sql.types._
+    @volatile private var snap: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("n_events", LongType),
+        StructField("sum_cents", LongType))))
+    /** The maintained snapshot as of the last completed fold. */
+    def current: DataFrame = snap
+    def foldBatch(batch: DataFrame, batchId: Long): Unit =
+      synchronized {
+        val net = graft.Queries.compactOps(
+          batch.select("user_id", "seq", "op", "n_new", "s_new"))
+        val old = snap
+        snap = graft.Queries.applyOps(old, net)
+          .localCheckpoint(eager = true)
+        // release the superseded snapshot's checkpoint blocks — an
+        // unbounded-batch feed must hold ONE snapshot copy, not one
+        // per batch (the graph loops skip this only because their
+        // round counts are bounded)
+        old.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false)
+          case _ => ()
+        }
+      }
+  }
+
+  def streamingApplyOps(spark: SparkSession): SnapshotMaintainer =
+    new SnapshotMaintainer(spark)
 
   case class TypedEvent(user_id: Long, event_id: Long,
                         ts: java.sql.Timestamp, event_type: String)

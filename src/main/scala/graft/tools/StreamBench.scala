@@ -34,6 +34,9 @@ object StreamBench {
     require(batches <= 90, s"batches ($batches) must be <= 90")
     val provider = if (args.length > 2) args(2) else "hdfs"
     val keys = if (args.length > 3) args(3).toLong else 1000L
+    // optional 5th arg: only run pipelines whose name contains this
+    // substring (local iteration — a full run drives everything)
+    val only = if (args.length > 4) args(4) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,6 +75,7 @@ object StreamBench {
 
     def drive(name: String, df: org.apache.spark.sql.DataFrame,
               mode: String): Unit = {
+      if (!name.contains(only)) return
       val t0 = System.nanoTime()
       val q = df.writeStream
         .format("noop")
@@ -171,6 +175,43 @@ object StreamBench {
             when(pmod(col("event_id"), lit(2)) === 0,
               col("event_id") * 2).as("s_new"))
           .as[Streams.SnapOp]).toDF(), "append")
+    }
+    // CDC apply maintainer: the q67/q68 bodies folded per micro-batch
+    // via foreachBatch — state = the maintained snapshot itself (one
+    // localCheckpoint'ed copy; superseded blocks released per fold),
+    // measured directly off the maintainer since foreachBatch has no
+    // engine state operator
+    if ("cdc_apply".contains(only)) {
+      val m = Streams.streamingApplyOps(spark)
+      val ops = syntheticEvents()
+        .select(col("user_id"), col("event_id").as("seq"),
+          when(pmod(col("event_id"), lit(11)) === 0, "delete")
+            .when(pmod(col("event_id"), lit(7)) === 0, "update")
+            .otherwise("insert").as("op"),
+          when(pmod(col("event_id"), lit(7)) =!= 0,
+            col("event_id")).as("n_new"),
+          when(pmod(col("event_id"), lit(2)) === 0,
+            col("event_id") * 2).as("s_new"))
+      val t0 = System.nanoTime()
+      val q = ops.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) => m.foldBatch(b, id))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ck").toString)
+        .start()
+      var processed = 0L
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (processed < rowsPerBatch * batches &&
+        System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        processed = q.recentProgress.map(_.numInputRows).sum
+      }
+      val stateRows = m.current.count()
+      q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rate = (processed / dt).toLong
+      // 24 B = three BIGINT slots per live snapshot row
+      println(s"""[streambench] {"pipeline":"cdc_apply","provider":"$provider","keys":$keys,"rows":$processed,"sec":${f"$dt%.2f"},"rows_per_sec":$rate,"state_rows":$stateRows,"state_bytes":${stateRows * 24}}""")
     }
     // associative OHLC bar fold: one in-flight bar per (type, minute)
     // inside the watermark horizon — e17/e18's algebra on a feed

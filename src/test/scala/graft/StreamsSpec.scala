@@ -1062,4 +1062,112 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       "streamed per-doc LM rows differ from batch t27")
   }
+
+  /** The Round14OpsSpec strict-ES contract, restated here so the
+    * streaming pin can't drift from the batch one: insert grounds
+    * both fields, update coalesces onto EXISTING state only, delete
+    * removes. */
+  private def replayOps(log: Seq[(Long, Long, String, Option[Long],
+    Option[Long])]): Map[Long, (Option[Long], Option[Long])] = {
+    val st = scala.collection.mutable.Map
+      .empty[Long, (Option[Long], Option[Long])]
+    log.sortBy(r => (r._1, r._2)).foreach {
+      case (uid, _, "insert", n, sv) => st(uid) = (n, sv)
+      case (uid, _, "delete", _, _) => st.remove(uid)
+      case (uid, _, "update", n, sv) =>
+        st.get(uid).foreach { case (n0, s0) =>
+          st(uid) = (n.orElse(n0), sv.orElse(s0))
+        }
+      case other => fail(s"bad op $other")
+    }
+    st.toMap
+  }
+
+  test("streamingApplyOps: the maintained snapshot == the strict-ES " +
+    "sequential replay at EVERY batch boundary (shared compactOps/" +
+    "applyOps bodies over the real derived log, three uneven " +
+    "batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the q68 fixture log at sf0.001, replayed in seq order (the
+    // declared CDC delivery contract: per-key seq nondecreasing
+    // across batches; a global seq sort satisfies it)
+    val log = Queries.compactOpLog(spark, sf("sf0.001"))
+      .as[(Long, Long, String, Option[Long], Option[Long])]
+      .collect().sortBy(_._2).toSeq
+    val m = Streams.streamingApplyOps(spark)
+    val mem = MemoryStream[(Long, Long, String, Option[Long],
+      Option[Long])]
+    val src = mem.toDF()
+      .toDF("user_id", "seq", "op", "n_new", "s_new")
+    val q = src.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], id: Long) => m.foldBatch(b, id))
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-cdc").toString)
+      .start()
+    try {
+      val (b1, rest) = log.splitAt(211)
+      val (b2, b3) = rest.splitAt(577)
+      var prefix = Seq.empty[(Long, Long, String, Option[Long],
+        Option[Long])]
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+        prefix ++= b
+        val got = m.current.collect().map { r =>
+          r.getLong(0) -> ((
+            Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))
+        }.toMap
+        assert(got == replayOps(prefix),
+          s"snapshot diverged after ${prefix.size} ops")
+      }
+      assert(m.current.count() > 0)
+    } finally q.stop()
+  }
+
+  test("streamingApplyOps hostile batch split: a post-delete update " +
+    "arriving in a LATER batch is the declared no-op, reinsert " +
+    "regrounds, update-only keys never materialize") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = Streams.streamingApplyOps(spark)
+    val mem = MemoryStream[(Long, Long, String, Option[Long],
+      Option[Long])]
+    val src = mem.toDF()
+      .toDF("user_id", "seq", "op", "n_new", "s_new")
+    val q = src.writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], id: Long) => m.foldBatch(b, id))
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-cdc2").toString)
+      .start()
+    def snap(): Map[Long, (Option[Long], Option[Long])] =
+      m.current.collect().map { r =>
+        r.getLong(0) -> ((
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+      }.toMap
+    try {
+      // batch 1 ends on a delete for key 1; key 3 is update-only
+      mem.addData(
+        (1L, 1L, "insert", Some(10L), Some(20L)),
+        (1L, 2L, "update", Some(11L), None),
+        (1L, 3L, "delete", None, None),
+        (3L, 1L, "update", Some(7L), None))
+      q.processAllAvailable()
+      assert(snap() == Map.empty)
+      // batch 2 opens with the post-delete update (the split the
+      // within-batch compaction can't see) — must be a no-op;
+      // then a reinsert regrounds and a partial update lands on it
+      mem.addData(
+        (1L, 4L, "update", Some(99L), Some(99L)),
+        (3L, 2L, "update", None, Some(8L)))
+      q.processAllAvailable()
+      assert(snap() == Map.empty, "post-delete update materialized")
+      mem.addData(
+        (1L, 5L, "insert", Some(30L), Some(40L)),
+        (1L, 6L, "update", None, Some(41L)))
+      q.processAllAvailable()
+      assert(snap() == Map(1L -> ((Some(30L), Some(41L)))))
+    } finally q.stop()
+  }
 }
