@@ -1,0 +1,57 @@
+package graft
+
+import graft.tools.PlanAudit
+import org.apache.spark.sql.functions._
+
+/** Pins the plan-shape audit (round-11 verdict, missing #3): the
+  * counters track hand-built plans, and the full dump runs over
+  * EVERY registered query without error — so the per-round
+  * PLANAUDIT_r{N}.json artifact can't silently skip a query, and a
+  * cartesian product on any registered plan fails the suite, not
+  * just a tool run. */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audit counters track hand-built plans (shuffle, broadcast " +
+    "join, window+sort, pushed parquet filter)") {
+    val agg = Seq((1L, 2L), (3L, 4L)).toDF("k", "v")
+      .groupBy("k").agg(sum("v"))
+    val aggCounts = PlanAudit.audit(agg)
+    assert(aggCounts("shuffle") >= 1 && aggCounts("cartesian") == 0)
+
+    val dim = Seq((1L, "a")).toDF("k", "name")
+    val joined = Seq((1L, 2L)).toDF("k", "v")
+      .join(broadcast(dim), Seq("k"))
+    val joinCounts = PlanAudit.audit(joined)
+    assert(joinCounts("bhj") == 1 && joinCounts("broadcast") == 1 &&
+      joinCounts("smj") == 0)
+
+    val win = Seq((1L, 2L), (1L, 3L)).toDF("k", "v")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("v")))
+    val winCounts = PlanAudit.audit(win)
+    assert(winCounts("window") >= 1 && winCounts("sort") >= 1)
+
+    val scan = graft.sources.Tables(spark, sf("sf0.001"), "nation")
+      .filter(col("n_nationkey") > 5).select("n_name")
+    val scanCounts = PlanAudit.audit(scan)
+    assert(scanCounts("scan") == 1 && scanCounts("pushed") == 1)
+  }
+
+  test("the dump covers EVERY registered query at sf0.001 with " +
+    "zero build errors and zero cartesian products") {
+    val all = PlanAudit.auditAll(spark, sf("sf0.001"))
+    assert(all.keySet == Queries.all.keySet,
+      "audit key set != registered query set")
+    val errored = all.filter(_._2.contains("error")).keys.toSeq
+    assert(errored.isEmpty, s"queries failed to build: $errored")
+    val cartesian = all
+      .filter(_._2.getOrElse("cartesian", 0) > 0).keys.toSeq
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+    // the artifact serializer round-trips the full map
+    val json = PlanAudit.toJson(all)
+    assert(json.startsWith("{") && json.endsWith("}"))
+    assert(all.keys.forall(k => json.contains(s""""$k":""")))
+  }
+}
