@@ -22,11 +22,11 @@ import org.apache.spark.sql.types._
   * JPEG through the JDK's OWN javax.imageio baseline decoder behind
   * the same strict clean-room marker-walk gate; MJPEG-in-AVI frames
   * through a clean-room RIFF 'movi' walk over the same JPEG decode;
-  * 16-bit PCM, G.711 μ-law/A-law, and IMA ADPCM WAVE samples
+  * 16-bit PCM, G.711 μ-law/A-law, and IMA/MS ADPCM WAVE samples
   * (count / Σ|s| / Σs², plus per-frame energies for the
   * audio-feature fan-out — G.711 is the published ITU companding
-  * formula, IMA ADPCM the published step/index tables + predictor
-  * recursion, both clean-room).
+  * formula, IMA/MS ADPCM the published fixed tables + predictor
+  * recursions, all clean-room).
   * Formats that genuinely need external codecs (DCT video pixel
   * data, MP3/AAC audio) fall back to header-only or byte-lane
   * features — video CONTAINER metadata does parse (AVI 'avih'
@@ -997,12 +997,89 @@ object Multimodal {
         case _ => None
       }
 
+    /** Microsoft ADPCM tables, from the published WAVE format-2
+      * specification (the Multimedia Standards Update reference
+      * fragment): 7 fixed predictor-coefficient pairs (in units of
+      * 1/256) and the 16-entry delta-adaptation table. Same
+      * clean-room class as G.711/IMA — fixed tables plus a short
+      * integer predictor recursion, no codec library. */
+    private val msCoef1: Array[Int] =
+      Array(256, 512, 0, 192, 240, 460, 392)
+    private val msCoef2: Array[Int] =
+      Array(0, -256, 0, 64, 0, -208, -232)
+    private val msAdaptTable: Array[Int] = Array(
+      230, 230, 230, 230, 307, 409, 512, 614,
+      768, 614, 512, 409, 307, 230, 230, 230)
+
+    /** Microsoft ADPCM WAVE decode (format 2, 4 bits per sample,
+      * MONO): the data chunk is a whole number of
+      * `blockAlign`-byte blocks, each opening with the 7-byte mono
+      * header — predictor index u8 (must be ≤ 6), initial delta
+      * int16le, sample1 int16le, sample2 int16le — followed by one
+      * 4-bit code per sample, HIGH nibble first (the opposite
+      * nibble order from IMA). The block emits sample2 then
+      * sample1 (the spec's two seed outputs), then per code c
+      * (signed: c ≥ 8 means c − 16):
+      * predicted = (sample1·coef1 + sample2·coef2) / 256 (C-style
+      * truncation toward zero), new = clamp16(predicted + delta·c),
+      * delta = max(16, adapt[c]·delta / 256), history shifts. The
+      * published fragment never clamps delta upward, so neither do
+      * we. Strict: non-mono, ragged data, or a predictor index > 6
+      * falls to None (byte-lane fallback), never a half-decoded
+      * guess. */
+    def wavMsAdpcmSamples(p: Array[Byte]): Option[Array[Int]] =
+      wavChunks(p) match {
+        case Some((2L, 1L, ba, 4L, d0, n))
+          if ba >= 8 && n > 0 && n % ba == 0 =>
+          val bal = ba.toInt
+          val blocks = n / bal
+          val perBlock = 2 + 2 * (bal - 7)
+          val out = new Array[Int](blocks * perBlock)
+          var w = 0
+          var b = 0
+          var ok = true
+          while (ok && b < blocks) {
+            val o = d0 + b * bal
+            val pi = u8(p, o).toInt
+            if (pi > 6) ok = false
+            else {
+              var delta = le16(p, o + 1).toShort.toInt
+              var s1 = le16(p, o + 3).toShort.toInt
+              var s2 = le16(p, o + 5).toShort.toInt
+              val c1 = msCoef1(pi)
+              val c2 = msCoef2(pi)
+              out(w) = s2; out(w + 1) = s1; w += 2
+              var i = 7
+              while (i < bal) {
+                val byte = p(o + i) & 0xff
+                var half = 0
+                while (half < 2) {
+                  val code = if (half == 0) byte >> 4 else byte & 0x0f
+                  val signed = if (code >= 8) code - 16 else code
+                  val predicted = (s1 * c1 + s2 * c2) / 256
+                  val sample = math.min(math.max(
+                    predicted + delta * signed, -32768), 32767)
+                  delta = math.max(16, msAdaptTable(code) * delta / 256)
+                  s2 = s1; s1 = sample
+                  out(w) = sample; w += 1
+                  half += 1
+                }
+                i += 1
+              }
+            }
+            b += 1
+          }
+          if (ok) Some(out) else None
+        case _ => None
+      }
+
     /** Linear samples from any decodable WAVE arm: 16-bit PCM,
-      * G.711 μ-law/A-law, or IMA ADPCM — the one entry point the
-      * feature/frame decoders fan out over. */
+      * G.711 μ-law/A-law, IMA ADPCM, or MS ADPCM — the one entry
+      * point the feature/frame decoders fan out over. */
     def wavLinearSamples(p: Array[Byte]): Option[Array[Int]] =
       wavPcm16Samples(p).orElse(wavG711Samples(p))
         .orElse(wavImaAdpcmSamples(p))
+        .orElse(wavMsAdpcmSamples(p))
   }
 
   /** Canonical media schema: payload + typed metadata. */
@@ -1038,7 +1115,7 @@ object Multimodal {
     * (ΣB, ΣG, ΣR), row padding excluded; 8-bit RGB PNG: per-channel
     * pixel sums (ΣR, ΣG, ΣB) through REAL zlib inflate + all-five
     * filter reversal ([[HeaderCodec.pngRgb8ChannelSums]]); WAVE
-    * (16-bit PCM, G.711 μ-law/A-law, or IMA ADPCM): (sample count,
+    * (16-bit PCM, G.711 μ-law/A-law, or IMA/MS ADPCM): (sample count,
     * Σ|s|, Σs²) over the decoded linear samples; GIF: per-channel
     * sums of the first frame's palette-resolved pixels through a
     * REAL spec-implemented LZW decoder
@@ -1111,8 +1188,8 @@ object Multimodal {
 
     /** Per-frame energy decode for the audio-feature fan-out (m04):
       * a decodable WAVE payload (16-bit PCM, G.711 μ-law/A-law
-      * expanded through the ITU tables, or IMA ADPCM through the
-      * published predictor recursion) frames into 64-SAMPLE
+      * expanded through the ITU tables, or IMA/MS ADPCM through the
+      * published predictor recursions) frames into 64-SAMPLE
       * windows of its decoded data chunk with energy Σ s² per frame;
       * anything else frames into 64-BYTE windows with energy Σ b²
       * over unsigned bytes. Emits (mime, frame_idx, n_units, energy) —

@@ -507,6 +507,125 @@ class Round15OpsSpec extends SparkSpec {
     assert(HeaderCodec.wavImaAdpcmSamples(stereo).isEmpty)
   }
 
+  // ---- MS ADPCM WAV arm (format 2) ----
+
+  /** Minimal MS ADPCM WAV: format 2, mono, 4 bits per sample, the
+    * REAL 50-byte fmt chunk (cbSize=32: wSamplesPerBlock, wNumCoef=7,
+    * the 7 published coefficient pairs) so the strict chunk walker
+    * is exercised against the extension a real file carries; then
+    * `blocks` of (predictor u8, idelta s16le, sample1 s16le,
+    * sample2 s16le, data bytes). */
+  private def msWav(blocks: Seq[(Int, Int, Int, Int, Array[Int])])
+    : Array[Byte] = {
+    val ba = 7 + blocks.head._5.length
+    val samplesPerBlock = 2 + 2 * (ba - 7)
+    val data = blocks.flatMap { case (pi, dl, s1, s2, bytes) =>
+      Array(pi.toByte) ++ le(dl.toLong & 0xffffL, 2) ++
+        le(s1.toLong & 0xffffL, 2) ++ le(s2.toLong & 0xffffL, 2) ++
+        bytes.map(_.toByte)
+    }.toArray
+    val coefs = Seq((256, 0), (512, -256), (0, 0), (192, 64),
+      (240, 0), (460, -208), (392, -232))
+    val fmt = "fmt ".getBytes ++ le(50L, 4) ++ le(2L, 2) ++
+      le(1L, 2) ++ le(8000L, 4) ++ le(4000L, 4) ++
+      le(ba.toLong, 2) ++ le(4L, 2) ++ le(32L, 2) ++
+      le(samplesPerBlock.toLong, 2) ++ le(7L, 2) ++
+      coefs.flatMap { case (a, b) =>
+        le(a.toLong & 0xffffL, 2) ++ le(b.toLong & 0xffffL, 2) }
+    val dataCk = "data".getBytes ++ le(data.length.toLong, 4) ++
+      data ++ (if (data.length % 2 == 1) Array(0.toByte)
+        else Array.empty[Byte])
+    val bodyLen = 4 + fmt.length + dataCk.length
+    "RIFF".getBytes ++ le(bodyLen.toLong, 4) ++ "WAVE".getBytes ++
+      fmt ++ dataCk
+  }
+
+  test("MS ADPCM expansion hits hand-derived golden vectors from " +
+    "the published reference fragment (seed emit order, high " +
+    "nibble first, truncating /256, delta floor 16, both clamps)") {
+    import graft.multimodal.Multimodal.HeaderCodec
+    // block 1: coef pair 0 (256, 0), delta=16, s1=100, s2=50,
+    // bytes 0x10 0x9F -> codes 1,0,9,15 (signed +1,0,-7,-1).
+    // By hand: 116 (delta->16), 116 (16), 4 (38), -34 (34)
+    val b1 = (0, 16, 100, 50, Array(0x10, 0x9f))
+    val want1 = List(50, 100, 116, 116, 4, -34)
+    // block 2: coef pair 1 (512, -256), delta=20000, s1=30000,
+    // s2=-20000, bytes 0x70 0x80 -> codes 7,0,8,0: predicted 80000
+    // (unclamped history), clamp +32767 twice, then code 8 (-8)
+    // with delta 43096 slams to -32768 and stays
+    val b2 = (1, 20000, 30000, -20000, Array(0x70, 0x80))
+    val want2 = List(-20000, 30000, 32767, 32767, -32768, -32768)
+    val got = HeaderCodec.wavMsAdpcmSamples(msWav(Seq(b1, b2)))
+    assert(got.exists(_.toList == want1 ++ want2),
+      s"got ${got.map(_.toList)}")
+    // wavLinearSamples routes format 2 too
+    assert(HeaderCodec.wavLinearSamples(msWav(Seq(b1)))
+      .exists(_.toList == want1))
+  }
+
+  test("MS ADPCM decode == an independent replay over random " +
+    "payloads; Decoder.frames energies ride the same samples; " +
+    "hostile variants fall to None") {
+    import graft.multimodal.Multimodal.{Decoder, HeaderCodec}
+    val coef1 = Array(256, 512, 0, 192, 240, 460, 392)
+    val coef2 = Array(0, -256, 0, 64, 0, -208, -232)
+    val adapt = Array(230, 230, 230, 230, 307, 409, 512, 614,
+      768, 614, 512, 409, 307, 230, 230, 230)
+    // independent replay: a fold over high-first nibbles, not the
+    // arm's while loop
+    def replay(blocks: Seq[(Int, Int, Int, Int, Array[Int])])
+      : List[Int] =
+      blocks.flatMap { case (pi, d0, s10, s20, bytes) =>
+        val codes = bytes.flatMap(b =>
+          Seq((b >> 4) & 0x0f, b & 0x0f))
+        val (_, _, _, acc) = codes.foldLeft(
+          (d0, s10, s20, List(s10, s20))) {
+          case ((delta, s1, s2, acc), code) =>
+            val signed = if (code >= 8) code - 16 else code
+            val predicted = (s1 * coef1(pi) + s2 * coef2(pi)) / 256
+            val sample = math.min(math.max(
+              predicted + delta * signed, -32768), 32767)
+            val nd = math.max(16, adapt(code) * delta / 256)
+            (nd, sample, s1, sample :: acc)
+        }
+        acc.reverse
+      }.toList
+    (1 to 20).foreach { trial =>
+      val nBlocks = 1 + jrnd.nextInt(3)
+      val dataBytes = 1 + jrnd.nextInt(8)
+      val blocks = (0 until nBlocks).map { _ =>
+        (jrnd.nextInt(7), jrnd.nextInt(65536).toShort.toInt,
+          jrnd.nextInt(65536).toShort.toInt,
+          jrnd.nextInt(65536).toShort.toInt,
+          Array.fill(dataBytes)(jrnd.nextInt(256)))
+      }
+      val p = msWav(blocks)
+      val got = HeaderCodec.wavMsAdpcmSamples(p)
+      val want = replay(blocks)
+      assert(got.exists(_.toList == want), s"trial $trial")
+      // the m04 frame fan-out rides the same decoded samples
+      val frames = Decoder.frames(p).toList
+      val wantFrames = want.grouped(64).zipWithIndex.map {
+        case (fr, i) => ("audio/wav", i.toLong, fr.length.toLong,
+          fr.map(v => v.toLong * v).sum)
+      }.toList
+      assert(frames == wantFrames, s"trial $trial frames")
+    }
+    // hostile: predictor index > 6 -> None (strict, not a guess)
+    assert(HeaderCodec.wavMsAdpcmSamples(
+      msWav(Seq((7, 16, 0, 0, Array(0))))).isEmpty)
+    // ragged data chunk (not a whole number of blocks) -> None:
+    // 1-block payload, then claim a bigger blockAlign (fmt
+    // blockAlign field at offset 12 + 8 + 12 = 32)
+    val ragged = msWav(Seq((0, 16, 0, 0, Array(0))))
+    ragged(32) = 9
+    assert(HeaderCodec.wavMsAdpcmSamples(ragged).isEmpty)
+    // stereo -> None (mono-only arm); channels field at offset 22
+    val stereo = msWav(Seq((0, 16, 0, 0, Array(0))))
+    stereo(22) = 2
+    assert(HeaderCodec.wavMsAdpcmSamples(stereo).isEmpty)
+  }
+
   // ---- BpeApplyExpr: token-scan fast path == replace-chain spec ----
 
   test("BpeApplyExpr single token scan == the doubled-space " +
