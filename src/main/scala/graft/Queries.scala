@@ -1758,6 +1758,39 @@ object Queries {
       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
       |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin
 
+  /** SOURCE-pair shingle-vocabulary Jaccard — see
+    * [[Dedup.sourceShingleJaccard]]. The feed-MIRROR detector: t22
+    * charges per-source exact-duplicate share (zero on this corpus —
+    * no two sources carry byte-identical docs), this measures how
+    * much of each pair's n-gram VOCABULARY coincides, which is the
+    * signal that actually fires when two feeds scrape the same site
+    * through different boilerplate. Same 3-token shingles as d02,
+    * HALF_UP integer ppm (never a float round). */
+  val d18_source_overlap: QFn = (s, d) =>
+    Dedup.sourceShingleJaccard(t(s, d, "documents"), "source",
+      "text", n = 3)
+
+  val d18_sql: String =
+    s"""WITH toks AS (SELECT source, $shingleToksSql AS t
+       |  FROM documents),
+       |sh AS (SELECT source, unnest(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |p AS (SELECT DISTINCT source, shingle FROM sh),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM p GROUP BY source),
+       |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM p a JOIN p b
+       |    ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, s1.n AS n_a, s2.n AS n_b, inter,
+       |  CAST((inter * 2000000 + (s1.n + s2.n - inter))
+       |    // (2 * (s1.n + s2.n - inter)) AS BIGINT) AS jaccard_ppm
+       |FROM inter JOIN sizes s1 ON src_a = s1.source
+       |JOIN sizes s2 ON src_b = s2.source""".stripMargin
+
   /** Modularity of the g12 partition — the AUDIT row for label
     * propagation (the s09/d12/d16/t18 discipline: a clustering you
     * can't score is a clustering you can't trust). Exact-integer
@@ -2147,7 +2180,7 @@ object Queries {
       |  count(*) AS cluster_size, min(doc_id) AS keep_id
       |FROM documents GROUP BY fp""".stripMargin
 
-  private val shingleToksSql =
+  private lazy val shingleToksSql =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
       |      x -> len(x) > 0)""".stripMargin
 
@@ -3970,6 +4003,85 @@ object Queries {
       |  -floor(((-CAST(sum(c * lp) AS BIGINT)) * 2 + sum(c) * 100)
       |    / (sum(c) * 200.0)) / 10000.0 AS avg_logp
       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** URL CANONICALIZATION — the key-making pass before URL-level
+    * dedup/filtering (C4 and CCNet both dedup BY URL before any
+    * content pass; a raw crawl spells one page dozens of ways). Each
+    * document plants a deterministically-messy absolute URL from its
+    * own columns — mixed-case scheme/host, scheme-matched default
+    * port vs a kept :8080, dot-segments / duplicate slashes /
+    * root-escaping `..`, tracking params in unsorted order, a
+    * fragment — and [[org.apache.spark.sql.graft.UrlNormalize]]
+    * (codegen'd, per-row, zero shuffles) canonicalizes it. The
+    * ORACLE recomputes the EXPECTED canonical form closed-form per
+    * arm (the m05 writer→parser discipline): a hash match proves
+    * the normalizer lands every rule — case, port, dot-segment,
+    * slash-collapse, trailing-slash, param-drop, param-sort,
+    * fragment — on all 2·3·4·5 planted arm combinations.
+    * UrlNormalizeSpec pins the hostile shapes the planted arms
+    * can't reach (no-scheme passthrough, userinfo, `..` past root,
+    * duplicate param keys, '?'-only, '#' before '?'). */
+  val t28_url_normalize: QFn = (s, d) => {
+    import org.apache.spark.sql.graft.{ColumnBridge, UrlNormalize}
+    val two = pmod(col("doc_id"), lit(2))
+    val three = pmod(col("doc_id"), lit(3))
+    val four = pmod(col("doc_id"), lit(4))
+    val five = pmod(col("doc_id"), lit(5))
+    val scheme = when(two === 0, lit("HTTP")).otherwise(lit("https"))
+    val port = when(three === 0,
+        when(two === 0, lit(":80")).otherwise(lit(":443")))
+      .when(three === 1, lit(":8080"))
+      .otherwise(lit(""))
+    val path = when(four === 0, lit("/a/./b/"))
+      .when(four === 1, lit("/a/b/../c"))
+      .when(four === 2, lit("//x//y"))
+      .otherwise(lit("/../deep"))
+    val query = when(five === 0, lit("?utm_source=feed&z=1&a=2"))
+      .when(five === 1, lit("?b=2&a=1"))
+      .when(five === 2, lit("?utm_campaign=x&gclid=123"))
+      .when(five === 3, lit("?a=1"))
+      .otherwise(lit(""))
+    val frag = when(two === 1, lit("#Sec1")).otherwise(lit(""))
+    val url = concat(scheme, lit("://WWW."), col("source"),
+      lit(".Example.COM"), port, path, query, frag)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("url", url)
+      .withColumn("url_canon",
+        ColumnBridge.column(UrlNormalize(
+          ColumnBridge.expression(col("url")))))
+      .select("doc_id", "url", "url_canon")
+  }
+
+  /** The oracle rebuilds BOTH the planted mess and its expected
+    * canonical form arm-by-arm — it never re-runs a normalizer, so
+    * agreement pins the Scala algorithm against an independent
+    * statement of the rules. */
+  val t28_sql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+      |  || '://WWW.' || source || '.Example.COM'
+      |  || (CASE WHEN doc_id % 3 = 0 THEN
+      |        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+      |      WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+      |  || (CASE doc_id % 4 WHEN 0 THEN '/a/./b/'
+      |      WHEN 1 THEN '/a/b/../c' WHEN 2 THEN '//x//y'
+      |      ELSE '/../deep' END)
+      |  || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed&z=1&a=2'
+      |      WHEN 1 THEN '?b=2&a=1'
+      |      WHEN 2 THEN '?utm_campaign=x&gclid=123'
+      |      WHEN 3 THEN '?a=1' ELSE '' END)
+      |  || (CASE WHEN doc_id % 2 = 1 THEN '#Sec1' ELSE '' END)
+      |    AS url,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+      |  || '://www.' || source || '.example.com'
+      |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+      |  || (CASE doc_id % 4 WHEN 0 THEN '/a/b' WHEN 1 THEN '/a/c'
+      |      WHEN 2 THEN '/x/y' ELSE '/deep' END)
+      |  || (CASE doc_id % 5 WHEN 0 THEN '?a=2&z=1'
+      |      WHEN 1 THEN '?a=1&b=2' WHEN 3 THEN '?a=1'
+      |      ELSE '' END) AS url_canon
+      |FROM documents""".stripMargin
 
   val q63_sql: String = {
     // learning only: the accepted batches f1..fR, unnested with
@@ -8955,6 +9067,7 @@ object Queries {
     "t25_nb_eval" -> t25_nb_eval,
     "t26_source_drift" -> t26_source_drift,
     "t27_target_lm" -> t27_target_lm,
+    "t28_url_normalize" -> t28_url_normalize,
     "s13_hard_negatives" -> s13_hard_negatives,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
@@ -9024,6 +9137,7 @@ object Queries {
     "d15_semdedup" -> d15_semdedup,
     "d16_lsh_recall" -> d16_lsh_recall,
     "d17_dedup_impact" -> d17_dedup_impact,
+    "d18_source_overlap" -> d18_source_overlap,
     "t14_ccnet_buckets" -> t14_ccnet_buckets,
     "t15_gopher_rules" -> t15_gopher_rules,
     "t16_pmi_collocations" -> t16_pmi_collocations,
@@ -9123,6 +9237,7 @@ object Queries {
     "t25_nb_eval" -> t25_sql,
     "t26_source_drift" -> t26_sql,
     "t27_target_lm" -> t27_sql,
+    "t28_url_normalize" -> t28_sql,
     "s13_hard_negatives" -> s13_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,
@@ -9191,6 +9306,7 @@ object Queries {
     "d15_semdedup" -> d15_sql,
     "d16_lsh_recall" -> d16_sql,
     "d17_dedup_impact" -> d17_sql,
+    "d18_source_overlap" -> d18_sql,
     "t14_ccnet_buckets" -> t14_sql,
     "t15_gopher_rules" -> t15_sql,
     "t16_pmi_collocations" -> t16_sql,

@@ -35,6 +35,50 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"),
         min(col(idCol)).as("keep_id"))
 
+  /** SOURCE-pair shingle-vocabulary Jaccard — feed-mirror detection
+    * one level up from per-doc dedup: two feeds scraping the same
+    * site share most of their n-gram VOCABULARY even when no single
+    * document is an exact duplicate (exact-fp overlap, the t22
+    * signal, reads zero there). Per source the DISTINCT n-token
+    * shingle set; per unordered source pair the intersection size
+    * and HALF_UP Jaccard ppm in exact integers.
+    *
+    * Scale shape: ONE corpus-scale shuffle (the (source, shingle)
+    * distinct — map-side combining); after it every row is
+    * vocabulary-, not corpus-, sized. The self-join key is the
+    * shingle and each side holds ≤ |sources| rows per key, so the
+    * join output is ≤ |S|² rows per shingle, collapsing map-side to
+    * ≤ |S|² pair cells total. The shared posting subtree feeds three
+    * consumers (sizes + both join sides) and is persisted AND
+    * materialized before the fan-out (the CLAUDE.md race-recompute
+    * rule). Never an all-pairs relation; |S|²-bounded output. */
+  def sourceShingleJaccard(docs: DataFrame, srcCol: String,
+                           textCol: String, n: Int): DataFrame = {
+    val p = TextFunctions
+      .shinglePostings(docs, srcCol, textCol, n, distinct = true)
+      .withColumnRenamed("doc_id", "source")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    p.count() // materialize before the 3-branch fan-out
+    val sizes = p.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val inter = p.as("a")
+      .join(p.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"),
+        col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"),
+        col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"),
+        col("n").as("n_b")), "src_b")
+      .withColumn("jaccard_ppm",
+        expr("(inter * 2000000 + (n_a + n_b - inter))" +
+          " DIV (2 * (n_a + n_b - inter))"))
+      .select("src_a", "src_b", "n_a", "n_b", "inter", "jaccard_ppm")
+  }
+
   /** MinHash signature as an array of `numHashes` hex-string minima.
     *
     * Hash family: md5 of (seed || shingle); the lexicographic MIN of

@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NfcNormalize(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("url_normalize"),
+      new ExpressionInfo(classOf[UrlNormalize].getName,
+        "url_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UrlNormalize(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("confusable_skeleton"),
       new ExpressionInfo(classOf[ConfusableSkeleton].getName,
         "confusable_skeleton"),

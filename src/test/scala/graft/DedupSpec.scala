@@ -80,4 +80,17 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
     assert(pairs(Dedup.bandsFor(64, 3)) == pairs(8))
   }
+
+  test("sourceShingleJaccard: vocabulary intersection + HALF_UP ppm " +
+    "over a hand-computable fixture; non-overlapping pairs absent") {
+    // A: {a b c, b c d}; B: {b c d, c d e} (inter 1, union 3);
+    // C: {x y z} (disjoint); the repeated A doc must NOT double-count
+    val docs = Seq(
+      ("A", "a b c d"), ("A", "a b c d"),
+      ("B", "b c d e"), ("C", "x y z")).toDF("source", "text")
+    val got = Dedup.sourceShingleJaccard(docs, "source", "text", 3)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // jaccard_ppm = (1*2e6 + 3) DIV 6 = 333333 (HALF_UP of 1/3 * 1e6)
+    assert(got == Set(("A", "B", 2L, 2L, 1L, 333333L)))
+  }
 }

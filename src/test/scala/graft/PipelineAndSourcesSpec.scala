@@ -72,12 +72,15 @@ class PipelineAndSourcesSpec extends SparkSpec {
           |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
           |       nfc_normalize('été') AS n,
           |       confusable_skeleton('cаfé') AS k,
-          |       word_shingles('A b c', 2) AS w
+          |       word_shingles('A b c', 2) AS w,
+          |       url_normalize(
+          |         'HTTP://Ex.COM:80/a/../b?utm_x=1&b=2&a=1#f') AS u
           |""".stripMargin).collect()(0)
       assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 11.0)
       assert(r.getString(2) == "été")
       assert(r.getString(3) == "café")
       assert(r.getSeq[String](4) == Seq("a b", "b c"))
+      assert(r.getString(5) == "http://ex.com/b?a=1&b=2")
       // packed-HLL kernels: init two sketches, max-merge, estimate
       val h = s2.sql(
         """SELECT hll_scaled_sum(m) AS s, hll_empty_count(m) AS v
