@@ -1681,6 +1681,94 @@ object Queries {
   // direct form and the SPEC pins the rollup path equal to e17
   val e18_sql: String = e17_sql
 
+  /** WATERMARK STRESS PROFILE — the audit that PICKS a
+    * `withWatermark` delay from data instead of folklore. The live
+    * feed's own arrival order is the no-information case here (the
+    * generator appends in event-time order, so observed lateness is
+    * exactly 0 — a true but vacuous row); what a streaming team
+    * actually runs before shipping a delay is the REPLAY STRESS
+    * TEST: re-feed the log under BOUNDED deterministic disorder —
+    * arrival time = event time + a per-event pseudo-random jitter
+    * ≤ 6 h (md5-derived, so both engines mirror it; sized to the
+    * feed's per-key density — 150 users × ~11 h mean gap — so the
+    * sweep is populated) — and
+    * measure, per candidate delay, how many events a per-key
+    * watermark would drop as late. Per event: lateness = (running
+    * per-user max event-time over arrival order, excluding self) −
+    * own event-time, clamped at 0 — provably ≤ the jitter bound, so
+    * the candidate spine {0, 10 m, 1 h, 3 h, 6 h} SWEEPS the
+    * knee and the last row proves the bound (exactly 0 dropped at
+    * the jitter ceiling). ONE pass: the user-partitioned running
+    * max (never an unpartitioned window), one bounded conditional
+    * aggregate, the 5-candidate spine stacked from the single
+    * result row. All integer ms — no float ever appears. */
+  val e19_lateness_profile: QFn = (s, d) => {
+    val delays = Seq(0L, 600000L, 3600000L, 10800000L, 21600000L)
+    val w = Window.partitionBy("user_id")
+      .orderBy("arrival_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("arrival_ms",
+        col("ms") + md5Bucket(col("event_id").cast("string"))
+          % 21600001L)
+      .withColumn("late_ms",
+        greatest(coalesce(max("ms").over(w), col("ms")) - col("ms"),
+          lit(0L)))
+    val aggs = count(lit(1)).cast("long").as("n_events") +:
+      max("late_ms").cast("long").as("max_late_ms") +:
+      delays.map(dl =>
+        sum(when(col("late_ms") > dl, 1L).otherwise(0L))
+          .cast("long").as(s"n_$dl"))
+    val row = late.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = delays
+      .map(dl => s"${dl}L, n_$dl").mkString(", ")
+    row.selectExpr("n_events", "max_late_ms",
+        s"stack(${delays.size}, $stackArgs) AS (delay_ms, n_late)")
+      .select(col("delay_ms"), col("n_late"),
+        expr("(n_late * 2000000 + n_events) DIV (2 * n_events)")
+          .as("late_ppm"),
+        col("n_events"), col("max_late_ms"))
+  }
+
+  val e19_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    epoch_ms(ts) + ('0x' || substr(md5(CAST(event_id AS
+      |      VARCHAR)), 1, 8))::BIGINT % 21600001 AS arrival_ms
+      |  FROM events),
+      |l AS (SELECT greatest(coalesce(max(ms) OVER
+      |      (PARTITION BY user_id ORDER BY arrival_ms, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ms)
+      |      - ms, 0) AS late_ms
+      |  FROM e),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+      |    CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_0,
+      |    CAST(sum(CASE WHEN late_ms > 600000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_600000,
+      |    CAST(sum(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_3600000,
+      |    CAST(sum(CASE WHEN late_ms > 10800000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_10800000,
+      |    CAST(sum(CASE WHEN late_ms > 21600000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_21600000
+      |  FROM l),
+      |d AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (600000),
+      |    (3600000), (10800000), (21600000)) v(delay_ms))
+      |SELECT d.delay_ms,
+      |  CASE d.delay_ms WHEN 0 THEN n_0 WHEN 600000 THEN n_600000
+      |    WHEN 3600000 THEN n_3600000 WHEN 10800000 THEN n_10800000
+      |    ELSE n_21600000 END AS n_late,
+      |  CAST(((CASE d.delay_ms WHEN 0 THEN n_0
+      |    WHEN 600000 THEN n_600000 WHEN 3600000 THEN n_3600000
+      |    WHEN 10800000 THEN n_10800000
+      |    ELSE n_21600000 END) * 2000000 + n_events)
+      |    // (2 * n_events) AS BIGINT) AS late_ppm,
+      |  n_events, max_late_ms
+      |FROM d, s""".stripMargin
+
   /** Table-profiling / ANALYZE pass — the statistics row every
     * engine computes before planning and every pipeline prints
     * before trusting a feed: per column of lineitem, row count,
@@ -9156,6 +9244,7 @@ object Queries {
     "q66_profile" -> q66_profile,
     "e17_ohlc" -> e17_ohlc,
     "e18_bar_rollup" -> e18_bar_rollup,
+    "e19_lateness_profile" -> e19_lateness_profile,
     "s11_gram" -> s11_gram,
     "s12_power_iter" -> s12_power_iter,
     "s14_opq_rotate" -> s14_opq_rotate,
@@ -9325,6 +9414,7 @@ object Queries {
     "q66_profile" -> q66_sql,
     "e17_ohlc" -> e17_sql,
     "e18_bar_rollup" -> e18_sql,
+    "e19_lateness_profile" -> e19_sql,
     "s11_gram" -> s11_sql,
     "s12_power_iter" -> s12_sql,
     "s14_opq_rotate" -> s14_sql,
