@@ -290,8 +290,42 @@ object Multimodal {
       * declarative oracle: entropy-coded scans have no closed form a
       * SQL writer could emit — the same reason PNG's compressed path
       * is golden-pinned. */
+    /** True iff the marker walk reaches an SOS (FFDA) — i.e. the
+      * stream actually CARRIES entropy-coded scan data. An
+      * abbreviated stream (frame headers only, the declaratively
+      * planted fixtures) can never decode, so gating ImageIO here
+      * skips a guaranteed-failing full decode attempt per frame —
+      * at container scale that was the dominant cost (ImageIO's
+      * default read path also creates a disk-cache temp FILE per
+      * call; see the setUseCache(false) below). Exact: we walk
+      * marker segments from SOI, so a 0xFFDA inside entropy data
+      * can't false-positive (we stop at the first real SOS). */
+    private def jpegHasScan(p: Array[Byte]): Boolean = {
+      if (!(p.length >= 4 && u8(p, 0) == 0xffL &&
+            u8(p, 1) == 0xd8L && u8(p, 2) == 0xffL)) return false
+      var i = 2
+      while (i + 4 <= p.length) {
+        if (u8(p, i) != 0xffL) return false
+        u8(p, i + 1).toInt match {
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => i += 2
+          case 0xda => return true
+          case 0xd9 => return false
+          case _ =>
+            val len = be16(p, i + 2)
+            if (len < 2 || i + 2 + len > p.length) return false
+            i += 2 + len.toInt
+        }
+      }
+      false
+    }
+
+    // ImageIO's default read path spills a disk-cache temp file PER
+    // CALL — a file create/delete per decoded frame. In-memory
+    // cache instead: the frames here are byte arrays already.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def jpegChannelSums(p: Array[Byte]): Option[Array[Long]] =
-      jpeg(p).flatMap { _ =>
+      jpeg(p).filter(_ => jpegHasScan(p)).flatMap { _ =>
         try {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(p))

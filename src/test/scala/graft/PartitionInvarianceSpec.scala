@@ -62,7 +62,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // broadcast lookups, per-doc tf aggregate)
     "t26_source_drift", "t27_target_lm",
     // round-15: two-phase grounding + last-write-wins aggregates
-    "q68_compact_ops")
+    "q68_compact_ops",
+    // round-18: source-pair vocabulary intersection (persisted
+    // posting self-join), per-user replay-order running-max window
+    "d18_source_overlap", "e19_lateness_profile")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")
