@@ -408,6 +408,70 @@ object Streams {
       }
   }
 
+  case class ArrEvent(user_id: Long, event_id: Long,
+                      ts: java.sql.Timestamp, arrival_ms: Long)
+  case class MaxMsState(maxMs: Long)
+  case class LateOut(user_id: Long, event_id: Long, arrival_ms: Long,
+                     late_ms: Long)
+
+  /** LIVE LATENESS MONITOR — the streaming twin of batch
+    * e19_lateness_profile (that row PICKS a watermark delay from a
+    * replay; this one WATCHES the live feed so the chosen delay's
+    * assumptions are continuously re-validated). Per event the
+    * lateness = (per-user running max event-time over ARRIVAL order,
+    * excluding self) − own event-time, clamped at 0 — state per user
+    * is ONE long, constant regardless of history. Within a batch,
+    * rows fold in (arrival_ms, event_id) order — e19's deterministic
+    * replay key — so replaying a log through any batch split yields
+    * the identical trajectory (spec-pinned). Downstream, the
+    * per-event rows roll into tumbling ARRIVAL-time windows counting
+    * would-be-dropped events per candidate delay (e19's spine): the
+    * monitor windows on arrival, not event time, precisely so the
+    * late rows it exists to count can never be watermark-dropped by
+    * the monitor itself (arrival is jitter-bounded-monotone, so its
+    * own watermark is safe). The watermark attaches AFTER the object
+    * boundary, on the re-emitted arrival timestamp (event-time
+    * metadata does not survive object-level transforms). Keys never
+    * expire (NoTimeout) — unbounded-cardinality feeds add a timeout
+    * policy upstream, as with [[streamingOutliers]]. */
+  def streamingLateness(events: Dataset[ArrEvent],
+                        windowLen: String = "1 day",
+                        lateness: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val perEvent = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MaxMsState, LateOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[MaxMsState]) =>
+          var mx = state.getOption.map(_.maxMs).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[LateOut]
+          rows.toSeq.sortBy(r => (r.arrival_ms, r.event_id))
+            .foreach { r =>
+              val ms = r.ts.getTime
+              val late = if (mx == Long.MinValue) 0L
+                else math.max(mx - ms, 0L)
+              out += LateOut(uid, r.event_id, r.arrival_ms, late)
+              if (ms > mx) mx = ms
+            }
+          state.update(MaxMsState(mx))
+          out.result().iterator
+      }
+    val delays = Seq(0L, 600000L, 3600000L, 10800000L, 21600000L)
+    val aggs = count(lit(1)).cast("long").as("n_events") +:
+      max("late_ms").cast("long").as("max_late_ms") +:
+      delays.map(dl =>
+        sum(when(col("late_ms") > dl, 1L).otherwise(0L))
+          .cast("long").as(s"n_$dl"))
+    perEvent
+      .withColumn("arr_ts", timestamp_millis(col("arrival_ms")))
+      .withWatermark("arr_ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("arr_ts"),
+        windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +:
+        col("n_events") +: col("max_late_ms") +:
+        delays.map(dl => col(s"n_$dl")): _*)
+  }
+
   case class PhState(n: Long, sum: Long, m: Double, mMin: Double)
   case class DriftOut(user_id: Long, event_id: Long, n_seen: Long,
                       ph: Double)

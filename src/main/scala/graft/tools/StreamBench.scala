@@ -215,6 +215,20 @@ object StreamBench {
     }
     // associative OHLC bar fold: one in-flight bar per (type, minute)
     // inside the watermark horizon — e17/e18's algebra on a feed
+    // live lateness monitor (e19's streaming twin): one long per
+    // user + an arrival-windowed profile — state must plateau at
+    // (keys + open windows)
+    locally {
+      import spark.implicits._
+      drive("lateness_profile",
+        Streams.streamingLateness(syntheticEvents()
+          .select(col("user_id"), col("event_id"), col("ts"),
+            (unix_millis(col("ts")) +
+              pmod(col("event_id") * 2654435761L, lit(30000L)))
+              .as("arrival_ms"))
+          .as[Streams.ArrEvent],
+          windowLen = "1 minute", lateness = "30 seconds"), "append")
+    }
     drive("minute_bars",
       Streams.streamingMinuteBars(syntheticEvents(), "30 seconds"),
       "append")

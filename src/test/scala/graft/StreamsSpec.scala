@@ -1170,4 +1170,39 @@ class StreamsSpec extends SparkSpec {
       assert(snap() == Map(1L -> ((Some(30L), Some(41L)))))
     } finally q.stop()
   }
+
+  test("streamingLateness: per-user running-max lateness with one " +
+    "long of state; arrival-window profile == hand replay across " +
+    "batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ArrEvent]
+    val q = Streams.streamingLateness(mem.toDS(),
+        windowLen = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("slate")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: on-time, then 2-min-late (same batch), then 1-min-late
+    // (NEXT batch -- the running max must cross the boundary), then
+    // on-time advancing the max; user 2 proves per-user isolation
+    // (its first event is never late against user 1's max)
+    val b1 = Seq(
+      Streams.ArrEvent(1L, 1L, ts(10), ts(10).getTime),
+      Streams.ArrEvent(1L, 2L, ts(8), ts(11).getTime))
+    val b2 = Seq(
+      Streams.ArrEvent(1L, 3L, ts(9), ts(12).getTime),
+      Streams.ArrEvent(1L, 4L, ts(20), ts(13).getTime),
+      Streams.ArrEvent(2L, 5L, ts(5), ts(14).getTime))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // arrival minute 40: watermark (35) passes the [10, 20) window
+      mem.addData(Streams.ArrEvent(99L, 9L, ts(40), ts(40).getTime))
+      q.processAllAvailable()
+      val got = spark.table("slate")
+        .as[(Timestamp, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      // [10, 20): 5 events, lates 0 / 120000 / 60000 / 0 / 0 ms ->
+      // n_late at delay 0 is 2, every larger candidate 0
+      assert(got == Set((ts(10), 5L, 120000L, 2L, 0L, 0L, 0L, 0L)))
+    } finally q.stop()
+  }
 }
