@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Per-round artifact sequence (CLAUDE.md checklist) in one command:
+#   scripts/round_artifacts.sh <N> <prev_bench_full.json> \
+#     [fresh_only_q1,q2,...]
+# Runs, in order, at the CURRENT commit (which must be the round's
+# final query-touching commit):
+#   1. PLANAUDIT_r{N}.json  (+ diff vs r{N-1} if present — every
+#      count change on untouched code must be explained)
+#   2. PARITY_r{N}.json     (tri-SF oracle parity)
+#   3. three full Bench runs at sf0.1, folded into
+#      BENCH_r{N}_full.json (fresh-only minima for the listed
+#      changed/new queries; fill the control ratios into the method
+#      field by hand afterwards — q01/q17 vs the previous minima)
+# Timing-sensitive steps run sequentially; don't run anything else
+# on the box during step 3.
+set -euo pipefail
+N=${1:?usage: round_artifacts.sh <N> <prev_bench_full.json> [fresh_only]}
+PREV=${2:?need previous BENCH_r{N-1}_full.json}
+FRESH=${3:-}
+cd "$(dirname "$0")/.."
+
+echo "== PLANAUDIT_r$N =="
+SPARK_GRAFT_CPUS=8 sbt -batch \
+  "runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLANAUDIT_r$N.json"
+prev_pa="PLANAUDIT_r$((N-1)).json"
+if [[ -f "$prev_pa" ]]; then
+  echo "== plan-shape diff vs $prev_pa (explain every hunk on untouched queries) =="
+  diff "$prev_pa" "PLANAUDIT_r$N.json" || true
+fi
+
+echo "== PARITY_r$N (tri-SF) =="
+bash scripts/tri_parity.sh "PARITY_r$N.json"
+
+echo "== BENCH: 3 full runs at sf0.1 =="
+for i in 1 2 3; do
+  bash scripts/bench.sh /root/testdata/sf0.1 "/tmp/bench_r${N}_$i.json" 32 \
+    > /dev/null 2>&1
+  echo "run $i done"
+done
+python3 scripts/bench_fold.py "$PREV" "BENCH_r${N}_full.json" \
+  /tmp/bench_r${N}_{1,2,3}.json \
+  ${FRESH:+--fresh-only "$FRESH"}
+echo "now: fill CONTROL_RATIOS_TBD in BENCH_r${N}_full.json (q01/q17 vs $PREV), then commit all three artifacts"
