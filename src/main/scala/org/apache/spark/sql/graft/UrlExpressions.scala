@@ -48,13 +48,27 @@ object UrlNormalizer {
     k.startsWith("utm_") || k == "fbclid" || k == "gclid"
   }
 
+  /** RFC 3986 scheme = ALPHA *(ALPHA / DIGIT / '+' / '-' / '.').
+    * Without this check, a NON-URL whose query happens to contain
+    * "://" (e.g. `example.com?u=http://x`) would be parsed as an
+    * absolute URL with a garbage scheme and silently restructured —
+    * scheme validation is what makes the passthrough rule safe. */
+  private def validScheme(s: String): Boolean =
+    s.nonEmpty && s.charAt(0).isLetter && s.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')
+
   /** Java-callable so doGenCode can emit a static call and stay in
-    * the whole-stage pipeline. */
+    * the whole-stage pipeline. All case-folding is Locale.ROOT —
+    * a default-locale toLowerCase would make the dedup key depend
+    * on the JVM's locale (the Turkish-I trap), breaking
+    * cross-cluster determinism. */
   def normalize(raw: String): String = {
     val url = raw.trim
     val sep = url.indexOf("://")
-    if (sep <= 0) return url
-    val scheme = url.substring(0, sep).toLowerCase
+    if (sep <= 0 || !validScheme(url.substring(0, sep))) return url
+    val scheme = url.substring(0, sep)
+      .toLowerCase(java.util.Locale.ROOT)
     val rest = url.substring(sep + 3)
     // split off fragment first (it may contain '?' per RFC)
     val hashAt = rest.indexOf('#')
@@ -82,7 +96,8 @@ object UrlNormalizer {
     val keepPort = port.nonEmpty &&
       !(scheme == "http" && port == "80") &&
       !(scheme == "https" && port == "443")
-    val normAuth = userinfo + host.toLowerCase +
+    val normAuth = userinfo +
+      host.toLowerCase(java.util.Locale.ROOT) +
       (if (keepPort) ":" + port else "")
     // path: collapse '//', resolve '.'/'..', strip trailing '/'
     val segs = new scala.collection.mutable.ArrayBuffer[String]()

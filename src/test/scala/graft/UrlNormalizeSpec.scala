@@ -73,6 +73,26 @@ class UrlNormalizeSpec extends AnyFunSuite {
     assert(normalize("mailto:x@y") == "mailto:x@y")
     assert(normalize("://nohost") == "://nohost")
     assert(normalize("") == "")
+    // a NON-URL whose query contains "://" must not be parsed as an
+    // absolute URL with a garbage scheme (RFC 3986 scheme chars)
+    assert(normalize("example.com?u=http://x")
+      == "example.com?u=http://x")
+    assert(normalize("foo bar://x") == "foo bar://x")
+    // valid non-alpha-leading-rejected vs valid plus/dash schemes
+    assert(normalize("1http://h/a") == "1http://h/a")
+    assert(normalize("git+ssh://Host.COM/Repo")
+      == "git+ssh://host.com/Repo")
+  }
+
+  test("case-folding is Locale.ROOT — the dedup key must not depend " +
+    "on the JVM's default locale (Turkish-I)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // default-locale toLowerCase would fold 'I' to dotless 'ı'
+      assert(normalize("HTTP://WIKI.Example.COM/Page")
+        == "http://wiki.example.com/Page")
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("idempotence over the t28 arm product and hostile shapes") {
