@@ -3033,6 +3033,59 @@ object Queries {
       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** d20 — duplicated-span REMOVAL, the C4 dedup rule ("discard all
+    * but one of any three-sentence span occurring more than once",
+    * Raffel et al. 2020 §2.2) as a corpus REWRITE: where d09 only
+    * FINDS duplicated spans and d17 counts their impact, d20 emits
+    * the rewritten corpus with every duplicate span dropped
+    * keep-FIRST plus the per-doc impact columns. Adaptation declared
+    * like t15's: this corpus is single-line word text with no
+    * sentence punctuation, so the "sentence-triple" unit becomes a
+    * fixed 8-token segment (the non-overlapping analog of d09's
+    * character windows) — the rule, keep = globally first occurrence
+    * by (doc_id, seg_idx), is C4's exactly.
+    *
+    * Scale shape (the d09 discipline): the keep-first decision
+    * shuffles only (span_key, doc_id, seg_idx) — the 60-bit md5 span
+    * key plus two longs, never the segment text — through ONE
+    * map-side-combining min(struct) aggregate; the segment stream
+    * itself shuffles once for the flag join and once for the per-doc
+    * reassembly. min(struct) (not a row_number window) keeps a
+    * mega-duplicated span from serializing through a single window
+    * partition: partial aggregation collapses a hot span key
+    * map-side, so skew lands as pre-combined singletons.
+    * Body: [[graft.dedup.Dedup.spanRemoval]]. */
+  val d20_span_removal: QFn = (s, d) =>
+    Dedup.spanRemoval(t(s, d, "documents"), "doc_id", "text",
+      segTokens = 8)
+
+  val d20_sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x <> '') AS tk
+      |  FROM documents WHERE len(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0),
+      |segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+      |    array_to_string(tk[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)],
+      |      ' ') AS seg
+      |  FROM toks, unnest(range(CAST(ceil(len(tk)/8.0) AS BIGINT)))
+      |    AS t(i)),
+      |h AS (SELECT doc_id, seg_idx, seg,
+      |    ('0x' || substr(md5(seg), 1, 15))::BIGINT AS span_key
+      |  FROM segs),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY span_key
+      |    ORDER BY doc_id, seg_idx) AS rn FROM h)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+      |    ORDER BY seg_idx), '') AS new_text,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(CASE WHEN rn > 1 THEN len(string_split(seg, ' '))
+      |    ELSE 0 END) AS BIGINT) AS toks_removed
+      |FROM r GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Similarity search (embeddings)
   // ---------------------------------------------------------------
 
@@ -4162,7 +4215,7 @@ object Queries {
       |  || (CASE WHEN doc_id % 2 = 1 THEN '#Sec1' ELSE '' END)
       |    AS url,
       |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-      |  || '://www.' || source || '.example.com'
+      |  || '://www.' || lower(source) || '.example.com'
       |  || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
       |  || (CASE doc_id % 4 WHEN 0 THEN '/a/b' WHEN 1 THEN '/a/c'
       |      WHEN 2 THEN '/x/y' ELSE '/deep' END)
@@ -4170,6 +4223,57 @@ object Queries {
       |      WHEN 1 THEN '?a=1&b=2' WHEN 3 THEN '?a=1'
       |      ELSE '' END) AS url_canon
       |FROM documents""".stripMargin
+
+  /** Shared unigram-LM training knobs (t29/t30 and their specs):
+    * pieces are word n-grams up to [[ulmMaxPiece]] words, the
+    * candidate pool / vocab cap is [[ulmSeedCap]] (the per-round
+    * bounded driver collect, q63's economics), over [[ulmRounds]]
+    * hard-EM rounds. */
+  private val ulmMaxPiece = 4
+  private val ulmSeedCap = 16384
+  private val ulmRounds = 4
+
+  /** t29 — unigram-LM tokenizer TRAINING (Kudo 2018; SentencePiece's
+    * other half next to BPE q63): hard-EM with a Viterbi E-step over
+    * a word-n-gram candidate vocabulary and an exact-integer M-step;
+    * see [[graft.text.UnigramLm]] for the determinism and bounded-
+    * collect discipline. ROWS-ONLY like q24: the E-step's Viterbi DP
+    * has no DuckDB mirror — pinned instead by UnigramLmSpec's
+    * independent top-down replica + brute-force enumeration
+    * cross-checks and the partition-invariance rerun. Output is the
+    * learned vocabulary (piece, n_words, count, cost_micronat), all
+    * BIGINTs and strings — hash-stable by construction. */
+  val t29_unigram_train: QFn = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val docs = t(s, d, "documents").select(col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // sequential EM rounds re-scan it (CLAUDE.md)
+    val (_, vocab) = text.UnigramLm.train(docs, "text",
+      maxPieceWords = ulmMaxPiece, seedCap = ulmSeedCap,
+      rounds = ulmRounds)
+    docs.unpersist(blocking = false) // output is a LocalRelation
+    vocab.map { case (p, c, cost) =>
+      (p, (p.count(_ == ' ') + 1).toLong, c, cost)
+    }.toDF("piece", "n_words", "count", "cost_micronat")
+  }
+
+  /** t30 — unigram-LM ENCODE (t23's shape for the unigram family):
+    * train t29's model, then Viterbi-segment the corpus once and
+    * report per-doc word/piece counts plus the HALF_UP integer-ppm
+    * saving. ROWS-ONLY like t29 — same spec pinning. */
+  val t30_unigram_encode: QFn = (s, d) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // EM rounds + the final encode re-scan it
+    val (model, _) = text.UnigramLm.train(docs, "text",
+      maxPieceWords = ulmMaxPiece, seedCap = ulmSeedCap,
+      rounds = ulmRounds)
+    val out = text.UnigramLm.encode(s, docs, model, "doc_id", "text")
+    // the encode is lazy over the persisted docs; Verify/Bench clear
+    // the cache manager after each query, so no unpersist here
+    out
+  }
 
   val q63_sql: String = {
     // learning only: the accepted batches f1..fR, unnested with
@@ -9156,6 +9260,8 @@ object Queries {
     "t26_source_drift" -> t26_source_drift,
     "t27_target_lm" -> t27_target_lm,
     "t28_url_normalize" -> t28_url_normalize,
+    "t29_unigram_train" -> t29_unigram_train,
+    "t30_unigram_encode" -> t30_unigram_encode,
     "s13_hard_negatives" -> s13_hard_negatives,
     "e01_window_agg" -> e01_window_agg,
     "e02_sessionize" -> e02_sessionize,
@@ -9241,6 +9347,7 @@ object Queries {
     "g13_modularity" -> g13_modularity,
     "g14_refine_communities" -> g14_refine_communities,
     "d19_edit_pairs" -> d19_edit_pairs,
+    "d20_span_removal" -> d20_span_removal,
     "q66_profile" -> q66_profile,
     "e17_ohlc" -> e17_ohlc,
     "e18_bar_rollup" -> e18_bar_rollup,
@@ -9411,6 +9518,7 @@ object Queries {
     "g14_refine_communities" -> g14_sql,
     "g13_modularity" -> g13_sql,
     "d19_edit_pairs" -> d19_sql,
+    "d20_span_removal" -> d20_sql,
     "q66_profile" -> q66_sql,
     "e17_ohlc" -> e17_sql,
     "e18_bar_rollup" -> e18_sql,

@@ -881,4 +881,57 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b")).cast("long")
           .as("dist"))
   }
+
+  /** Duplicated-span REMOVAL (C4's dedup rule, Raffel et al. 2020
+    * §2.2) as a corpus rewrite: split each document into consecutive
+    * `segTokens`-token segments, keep only the globally FIRST
+    * occurrence of each segment (min (doc_id, seg_idx) — C4's
+    * "discard all but one"), and reassemble the surviving segments
+    * in order, with per-doc impact counts.
+    *
+    * Scale shape: the keep-first decision shuffles only
+    * (span_key, doc_id, seg_idx) — a 60-bit md5 span key plus two
+    * longs, never segment text — through one map-side-combining
+    * min(struct) aggregate; the segment stream shuffles once for the
+    * flag join and once for per-doc reassembly. min(struct), not a
+    * row_number window: a mega-duplicated span pre-combines
+    * map-side instead of serializing through one window partition. */
+  def spanRemoval(docs: DataFrame, idCol: String, textCol: String,
+                  segTokens: Int = 8): DataFrame = {
+    val n = segTokens
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(trim(col(textCol)), "\\s+"), x => x =!= "")
+          .as("tk"))
+      .filter(size(col("tk")) > 0)
+    val segs = base
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0),
+            ceil(size(col("tk")) / lit(n.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("tk"), i * lit(n) + 1, lit(n)),
+            " "))))
+      .select(col("doc_id"), col("pos").as("seg_idx"),
+        col("col").as("seg"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long")
+          .as("span_key"))
+    val firsts = segs
+      .select(col("span_key"), col("doc_id"), col("seg_idx"))
+      .groupBy("span_key")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      .select(col("span_key"), col("f.doc_id").as("doc_id"),
+        col("f.seg_idx").as("seg_idx"), lit(1).as("keep"))
+    segs.join(firsts, Seq("span_key", "doc_id", "seg_idx"), "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("keep") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("new_text"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("keep").isNull, 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("keep").isNull, size(split(col("seg"), " ")))
+          .otherwise(0)).cast("long").as("toks_removed"))
+  }
 }

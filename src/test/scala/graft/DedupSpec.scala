@@ -93,4 +93,36 @@ class DedupSpec extends SparkSpec {
     // jaccard_ppm = (1*2e6 + 3) DIV 6 = 333333 (HALF_UP of 1/3 * 1e6)
     assert(got == Set(("A", "B", 2L, 2L, 1L, 333333L)))
   }
+
+  test("spanRemoval drops all but the globally first occurrence of " +
+    "each segment (C4 keep-first), within and across docs") {
+    // segTokens = 2; doc 10: [a b][c d][a b] — within-doc dup at
+    // seg 2; doc 20: [c d][x y] — cross-doc dup of doc 10's seg 1;
+    // doc 30: [p q] — untouched
+    val docs = Seq(
+      (10L, "a b c d a b"),
+      (20L, "c d x y"),
+      (30L, "p q")).toDF("doc_id", "text")
+    val got = Dedup.spanRemoval(docs, "doc_id", "text", segTokens = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, "a b c d", 3L, 1L, 2L)))
+    assert(got(20L) == ((20L, "x y", 2L, 1L, 2L)))
+    assert(got(30L) == ((30L, "p q", 1L, 0L, 0L)))
+  }
+
+  test("spanRemoval: a ragged tail segment is its own span, and a " +
+    "fully-duplicated doc rewrites to empty") {
+    // segTokens = 3; doc 1: [a b c][d e] (ragged tail); doc 2 is a
+    // verbatim copy → every segment removed → empty rewrite with
+    // 5 tokens removed
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.spanRemoval(docs, "doc_id", "text", segTokens = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "a b c d e", 2L, 0L, 0L)))
+    assert(got(2L) == ((2L, "", 2L, 2L, 5L)))
+  }
 }

@@ -65,7 +65,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q68_compact_ops",
     // round-18: source-pair vocabulary intersection (persisted
     // posting self-join), per-user replay-order running-max window
-    "d18_source_overlap", "e19_lateness_profile")
+    "d18_source_overlap", "e19_lateness_profile",
+    // round-19: keep-first span-removal (global min-struct + flag
+    // join + per-doc reassembly), unigram-LM hard-EM loop (bounded
+    // top-k collects + broadcast-model Viterbi rounds)
+    "d20_span_removal", "t29_unigram_train")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")
