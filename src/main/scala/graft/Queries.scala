@@ -5196,6 +5196,195 @@ object Queries {
       |    AS frame_md5
       |FROM k""".stripMargin
 
+  /** Shared m08/m09 fixture: per doc a 24-bpp BMP whose pixel bytes
+    * follow a PLANTED NEAR-DUP GROUP structure — group g = doc DIV 4
+    * fixes the base image ((g·7 + p·13) mod 251 over pixel-array
+    * positions, m02's declarative idiom), and variant r = doc mod 4
+    * perturbs the bytes at positions p mod 29 < r by +97 — so each
+    * group holds 4 perceptually-near variants (r=0 pristine) whose
+    * dHashes land a spread of small hamming distances, while
+    * different groups are unrelated. Every byte is a closed form, so
+    * the DuckDB oracle recomputes the grids, the 9×8 box averages,
+    * the cross-multiplied dHash bits, and the banding verbatim. */
+  private def dhashMedia(s: SparkSession, d: String): DataFrame = {
+    def le(c: Column, n: Int): Column =
+      concat((0 until n).map(i =>
+        lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
+    val base = t(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("g", expr("doc_id DIV 4"))
+      .withColumn("r", pmod(col("doc_id"), lit(4)))
+      .withColumn("w", pmod(col("g"), lit(13)) + lit(16))
+      .withColumn("h", pmod(col("g"), lit(7)) + lit(12))
+      .withColumn("stride", expr("((w * 3 + 3) DIV 4) * 4"))
+      .withColumn("pix", col("stride") * col("h"))
+    val pixHex = array_join(
+      transform(sequence(lit(0L), col("pix") - 1),
+        p => lpad(hex(pmod(col("g") * 7 + p * 13 +
+          when(pmod(p, lit(29)) < col("r"), 97).otherwise(0),
+          lit(251))), 2, "0")), "")
+    val bmpHex = concat(
+      lit("424D"), le(col("pix") + 54, 4), lit("00000000"),
+      le(lit(54L), 4), le(lit(40L), 4),
+      le(col("w"), 4), le(col("h"), 4),
+      le(lit(1L), 2), le(lit(24L), 2), le(lit(0L), 4),
+      le(col("pix"), 4),
+      le(lit(2835L), 4), le(lit(2835L), 4),
+      le(lit(0L), 4), le(lit(0L), 4),
+      pixHex)
+    val media = base
+      .select(col("doc_id").as("media_id"), unhex(bmpHex).as("payload"))
+    Multimodal.extractDHashes(s, media)
+      .select(col("media_id"), col("dhash"))
+  }
+
+  /** LSH band-bucket candidate pairs over 64-bit hashes: explode
+    * each hash into (band, key) buckets at the given (shift, bits)
+    * offsets and self-join on the bucket — the d04 discipline; the
+    * shuffle carries (band, key, id, hash) longs only, never
+    * pixels. Callers persist `hashes` (both join sides share it). */
+  private def bandCandidates(hashes: DataFrame,
+      offsets: Seq[(Int, Int)]): DataFrame = {
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(array(offsets.zipWithIndex.map { case ((off, bits), i) =>
+        struct(lit(i).as("band"),
+          shiftright(col("dhash"), off)
+            .bitwiseAND(lit((1L << bits) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"),
+      col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = bands.select(col("band"), col("key"),
+      col("media_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+  }
+
+  /** m08 — PERCEPTUAL image near-dup (dHash): decode every planted
+    * BMP to a gray1000 grid, box-average to 9×8, emit the 64-bit
+    * difference hash ([[Multimodal.HeaderCodec.dHash64]]), then
+    * 4×16-bit LSH banding (Dedup.bandsFor(64, 3)'s prescription —
+    * pigeonhole-exact for hamming ≤ 3) for candidate pairs with
+    * their exact hamming distance. The non-BMP grid arms (PNG, GIF
+    * incl. interlace, JPEG) are golden-pinned in
+    * MultimodalCodecSpec / MultimodalFuzzSpec — a valid compressed
+    * payload can't be assembled declaratively in SQL (the m02
+    * precedent). */
+  val m08_dhash_neardup: QFn = (s, d) => {
+    val hashes = dhashMedia(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count() // both band-join sides consume it (CLAUDE.md)
+    bandCandidates(hashes, Seq((0, 16), (16, 16), (32, 16), (48, 16)))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"),
+        expr("CASE WHEN id_a DIV 4 = id_b DIV 4 THEN 1 ELSE 0 END")
+          .cast("long").as("same_group"))
+  }
+
+  // shared oracle CTE: recompute the planted grids + dHashes
+  // declaratively (BMP rows are bottom-up: pixel (x, y top-down)
+  // reads bytes at (h-1-y)·stride + 3x, channels B,G,R)
+  private val dhashOracleCte: String =
+    """dims AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r,
+      |    (doc_id // 4) % 13 + 16 AS w, (doc_id // 4) % 7 + 12 AS h,
+      |    ((((doc_id // 4) % 13 + 16) * 3 + 3) // 4) * 4 AS stride
+      |  FROM documents),
+      |cells AS (SELECT doc_id, g, r, w, h, stride, cx, cy,
+      |    (cx * w) // 9 AS xlo,
+      |    greatest((cx * w) // 9 + 1, ((cx + 1) * w) // 9) AS xhi,
+      |    (cy * h) // 8 AS ylo,
+      |    greatest((cy * h) // 8 + 1, ((cy + 1) * h) // 8) AS yhi
+      |  FROM dims, unnest(range(9)) t1(cx), unnest(range(8)) t2(cy)),
+      |px AS (SELECT doc_id, cx, cy, g, r,
+      |    (h - 1 - y) * stride + 3 * x AS p0
+      |  FROM cells, unnest(range(xlo, xhi)) tx(x),
+      |    unnest(range(ylo, yhi)) ty(y)),
+      |gr AS (SELECT doc_id, cx, cy,
+      |    CAST(sum(
+      |      299 * ((g*7 + (p0+2)*13 +
+      |        CASE WHEN (p0+2) % 29 < r THEN 97 ELSE 0 END) % 251) +
+      |      587 * ((g*7 + (p0+1)*13 +
+      |        CASE WHEN (p0+1) % 29 < r THEN 97 ELSE 0 END) % 251) +
+      |      114 * ((g*7 + p0*13 +
+      |        CASE WHEN p0 % 29 < r THEN 97 ELSE 0 END) % 251))
+      |      AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (SELECT l.doc_id, l.cy, l.cx,
+      |    CASE WHEN l.s * rr.n > rr.s * l.n THEN 1 ELSE 0 END AS bit
+      |  FROM gr l JOIN gr rr ON l.doc_id = rr.doc_id
+      |    AND l.cy = rr.cy AND rr.cx = l.cx + 1
+      |  WHERE l.cx < 8),
+      |hs AS (SELECT doc_id, bit_or(CASE WHEN bit = 0 THEN 0::BIGINT
+      |    WHEN cy * 8 + cx = 63 THEN (-9223372036854775807 - 1)
+      |    ELSE (1::BIGINT << (cy * 8 + cx)) END) AS dhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  val m08_sql: String =
+    s"""WITH $dhashOracleCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+       |  CAST(CASE WHEN a.doc_id // 4 = b.doc_id // 4
+       |    THEN 1 ELSE 0 END AS BIGINT) AS same_group
+       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |WHERE (a.dhash & 65535) = (b.dhash & 65535)
+       |  OR ((a.dhash >> 16) & 65535) = ((b.dhash >> 16) & 65535)
+       |  OR ((a.dhash >> 32) & 65535) = ((b.dhash >> 32) & 65535)
+       |  OR ((a.dhash >> 48) & 65535) = ((b.dhash >> 48) & 65535)"""
+      .stripMargin
+
+  /** m09 — the d16-style BANDING-RECALL AUDIT for m08: exact truth =
+    * all pairs at hamming ≤ 12, generated SCALABLY by pigeonhole
+    * multi-index banding (13 bands — 12×5 + 1×4 bits — so any pair
+    * with ≤ 12 differing bits shares at least one exact band: the
+    * truth side needs no all-pairs join even at corpus scale), then
+    * per-distance recall of m08's production 4×16-bit banding as
+    * HALF_UP integer ppm. The DuckDB oracle computes the same truth
+    * by brute-force all-pairs — equal BY THE PIGEONHOLE GUARANTEE,
+    * so parity here proves the multi-index exactness, not just the
+    * arithmetic. */
+  val m09_dhash_recall: QFn = (s, d) => {
+    val hashes = dhashMedia(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashes.count() // truth + production bandings both consume it
+    val off13 = (0 until 12).map(i => (5 * i, 5)) :+ ((60, 4))
+    val truth = bandCandidates(hashes, off13)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 12)
+    val found = bandCandidates(hashes,
+        Seq((0, 16), (16, 16), (32, 16), (48, 16)))
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_ppm",
+        expr("(n_found * 2000000 + n_true) DIV (2 * n_true)"))
+  }
+
+  val m09_sql: String =
+    s"""WITH $dhashOracleCte,
+       |pairs AS (SELECT
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT)
+       |      AS hamming,
+       |    CASE WHEN (a.dhash & 65535) = (b.dhash & 65535)
+       |      OR ((a.dhash >> 16) & 65535) = ((b.dhash >> 16) & 65535)
+       |      OR ((a.dhash >> 32) & 65535) = ((b.dhash >> 32) & 65535)
+       |      OR ((a.dhash >> 48) & 65535) = ((b.dhash >> 48) & 65535)
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 12)
+       |SELECT hamming, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(hit) AS BIGINT) AS n_found,
+       |  (CAST(sum(hit) AS BIGINT) * 2000000 + CAST(count(*) AS BIGINT))
+       |    // (2 * CAST(count(*) AS BIGINT)) AS recall_ppm
+       |FROM pairs GROUP BY hamming""".stripMargin
+
   // ---------------------------------------------------------------
   // Events
   // ---------------------------------------------------------------
@@ -9250,6 +9439,8 @@ object Queries {
     "m05_header_probe" -> m05_header_probe,
     "m06_frame_sample" -> m06_frame_sample,
     "m07_mjpeg_frames" -> m07_mjpeg_frames,
+    "m08_dhash_neardup" -> m08_dhash_neardup,
+    "m09_dhash_recall" -> m09_dhash_recall,
     "q67_apply_ops" -> q67_apply_ops,
     "q68_compact_ops" -> q68_compact_ops,
     "t21_c4_rules" -> t21_c4_rules,
@@ -9424,6 +9615,8 @@ object Queries {
     "m05_header_probe" -> m05_sql,
     "m06_frame_sample" -> m06_sql,
     "m07_mjpeg_frames" -> m07_sql,
+    "m08_dhash_neardup" -> m08_sql,
+    "m09_dhash_recall" -> m09_sql,
     "q67_apply_ops" -> q67_sql,
     "q68_compact_ops" -> q68_sql,
     "t21_c4_rules" -> t21_sql,

@@ -319,16 +319,18 @@ object Multimodal {
       false
     }
 
-    // ImageIO's default read path spills a disk-cache temp file PER
-    // CALL — a file create/delete per decoded frame. In-memory
-    // cache instead: the frames here are byte arrays already.
-    javax.imageio.ImageIO.setUseCache(false)
-
+    // ImageIO's default InputStream read path spills a disk-cache
+    // temp file PER CALL — a file create/delete per decoded frame.
+    // Hand it a MemoryCacheImageInputStream instead (the frames here
+    // are byte arrays already): same no-disk behavior as the global
+    // ImageIO.setUseCache(false) without mutating process-global JVM
+    // state for every other ImageIO user in the executor.
     def jpegChannelSums(p: Array[Byte]): Option[Array[Long]] =
       jpeg(p).filter(_ => jpegHasScan(p)).flatMap { _ =>
         try {
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(p))
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(p)))
           if (img == null) None
           else {
             val w = img.getWidth
@@ -775,6 +777,33 @@ object Multimodal {
       * for these statistics (per-pixel features would need the
       * 4-pass reorder). */
     def gifFirstFramePixelSums(p: Array[Byte]): Option[Array[Long]] =
+      gifFirstFrameIndexed(p).flatMap {
+        case (iw, ih, idx, palOff, palSize, _) =>
+          val sums = new Array[Long](3)
+          var i = 0
+          var good = true
+          while (good && i < idx.length) {
+            val v = idx(i) & 0xff
+            if (v >= palSize) good = false
+            else {
+              sums(0) += u8(p, palOff + 3 * v)
+              sums(1) += u8(p, palOff + 3 * v + 1)
+              sums(2) += u8(p, palOff + 3 * v + 2)
+            }
+            i += 1
+          }
+          if (good) Some(sums) else None
+      }
+
+    /** Shared first-frame decode for the GIF arms: block walk to the
+      * first image descriptor, local-color-table override, LZW
+      * expansion — returns (width, height, index array, palette
+      * offset, palette size, interlaced flag).
+      * [[gifFirstFramePixelSums]] and [[gifGrayGrid]] both derive
+      * from it, so the sums and the perceptual grid can never
+      * disagree on the decode. */
+    private def gifFirstFrameIndexed(p: Array[Byte])
+      : Option[(Int, Int, Array[Byte], Int, Int, Boolean)] =
       gif(p).flatMap { _ =>
         val packed = u8(p, 10).toInt
         val hasGct = (packed & 0x80) != 0
@@ -836,26 +865,324 @@ object Multimodal {
               }
               if (bad2) None
               else lzwDecode(minCode, dat.toByteArray, iw * ih)
-                .flatMap { idx =>
-                  val sums = new Array[Long](3)
-                  var i = 0
-                  var good = palOff + 3 * palSize <= p.length
-                  while (good && i < idx.length) {
-                    val v = idx(i) & 0xff
-                    if (v >= palSize) good = false
-                    else {
-                      sums(0) += u8(p, palOff + 3 * v)
-                      sums(1) += u8(p, palOff + 3 * v + 1)
-                      sums(2) += u8(p, palOff + 3 * v + 2)
-                    }
-                    i += 1
-                  }
-                  if (good) Some(sums) else None
-                }
+                .filter(_ => palOff + 3 * palSize <= p.length)
+                .map(idx => (iw, ih, idx, palOff, palSize,
+                  (ipacked & 0x40) != 0))
             }
           }
         }
       }
+
+    // ---------------------------------------------------------------
+    // Perceptual hashing (m08/m09): gray1000 pixel grids + dHash
+    // ---------------------------------------------------------------
+
+    /** Integer luma per pixel: 299·R + 587·G + 114·B (the Rec.601
+      * weights in per-mille fixed point — NO division, so grids and
+      * everything derived from them stay exact integers that a SQL
+      * oracle can mirror). */
+    @inline private def gray1000(r: Long, g: Long, b: Long): Int =
+      (299L * r + 587L * g + 114L * b).toInt
+
+    /** 24-bpp BI_RGB BMP → gray1000 grid, row-major TOP-DOWN (BMP
+      * stores rows bottom-up; the grid is the image as displayed —
+      * the orientation a perceptual hash is defined over). Same
+      * strict walk as [[bmp24ChannelSums]]. */
+    def bmp24GrayGrid(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      bmp(p).filter(_.depth == 24).flatMap { info =>
+        val off = le32(p, 10)
+        val w = info.width.toInt
+        val h = info.height.toInt
+        // raw signed height < 0 ⇒ TOP-DOWN row order (the DIB spec's
+        // flip flag) — placement matters for a grid where it didn't
+        // for the order-independent channel sums
+        val topDown = le32(p, 22).toInt < 0
+        val stride = ((3L * w + 3L) / 4L) * 4L
+        if (le32(p, 30) != 0L || off < 54L ||
+            off + stride * h > p.length ||
+            w.toLong * h > (1L << 24)) None
+        else {
+          val grid = new Array[Int](w * h)
+          var r = 0
+          while (r < h) {
+            val rowOff = (off + r.toLong * stride).toInt
+            val outRow = (if (topDown) r else h - 1 - r) * w
+            var x = 0
+            while (x < w) {
+              val base = rowOff + 3 * x
+              grid(outRow + x) = gray1000(
+                u8(p, base + 2), u8(p, base + 1), u8(p, base))
+              x += 1
+            }
+            r += 1
+          }
+          Some((w, h, grid))
+        }
+      }
+
+    /** 8-bit NON-interlaced PNG → gray1000 grid, all five color
+      * types (grey / RGB / palette / grey+alpha / RGBA; alpha is
+      * transparency, not color, so it never enters the luma — the
+      * [[pngRgb8ChannelSums]] convention). Placement matters for a
+      * grid, which is why this is a separate focused decoder rather
+      * than a sums-path refactor: sums tolerate Adam7 partitioning
+      * and sub-byte depths, a perceptual grid doesn't need them
+      * (golden vectors pin this decoder against the fuzz writer's
+      * real-deflate output). */
+    def pngGrayGrid(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      png(p).flatMap { info =>
+        val depth = u8(p, 24).toInt
+        val colorType = u8(p, 25).toInt
+        val chBy = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+        val interlace = u8(p, 28).toInt
+        if (depth != 8 || !chBy.contains(colorType) ||
+            u8(p, 26) != 0L || u8(p, 27) != 0L || interlace != 0)
+          None
+        else {
+          val ch = chBy(colorType)
+          val w = info.width.toInt
+          val h = info.height.toInt
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) None
+          else {
+            // chunk walk: concatenate IDAT, grab PLTE
+            val idat = new java.io.ByteArrayOutputStream()
+            var palette: Array[Byte] = null
+            var off = 8L
+            var ok = true
+            var ended = false
+            while (ok && !ended && off + 8 <= p.length) {
+              val o = off.toInt
+              val len = be32(p, o)
+              if (off + 12L + len > p.length) ok = false
+              else {
+                if (ascii(p, o + 4, "IDAT"))
+                  idat.write(p, o + 8, len.toInt)
+                if (ascii(p, o + 4, "PLTE") && len % 3 == 0 &&
+                    len <= 768)
+                  palette = java.util.Arrays.copyOfRange(
+                    p, o + 8, o + 8 + len.toInt)
+                if (ascii(p, o + 4, "IEND")) ended = true
+                off += 12L + len
+              }
+            }
+            if (!ok || (colorType == 3 && palette == null)) None
+            else {
+              val rowB = w * ch
+              val raw = new Array[Byte](h * (1 + rowB))
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(idat.toByteArray)
+              val got =
+                try {
+                  var t = 0
+                  var done = false
+                  while (!done && t < raw.length) {
+                    val n = inf.inflate(raw, t, raw.length - t)
+                    if (n == 0) done = true else t += n
+                  }
+                  t
+                } catch {
+                  case _: java.util.zip.DataFormatException => -1
+                } finally inf.end()
+              if (got != raw.length) None
+              else {
+                // reverse filters in place per row at bpp = ch
+                val cur = new Array[Byte](rowB)
+                val prev = new Array[Byte](rowB)
+                val grid = new Array[Int](w * h)
+                var y = 0
+                var good = true
+                while (good && y < h) {
+                  val ft = raw(y * (1 + rowB)) & 0xff
+                  System.arraycopy(raw, y * (1 + rowB) + 1, cur, 0,
+                    rowB)
+                  if (ft > 4) good = false
+                  else {
+                    var i = 0
+                    while (i < rowB) {
+                      val a = if (i >= ch) cur(i - ch) & 0xff else 0
+                      val b = prev(i) & 0xff
+                      val c =
+                        if (i >= ch) prev(i - ch) & 0xff else 0
+                      val x = cur(i) & 0xff
+                      val v = ft match {
+                        case 0 => x
+                        case 1 => x + a
+                        case 2 => x + b
+                        case 3 => x + (a + b) / 2
+                        case 4 =>
+                          val pp = a + b - c
+                          val pa = math.abs(pp - a)
+                          val pb = math.abs(pp - b)
+                          val pc = math.abs(pp - c)
+                          if (pa <= pb && pa <= pc) x + a
+                          else if (pb <= pc) x + b
+                          else x + c
+                      }
+                      cur(i) = (v & 0xff).toByte
+                      i += 1
+                    }
+                    var x = 0
+                    while (good && x < w) {
+                      val base = x * ch
+                      colorType match {
+                        case 0 | 4 =>
+                          val g = cur(base) & 0xff
+                          grid(y * w + x) = gray1000(g, g, g)
+                        case 2 | 6 =>
+                          grid(y * w + x) = gray1000(
+                            cur(base) & 0xff, cur(base + 1) & 0xff,
+                            cur(base + 2) & 0xff)
+                        case 3 =>
+                          val v = cur(base) & 0xff
+                          if (3 * v + 2 >= palette.length)
+                            good = false
+                          else grid(y * w + x) = gray1000(
+                            palette(3 * v) & 0xff,
+                            palette(3 * v + 1) & 0xff,
+                            palette(3 * v + 2) & 0xff)
+                      }
+                      x += 1
+                    }
+                    System.arraycopy(cur, 0, prev, 0, rowB)
+                  }
+                  y += 1
+                }
+                if (good) Some((w, h, grid)) else None
+              }
+            }
+          }
+        }
+      }
+
+    /** GIF first frame → gray1000 grid through the shared
+      * [[gifFirstFrameIndexed]] decode, de-interlacing the four
+      * passes into display order when the descriptor flags it. */
+    def gifGrayGrid(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      gifFirstFrameIndexed(p).flatMap {
+        case (iw, ih, idx, palOff, palSize, interlaced) =>
+          // source row s → display row: interlaced GIFs store rows
+          // pass-by-pass (0,8,16…; 4,12…; 2,6…; 1,3…)
+          val rowMap = new Array[Int](ih)
+          if (!interlaced) { var r = 0
+            while (r < ih) { rowMap(r) = r; r += 1 } }
+          else {
+            var s = 0
+            Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach {
+              case (start, step) =>
+                var r = start
+                while (r < ih) { rowMap(s) = r; s += 1; r += step }
+            }
+          }
+          val grid = new Array[Int](iw * ih)
+          var s = 0
+          var good = true
+          while (good && s < ih) {
+            val dr = rowMap(s)
+            var x = 0
+            while (good && x < iw) {
+              val v = idx(s * iw + x) & 0xff
+              if (v >= palSize) good = false
+              else grid(dr * iw + x) = gray1000(
+                u8(p, palOff + 3 * v), u8(p, palOff + 3 * v + 1),
+                u8(p, palOff + 3 * v + 2))
+              x += 1
+            }
+            s += 1
+          }
+          if (good) Some((iw, ih, grid)) else None
+      }
+
+    /** JPEG → gray1000 grid: ImageIO baseline decode behind the same
+      * strict marker-walk + SOS gate as [[jpegChannelSums]]. */
+    def jpegGrayGrid(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      jpeg(p).filter(_ => jpegHasScan(p)).flatMap { _ =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(p)))
+          if (img == null ||
+              img.getWidth.toLong * img.getHeight > (1L << 24)) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val grid = new Array[Int](w * h)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val v = row(x)
+                grid(y * w + x) = gray1000(
+                  (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, grid))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+
+    /** Magic-dispatch gray grid over the four image arms. */
+    def grayGrid(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+      if (p == null || p.length < 8) None
+      else if (u8(p, 0) == 0x42L && u8(p, 1) == 0x4dL)
+        bmp24GrayGrid(p)
+      else if (u8(p, 0) == 0x89L && u8(p, 1) == 0x50L)
+        pngGrayGrid(p)
+      else if (u8(p, 0) == 0x47L && u8(p, 1) == 0x49L)
+        gifGrayGrid(p)
+      else if (u8(p, 0) == 0xffL && u8(p, 1) == 0xd8L)
+        jpegGrayGrid(p)
+      else None
+
+    /** 64-bit difference hash (dHash — Krawetz's published
+      * perceptual hash): box-average the gray1000 grid to 9×8 cells
+      * and emit bit (cy·8+cx) = 1 iff cell (cx,cy) is strictly
+      * brighter than its right neighbor. Cell (cx,cy) covers
+      * x ∈ [cx·w/9, max(cx·w/9+1, (cx+1)·w/9)) (floor division —
+      * degenerate boxes for tiny images clamp to one pixel), same
+      * for y over 8 rows; the brightness compare is the EXACT
+      * cross-multiplied rational sum_l·n_r > sum_r·n_l, so the whole
+      * hash is integer arithmetic a DuckDB oracle mirrors verbatim
+      * (m08's BMP arm) and small pixel perturbations only flip bits
+      * whose cell averages actually cross — the perceptual
+      * robustness the hash exists for. */
+    def dHash64(w: Int, h: Int, gray: Array[Int]): Long = {
+      val gs = new Array[Long](72)
+      val gn = new Array[Long](72)
+      var cy = 0
+      while (cy < 8) {
+        val ylo = cy * h / 8
+        val yhi = math.max(ylo + 1, (cy + 1) * h / 8)
+        var cx = 0
+        while (cx < 9) {
+          val xlo = cx * w / 9
+          val xhi = math.max(xlo + 1, (cx + 1) * w / 9)
+          var s = 0L
+          var y = ylo
+          while (y < yhi) {
+            var x = xlo
+            while (x < xhi) { s += gray(y * w + x); x += 1 }
+            y += 1
+          }
+          gs(cy * 9 + cx) = s
+          gn(cy * 9 + cx) = (yhi - ylo).toLong * (xhi - xlo)
+          cx += 1
+        }
+        cy += 1
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        val l = (i / 8) * 9 + (i % 8)
+        if (gs(l) * gn(l + 1) > gs(l + 1) * gn(l))
+          hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
 
     /** REAL sample decode for the uncompressed WAVE arm: 16-bit PCM
       * only (fmt audio-format tag must be 1, bits 16), signed
@@ -1374,6 +1701,35 @@ object Multimodal {
             .getOrElse(Vector.empty).map {
               case (idx, nb, w, h, s) =>
                 Row(id, idx, nb, w, h, s(0), s(1), s(2))
+            }
+        }
+      }(enc)
+    ds.toDF()
+  }
+
+  /** Perceptual dHash per media at the one-mapPartitions decode
+    * boundary (m08): payload bytes → gray1000 grid
+    * ([[HeaderCodec.grayGrid]] — BMP/PNG/GIF/JPEG) → 64-bit
+    * [[HeaderCodec.dHash64]]. What leaves the boundary is
+    * (media_id, w, h, dhash) — 32 bytes/media regardless of image
+    * size, so downstream banding shuffles longs, never pixels.
+    * Undecodable payloads are dropped (the hash exists only for
+    * decoded pixels — no guessed hashes, the MS-ADPCM contract). */
+  def extractDHashes(spark: SparkSession, media: DataFrame)
+    : DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", LongType),
+      StructField("h", LongType),
+      StructField("dhash", LongType))))
+    val ds: Dataset[Row] = media
+      .select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          HeaderCodec.grayGrid(r.getAs[Array[Byte]]("payload"))
+            .map { case (w, h, grid) =>
+              Row(r.getAs[Long]("media_id"), w.toLong, h.toLong,
+                HeaderCodec.dHash64(w, h, grid))
             }
         }
       }(enc)

@@ -283,4 +283,219 @@ class MultimodalFuzzSpec extends SparkSpec {
         s"trial $trial n=$n ch=$ch junk=$junkLen got=${got.map(_.length)}")
     }
   }
+
+  // ---------------------------------------------------------------
+  // m08 perceptual-hash arms: gray1000 grids + dHash64
+  // ---------------------------------------------------------------
+
+  private def g1000(r: Int, g: Int, b: Int): Int =
+    299 * r + 587 * g + 114 * b
+
+  test("BMP gray grid: per-pixel Rec.601 truth, BOTH row orders " +
+    "(bottom-up and the negative-height top-down flag)") {
+    (1 to 40).foreach { trial =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(20)
+      val topDown = rnd.nextBoolean()
+      val stride = ((3 * w + 3) / 4) * 4
+      val rows = Array.fill(h, stride)(rnd.nextInt(256))
+      val pix = rows.flatten.map(_.toByte)
+      val bmp = "BM".getBytes ++ le(54L + pix.length, 4) ++
+        le(0L, 4) ++ le(54L, 4) ++ le(40L, 4) ++ le(w.toLong, 4) ++
+        le(if (topDown) (-h).toLong & 0xffffffffL else h.toLong, 4) ++
+        le(1L, 2) ++ le(24L, 2) ++ le(0L, 4) ++
+        le(pix.length.toLong, 4) ++ le(2835L, 4) ++ le(2835L, 4) ++
+        le(0L, 4) ++ le(0L, 4) ++ pix
+      val Some((gw, gh, grid)) = HeaderCodec.bmp24GrayGrid(bmp)
+      assert(gw == w && gh == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val sr = if (topDown) y else h - 1 - y
+        val want = g1000(rows(sr)(3 * x + 2), rows(sr)(3 * x + 1),
+          rows(sr)(3 * x))
+        assert(grid(y * w + x) == want,
+          s"trial $trial ($x,$y) topDown=$topDown")
+      }
+    }
+  }
+
+  test("PNG gray grid: 8-bit non-interlaced, all five color types, " +
+    "real deflate, random filters, per-pixel placement truth") {
+    (1 to 60).foreach { trial =>
+      val colorType = Seq(0, 2, 3, 4, 6)(rnd.nextInt(5))
+      val ch = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(colorType)
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(12)
+      val palN = 2 + rnd.nextInt(126)
+      val palette = Array.fill(3 * palN)(rnd.nextInt(256))
+      val samples = Array.fill(h, ch * w)(
+        if (colorType == 3) rnd.nextInt(palN) else rnd.nextInt(256))
+      val stream = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Int](ch * w)
+      samples.foreach { cur =>
+        val t = rnd.nextInt(5)
+        stream.write(t)
+        for (j <- cur.indices) {
+          val a = if (j >= ch) cur(j - ch) else 0
+          val b = prev(j)
+          val c = if (j >= ch) prev(j - ch) else 0
+          val x = cur(j)
+          val f = t match {
+            case 0 => x
+            case 1 => (x - a) & 0xff
+            case 2 => (x - b) & 0xff
+            case 3 => (x - (a + b) / 2) & 0xff
+            case _ => (x - paeth(a, b, c)) & 0xff
+          }
+          stream.write(f)
+        }
+        prev = cur
+      }
+      val defl = new java.util.zip.Deflater(1 + rnd.nextInt(9))
+      defl.setInput(stream.toByteArray)
+      defl.finish()
+      val comp = new Array[Byte](stream.size() * 2 + 64)
+      val compLen = defl.deflate(comp)
+      defl.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] =
+        be(data.length.toLong, 4) ++ typ.getBytes ++ data ++
+          le(0L, 4)
+      val ihdr = be(w.toLong, 4) ++ be(h.toLong, 4) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)
+      val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+          0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++
+        (if (colorType == 3) chunk("PLTE", palette.map(_.toByte))
+         else Array.empty[Byte]) ++
+        chunk("IDAT", comp.take(compLen)) ++
+        chunk("IEND", Array.empty)
+      val Some((gw, gh, grid)) = HeaderCodec.pngGrayGrid(png)
+      assert(gw == w && gh == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = x * ch
+        val want = colorType match {
+          case 0 | 4 =>
+            val v = samples(y)(base); g1000(v, v, v)
+          case 2 | 6 => g1000(samples(y)(base),
+            samples(y)(base + 1), samples(y)(base + 2))
+          case _ =>
+            val v = samples(y)(base)
+            g1000(palette(3 * v), palette(3 * v + 1),
+              palette(3 * v + 2))
+        }
+        assert(grid(y * w + x) == want,
+          s"trial $trial type=$colorType ($x,$y)")
+      }
+    }
+  }
+
+  test("GIF gray grid: placement truth incl. the four-pass " +
+    "interlace reorder") {
+    (1 to 40).foreach { trial =>
+      val palBits = 1 + rnd.nextInt(7)
+      val palN = 1 << palBits
+      val minCode = math.max(2, palBits)
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(12)
+      val interlaced = rnd.nextBoolean()
+      val palette = Array.fill(3 * palN)(rnd.nextInt(256))
+      // pix is DISPLAY order; storage order follows the flag
+      val pix = Array.fill(w * h)(rnd.nextInt(palN))
+      val storageRows: Seq[Int] =
+        if (!interlaced) 0 until h
+        else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap {
+          case (s, st) => s until h by st
+        }
+      val stored = storageRows.flatMap(r =>
+        (0 until w).map(x => pix(r * w + x))).toArray
+      val lzw = lzwEncode(minCode, stored)
+      val body = new java.io.ByteArrayOutputStream()
+      var rest = lzw
+      while (rest.nonEmpty) {
+        val n = math.min(rest.length, 1 + rnd.nextInt(255))
+        body.write(n)
+        body.write(rest, 0, n)
+        rest = rest.drop(n)
+      }
+      body.write(0)
+      val idPacked = (if (interlaced) 0x40 else 0)
+      val gif = "GIF89a".getBytes ++
+        le(w.toLong, 2) ++ le(h.toLong, 2) ++
+        Array[Byte]((0x80 | (palBits - 1)).toByte, 0, 0) ++
+        palette.map(_.toByte) ++
+        Array[Byte](0x2c) ++ le(0L, 2) ++ le(0L, 2) ++
+        le(w.toLong, 2) ++ le(h.toLong, 2) ++
+        Array[Byte](idPacked.toByte) ++
+        Array[Byte](minCode.toByte) ++ body.toByteArray ++
+        Array[Byte](0x3b)
+      val Some((gw, gh, grid)) = HeaderCodec.gifGrayGrid(gif)
+      assert(gw == w && gh == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = pix(y * w + x)
+        val want = g1000(palette(3 * v), palette(3 * v + 1),
+          palette(3 * v + 2))
+        assert(grid(y * w + x) == want,
+          s"trial $trial interlaced=$interlaced ($x,$y)")
+      }
+    }
+  }
+
+  test("JPEG gray grid: dims + Rec.601 of ImageIO's own decode " +
+    "through the strict SOS gate; grayGrid dispatches all four " +
+    "magics") {
+    val img = new java.awt.image.BufferedImage(
+      19, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val r0 = new Random(7)
+    for (y <- 0 until 11; x <- 0 until 19)
+      img.setRGB(x, y, r0.nextInt(1 << 24))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val Some((gw, gh, grid)) = HeaderCodec.jpegGrayGrid(jpeg)
+    assert(gw == 19 && gh == 11)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    for (y <- 0 until 11; x <- 0 until 19) {
+      val v = ref.getRGB(x, y)
+      assert(grid(y * 19 + x) ==
+        g1000((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff))
+    }
+    // dispatch: the JPEG magic reaches the JPEG arm
+    assert(HeaderCodec.grayGrid(jpeg).isDefined)
+    assert(HeaderCodec.grayGrid("plain text".getBytes).isEmpty)
+  }
+
+  test("dHash64: independent BigInt-rational replica agrees over " +
+    "random grids; brightness shift and contrast scale preserve " +
+    "the hash") {
+    def replica(w: Int, h: Int, gray: Array[Int]): Long = {
+      var hash = BigInt(0)
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        def cell(c: Int): (BigInt, BigInt) = {
+          val xlo = c * w / 9
+          val xhi = math.max(xlo + 1, (c + 1) * w / 9)
+          val ylo = cy * h / 8
+          val yhi = math.max(ylo + 1, (cy + 1) * h / 8)
+          val s = (for (y <- ylo until yhi; x <- xlo until xhi)
+            yield BigInt(gray(y * w + x))).sum
+          (s, BigInt((yhi - ylo) * (xhi - xlo)))
+        }
+        val (sl, nl) = cell(cx)
+        val (sr, nr) = cell(cx + 1)
+        if (sl * nr > sr * nl)
+          hash = hash.setBit(cy * 8 + cx)
+      }
+      hash.toLong
+    }
+    val r1 = new Random(11)
+    (1 to 80).foreach { trial =>
+      val w = 1 + r1.nextInt(50)
+      val h = 1 + r1.nextInt(30)
+      val gray = Array.fill(w * h)(r1.nextInt(256000))
+      val got = HeaderCodec.dHash64(w, h, gray)
+      assert(got == replica(w, h, gray), s"trial $trial w=$w h=$h")
+      // difference hash invariance: +k brightness, ×k contrast
+      assert(HeaderCodec.dHash64(w, h, gray.map(_ + 7919)) == got)
+      assert(HeaderCodec.dHash64(w, h, gray.map(_ * 3)) == got)
+    }
+  }
 }
