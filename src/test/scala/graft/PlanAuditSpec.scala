@@ -39,6 +39,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(scanCounts("scan") == 1 && scanCounts("pushed") == 1)
   }
 
+  test("a persisted subtree consumed k times counts its shuffles " +
+    "ONCE (the g02 string-reprint over-count, round-12 wrong #1)") {
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))          // one shuffle
+      .persist()
+    try {
+      base.count()
+      // three consumers + a self-join: the old string counter saw
+      // the child plan reprinted under every InMemoryTableScan
+      val fan = base.filter(col("s") > 0)
+        .union(base.filter(col("s") > 1))
+        .union(base.filter(col("s") > 2))
+        .join(base.select(col("k"), col("s").as("s2")), Seq("k"))
+      val c = PlanAudit.audit(fan)
+      assert(c("cache") == 4, s"expected 4 cache scans, got $c")
+      // the cached build's single shuffle counts once; the join may
+      // add its own exchanges, but the persisted aggregate must not
+      // multiply — with a broadcast-able right side the only
+      // hash-partitioning exchange left is the cached build's
+      assert(c.getOrElse("shuffle", 0) <= 3,
+        s"cached subtree over-counted: $c")
+      assert(c.getOrElse("shuffle", 0) >= 1, s"under-counted: $c")
+    } finally base.unpersist(blocking = true)
+  }
+
   test("the dump covers EVERY registered query at sf0.001 with " +
     "zero build errors and zero cartesian products") {
     val all = PlanAudit.auditAll(spark, sf("sf0.001"))
