@@ -25,22 +25,36 @@ def main():
     prev_path, out_path, fresh_paths = args[0], args[1], args[2:]
     prev = json.load(open(prev_path))
     fresh = [json.load(open(p)) for p in fresh_paths]
-    names = sorted(fresh[0]["queries"])
+    # union across ALL fresh runs (round-12 advice: a query present
+    # only in later runs must not be silently dropped)
+    names = sorted({n for r in fresh for n in r["queries"]})
     folded = {}
     for n in names:
         vals = [r["queries"][n] for r in fresh
                 if r["queries"].get(n) is not None]
+        if not vals:
+            # null in every fresh run: fail loudly with the name —
+            # the artifact must not claim a timing that never ran
+            sys.exit(f"bench_fold: query {n!r} has no non-null "
+                     f"timing in any fresh run — rerun or drop it "
+                     f"explicitly")
         m = min(vals)
         if n not in fo and prev["queries"].get(n) is not None:
             m = min(m, prev["queries"][n])
         folded[n] = round(m, 3)
+    # merge the fresh runs' error maps — a clean artifact must mean
+    # clean runs, not a hardcoded {}
+    errors = {}
+    for r in fresh:
+        for q, e in (r.get("errors") or {}).items():
+            errors.setdefault(q, e)
     raw_totals = [round(r["value"], 1) for r in fresh]
     out = {
         "metric": "total",
         "value": round(sum(folded.values()), 3),
         "unit": "sec",
         "queries": folded,
-        "errors": {},
+        "errors": errors,
         "sf": fresh[0]["sf"],
         "n_queries": len(folded),
         "method": (

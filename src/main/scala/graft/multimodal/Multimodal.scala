@@ -1198,13 +1198,19 @@ object Multimodal {
       * [[wav]]: Long offsets so a lying u32 size field runs the scan
       * off the end rather than wrapping an index. */
     private def wavChunks(p: Array[Byte])
-      : Option[(Long, Long, Long, Long, Int, Int)] =
+      : Option[(Long, Long, Long, Long, Long, Int, Int)] =
       wav(p).flatMap { _ =>
         var off = 12L
         var fmtCode = -1L
         var channels = -1L
         var blockAlign = -1L
         var bits = -1L
+        // wSamplesPerBlock from the fmt EXTENSION (cbSize >= 2 —
+        // MS ADPCM writes cbSize 32: u16 samples-per-block first),
+        // -1 when absent: the ADPCM arms must not out-guess a
+        // conforming file that declares fewer samples than the
+        // blockAlign-derived maximum
+        var spb = -1L
         var data: Option[(Int, Int)] = None
         while (off + 8 <= p.length) {
           val o = off.toInt
@@ -1215,6 +1221,9 @@ object Multimodal {
             channels = le16(p, o + 10)
             blockAlign = le16(p, o + 20)
             bits = le16(p, o + 22)
+            if (size >= 20 && off + 8 + 20 <= p.length &&
+                le16(p, o + 24) >= 2L && off + 8 + 22 <= p.length)
+              spb = le16(p, o + 26)
           }
           if (ascii(p, o, "data") && data.isEmpty &&
               off + 8L + size <= p.length)
@@ -1222,12 +1231,12 @@ object Multimodal {
           off += 8L + size + (size & 1L)
         }
         data.map { case (d0, n) =>
-          (fmtCode, channels, blockAlign, bits, d0, n) }
+          (fmtCode, channels, blockAlign, bits, spb, d0, n) }
       }
 
     def wavPcm16Samples(p: Array[Byte]): Option[Array[Int]] =
       wavChunks(p) match {
-        case Some((1L, _, _, 16L, d0, n)) if n % 2 == 0 =>
+        case Some((1L, _, _, 16L, _, d0, n)) if n % 2 == 0 =>
           val out = new Array[Int](n / 2)
           var i = 0
           while (i < out.length) {
@@ -1267,7 +1276,7 @@ object Multimodal {
       * data sizes are legal here (1 byte per sample). */
     def wavG711Samples(p: Array[Byte]): Option[Array[Int]] =
       wavChunks(p) match {
-        case Some((code, _, _, 8L, d0, n))
+        case Some((code, _, _, 8L, _, d0, n))
           if code == 6L || code == 7L =>
           val table = if (code == 6L) alawTable else ulawTable
           val out = new Array[Int](n)
@@ -1313,7 +1322,7 @@ object Multimodal {
       * a half-decoded guess. */
     def wavImaAdpcmSamples(p: Array[Byte]): Option[Array[Int]] =
       wavChunks(p) match {
-        case Some((17L, 1L, ba, 4L, d0, n))
+        case Some((17L, 1L, ba, 4L, _, d0, n))
           if ba >= 5 && n > 0 && n % ba == 0 =>
           val bal = ba.toInt
           val blocks = n / bal
@@ -1390,47 +1399,61 @@ object Multimodal {
       * guess. */
     def wavMsAdpcmSamples(p: Array[Byte]): Option[Array[Int]] =
       wavChunks(p) match {
-        case Some((2L, 1L, ba, 4L, d0, n))
+        case Some((2L, 1L, ba, 4L, spbRaw, d0, n))
           if ba >= 8 && n > 0 && n % ba == 0 =>
           val bal = ba.toInt
           val blocks = n / bal
-          val perBlock = 2 + 2 * (bal - 7)
-          val out = new Array[Int](blocks * perBlock)
-          var w = 0
-          var b = 0
-          var ok = true
-          while (ok && b < blocks) {
-            val o = d0 + b * bal
-            val pi = u8(p, o).toInt
-            if (pi > 6) ok = false
-            else {
-              var delta = le16(p, o + 1).toShort.toInt
-              var s1 = le16(p, o + 3).toShort.toInt
-              var s2 = le16(p, o + 5).toShort.toInt
-              val c1 = msCoef1(pi)
-              val c2 = msCoef2(pi)
-              out(w) = s2; out(w + 1) = s1; w += 2
-              var i = 7
-              while (i < bal) {
-                val byte = p(o + i) & 0xff
-                var half = 0
-                while (half < 2) {
-                  val code = if (half == 0) byte >> 4 else byte & 0x0f
-                  val signed = if (code >= 8) code - 16 else code
-                  val predicted = (s1 * c1 + s2 * c2) / 256
-                  val sample = math.min(math.max(
-                    predicted + delta * signed, -32768), 32767)
-                  delta = math.max(16, msAdaptTable(code) * delta / 256)
-                  s2 = s1; s1 = sample
-                  out(w) = sample; w += 1
-                  half += 1
+          val maxPerBlock = 2 + 2 * (bal - 7)
+          // the fmt extension's wSamplesPerBlock is AUTHORITATIVE
+          // (round-12 advice): a conforming file may declare fewer
+          // samples than blockAlign admits — the tail nibbles are
+          // padding, not samples — and one declaring MORE than the
+          // block can hold is malformed. Absent extension ⇒ the
+          // blockAlign-derived maximum (legacy writers).
+          val perBlock =
+            if (spbRaw < 0) maxPerBlock else spbRaw.toInt
+          if (perBlock < 2 || perBlock > maxPerBlock) None
+          else {
+            val out = new Array[Int](blocks * perBlock)
+            var w = 0
+            var b = 0
+            var ok = true
+            while (ok && b < blocks) {
+              val o = d0 + b * bal
+              val pi = u8(p, o).toInt
+              if (pi > 6) ok = false
+              else {
+                var delta = le16(p, o + 1).toShort.toInt
+                var s1 = le16(p, o + 3).toShort.toInt
+                var s2 = le16(p, o + 5).toShort.toInt
+                val c1 = msCoef1(pi)
+                val c2 = msCoef2(pi)
+                var left = perBlock
+                out(w) = s2; out(w + 1) = s1; w += 2; left -= 2
+                var i = 7
+                while (left > 0 && i < bal) {
+                  val byte = p(o + i) & 0xff
+                  var half = 0
+                  while (left > 0 && half < 2) {
+                    val code =
+                      if (half == 0) byte >> 4 else byte & 0x0f
+                    val signed = if (code >= 8) code - 16 else code
+                    val predicted = (s1 * c1 + s2 * c2) / 256
+                    val sample = math.min(math.max(
+                      predicted + delta * signed, -32768), 32767)
+                    delta = math.max(16,
+                      msAdaptTable(code) * delta / 256)
+                    s2 = s1; s1 = sample
+                    out(w) = sample; w += 1; left -= 1
+                    half += 1
+                  }
+                  i += 1
                 }
-                i += 1
               }
+              b += 1
             }
-            b += 1
+            if (ok) Some(out) else None
           }
-          if (ok) Some(out) else None
         case _ => None
       }
 

@@ -88,9 +88,13 @@ object UrlNormalizer {
     val userinfo = if (atSign >= 0) auth.substring(0, atSign + 1) else ""
     val hostPort = if (atSign >= 0) auth.substring(atSign + 1) else auth
     val colonAt = hostPort.lastIndexOf(':')
+    // ASCII digits only (Char.isDigit accepts Unicode digit classes
+    // — an Arabic-Indic "port" must pass through unparsed, matching
+    // the ASCII-only scheme discipline)
     val (host, port) =
       if (colonAt >= 0 &&
-        hostPort.substring(colonAt + 1).forall(_.isDigit))
+        hostPort.substring(colonAt + 1)
+          .forall(c => c >= '0' && c <= '9'))
         (hostPort.substring(0, colonAt), hostPort.substring(colonAt + 1))
       else (hostPort, "")
     val keepPort = port.nonEmpty &&

@@ -626,6 +626,34 @@ class Round15OpsSpec extends SparkSpec {
     assert(HeaderCodec.wavMsAdpcmSamples(stereo).isEmpty)
   }
 
+  test("MS ADPCM honors the fmt extension's wSamplesPerBlock " +
+    "(round-12 advice): fewer declared samples truncate the padding " +
+    "nibbles, more than the block holds is malformed -> None") {
+    import graft.multimodal.Multimodal.HeaderCodec
+    // 4 data bytes -> blockAlign 11, max 2 + 2*4 = 10 samples/block
+    val blocks = Seq(
+      (0, 16, 100, 50, Array(0x10, 0x9f, 0x21, 0x43)),
+      (1, 300, -70, 20, Array(0x7f, 0x08, 0x55, 0xaa)))
+    val full = HeaderCodec.wavMsAdpcmSamples(msWav(blocks)).get
+    assert(full.length == 20)
+    // declare 7 samples/block: the last 3 nibbles of each block are
+    // padding — output is each block's first 7 decoded samples
+    // (wSamplesPerBlock u16 at fmt offset 12+8+18 = 38)
+    val short = msWav(blocks)
+    short(38) = 7
+    val got = HeaderCodec.wavMsAdpcmSamples(short)
+    val want = full.grouped(10).flatMap(_.take(7)).toList
+    assert(got.exists(_.toList == want), s"got ${got.map(_.toList)}")
+    // declaring MORE than blockAlign admits is malformed
+    val over = msWav(blocks)
+    over(38) = 11
+    assert(HeaderCodec.wavMsAdpcmSamples(over).isEmpty)
+    // declaring fewer than the 2 seed samples is malformed too
+    val tiny = msWav(blocks)
+    tiny(38) = 1
+    assert(HeaderCodec.wavMsAdpcmSamples(tiny).isEmpty)
+  }
+
   // ---- BpeApplyExpr: token-scan fast path == replace-chain spec ----
 
   test("BpeApplyExpr single token scan == the doubled-space " +

@@ -66,6 +66,12 @@ class UrlNormalizeSpec extends AnyFunSuite {
     assert(normalize("http://[::1]/a") == "http://[::1]/a")
     // a non-numeric "port" is not a port — kept as written
     assert(normalize("http://h:8x80/p") == "http://h:8x80/p")
+    // ASCII digits ONLY (round-12 advice): Unicode digit classes
+    // (here Arabic-Indic ٨٠) must NOT parse as host+port — Char
+    // .isDigit would have accepted them against the ASCII-only
+    // scheme discipline
+    assert(normalize("http://h:\u0668\u0660/p")
+      == "http://h:\u0668\u0660/p")
   }
 
   test("non-absolute inputs pass through trimmed, never parsed") {
