@@ -37,7 +37,10 @@ for i in 1 2 3; do
     > /dev/null 2>&1
   echo "run $i done"
 done
+# no brace expansion: some sandboxed shells pass {1,2,3} through
+# mangled — spell the three run files out
 python3 scripts/bench_fold.py "$PREV" "BENCH_r${N}_full.json" \
-  /tmp/bench_r${N}_{1,2,3}.json \
+  "/tmp/bench_r${N}_1.json" "/tmp/bench_r${N}_2.json" \
+  "/tmp/bench_r${N}_3.json" \
   ${FRESH:+--fresh-only "$FRESH"}
 echo "now: fill CONTROL_RATIOS_TBD in BENCH_r${N}_full.json (q01/q17 vs $PREV), then commit all three artifacts"
