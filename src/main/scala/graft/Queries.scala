@@ -5203,9 +5203,21 @@ object Queries {
     * perturbs the bytes at positions p mod 29 < r by +97 — so each
     * group holds 4 perceptually-near variants (r=0 pristine) whose
     * dHashes land a spread of small hamming distances, while
-    * different groups are unrelated. Every byte is a closed form, so
-    * the DuckDB oracle recomputes the grids, the 9×8 box averages,
-    * the cross-multiplied dHash bits, and the banding verbatim. */
+    * different groups are unrelated. The base formula a_g + m_g·p
+    * draws BOTH the offset and the position multiplier from an
+    * md5 of the group id (a_g = h mod 251, m_g = 1 + (h DIV 251)
+    * mod 250, never 0 mod the prime 251): with a fixed multiplier,
+    * any two groups sharing a (w, h) dimension class differ by a
+    * CONSTANT byte shift, which a difference hash largely ignores —
+    * the planted corpus then near-dups across groups and the
+    * candidate-pair relation grows quadratically with corpus size (a
+    * fixture artifact, measured 104k of 110k pairs at sf0.1).
+    * Group-random multipliers decorrelate the classes, so pair
+    * growth tracks the REAL structure: within-group near-dups
+    * (linear in docs) plus the uniform-random band-collision floor.
+    * Every byte is still a closed form, so the DuckDB oracle
+    * recomputes the grids, the 9×8 box averages, the
+    * cross-multiplied dHash bits, and the banding verbatim. */
   private def dhashMedia(s: SparkSession, d: String): DataFrame = {
     def le(c: Column, n: Int): Column =
       concat((0 until n).map(i =>
@@ -5218,9 +5230,14 @@ object Queries {
       .withColumn("h", pmod(col("g"), lit(7)) + lit(12))
       .withColumn("stride", expr("((w * 3 + 3) DIV 4) * 4"))
       .withColumn("pix", col("stride") * col("h"))
+      .withColumn("hsh",
+        conv(substring(md5(concat(lit("g"),
+          col("g").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("ga", pmod(col("hsh"), lit(251)))
+      .withColumn("gm", pmod(expr("hsh DIV 251"), lit(250)) + lit(1))
     val pixHex = array_join(
       transform(sequence(lit(0L), col("pix") - 1),
-        p => lpad(hex(pmod(col("g") * 7 + p * 13 +
+        p => lpad(hex(pmod(col("ga") + col("gm") * p +
           when(pmod(p, lit(29)) < col("r"), 97).otherwise(0),
           lit(251))), 2, "0")), "")
     val bmpHex = concat(
@@ -5290,25 +5307,29 @@ object Queries {
   private val dhashOracleCte: String =
     """dims AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r,
       |    (doc_id // 4) % 13 + 16 AS w, (doc_id // 4) % 7 + 12 AS h,
-      |    ((((doc_id // 4) % 13 + 16) * 3 + 3) // 4) * 4 AS stride
+      |    ((((doc_id // 4) % 13 + 16) * 3 + 3) // 4) * 4 AS stride,
+      |    ('0x' || substr(md5('g' || (doc_id // 4)), 1, 8))::BIGINT
+      |      % 251 AS ga,
+      |    (('0x' || substr(md5('g' || (doc_id // 4)), 1, 8))::BIGINT
+      |      // 251) % 250 + 1 AS gm
       |  FROM documents),
-      |cells AS (SELECT doc_id, g, r, w, h, stride, cx, cy,
+      |cells AS (SELECT doc_id, g, r, w, h, stride, ga, gm, cx, cy,
       |    (cx * w) // 9 AS xlo,
       |    greatest((cx * w) // 9 + 1, ((cx + 1) * w) // 9) AS xhi,
       |    (cy * h) // 8 AS ylo,
       |    greatest((cy * h) // 8 + 1, ((cy + 1) * h) // 8) AS yhi
       |  FROM dims, unnest(range(9)) t1(cx), unnest(range(8)) t2(cy)),
-      |px AS (SELECT doc_id, cx, cy, g, r,
+      |px AS (SELECT doc_id, cx, cy, g, r, ga, gm,
       |    (h - 1 - y) * stride + 3 * x AS p0
       |  FROM cells, unnest(range(xlo, xhi)) tx(x),
       |    unnest(range(ylo, yhi)) ty(y)),
       |gr AS (SELECT doc_id, cx, cy,
       |    CAST(sum(
-      |      299 * ((g*7 + (p0+2)*13 +
+      |      299 * ((ga + gm*(p0+2) +
       |        CASE WHEN (p0+2) % 29 < r THEN 97 ELSE 0 END) % 251) +
-      |      587 * ((g*7 + (p0+1)*13 +
+      |      587 * ((ga + gm*(p0+1) +
       |        CASE WHEN (p0+1) % 29 < r THEN 97 ELSE 0 END) % 251) +
-      |      114 * ((g*7 + p0*13 +
+      |      114 * ((ga + gm*p0 +
       |        CASE WHEN p0 % 29 < r THEN 97 ELSE 0 END) % 251))
       |      AS BIGINT) AS s,
       |    CAST(count(*) AS BIGINT) AS n
