@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# Staleness check for a round's committed artifacts (r13 verdict #2:
+# PARITY_r13 pinned one commit too early and nobody noticed).
+#
+# Usage: scripts/artifacts_fresh.sh <N>
+#
+# Reads ARTIFACTS_r{N}.json's pinned commit and lists every commit
+# SINCE it that touches query code-paths (src/ or build.sbt). Any
+# hit means the round's parity/planaudit/bench evidence no longer
+# describes the shipped code: exit 1 and say so — rerun
+# scripts/round_artifacts.sh at the new final query-touching commit.
+set -euo pipefail
+N=${1:?usage: artifacts_fresh.sh <N>}
+cd "$(dirname "$0")/.."
+stamp="ARTIFACTS_r${N}.json"
+if [[ ! -f "$stamp" ]]; then
+  echo "STALE: no $stamp — round $N artifacts were never pinned" >&2
+  exit 1
+fi
+pinned=$(python3 -c "import json;print(json.load(open('$stamp'))['commit'])")
+if ! git cat-file -e "$pinned^{commit}" 2>/dev/null; then
+  echo "STALE: pinned commit $pinned not found in this repo" >&2
+  exit 1
+fi
+later=$(git log --oneline "$pinned..HEAD" -- src build.sbt)
+if [[ -n "$later" ]]; then
+  echo "STALE: commits touching src/ or build.sbt after the pinned"
+  echo "artifact commit ${pinned:0:9} — rerun scripts/round_artifacts.sh $N:"
+  echo "$later"
+  exit 1
+fi
+echo "FRESH: round $N artifacts pin ${pinned:0:9}; no query-touching commits since"

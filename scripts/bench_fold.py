@@ -8,11 +8,25 @@ Per-query MIN across the fresh runs; queries NOT in --fresh-only
 additionally fold in the previous round's committed minimum
 (byte-identical code since that fold — interference only ever adds
 time). Queries in --fresh-only (code changed this round, or new)
-take minima from the fresh runs alone. The method string records
-the fold; fill in control ratios by hand after reading q01/q17.
+take minima from the fresh runs alone.
+
+Control normalization (r13 verdict item 3 — the calm-session bar
+was unreachable two rounds running, so the METHOD changed): ambient
+box load shifts timings 1.3-1.7x BETWEEN sessions, so raw fresh
+minima taken under load are inflated relative to the carried calm
+minima. The fold measures the session's load factor from the
+CONTROL queries (q01/q17 — untouched code, committed calm minima in
+prev) as the geomean of fresh_min/prev_min clamped to >= 1, then
+records, for each fresh-only query, BOTH the raw fresh minimum
+(fresh_raw) and the normalized value raw/ratio — and commits the
+NORMALIZED value as the evidence-of-record minimum. Controls
+themselves and carried queries are never normalized.
 """
 import json
+import subprocess
 import sys
+
+CONTROLS = ["q01_filter_project", "q17_related_overlap"]
 
 
 def main():
@@ -25,11 +39,15 @@ def main():
     prev_path, out_path, fresh_paths = args[0], args[1], args[2:]
     prev = json.load(open(prev_path))
     fresh = [json.load(open(p)) for p in fresh_paths]
+    bad_controls = [c for c in CONTROLS if c in fo]
+    if bad_controls:
+        sys.exit(f"bench_fold: controls {bad_controls} cannot be "
+                 "fresh-only — a changed control can't measure load")
     # union across ALL fresh runs (round-12 advice: a query present
     # only in later runs must not be silently dropped)
     names = sorted({n for r in fresh for n in r["queries"]})
-    folded = {}
-    for n in names:
+
+    def fresh_min(n):
         vals = [r["queries"][n] for r in fresh
                 if r["queries"].get(n) is not None]
         if not vals:
@@ -38,8 +56,29 @@ def main():
             sys.exit(f"bench_fold: query {n!r} has no non-null "
                      f"timing in any fresh run — rerun or drop it "
                      f"explicitly")
-        m = min(vals)
-        if n not in fo and prev["queries"].get(n) is not None:
+        return min(vals)
+
+    # session load factor from the controls, BEFORE any folding
+    ratios = {}
+    for c in CONTROLS:
+        if c in names and prev["queries"].get(c):
+            ratios[c] = round(fresh_min(c) / prev["queries"][c], 3)
+    if ratios:
+        prod = 1.0
+        for v in ratios.values():
+            prod *= v
+        geo = prod ** (1.0 / len(ratios))
+    else:
+        geo = 1.0
+    ratio = round(max(geo, 1.0), 3)  # a calm box never deflates
+
+    folded, fresh_raw = {}, {}
+    for n in names:
+        m = fresh_min(n)
+        if n in fo:
+            fresh_raw[n] = round(m, 3)
+            m = m / ratio  # evidence of record = load-normalized
+        elif prev["queries"].get(n) is not None:
             m = min(m, prev["queries"][n])
         folded[n] = round(m, 3)
     # merge the fresh runs' error maps — a clean artifact must mean
@@ -49,6 +88,9 @@ def main():
         for q, e in (r.get("errors") or {}).items():
             errors.setdefault(q, e)
     raw_totals = [round(r["value"], 1) for r in fresh]
+    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True
+                            ).stdout.strip()
     out = {
         "metric": "total",
         "value": round(sum(folded.values()), 3),
@@ -57,20 +99,28 @@ def main():
         "errors": errors,
         "sf": fresh[0]["sf"],
         "n_queries": len(folded),
+        "commit": commit,
+        "control_ratios": ratios,
+        "load_factor": ratio,
+        "fresh_raw": fresh_raw,
         "method": (
             f"per-query MIN folded over {len(fresh)} fresh full runs "
             f"(raw run totals {raw_totals}) and, for queries "
             f"byte-identical since the previous fold, the committed "
-            f"{prev_path} minima; fresh-only minima for the "
-            f"{len(fo)} code-changed/new queries: {', '.join(sorted(fo))}. "
-            "CONTROL_RATIOS_TBD"),
+            f"{prev_path} minima; the {len(fo)} code-changed/new "
+            f"queries ({', '.join(sorted(fo))}) take fresh-run minima "
+            f"normalized by the session load factor {ratio} (geomean "
+            f"of control fresh/committed ratios {ratios}, clamped "
+            f">= 1; raw pre-normalization minima in fresh_raw)"),
     }
     json.dump(out, open(out_path, "w"), indent=1)
     print(f"wrote {out_path}: total {out['value']}s over "
-          f"{len(folded)} queries")
+          f"{len(folded)} queries, load factor {ratio} "
+          f"(controls {ratios})")
     for n in sorted(fo):
         if n in folded:
-            print(f"  fresh-only {n}: {folded[n]}")
+            print(f"  fresh-only {n}: {folded[n]} "
+                  f"(raw {fresh_raw[n]})")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,19 @@ PREV=${2:?need previous BENCH_r{N-1}_full.json}
 FRESH=${3:-}
 cd "$(dirname "$0")/.."
 
+# Pinning guard (r13 verdict #2 — the r13 artifacts described a
+# pre-fixture commit): artifacts must describe EXACTLY the committed
+# query code, so refuse to run over uncommitted src/build changes.
+if [[ -n "$(git status --porcelain -- src build.sbt)" ]]; then
+  echo "REFUSING: uncommitted changes under src/ or build.sbt —" >&2
+  echo "commit the round's final query-touching change first so" >&2
+  echo "the artifacts pin a real commit (git status below)" >&2
+  git status --porcelain -- src build.sbt >&2
+  exit 1
+fi
+RAN_AT=$(git rev-parse HEAD)
+echo "pinning artifacts at $RAN_AT"
+
 echo "== PLANAUDIT_r$N =="
 SPARK_GRAFT_CPUS=8 sbt -batch \
   "runMain graft.tools.PlanAudit /root/testdata/sf0.001 PLANAUDIT_r$N.json"
@@ -43,4 +56,16 @@ python3 scripts/bench_fold.py "$PREV" "BENCH_r${N}_full.json" \
   "/tmp/bench_r${N}_1.json" "/tmp/bench_r${N}_2.json" \
   "/tmp/bench_r${N}_3.json" \
   ${FRESH:+--fresh-only "$FRESH"}
-echo "now: fill CONTROL_RATIOS_TBD in BENCH_r${N}_full.json (q01/q17 vs $PREV), then commit all three artifacts"
+
+# stamp the run so scripts/artifacts_fresh.sh can detect staleness
+python3 - "$N" "$RAN_AT" <<'EOF'
+import json, sys
+n, commit = sys.argv[1], sys.argv[2]
+json.dump({"round": int(n), "commit": commit,
+           "files": [f"PLANAUDIT_r{n}.json", f"PARITY_r{n}.json",
+                     f"BENCH_r{n}_full.json"]},
+          open(f"ARTIFACTS_r{n}.json", "w"), indent=1)
+print(f"wrote ARTIFACTS_r{n}.json pinned at {commit[:9]}")
+EOF
+echo "now: commit all four artifacts; any LATER commit touching src/"
+echo "makes them stale — scripts/artifacts_fresh.sh $N will say so"

@@ -2315,8 +2315,11 @@ object Queries {
   val d16_lsh_recall: QFn = (s, d) => {
     val docs = t(s, d, "documents")
     val cache = new graft.dedup.ShingleCache(docs, "doc_id", "text")
-    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
-      cache = Some(cache))
+    // fence: the exact-truth join is df-capped + prefix-filtered
+    // inside ngramJaccardPairs (AuditFence.declared("d16_lsh_recall"))
+    val truth = graft.tools.AuditFence.fenced("d16_lsh_recall",
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+        cache = Some(cache)))
     val sigs = Dedup.minhashSignatures(
       cache.postings(3, distinct = true), 12)
       .select(col("doc_id"),
@@ -2398,9 +2401,13 @@ object Queries {
         Seq("fp"))
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id"))
-    val nearRemoved = Dedup.minhashLshPairs(t(s, d, "documents"),
-      "doc_id", "text", shingleSize = 3, numHashes = 12, bands = 4,
-      threshold = 0.5)
+    // fence: near-dup removals come from the banded candidate set
+    // (AuditFence.declared("d17_dedup_impact"))
+    val nearRemoved = graft.tools.AuditFence.fenced(
+      "d17_dedup_impact",
+      Dedup.minhashLshPairs(t(s, d, "documents"),
+        "doc_id", "text", shingleSize = 3, numHashes = 12, bands = 4,
+        threshold = 0.5))
       .select(col("id2").as("doc_id"))
     val removed = exactRemoved.withColumn("why", lit("exact"))
       .union(nearRemoved.withColumn("why", lit("near")))
@@ -2523,8 +2530,11 @@ object Queries {
     * unrolled comparisons, not an interpreted lambda (CLAUDE.md
     * hot-path rule). */
   val d12_minhash_est: QFn = (s, d) =>
-    Dedup.minhashEstimatePairs(t(s, d, "documents"), "doc_id", "text",
-      shingleSize = 3, numHashes = 12, bands = 4)
+    // fence: exact Jaccard only over the band candidates
+    // (AuditFence.declared("d12_minhash_est"))
+    graft.tools.AuditFence.fenced("d12_minhash_est",
+      Dedup.minhashEstimatePairs(t(s, d, "documents"), "doc_id",
+        "text", shingleSize = 3, numHashes = 12, bands = 4))
 
   val d12_sql: String =
     s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
@@ -2614,8 +2624,11 @@ object Queries {
     * candidate pairs only. */
   val d13_simhash_est: QFn = (s, d) => {
     val docs = t(s, d, "documents")
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-      shingleSize = 3, maxHamming = 6)
+    // fence: exact Jaccard only over the hamming<=6 band pairs
+    // (AuditFence.declared("d13_simhash_est"))
+    val pairs = graft.tools.AuditFence.fenced("d13_simhash_est",
+      Dedup.simhashPairs(docs, "doc_id", "text",
+        shingleSize = 3, maxHamming = 6))
     val sets = TextFunctions.shinglePostings(docs, "doc_id", "text",
       3, distinct = true)
       .groupBy("doc_id").agg(collect_list(col("shingle")).as("sh"))
@@ -3084,6 +3097,56 @@ object Queries {
       |  CAST(sum(CASE WHEN rn > 1 THEN len(string_split(seg, ' '))
       |    ELSE 0 END) AS BIGINT) AS toks_removed
       |FROM r GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** d21 — OFFSET-INVARIANT duplicated-substring removal (the r13
+    * verdict's #1 capability ask; Lee et al. 2021's ExactSubstr
+    * dedup, Spark-approximated): d20 removes duplicates only at
+    * fixed 8-token segment boundaries — a one-token shift of the
+    * same duplicated passage defeats its rewrite — while d21's
+    * STRIDE-1 anchor windows detect a duplicated run of ≥ 8 tokens
+    * at EVERY alignment, so shifted copies are removed keep-first
+    * wherever they start (DedupSpec plants exactly the shifted
+    * fixture d20 provably misses). Body + scale shape:
+    * [[graft.dedup.Dedup.substringRemoval]]. */
+  val d21_substr_removal: QFn = (s, d) =>
+    Dedup.substringRemoval(t(s, d, "documents"), "doc_id", "text",
+      anchorTokens = 8)
+
+  val d21_sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x <> '') AS tk
+      |  FROM documents WHERE len(list_filter(
+      |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) > 0),
+      |win AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    ('0x' || substr(md5(array_to_string(
+      |      tk[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ')), 1, 15))
+      |      ::BIGINT AS span_key
+      |  FROM toks, unnest(range(greatest(len(tk) - 7, 0))) t(i)
+      |  WHERE len(tk) >= 8),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY span_key
+      |    ORDER BY doc_id, i) AS rn FROM win),
+      |red AS (SELECT doc_id, i FROM r WHERE rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, i + d AS j
+      |  FROM red, unnest(range(8)) t(d)),
+      |rpd AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+      |    AS n_red_windows FROM red GROUP BY doc_id),
+      |tok AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+      |    tk[CAST(j+1 AS INT)] AS tok
+      |  FROM toks, unnest(range(len(tk))) t(j))
+      |SELECT t.doc_id,
+      |  coalesce(string_agg(CASE WHEN c.j IS NULL THEN t.tok END,
+      |    ' ' ORDER BY t.j), '') AS new_text,
+      |  CAST(count(*) AS BIGINT) AS n_toks,
+      |  CAST(sum(CASE WHEN c.j IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS toks_removed,
+      |  coalesce(any_value(rpd.n_red_windows), 0::BIGINT)
+      |    AS n_red_windows
+      |FROM tok t
+      |LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+      |LEFT JOIN rpd ON t.doc_id = rpd.doc_id
+      |GROUP BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // Similarity search (embeddings)
@@ -4306,7 +4369,10 @@ object Queries {
     * and the recall is an exact rational. */
   val s09_ann_recall: QFn = (s, d) => {
     val e = embD(s, d)
-    val probes = e.filter(col("vec_id") < 5)
+    // fence: brute-force truth only for the bounded probe set
+    // (AuditFence.declared("s09_ann_recall"))
+    val probes = graft.tools.AuditFence.fenced("s09_ann_recall",
+      e.filter(col("vec_id") < 5))
     val exact = Similarity.bruteForceTopK(e, probes, 10)
       .select(col("probe_id"), col("vec_id").as("cand_id"))
     val ann = Similarity.ivfTopK(e, probes, k = 10, nLists = 16,
@@ -5218,12 +5284,18 @@ object Queries {
     * Every byte is still a closed form, so the DuckDB oracle
     * recomputes the grids, the 9×8 box averages, the
     * cross-multiplied dHash bits, and the banding verbatim. */
-  private def dhashMedia(s: SparkSession, d: String): DataFrame = {
+  private def dhashMedia(s: SparkSession, d: String,
+                         idCap: Option[Int] = None): DataFrame = {
     def le(c: Column, n: Int): Column =
       concat((0 until n).map(i =>
         lpad(hex(pmod(shiftright(c, 8 * i), lit(256))), 2, "0")): _*)
-    val base = t(s, d, "documents")
+    val ids0 = t(s, d, "documents")
       .select(col("doc_id").cast("long").as("doc_id"))
+    // cap BEFORE the decode so a fenced audit bounds the whole
+    // pipeline's cost, not just the pair join's
+    val ids = idCap.map(c =>
+      graft.tools.AuditFence.md5Cap(ids0, "doc_id", c)).getOrElse(ids0)
+    val base = ids
       .withColumn("g", expr("doc_id DIV 4"))
       .withColumn("r", pmod(col("doc_id"), lit(4)))
       .withColumn("w", pmod(col("g"), lit(13)) + lit(16))
@@ -5366,9 +5438,21 @@ object Queries {
     * HALF_UP integer ppm. The DuckDB oracle computes the same truth
     * by brute-force all-pairs — equal BY THE PIGEONHOLE GUARANTEE,
     * so parity here proves the multi-index exactness, not just the
-    * arithmetic. */
+    * arithmetic.
+    *
+    * FENCED (r13 verdict #1): even multi-indexed, the truth side
+    * carries a 1/32-per-band collision floor on uniform 64-bit
+    * hashes — O(n²/32) pairs corpus-wide. A recall estimate doesn't
+    * need the full corpus, so BOTH bandings run on the same
+    * [[graft.tools.AuditFence.md5Cap]](2048) deterministic
+    * sub-corpus (a pair's hit/miss depends only on its two hashes,
+    * so every per-pair decision is unchanged and recall at
+    * hamming ≤ 3 stays exactly 1.0 by the pigeonhole guarantee);
+    * the oracle draws the SAME md5-ordered sample. Truth cost is
+    * now bounded by cap²/32 at any corpus size. */
   val m09_dhash_recall: QFn = (s, d) => {
-    val hashes = dhashMedia(s, d)
+    val hashes = graft.tools.AuditFence.fenced("m09_dhash_recall",
+        dhashMedia(s, d, idCap = Some(2048)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashes.count() // truth + production bandings both consume it
     val off13 = (0 until 12).map(i => (5 * i, 5)) :+ ((60, 4))
@@ -5390,6 +5474,10 @@ object Queries {
 
   val m09_sql: String =
     s"""WITH $dhashOracleCte,
+       |samp AS (SELECT doc_id FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 2048),
+       |hss AS (SELECT hs.doc_id, hs.dhash FROM hs
+       |  JOIN samp USING (doc_id)),
        |pairs AS (SELECT
        |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT)
        |      AS hamming,
@@ -5398,7 +5486,7 @@ object Queries {
        |      OR ((a.dhash >> 32) & 65535) = ((b.dhash >> 32) & 65535)
        |      OR ((a.dhash >> 48) & 65535) = ((b.dhash >> 48) & 65535)
        |      THEN 1 ELSE 0 END AS hit
-       |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |  FROM hss a JOIN hss b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 12)
        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_true,
        |  CAST(sum(hit) AS BIGINT) AS n_found,
@@ -9560,6 +9648,7 @@ object Queries {
     "g14_refine_communities" -> g14_refine_communities,
     "d19_edit_pairs" -> d19_edit_pairs,
     "d20_span_removal" -> d20_span_removal,
+    "d21_substr_removal" -> d21_substr_removal,
     "q66_profile" -> q66_profile,
     "e17_ohlc" -> e17_ohlc,
     "e18_bar_rollup" -> e18_bar_rollup,
@@ -9733,6 +9822,7 @@ object Queries {
     "g13_modularity" -> g13_sql,
     "d19_edit_pairs" -> d19_sql,
     "d20_span_removal" -> d20_sql,
+    "d21_substr_removal" -> d21_sql,
     "q66_profile" -> q66_sql,
     "e17_ohlc" -> e17_sql,
     "e18_bar_rollup" -> e18_sql,

@@ -896,6 +896,98 @@ object Dedup {
     * flag join and once for per-doc reassembly. min(struct), not a
     * row_number window: a mega-duplicated span pre-combines
     * map-side instead of serializing through one window partition. */
+  /** OFFSET-INVARIANT duplicated-substring removal — the
+    * Spark-native approximation of suffix-array ExactSubstr dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"): where [[spanRemoval]] (d20/C4) hashes FIXED
+    * 8-token segments — so a one-token shift of the same duplicated
+    * passage defeats the rewrite — this slides an `anchorTokens`-
+    * token window at STRIDE 1, making detection alignment-free:
+    * every duplicated run of ≥ `anchorTokens` tokens contains an
+    * exactly-matching window at EVERY alignment, wherever it starts.
+    *
+    * Semantics (keep-first, C4/Lee-style): a window occurrence is
+    * REDUNDANT iff it is not its key's globally first occurrence
+    * (lexicographic min (doc_id, pos) — so the first copy of any
+    * duplicated passage keeps all its tokens); a token is removed
+    * iff ≥ 1 redundant window covers it. Later copies of a
+    * duplicated passage lose the whole passage (every in-passage
+    * alignment is redundant); unique text is never touched (a
+    * window occurring once is its own first).
+    *
+    * Scale shape (the d20 discipline, stride-1 edition): window
+    * text collapses to a 60-bit md5 key BEFORE any shuffle, so the
+    * keep-first decision is ONE map-side-combining min(struct) over
+    * (span_key, doc_id, pos) longs — a mega-duplicated window
+    * pre-combines map-side. The firsts table is then FILTERED to
+    * keys with ≥ 2 occurrences before the redundancy join (unique
+    * windows — the overwhelming mass of a real corpus — never build
+    * a join side), and coverage explodes only the REDUNDANT windows
+    * ×`anchorTokens` into (doc_id, token_idx) long pairs. Every
+    * shuffle is keyed on longs; token text shuffles once for the
+    * reassembly aggregate. */
+  def substringRemoval(docs: DataFrame, idCol: String,
+                       textCol: String,
+                       anchorTokens: Int = 8): DataFrame = {
+    val a = anchorTokens
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(trim(col(textCol)), "\\s+"), x => x =!= "")
+          .as("tk"))
+      .filter(size(col("tk")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    base.count() // windows + token streams both consume it
+    // stride-1 windows, keyed by 60-bit md5 of the window text
+    val wins = base
+      .filter(size(col("tk")) >= a)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - lit(a)),
+          i => conv(substring(md5(
+            array_join(slice(col("tk"), i + 1, lit(a)), " ")),
+            1, 15), 16, 10).cast("long"))))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("span_key"))
+    // keep-first over duplicated keys only: min(struct) combines
+    // map-side; n_occ >= 2 keeps the join side to actual duplicates
+    val dupFirsts = wins
+      .groupBy("span_key")
+      .agg(min(struct(col("doc_id"), col("i"))).as("f"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("span_key"), col("f.doc_id").as("f_doc"),
+        col("f.i").as("f_i"))
+    val redundant = wins.join(dupFirsts, Seq("span_key"))
+      .filter(col("doc_id") =!= col("f_doc") ||
+        col("i") =!= col("f_i"))
+      .select(col("doc_id"), col("i"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    redundant.count() // coverage + per-doc window counts fan out
+    val cover = redundant
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(a - 1))).as("j"))
+      .distinct()
+    val redPerDoc = redundant.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_red_windows"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos").cast("long").as("j"),
+        col("col").as("tok"))
+    toks
+      .join(cover.withColumn("rm", lit(1)), Seq("doc_id", "j"),
+        "left")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("rm").isNull, struct(col("j"), col("tok"))))),
+          x => x.getField("tok")), " ").as("new_text"),
+        count(lit(1)).as("n_toks"),
+        sum(when(col("rm") === 1, 1L).otherwise(0L))
+          .as("toks_removed"))
+      .join(redPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_red_windows",
+        coalesce(col("n_red_windows"), lit(0L)))
+  }
+
   def spanRemoval(docs: DataFrame, idCol: String, textCol: String,
                   segTokens: Int = 8): DataFrame = {
     val n = segTokens

@@ -898,7 +898,10 @@ object Multimodal {
         // for the order-independent channel sums
         val topDown = le32(p, 22).toInt < 0
         val stride = ((3L * w + 3L) / 4L) * 4L
-        if (le32(p, 30) != 0L || off < 54L ||
+        // w/h must be POSITIVE like pngGrayGrid's check: a crafted
+        // zero-dim BMP otherwise yields an empty grid that dHash64's
+        // clamped cell walk indexes out of bounds
+        if (w <= 0 || h <= 0 || le32(p, 30) != 0L || off < 54L ||
             off + stride * h > p.length ||
             w.toLong * h > (1L << 24)) None
         else {
@@ -1221,8 +1224,11 @@ object Multimodal {
             channels = le16(p, o + 10)
             blockAlign = le16(p, o + 20)
             bits = le16(p, o + 22)
+            // le16 at o+26 needs off+8+20 <= len, which also covers
+            // the cbSize read at o+24 — a size-20 fmt chunk ending
+            // the file keeps its declared samples-per-block
             if (size >= 20 && off + 8 + 20 <= p.length &&
-                le16(p, o + 24) >= 2L && off + 8 + 22 <= p.length)
+                le16(p, o + 24) >= 2L)
               spb = le16(p, o + 26)
           }
           if (ascii(p, o, "data") && data.isEmpty &&

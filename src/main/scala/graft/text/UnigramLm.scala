@@ -115,7 +115,17 @@ object UnigramLm {
     * emit (id, pieces). */
   private def segmented(spark: SparkSession, docs: DataFrame,
                         idCol: String, textCol: String, model: Model)
-    : DataFrame = {
+    : DataFrame = segmentedBc(spark, docs, idCol, textCol, model)._1
+
+  /** [[segmented]] plus the round's model broadcast, so train() can
+    * destroy it once the round's action (topCounts' collect) has
+    * materialized — hard-EM otherwise leaks one executor broadcast
+    * block per round per train call across a bench session.
+    * encode()'s broadcast must stay alive (its output is consumed
+    * lazily) — that one is the ContextCleaner's. */
+  private def segmentedBc(spark: SparkSession, docs: DataFrame,
+                          idCol: String, textCol: String, model: Model)
+    : (DataFrame, org.apache.spark.broadcast.Broadcast[Model]) = {
     val bc = spark.sparkContext.broadcast(model)
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("id", LongType),
@@ -136,7 +146,7 @@ object UnigramLm {
           Row(id, pieces, w.length.toLong)
         }
       }(enc)
-    ds.toDF()
+    (ds.toDF(), bc)
   }
 
   /** Bounded top-`cap` piece counts (count desc, piece asc — a total
@@ -180,9 +190,13 @@ object UnigramLm {
     // ---- hard-EM rounds (sequential driver rounds, one bounded
     // collect each — the q63 economics) ----
     (1 to rounds).foreach { _ =>
-      val pieces = segmented(spark, withId, "__uid", textCol, model)
+      val (pieces, bc) =
+        segmentedBc(spark, withId, "__uid", textCol, model)
       lastCounts = topCounts(
         pieces.select(explode(col("pieces")).as("piece")), seedCap)
+      // topCounts' collect is the action boundary: the round's
+      // broadcast is fully consumed, free it eagerly
+      bc.destroy()
       val (c2, u2) = toCosts(lastCounts)
       model = Model(c2, maxPieceWords, u2)
     }

@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE audit-fence discipline (round-13 verdict item 5): every
+  * recall / estimator-accuracy / impact audit row computes an
+  * EXACT-truth side, and an exact-truth side is only shippable when
+  * its cost carries a documented bound — a fence. Before this
+  * object, each audit hand-rolled its own (d16 a df-cap, s09 a
+  * probe set, d12/d13 candidate-bounded verification) and the one
+  * that forgot (m09's corpus-wide hamming≤12 multi-index, round
+  * 13's single `weak`) shipped an unfenced O(n²/32) join.
+  *
+  * Mechanics: [[declared]] is the static registry — audit query key
+  * → what bounds its truth side. [[fenced]] is the mandatory
+  * choke-point: every audit's truth-side input passes through it at
+  * plan-construction time, which (a) fails fast if the key has no
+  * declared fence and (b) records the call so PlanAuditSpec can
+  * assert, for every `*_recall` / `*_est` / `*_impact` key in
+  * `Queries.all`, that constructing the query actually routed its
+  * truth side through the discipline — a NEW audit row cannot ship
+  * unfenced without also failing the spec. The bound itself is
+  * applied either by a combinator here ([[md5Cap]]) or structurally
+  * (df-caps, probe predicates, candidate-bounded verification); the
+  * registry text says which. */
+object AuditFence {
+
+  /** What bounds an audit's exact-truth cost, and where. */
+  final case class Fence(kind: String, bound: String)
+
+  /** query key → its truth-side fence. Static so the spec can check
+    * coverage without executing anything. */
+  val declared: Map[String, Fence] = Map(
+    "d16_lsh_recall" -> Fence("df-cap",
+      "truth = ngramJaccardPairs: document-frequency prune " +
+        "(maxDf=200) confines candidate generation to low-df " +
+        "shingle buckets; prefix + positional filters bound the " +
+        "verify set (Dedup.scala ngramJaccardPairs steps 1-3)"),
+    "d12_minhash_est" -> Fence("candidate-bounded",
+      "exact Jaccard is evaluated ONLY on the LSH band-candidate " +
+        "pairs (never corpus-wide): truth cost = estimator cost " +
+        "by construction (Dedup.minhashEstimatePairs)"),
+    "d13_simhash_est" -> Fence("candidate-bounded",
+      "exact Jaccard is evaluated ONLY on the SimHash band pairs " +
+        "at hamming<=6: truth cost = estimator cost by " +
+        "construction (Dedup.simhashPairs)"),
+    "s09_ann_recall" -> Fence("probe-set",
+      "brute-force truth restricted to the bounded probe set " +
+        "(vec_id < 5); the corpus is scanned once per probe " +
+        "batch, never joined all-pairs"),
+    "m09_dhash_recall" -> Fence("md5-sample-cap",
+      "hamming<=12 multi-index truth banding runs on an " +
+        "md5Cap(2048) deterministic sub-corpus (both truth AND " +
+        "production bandings — a pair's hit/miss depends only on " +
+        "its two hashes, so per-pair decisions are unchanged); " +
+        "truth cost is bounded by cap^2/32, not n^2/32"),
+    "d17_dedup_impact" -> Fence("candidate-bounded",
+      "near-dup removal set comes from minhashLshPairs' banded " +
+        "candidates with threshold verification — the d03 " +
+        "machinery and its cost; exact-dup side is one " +
+        "fingerprint aggregate"))
+
+  private val touchedSet =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Keys whose queries have routed a truth side through [[fenced]]
+    * in this JVM (populated at plan-construction time). */
+  def touched: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    touchedSet.asScala.toSet
+  }
+
+  /** Mandatory truth-side choke-point: asserts `queryKey` has a
+    * declared fence, records the call, returns the input unchanged.
+    * Call this on the audit's exact-truth input (or on the bounded
+    * set the truth is evaluated over). */
+  def fenced(queryKey: String, truthInput: DataFrame): DataFrame = {
+    require(declared.contains(queryKey),
+      s"audit '$queryKey' has no declared truth-side fence — add " +
+        "one to AuditFence.declared (an exact-truth side without " +
+        "a documented cost bound cannot ship)")
+    touchedSet.add(queryKey)
+    truthInput
+  }
+
+  /** Deterministic md5-ordered sample cap — the farthestFirstSeeds
+    * sampling discipline as a corpus fence: the `cap` lowest rows
+    * by md5(cast(id as string)), a uniform draw both engines
+    * compute identically (DuckDB mirror:
+    * `ORDER BY md5(CAST(id AS VARCHAR)) LIMIT cap`) and that Spark
+    * executes as TakeOrdered — no full sort. Ids must be distinct
+    * for the draw to be a well-defined set. */
+  def md5Cap(df: DataFrame, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"md5Cap needs a positive cap, got $cap")
+    df.withColumn("__fence_sk", md5(col(idCol).cast("string")))
+      .orderBy(col("__fence_sk"))
+      .limit(cap)
+      .drop("__fence_sk")
+  }
+}

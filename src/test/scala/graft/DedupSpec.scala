@@ -125,4 +125,56 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == ((1L, "a b c d e", 2L, 0L, 0L)))
     assert(got(2L) == ((2L, "", 2L, 2L, 5L)))
   }
+
+  test("substringRemoval removes a SHIFTED duplicated passage that " +
+    "spanRemoval provably misses (offset invariance, r13 verdict #4)") {
+    // doc 2 carries doc 1's whole 6-token passage shifted by ONE
+    // token — every fixed 3-token segment of doc 2 straddles the
+    // alignment, so d20's segment hashes all differ from doc 1's
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4 p5 p6"),
+      (2L, "u0 p1 p2 p3 p4 p5 p6")).toDF("doc_id", "text")
+    val d20 = Dedup.spanRemoval(docs, "doc_id", "text", segTokens = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the miss: d20 leaves the shifted copy fully intact
+    assert(d20(2L)._2 == "u0 p1 p2 p3 p4 p5 p6" && d20(2L)._4 == 0L)
+    val d21 = Dedup.substringRemoval(docs, "doc_id", "text",
+        anchorTokens = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // stride-1 anchors: doc 2's windows @1..4 all match doc 1's —
+    // the whole passage goes, the unique prefix token stays
+    assert(d21(1L) == ((1L, "p1 p2 p3 p4 p5 p6", 6L, 0L, 0L)))
+    assert(d21(2L) == ((2L, "u0", 7L, 6L, 4L)))
+  }
+
+  test("substringRemoval keep-first: a within-doc repeat loses only " +
+    "its later copy; short docs and unique text are untouched") {
+    // doc 5 = "a b c d X a b c d": dup windows abc@{0,5}, bcd@{1,6};
+    // redundant @5,@6 cover tokens 5..8 → second "a b c d" removed
+    val docs = Seq(
+      (5L, "a b c d X a b c d"),
+      (6L, "zz yy")).toDF("doc_id", "text")
+    val got = Dedup.substringRemoval(docs, "doc_id", "text",
+        anchorTokens = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(5L) == ((5L, "a b c d X", 9L, 4L, 2L)))
+    // shorter than one anchor window → no windows → untouched
+    assert(got(6L) == ((6L, "zz yy", 2L, 0L, 0L)))
+  }
+
+  test("substringRemoval: a verbatim copy rewrites to empty; the " +
+    "first occurrence keeps every token") {
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.substringRemoval(docs, "doc_id", "text",
+        anchorTokens = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "a b c", 3L, 0L, 0L)))
+    assert(got(2L) == ((2L, "", 3L, 3L, 1L)))
+  }
 }

@@ -79,4 +79,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(json.startsWith("{") && json.endsWith("}"))
     assert(all.keys.forall(k => json.contains(s""""$k":""")))
   }
+
+  test("every *_recall/*_est/*_impact audit declares AND routes its " +
+    "exact-truth side through AuditFence (round-13 verdict item 5: " +
+    "an unfenced audit row cannot ship)") {
+    val auditKeys = Queries.all.keySet.filter(k =>
+      k.endsWith("_recall") || k.endsWith("_est") ||
+        k.endsWith("_impact"))
+    assert(auditKeys.size >= 6, s"audit rows went missing: $auditKeys")
+    val undeclared = auditKeys -- graft.tools.AuditFence.declared.keySet
+    assert(undeclared.isEmpty,
+      s"audits with no declared truth-side fence: $undeclared")
+    // constructing the plan is when fenced() runs — build each one
+    auditKeys.foreach(k => Queries.all(k)(spark, sf("sf0.001")))
+    val untouched = auditKeys -- graft.tools.AuditFence.touched
+    assert(untouched.isEmpty,
+      s"audits that never called AuditFence.fenced: $untouched")
+    // and the registry carries no dead entries
+    val dead = graft.tools.AuditFence.declared.keySet -- auditKeys
+    assert(dead.isEmpty, s"declared fences for unknown audits: $dead")
+  }
 }
