@@ -69,7 +69,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-19: keep-first span-removal (global min-struct + flag
     // join + per-doc reassembly), unigram-LM hard-EM loop (bounded
     // top-k collects + broadcast-model Viterbi rounds)
-    "d20_span_removal", "t29_unigram_train")
+    "d20_span_removal", "t29_unigram_train",
+    // round-20: stride-1 keep-first substring removal (global
+    // min-struct over window keys + coverage join + reassembly),
+    // md5Cap-fenced dHash recall audit (TakeOrdered sample draw)
+    "d21_substr_removal", "m09_dhash_recall")
 
   test("results are identical under 4 vs 7 shuffle partitions") {
     val dir = sf("sf0.001")
