@@ -15,7 +15,11 @@
 # on the box during step 3.
 set -euo pipefail
 N=${1:?usage: round_artifacts.sh <N> <prev_bench_full.json> [fresh_only]}
-PREV=${2:?need previous BENCH_r{N-1}_full.json}
+# NOTE: no braces inside the :? message — bash ends the ${...}
+# expansion at the FIRST unescaped }, so a brace in the message
+# appends its tail to the VALUE (bit round 14: PREV became
+# "BENCH_r13_full.json_full.json}")
+PREV=${2:?need previous bench artifact (BENCH_rN-1_full.json)}
 FRESH=${3:-}
 cd "$(dirname "$0")/.."
 
