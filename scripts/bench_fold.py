@@ -23,6 +23,7 @@ NORMALIZED value as the evidence-of-record minimum. Controls
 themselves and carried queries are never normalized.
 """
 import json
+import os
 import subprocess
 import sys
 
@@ -58,18 +59,28 @@ def main():
                      f"explicitly")
         return min(vals)
 
-    # session load factor from the controls, BEFORE any folding
+    # fresh-only names must exist in the fresh runs — a typo would
+    # silently demote a code-changed query to carried folding
+    unknown_fo = [n for n in fo if n not in names]
+    if unknown_fo:
+        sys.exit(f"bench_fold: --fresh-only names not in any fresh "
+                 f"run: {unknown_fo}")
+    # session load factor from the controls, BEFORE any folding.
+    # No measurable control => fail loudly: committing raw minima
+    # while the method string claims normalization is exactly the
+    # silent-evidence failure this script exists to prevent.
     ratios = {}
     for c in CONTROLS:
         if c in names and prev["queries"].get(c):
             ratios[c] = round(fresh_min(c) / prev["queries"][c], 3)
-    if ratios:
-        prod = 1.0
-        for v in ratios.values():
-            prod *= v
-        geo = prod ** (1.0 / len(ratios))
-    else:
-        geo = 1.0
+    if not ratios:
+        sys.exit(f"bench_fold: no control ratio could be formed "
+                 f"(controls {CONTROLS} missing from the fresh runs "
+                 f"or null in {prev_path}) — cannot normalize")
+    prod = 1.0
+    for v in ratios.values():
+        prod *= v
+    geo = prod ** (1.0 / len(ratios))
     ratio = round(max(geo, 1.0), 3)  # a calm box never deflates
 
     folded, fresh_raw = {}, {}
@@ -88,9 +99,17 @@ def main():
         for q, e in (r.get("errors") or {}).items():
             errors.setdefault(q, e)
     raw_totals = [round(r["value"], 1) for r in fresh]
-    commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                            capture_output=True, text=True
-                            ).stdout.strip()
+    # resolve the repo from the script's own location so direct
+    # invocation from any cwd still pins a commit; fail loudly if
+    # git can't answer — an unpinned evidence artifact is the
+    # staleness hole artifacts_fresh.sh exists to close
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True, cwd=repo)
+    if res.returncode != 0 or not res.stdout.strip():
+        sys.exit(f"bench_fold: git rev-parse failed in {repo}: "
+                 f"{res.stderr.strip()}")
+    commit = res.stdout.strip()
     out = {
         "metric": "total",
         "value": round(sum(folded.values()), 3),

@@ -9,8 +9,9 @@
 #   2. PARITY_r{N}.json     (tri-SF oracle parity)
 #   3. three full Bench runs at sf0.1, folded into
 #      BENCH_r{N}_full.json (fresh-only minima for the listed
-#      changed/new queries; fill the control ratios into the method
-#      field by hand afterwards — q01/q17 vs the previous minima)
+#      changed/new queries, load-normalized automatically by the
+#      q01/q17 control ratios vs the previous minima — raw values
+#      land in fresh_raw; nothing to fill in by hand)
 # Timing-sensitive steps run sequentially; don't run anything else
 # on the box during step 3.
 set -euo pipefail

@@ -88,14 +88,34 @@ object AuditFence {
     * sampling discipline as a corpus fence: the `cap` lowest rows
     * by md5(cast(id as string)), a uniform draw both engines
     * compute identically (DuckDB mirror:
-    * `ORDER BY md5(CAST(id AS VARCHAR)) LIMIT cap`) and that Spark
-    * executes as TakeOrdered — no full sort. Ids must be distinct
-    * for the draw to be a well-defined set. */
+    * `ORDER BY md5(CAST(id AS VARCHAR)) LIMIT cap`). Ids must be
+    * distinct for the draw to be a well-defined set.
+    *
+    * Shape: a NON-terminal orderBy+limit does NOT plan as
+    * TakeOrdered — Spark only rewrites Sort+Limit when terminal, so
+    * feeding downstream operators from it costs a full
+    * range-partitioned sort plus a single-partition GlobalLimit
+    * exchange (measured: PLANAUDIT picked up shuffle_single:1 on
+    * the first cut of this fence). Instead the cap ids are drawn
+    * with a TERMINAL TakeOrderedAndProject collect — per-partition
+    * top-k, ONE scan, no global sort, ≤ cap rows to the driver (the
+    * farthestFirstSeeds bounded-collect discipline) — and rejoined
+    * via an explicit broadcast (≤ cap·8 B, far under the broadcast
+    * byte gate). */
   def md5Cap(df: DataFrame, idCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"md5Cap needs a positive cap, got $cap")
-    df.withColumn("__fence_sk", md5(col(idCol).cast("string")))
+    val spark = df.sparkSession
+    val idField = df.schema(idCol)
+    val top = df
+      .select(md5(col(idCol).cast("string")).as("__fence_sk"),
+        col(idCol))
       .orderBy(col("__fence_sk"))
       .limit(cap)
-      .drop("__fence_sk")
+      .select(col(idCol))
+      .collect() // terminal => TakeOrderedAndProject; ≤ cap rows
+    val idDf = spark.createDataFrame(
+      java.util.Arrays.asList(top: _*),
+      org.apache.spark.sql.types.StructType(Seq(idField)))
+    df.join(broadcast(idDf), Seq(idCol))
   }
 }

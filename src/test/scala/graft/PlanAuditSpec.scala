@@ -90,8 +90,12 @@ class PlanAuditSpec extends SparkSpec {
     val undeclared = auditKeys -- graft.tools.AuditFence.declared.keySet
     assert(undeclared.isEmpty,
       s"audits with no declared truth-side fence: $undeclared")
-    // constructing the plan is when fenced() runs — build each one
-    auditKeys.foreach(k => Queries.all(k)(spark, sf("sf0.001")))
+    // constructing the plan is when fenced() runs — build each one;
+    // several builders persist+count eagerly, so clear the cache
+    // manager after (a leaked InMemoryRelation would silently
+    // substitute into later suites' plan-shape assertions)
+    try auditKeys.foreach(k => Queries.all(k)(spark, sf("sf0.001")))
+    finally spark.sharedState.cacheManager.clearCache()
     val untouched = auditKeys -- graft.tools.AuditFence.touched
     assert(untouched.isEmpty,
       s"audits that never called AuditFence.fenced: $untouched")
