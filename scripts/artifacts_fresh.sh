@@ -5,7 +5,8 @@
 # Usage: scripts/artifacts_fresh.sh <N>
 #
 # Reads ARTIFACTS_r{N}.json's pinned commit and lists every commit
-# SINCE it that touches query code-paths (src/ or build.sbt). Any
+# SINCE it that touches runtime query code-paths (src/main or
+# build.sbt — tests cannot change what the artifacts measured). Any
 # hit means the round's parity/planaudit/bench evidence no longer
 # describes the shipped code: exit 1 and say so — rerun
 # scripts/round_artifacts.sh at the new final query-touching commit.
@@ -22,9 +23,9 @@ if ! git cat-file -e "$pinned^{commit}" 2>/dev/null; then
   echo "STALE: pinned commit $pinned not found in this repo" >&2
   exit 1
 fi
-later=$(git log --oneline "$pinned..HEAD" -- src build.sbt)
+later=$(git log --oneline "$pinned..HEAD" -- src/main build.sbt)
 if [[ -n "$later" ]]; then
-  echo "STALE: commits touching src/ or build.sbt after the pinned"
+  echo "STALE: commits touching src/main or build.sbt after the pinned"
   echo "artifact commit ${pinned:0:9} — rerun scripts/round_artifacts.sh $N:"
   echo "$later"
   exit 1

@@ -27,11 +27,11 @@ cd "$(dirname "$0")/.."
 # Pinning guard (r13 verdict #2 — the r13 artifacts described a
 # pre-fixture commit): artifacts must describe EXACTLY the committed
 # query code, so refuse to run over uncommitted src/build changes.
-if [[ -n "$(git status --porcelain -- src build.sbt)" ]]; then
-  echo "REFUSING: uncommitted changes under src/ or build.sbt —" >&2
+if [[ -n "$(git status --porcelain -- src/main build.sbt)" ]]; then
+  echo "REFUSING: uncommitted changes under src/main or build.sbt —" >&2
   echo "commit the round's final query-touching change first so" >&2
   echo "the artifacts pin a real commit (git status below)" >&2
-  git status --porcelain -- src build.sbt >&2
+  git status --porcelain -- src/main build.sbt >&2
   exit 1
 fi
 RAN_AT=$(git rev-parse HEAD)
