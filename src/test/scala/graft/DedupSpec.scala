@@ -165,6 +165,58 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == ((6L, "zz yy", 2L, 0L, 0L)))
   }
 
+  test("substringRemoval equals a driver-side brute-force replica " +
+    "over 25 random small-vocab corpora (fixed seed)") {
+    // tiny vocab forces heavy window duplication, so keep-first,
+    // coverage union and cross/within-doc interactions all fire
+    val rnd = new scala.util.Random(42)
+    val a = 3
+    def replica(docs: Seq[(Long, String)])
+      : Map[Long, (String, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).toVector
+      }.filter(_._2.nonEmpty)
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[Vector[String],
+          scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+      toks.foreach { case (id, tk) =>
+        if (tk.length >= a) (0 to tk.length - a).foreach { i =>
+          occ.getOrElseUpdate(tk.slice(i, i + a),
+            scala.collection.mutable.ArrayBuffer.empty) += ((id, i))
+        }
+      }
+      val redundant = occ.values.filter(_.size >= 2).flatMap { os =>
+        val first = os.min
+        os.filterNot(_ == first)
+      }.toSeq
+      val redByDoc = redundant.groupBy(_._1)
+      toks.map { case (id, tk) =>
+        val red = redByDoc.getOrElse(id, Seq())
+        val covered =
+          red.flatMap { case (_, i) => i until i + a }.toSet
+        val kept = tk.zipWithIndex
+          .filterNot { case (_, j) => covered(j) }.map(_._1)
+        id -> ((kept.mkString(" "), tk.length.toLong,
+          covered.size.toLong, red.size.toLong))
+      }.toMap
+    }
+    (1 to 25).foreach { trial =>
+      val vocab = Array("w0", "w1", "w2", "w3")
+      val docs = (1L to 12L).map { id =>
+        val n = rnd.nextInt(13) // 0..12 tokens; <a and empty included
+        (id, List.fill(n)(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val got = Dedup.substringRemoval(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          anchorTokens = a)
+        .as[(Long, String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val want = replica(docs)
+      assert(got == want, s"trial $trial: docs=$docs")
+    }
+  }
+
   test("substringRemoval: a verbatim copy rewrites to empty; the " +
     "first occurrence keeps every token") {
     val docs = Seq(
