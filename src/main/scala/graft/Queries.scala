@@ -903,7 +903,10 @@ object Queries {
     * collapse map-side; the tiny cell table persists once for its
     * two consumers (totals + output join). */
   val t18_langid_confusion: QFn = (s, d) => {
-    val cm = t(s, d, "documents")
+    // audit role (declared in AuditFence + Queries.auditRoleKeys):
+    // the confusion truth is ONE label-keyed O(n) aggregate
+    val cm = graft.tools.AuditFence.fenced("t18_langid_confusion",
+        t(s, d, "documents"))
       .select(col("lang").as("true_lang"),
         TextFunctions.langId(col("text")).as("pred_lang"))
       .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
@@ -2238,9 +2241,14 @@ object Queries {
       |    / (count(*) * 200.0)) / 10000.0 AS avg_logp
       |FROM scored GROUP BY doc_id""".stripMargin
 
-  /** Word segmentation round-trip (wordninja-style _tokenizer analog,
-    * rows-only): fit a Zipf dictionary on the corpus, strip spaces
-    * from each doc, re-segment, compare token counts. */
+  /** Word segmentation round-trip (wordninja-style _tokenizer
+    * analog): fit a Zipf dictionary on the corpus, strip spaces from
+    * each doc, re-segment, compare token counts. FULL DuckDB oracle
+    * since round 15: WordSegmenter's costs are integer micro-nats, so
+    * the whole Viterbi DP is engine-exact and [[q24_sql]] mirrors it
+    * as a recursive-CTE forward DP (window of the last
+    * [[segDpWindow]] best values per position, npieces carried in the
+    * state — no backtrace needed because the output is counts). */
   val q24_word_segmentation: QFn = (s, d) => {
     val docs = t(s, d, "documents")
     val model = graft.text.WordSegmenter.fitFromCorpus(docs, "text")
@@ -2254,6 +2262,97 @@ object Queries {
         "id")
       .select(col("id").as("doc_id"), col("n_tokens"), col("n_orig"),
         (col("n_tokens") === col("n_orig")).as("roundtrip_exact"))
+  }
+
+  /** Structural DP window of the q24 oracle: must be ≥ the longest
+    * vocabulary word (8 at every test SF; 12 = margin). A longer
+    * vocab word would make the ORACLE miss arcs Spark uses — which
+    * surfaces as a loud hash mismatch, never a silent pass. */
+  private val segDpWindow = 12
+
+  /** DuckDB mirror of q24: fit the same capped Zipf vocab (micro-nat
+    * costs — round(1e6·ln(rank·ln(n))) agrees bit-for-bit with
+    * StrictMath across the swept domain), then run the Viterbi DP as
+    * a recursive CTE. State per (doc, pos): lists `b` / `np` of the
+    * last [[segDpWindow]] best-costs / piece-counts; candidates are
+    * the unknown single char (u) plus dictionary arcs d1..dW from a
+    * pre-joined MATERIALIZED arc table; tie order is u, d2..dW
+    * ascending, d1 last — d1 and u share the DP state (both step one
+    * char), so the CASE folds them. */
+  val q24_sql: String = {
+    val w = segDpWindow
+    val cands = (1 to w)
+      .map(l => s"b[$l] + a.d$l AS v$l").mkString(",\n            ")
+    val dcols = (1 to w)
+      .map(l => s"max(CASE WHEN l=$l THEN v.cost END) AS d$l")
+      .mkString(",\n    ")
+    val least = "least(u, " +
+      (1 to w).map(l => s"coalesce(v$l, u)").mkString(", ") + ")"
+    val pick = "CASE WHEN u = best THEN 1 " +
+      (2 to w).map(l => s"WHEN v$l = best THEN $l").mkString(" ") +
+      " ELSE 1 END"
+    val newb = "[best, " +
+      (1 until w).map(l => s"b[$l]").mkString(", ") + "]"
+    val npl = "CASE pick " +
+      (1 to w).map(l => s"WHEN $l THEN np[$l]").mkString(" ") +
+      " END + 1"
+    val newnp = "[npnew, " +
+      (1 until w).map(l => s"np[$l]").mkString(", ") + "]"
+    val nulls = ", NULL" * (w - 1)
+    s"""WITH RECURSIVE
+       |toks AS MATERIALIZED (
+       |  SELECT unnest(list_filter(
+       |    regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT word, CAST(round(1e6 * ln(rnk *
+       |      ln(greatest(nv, 2)::DOUBLE))) AS BIGINT) AS cost
+       |  FROM (
+       |    SELECT word,
+       |      row_number() OVER (ORDER BY freq DESC, word ASC) AS rnk,
+       |      count(*) OVER () AS nv
+       |    FROM (SELECT word, count(*) AS freq FROM toks GROUP BY word
+       |          ORDER BY freq DESC, word ASC LIMIT 100000) z) zz),
+       |sq AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS s,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_orig
+       |  FROM documents),
+       |pstr AS MATERIALIZED (
+       |  SELECT doc_id, i, l, substr(s, i - l + 1, l) AS w
+       |  FROM sq, unnest(range(1, length(s) + 1)) AS t(i),
+       |       unnest(range(1, ${w + 1})) AS u(l)
+       |  WHERE l <= i),
+       |arcs AS MATERIALIZED (
+       |  SELECT p.doc_id, p.i,
+       |    $dcols
+       |  FROM pstr p LEFT JOIN vocab v ON v.word = p.w
+       |  GROUP BY p.doc_id, p.i),
+       |dp AS (
+       |  SELECT doc_id, length(s) AS n, 0 AS pos,
+       |    CAST([0$nulls] AS BIGINT[]) AS b,
+       |    CAST([0$nulls] AS BIGINT[]) AS np
+       |  FROM sq
+       |  UNION ALL
+       |  SELECT doc_id, n, pos,
+       |    $newb AS b,
+       |    $newnp AS np
+       |  FROM (
+       |    SELECT q.*, ($npl) AS npnew FROM (
+       |      SELECT m.*, ($pick) AS pick FROM (
+       |        SELECT c.*, $least AS best FROM (
+       |          SELECT d.doc_id, d.n, d.pos + 1 AS pos, d.b, d.np,
+       |            d.b[1] + ${graft.text.WordSegmenter.UnknownCostMicro} AS u,
+       |            $cands
+       |          FROM dp d JOIN arcs a
+       |            ON a.doc_id = d.doc_id AND a.i = d.pos + 1
+       |          WHERE d.pos < d.n) c) m) q) z),
+       |fin AS MATERIALIZED (
+       |  SELECT doc_id, np[1] AS n_tokens FROM dp WHERE pos = n)
+       |SELECT s.doc_id, CAST(coalesce(f.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  s.n_orig, (coalesce(f.n_tokens, 0) = s.n_orig) AS roundtrip_exact
+       |FROM sq s JOIN fin f ON f.doc_id = s.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -4300,12 +4399,15 @@ object Queries {
     * other half next to BPE q63): hard-EM with a Viterbi E-step over
     * a word-n-gram candidate vocabulary and an exact-integer M-step;
     * see [[graft.text.UnigramLm]] for the determinism and bounded-
-    * collect discipline. ROWS-ONLY like q24: the E-step's Viterbi DP
-    * has no DuckDB mirror — pinned instead by UnigramLmSpec's
-    * independent top-down replica + brute-force enumeration
-    * cross-checks and the partition-invariance rerun. Output is the
-    * learned vocabulary (piece, n_words, count, cost_micronat), all
-    * BIGINTs and strings — hash-stable by construction. */
+    * collect discipline. FULL DuckDB oracle since round 15
+    * ([[t29_sql]]): the costs are integer micro-nats and the
+    * cost-table build (round(±1e6·ln)) agrees bit-for-bit with
+    * StrictMath across the swept domain, so the ENTIRE training
+    * chain — seed n-gram counts, four Viterbi E-steps, four exact
+    * M-steps — replays as chained recursive CTEs (the q63 batched-
+    * BPE oracle discipline, extended to a DP per round). Output is
+    * the learned vocabulary (piece, n_words, count, cost_micronat),
+    * all BIGINTs and strings — hash-stable by construction. */
   val t29_unigram_train: QFn = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -4324,7 +4426,8 @@ object Queries {
   /** t30 — unigram-LM ENCODE (t23's shape for the unigram family):
     * train t29's model, then Viterbi-segment the corpus once and
     * report per-doc word/piece counts plus the HALF_UP integer-ppm
-    * saving. ROWS-ONLY like t29 — same spec pinning. */
+    * saving. FULL DuckDB oracle since round 15 ([[t30_sql]]) — the
+    * t29 training chain plus one more recursive-CTE Viterbi pass. */
   val t30_unigram_encode: QFn = (s, d) => {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -4336,6 +4439,136 @@ object Queries {
     // the encode is lazy over the persisted docs; Verify/Bench clear
     // the cache manager after each query, so no unpersist here
     out
+  }
+
+  /** DuckDB mirror of [[graft.text.UnigramLm]]'s hard-EM training
+    * chain (shared prefix of [[t29_sql]]/[[t30_sql]]). One Viterbi
+    * E-step = three chained CTEs: `a{k}` pivots per-(doc, end-pos)
+    * arc costs against the round's vocab (MATERIALIZED — the
+    * CLAUDE.md recursive-CTE lesson), `dp{k}` runs the forward DP as
+    * a recursive CTE whose state carries the last [[ulmMaxPiece]]
+    * best costs plus the accumulated TINYINT backpointers, and
+    * `tr{k}` walks the backpointers (one row per piece, all docs in
+    * parallel per step) so `pc{k}` can join piece strings back on
+    * (doc, pos, len). The M-step (`v{k}`) is the capped
+    * (count DESC, piece ASC) top-[[ulmSeedCap]] with micro-nat
+    * costs over the capped total — exactly toCosts. Tie-break
+    * mirrors Model.segment: candidates scanned l ascending with
+    * strict improvement (the CASE picks the FIRST l at the min). */
+  /** One M-step CTE: capped (count DESC, piece ASC) top-seedCap
+    * counts with micro-nat costs over the CAPPED total — exactly
+    * UnigramLm.toCosts after topCounts. */
+  private def ulmVocabCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece, c,
+       |    CAST(round(-1e6 * ln(c::DOUBLE / total::DOUBLE)) AS BIGINT) AS cost,
+       |    CAST(round(1e6 * ln(total::DOUBLE * 100.0)) AS BIGINT) AS unk
+       |  FROM (SELECT piece, c, sum(c) OVER () AS total FROM (
+       |    SELECT piece, count(*) AS c FROM ($src) GROUP BY piece
+       |    ORDER BY c DESC, piece ASC LIMIT $ulmSeedCap) z) zz)""".stripMargin
+
+  /** One Viterbi E-step as CTE text: arc pivot `a{k}` against
+    * `vprev`, forward-DP `dp{k}` (recursive; state = last
+    * [[ulmMaxPiece]] best costs + accumulated backpointers),
+    * backtrace `tr{k}` (one row per chosen piece). */
+  private def ulmDpRoundSql(k: Int, vprev: String): String = {
+    val mp = ulmMaxPiece
+    val dcols = (1 to mp)
+      .map(l => s"max(CASE WHEN l=$l THEN v.cost END) AS d$l")
+      .mkString(",\n    ")
+    val cands = (1 to mp).map { l =>
+      if (l == 1) "coalesce(b[1] + a.d1, b[1] + a.unk) AS v1"
+      else s"b[$l] + a.d$l AS v$l"
+    }.mkString(",\n            ")
+    val least = "least(" +
+      (1 to mp).map(l => s"coalesce(v$l, v1)").mkString(", ") + ")"
+    val pick = "CASE " +
+      (1 until mp).map(l => s"WHEN v$l = best THEN $l")
+        .mkString(" ") + s" ELSE $mp END"
+    val newb = "[best, " +
+      (1 until mp).map(l => s"b[$l]").mkString(", ") + "]"
+    val nulls = ", NULL" * (mp - 1)
+    s"""a$k AS MATERIALIZED (
+       |  SELECT p.doc_id, p.i, any_value(p.unk) AS unk,
+       |    $dcols
+       |  FROM (SELECT ps.*, (SELECT any_value(unk) FROM $vprev) AS unk
+       |        FROM pstr ps) p
+       |  LEFT JOIN $vprev v ON v.piece = p.piece
+       |  GROUP BY p.doc_id, p.i),
+       |dp$k AS (
+       |  SELECT doc_id, n, 0 AS pos,
+       |    CAST([0$nulls] AS BIGINT[]) AS b,
+       |    CAST([] AS TINYINT[]) AS backs
+       |  FROM w
+       |  UNION ALL
+       |  SELECT doc_id, n, pos, $newb AS b,
+       |    list_append(backs, CAST(pick AS TINYINT)) AS backs
+       |  FROM (
+       |    SELECT m.*, ($pick) AS pick FROM (
+       |      SELECT c.*, $least AS best FROM (
+       |        SELECT d.doc_id, d.n, d.pos + 1 AS pos, d.b, d.backs,
+       |            $cands
+       |        FROM dp$k d JOIN a$k a
+       |          ON a.doc_id = d.doc_id AND a.i = d.pos + 1
+       |        WHERE d.pos < d.n) c) m) q),
+       |tr$k AS (
+       |  SELECT doc_id, n AS pos, backs FROM dp$k
+       |  WHERE pos = n AND n > 0
+       |  UNION ALL
+       |  SELECT doc_id, pos - backs[pos], backs FROM tr$k
+       |  WHERE pos - backs[pos] > 0)""".stripMargin
+  }
+
+  private def ulmChainSql: String = {
+    val mp = ulmMaxPiece
+    val seeds = (1 to mp).map(k =>
+      s"SELECT unnest(list_transform(range(1, greatest(len(ws)-$k+2, 1)), " +
+        s"i -> array_to_string(ws[i:i+$k-1], ' '))) AS piece FROM w")
+      .mkString(" UNION ALL ")
+    val parts = Seq(
+      s"""w AS MATERIALIZED (
+         |  SELECT doc_id, ws, len(ws) AS n FROM (
+         |    SELECT doc_id, list_filter(
+         |      regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      x -> len(x) > 0) AS ws FROM documents)),
+         |pstr AS MATERIALIZED (
+         |  SELECT doc_id, i, l, array_to_string(ws[i-l+1:i], ' ') AS piece
+         |  FROM w, unnest(range(1, n + 1)) AS t(i),
+         |       unnest(range(1, ${mp + 1})) AS u(l)
+         |  WHERE l <= i)""".stripMargin,
+      ulmVocabCte("v0", seeds)) ++
+      (1 to ulmRounds).flatMap(k => Seq(
+        ulmDpRoundSql(k, s"v${k - 1}"),
+        s"""pc$k AS MATERIALIZED (
+           |  SELECT t.doc_id, p.piece
+           |  FROM tr$k t JOIN pstr p
+           |    ON p.doc_id = t.doc_id AND p.i = t.pos
+           |      AND p.l = t.backs[t.pos])""".stripMargin,
+        ulmVocabCte(s"v$k", s"SELECT piece FROM pc$k")))
+    "WITH RECURSIVE\n" + parts.mkString(",\n")
+  }
+
+  val t29_sql: String =
+    s"""$ulmChainSql
+       |SELECT piece,
+       |  CAST(length(piece) - length(replace(piece, ' ', '')) + 1
+       |    AS BIGINT) AS n_words,
+       |  c AS count, cost AS cost_micronat
+       |FROM v$ulmRounds""".stripMargin
+
+  val t30_sql: String = {
+    // one more Viterbi pass (the encode) with the trained model
+    val k = ulmRounds + 1
+    s"""$ulmChainSql,
+       |${ulmDpRoundSql(k, s"v$ulmRounds")}
+       |SELECT w.doc_id, CAST(w.n AS BIGINT) AS n_words,
+       |  CAST(coalesce(np.np, 0) AS BIGINT) AS n_pieces,
+       |  CASE WHEN w.n = 0 THEN 0 ELSE
+       |    ((w.n - coalesce(np.np, 0)) * 2000000 + w.n)
+       |      // (2 * w.n) END AS saved_ppm
+       |FROM w LEFT JOIN (
+       |  SELECT doc_id, count(*) AS np FROM tr$k GROUP BY doc_id) np
+       |  ON np.doc_id = w.doc_id""".stripMargin
   }
 
   val q63_sql: String = {
@@ -4424,7 +4657,10 @@ object Queries {
     * (argmax + runner-up from the same Exchange), one |clusters|-row
     * aggregate with map-side combine. */
   val s10_cluster_quality: QFn = (s, d) => {
-    val e = embD(s, d)
+    // audit role (declared in AuditFence + Queries.auditRoleKeys):
+    // the truth pass is the corpus×broadcast-centroid join — O(n·k)
+    val e = graft.tools.AuditFence.fenced("s10_cluster_quality",
+      embD(s, d))
     val cents = Similarity.ivfCentroids(e, nLists = 16, iters = 1)
     val scored = e.select(col("vec_id"), col("embedding").as("v"))
       .join(broadcast(cents))
@@ -9480,6 +9716,20 @@ object Queries {
   // Registry
   // ---------------------------------------------------------------
 
+  /** Registration-time AUDIT-ROLE declaration (r14 verdict #1: the
+    * fence gate was scoped by NAME pattern, so an audit row named
+    * outside `*_recall`/`*_est`/`*_impact` shipped ungated). Every
+    * key here must declare a truth-side fence in
+    * [[graft.tools.AuditFence.declared]] and route through
+    * `fenced()`; PlanAuditSpec asserts (a) this set equals the
+    * declared-fence registry, (b) every suffix-pattern key is in
+    * this set — so neither a misnamed audit nor a stale registry
+    * entry can ship silently. */
+  val auditRoleKeys: Set[String] = Set(
+    "d16_lsh_recall", "d12_minhash_est", "d13_simhash_est",
+    "s09_ann_recall", "m09_dhash_recall", "d17_dedup_impact",
+    "s10_cluster_quality", "t18_langid_confusion")
+
   val all: Map[String, QFn] = Map(
     "q01_filter_project" -> q01_filter_project,
     "q02_agg_group" -> q02_agg_group,
@@ -9682,6 +9932,7 @@ object Queries {
     "q21_ndcg" -> q21_sql,
     "q22_avatar_assign" -> q22_sql,
     "q23_affix_freq" -> q23_sql,
+    "q24_word_segmentation" -> q24_sql,
     "q25_quantiles" -> q25_sql,
     "q26_rollup" -> q26_sql,
     "q27_pivot" -> q27_sql,
@@ -9737,6 +9988,8 @@ object Queries {
     "t26_source_drift" -> t26_sql,
     "t27_target_lm" -> t27_sql,
     "t28_url_normalize" -> t28_sql,
+    "t29_unigram_train" -> t29_sql,
+    "t30_unigram_encode" -> t30_sql,
     "s13_hard_negatives" -> s13_sql,
     "e01_window_agg" -> e01_sql,
     "e02_sessionize" -> e02_sql,

@@ -15,25 +15,46 @@ import org.apache.spark.sql.types._
   * batch-init pattern as the multimodal decoder. The DP is inherently
   * per-row imperative, which is exactly the documented mapPartitions
   * escape hatch.
+  *
+  * Costs are integer MICRO-NATS (the t09/UnigramLm fixed-point
+  * discipline): cost(word) = round(1e6·ln(rank·ln(|vocab|))) as a
+  * BIGINT, computed once at fit time with StrictMath.log (bit-exact
+  * across JVMs). The DP then runs entirely in integer space, so its
+  * argmin — and the declared tie-break below — is engine-exact and
+  * mirrorable by a DuckDB recursive-CTE oracle (q24 flipped from
+  * rows-only to hash-checked on exactly this property; empirically
+  * round(1e6·ln(x)) agrees between StrictMath/Math/DuckDB across the
+  * full (rank, vocab) sweep — see Round15OpsSpec).
+  *
+  * Tie-break (declared, engine-mirrorable): candidates for position i
+  * are scanned unknown-single-char first, then dictionary words of
+  * length 2..maxWordLen ascending, then single-char dictionary words,
+  * with strict-improvement-only updates — among equal-cost
+  * segmentations the earliest candidate in that order wins. The
+  * unknown-vs-dict-single order is immaterial to the DP state (both
+  * step one char), so the oracle's CASE needs only the dict-length
+  * order.
   */
 object WordSegmenter {
 
-  /** Word → cost; lower = more frequent. Serializable, broadcast by
-    * [[segmentDocs]]. */
-  case class Model(costs: Map[String, Double], maxWordLen: Int) {
+  /** Unknown single chars pass through at a high cost so output
+    * always covers the input (9e4 nats in micro-nat units — dwarfs
+    * any realistic path sum of dictionary costs). */
+  val UnknownCostMicro: Long = 90000000000L
 
-    /** Min-cost segmentation via DP over prefix positions. Unknown
-      * single chars pass through at a high cost so output always
-      * covers the input. */
+  /** Word → integer micro-nat cost; lower = more frequent.
+    * Serializable, broadcast by [[segmentDocs]]. */
+  case class Model(costs: Map[String, Long], maxWordLen: Int) {
+
+    /** Min-cost segmentation via DP over prefix positions. */
     def segment(s: String): Seq[String] = {
       if (s.isEmpty) return Nil
       val n = s.length
-      val unknownCost = 9e4
-      val best = new Array[Double](n + 1)
+      val best = new Array[Long](n + 1)
       val back = new Array[Int](n + 1)
       var i = 1
       while (i <= n) {
-        best(i) = best(i - 1) + unknownCost
+        best(i) = best(i - 1) + UnknownCostMicro
         back(i) = i - 1
         var l = 2
         val maxL = math.min(maxWordLen, i)
@@ -63,10 +84,10 @@ object WordSegmenter {
   }
 
   /** Fit Zipf costs from a (word, freq) DataFrame: cost(word) =
-    * log(rank * log(|vocab|)), rank 1 = most frequent — wordninja's
-    * cost model, fit on YOUR corpus instead of a shipped wordlist.
-    * `maxVocab` caps driver memory (the model is a broadcast dict).
-    */
+    * round(1e6·ln(rank · ln(|vocab|))), rank 1 = most frequent —
+    * wordninja's cost model in fixed point, fit on YOUR corpus
+    * instead of a shipped wordlist. `maxVocab` caps driver memory
+    * (the model is a broadcast dict). */
   def fit(wordFreq: DataFrame, wordCol: String = "word",
           freqCol: String = "freq", maxVocab: Int = 100000): Model = {
     val top = wordFreq
@@ -76,9 +97,9 @@ object WordSegmenter {
       .collect()
       .map(_.getString(0))
     val n = math.max(top.length, 2)
-    val logN = math.log(n.toDouble)
+    val logN = StrictMath.log(n.toDouble)
     val costs = top.zipWithIndex.map { case (w, i) =>
-      w -> math.log((i + 1) * logN)
+      w -> math.round(1e6 * StrictMath.log((i + 1) * logN))
     }.toMap
     Model(costs, if (top.isEmpty) 1 else top.map(_.length).max)
   }
