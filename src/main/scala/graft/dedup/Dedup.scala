@@ -937,7 +937,11 @@ object Dedup {
       .filter(size(col("tk")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     base.count() // windows + token streams both consume it
-    // stride-1 windows, keyed by 60-bit md5 of the window text
+    // stride-1 windows, keyed by 60-bit md5 of the window text.
+    // Persisted+counted: the keep-first decision is a self-join on
+    // this subtree (wins ⋈ agg(wins)) — without the persist the
+    // whole exploded-window computation over the corpus runs twice
+    // (the CLAUDE.md self-join rule; r14 advice)
     val wins = base
       .filter(size(col("tk")) >= a)
       .select(col("doc_id"), posexplode(
@@ -947,6 +951,8 @@ object Dedup {
             1, 15), 16, 10).cast("long"))))
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         col("col").as("span_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    wins.count()
     // keep-first over duplicated keys only: min(struct) combines
     // map-side; n_occ >= 2 keeps the join side to actual duplicates
     val dupFirsts = wins
@@ -986,6 +992,74 @@ object Dedup {
       .join(redPerDoc, Seq("doc_id"), "left")
       .withColumn("n_red_windows",
         coalesce(col("n_red_windows"), lit(0L)))
+  }
+
+  /** [[substringRemoval]] iterated to FIXPOINT — closes d21's
+    * declared one-pass caveat (shared with Lee et al.'s ExactSubstr):
+    * removing a redundant span can juxtapose previously-distant text
+    * into a NEW ≥ `anchorTokens`-token duplicate that only a further
+    * pass catches. Re-runs the rewrite until a pass finds ZERO
+    * redundant windows (the pass residual — a one-row driver sum),
+    * throwing after `maxPasses` like the graph loops rather than
+    * returning silently unconverged text. Each adopted pass ends
+    * with an eager localCheckpoint (the CLAUDE.md iterative-loop
+    * rule: the state feeds both the next pass and the accumulation
+    * join). Expected passes on real corpora: 1 rewrite + 1 clean
+    * verify pass (the measured pass-2 residual at every test SF is
+    * 0 — see SCALING.md round 15).
+    *
+    * Output is [[substringRemoval]]'s shape with CUMULATIVE
+    * `toks_removed` / `n_red_windows`, `n_toks` = ORIGINAL token
+    * count, plus `n_passes` = rewrite passes adopted (0 when the
+    * corpus was already duplicate-free). Docs rewritten to empty
+    * stay in the output (their text is simply ""). */
+  def substringRemovalConverged(docs: DataFrame, idCol: String,
+                                textCol: String, anchorTokens: Int = 8,
+                                maxPasses: Int = 8): DataFrame = {
+    var state = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"), col("text"),
+        size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("toks_removed", lit(0L))
+      .withColumn("n_red_windows", lit(0L))
+      .localCheckpoint(true)
+    var pass = 0
+    var converged = false
+    while (!converged && pass < maxPasses) {
+      val r = substringRemoval(
+          state.select(col("doc_id"), col("text")),
+          "doc_id", "text", anchorTokens)
+        .select(col("doc_id"), col("new_text"),
+          col("toks_removed").as("tr"), col("n_red_windows").as("nr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val residual = r.agg(coalesce(sum(col("nr")), lit(0L)))
+        .head.getLong(0)
+      if (residual == 0L) converged = true
+      else {
+        pass += 1
+        // left join: docs rewritten to "" drop out of the NEXT
+        // pass's substringRemoval (no tokens) but stay in state
+        state = state.join(r, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("new_text"), col("text")).as("text"),
+            col("n_toks"),
+            (col("toks_removed") + coalesce(col("tr"), lit(0L)))
+              .as("toks_removed"),
+            (col("n_red_windows") + coalesce(col("nr"), lit(0L)))
+              .as("n_red_windows"))
+          .localCheckpoint(true)
+      }
+      r.unpersist(blocking = false)
+    }
+    if (!converged) throw new IllegalStateException(
+      s"substringRemovalConverged: residual redundant windows after " +
+        s"$maxPasses passes (anchorTokens=$anchorTokens) — raise " +
+        s"maxPasses or inspect the corpus for pathological overlap")
+    state.select(col("doc_id"), col("text").as("new_text"),
+      col("n_toks"), col("toks_removed"), col("n_red_windows"),
+      lit(pass.toLong).as("n_passes"))
   }
 
   def spanRemoval(docs: DataFrame, idCol: String, textCol: String,

@@ -229,4 +229,51 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == ((1L, "a b c", 3L, 0L, 0L)))
     assert(got(2L) == ((2L, "", 3L, 3L, 1L)))
   }
+
+  test("substringRemovalConverged clears a JUXTAPOSED duplicate that " +
+    "one pass provably leaves (d21's declared caveat, r14 verdict #2)") {
+    // doc 3 = first half of doc 1's passage + a copy of doc 2's
+    // passage + second half of doc 1's: pass 1 removes the doc-2
+    // copy, JUXTAPOSING p1 p2|p3 p4 into a new 4-token duplicate of
+    // doc 1 that only pass 2 can see
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4"),
+      (2L, "d1 d2 d3 d4"),
+      (3L, "p1 p2 d1 d2 d3 d4 p3 p4")).toDF("doc_id", "text")
+    val onePass = Dedup.substringRemoval(docs, "doc_id", "text",
+        anchorTokens = 4)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the miss: one pass leaves doc 3 as a verbatim copy of doc 1
+    assert(onePass(3L) == ((3L, "p1 p2 p3 p4", 8L, 4L, 1L)))
+    val got = Dedup.substringRemovalConverged(docs, "doc_id", "text",
+        anchorTokens = 4)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // pass 2 removes the juxtaposed copy; cumulative counts add up
+    assert(got(1L) == ((1L, "p1 p2 p3 p4", 4L, 0L, 0L, 2L)))
+    assert(got(2L) == ((2L, "d1 d2 d3 d4", 4L, 0L, 0L, 2L)))
+    assert(got(3L) == ((3L, "", 8L, 8L, 2L, 2L)))
+  }
+
+  test("substringRemovalConverged: duplicate-free corpus adopts zero " +
+    "passes; the pass cap throws instead of returning unconverged") {
+    val clean = Seq((1L, "a b c d"), (2L, "e f g h"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringRemovalConverged(clean, "doc_id", "text",
+        anchorTokens = 3)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "a b c d", 4L, 0L, 0L, 0L)))
+    assert(got(2L) == ((2L, "e f g h", 4L, 0L, 0L, 0L)))
+    // the juxtaposition fixture needs 2 passes; cap at 1 must throw
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4"),
+      (2L, "d1 d2 d3 d4"),
+      (3L, "p1 p2 d1 d2 d3 d4 p3 p4")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      Dedup.substringRemovalConverged(docs, "doc_id", "text",
+        anchorTokens = 4, maxPasses = 1).collect()
+    }
+  }
 }
