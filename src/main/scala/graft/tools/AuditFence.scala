@@ -59,7 +59,20 @@ object AuditFence {
       "near-dup removal set comes from minhashLshPairs' banded " +
         "candidates with threshold verification — the d03 " +
         "machinery and its cost; exact-dup side is one " +
-        "fingerprint aggregate"))
+        "fingerprint aggregate"),
+    // audit-ROLE rows without the *_recall/*_est/*_impact suffix
+    // (r14 verdict #1: the gate was name-pattern-scoped, so these
+    // two sat outside the discipline; both are structurally bounded
+    // and now declare + route like every other audit)
+    "s10_cluster_quality" -> Fence("structural",
+      "silhouette-style quality is one O(n·k) pass: the corpus " +
+        "joins the BROADCAST k=16 centroid table (never " +
+        "corpus×corpus); per-point top-2 centroids via one bounded " +
+        "window over k rows per point"),
+    "t18_langid_confusion" -> Fence("structural",
+      "confusion truth is label-keyed: ONE O(n) aggregate over " +
+        "(true_lang, pred_lang) cells — at most |langs|^2 groups; " +
+        "no pairwise side exists"))
 
   private val touchedSet =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

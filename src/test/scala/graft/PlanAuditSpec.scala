@@ -80,27 +80,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(all.keys.forall(k => json.contains(s""""$k":""")))
   }
 
-  test("every *_recall/*_est/*_impact audit declares AND routes its " +
-    "exact-truth side through AuditFence (round-13 verdict item 5: " +
-    "an unfenced audit row cannot ship)") {
-    val auditKeys = Queries.all.keySet.filter(k =>
+  test("every declared audit-role query declares AND routes its " +
+    "exact-truth side through AuditFence; the role registry covers " +
+    "every suffix-pattern key (r14 verdict #1: naming cannot dodge " +
+    "the gate)") {
+    val roleKeys = Queries.auditRoleKeys
+    assert(roleKeys.size >= 8, s"audit-role rows went missing: " +
+      s"$roleKeys")
+    assert(roleKeys.subsetOf(Queries.all.keySet),
+      s"auditRoleKeys not registered queries: " +
+        s"${roleKeys -- Queries.all.keySet}")
+    // the naming convention is still enforced as a FLOOR: a key
+    // named like an audit must be a declared role (a new *_recall
+    // row cannot ship outside the discipline just by existing)
+    val suffixKeys = Queries.all.keySet.filter(k =>
       k.endsWith("_recall") || k.endsWith("_est") ||
         k.endsWith("_impact"))
-    assert(auditKeys.size >= 6, s"audit rows went missing: $auditKeys")
-    val undeclared = auditKeys -- graft.tools.AuditFence.declared.keySet
-    assert(undeclared.isEmpty,
-      s"audits with no declared truth-side fence: $undeclared")
+    val dodged = suffixKeys -- roleKeys
+    assert(dodged.isEmpty,
+      s"audit-named rows not declared as audit roles: $dodged")
+    // role registry and fence registry are the SAME set — no
+    // undeclared role, no dead fence entry
+    assert(roleKeys == graft.tools.AuditFence.declared.keySet,
+      s"auditRoleKeys != AuditFence.declared: only-role=" +
+        s"${roleKeys -- graft.tools.AuditFence.declared.keySet} " +
+        s"only-fence=" +
+        s"${graft.tools.AuditFence.declared.keySet -- roleKeys}")
     // constructing the plan is when fenced() runs — build each one;
     // several builders persist+count eagerly, so clear the cache
     // manager after (a leaked InMemoryRelation would silently
     // substitute into later suites' plan-shape assertions)
-    try auditKeys.foreach(k => Queries.all(k)(spark, sf("sf0.001")))
+    try roleKeys.foreach(k => Queries.all(k)(spark, sf("sf0.001")))
     finally spark.sharedState.cacheManager.clearCache()
-    val untouched = auditKeys -- graft.tools.AuditFence.touched
+    val untouched = roleKeys -- graft.tools.AuditFence.touched
     assert(untouched.isEmpty,
-      s"audits that never called AuditFence.fenced: $untouched")
-    // and the registry carries no dead entries
-    val dead = graft.tools.AuditFence.declared.keySet -- auditKeys
-    assert(dead.isEmpty, s"declared fences for unknown audits: $dead")
+      s"audit roles that never called AuditFence.fenced: $untouched")
   }
 }
