@@ -69,19 +69,32 @@ def main():
     # No measurable control => fail loudly: committing raw minima
     # while the method string claims normalization is exactly the
     # silent-evidence failure this script exists to prevent.
-    ratios = {}
+    # geomean over UNROUNDED ratios (r14 advice: rounding each ratio
+    # to 3dp before the geomean biased the clamp input); the per-
+    # control ratios are rounded for DISPLAY in the artifact only
+    raw_ratios = {}
     for c in CONTROLS:
         if c in names and prev["queries"].get(c):
-            ratios[c] = round(fresh_min(c) / prev["queries"][c], 3)
-    if not ratios:
+            raw_ratios[c] = fresh_min(c) / prev["queries"][c]
+    if not raw_ratios:
         sys.exit(f"bench_fold: no control ratio could be formed "
                  f"(controls {CONTROLS} missing from the fresh runs "
                  f"or null in {prev_path}) — cannot normalize")
+    ratios = {c: round(v, 3) for c, v in raw_ratios.items()}
     prod = 1.0
-    for v in ratios.values():
+    for v in raw_ratios.values():
         prod *= v
-    geo = prod ** (1.0 / len(ratios))
+    geo = prod ** (1.0 / len(raw_ratios))
     ratio = round(max(geo, 1.0), 3)  # a calm box never deflates
+    # a query committed in prev but absent from EVERY fresh run would
+    # silently vanish from the folded artifact (names is the fresh
+    # union) — surface it; retiring a query should be a visible act
+    vanished = sorted(n for n in prev.get("queries", {})
+                      if n not in names)
+    if vanished:
+        print(f"bench_fold: WARNING — {len(vanished)} queries in "
+              f"{prev_path} ran in no fresh run and are DROPPED from "
+              f"the fold: {', '.join(vanished)}", file=sys.stderr)
 
     folded, fresh_raw = {}, {}
     for n in names:

@@ -72,5 +72,6 @@ json.dump({"round": int(n), "commit": commit,
           open(f"ARTIFACTS_r{n}.json", "w"), indent=1)
 print(f"wrote ARTIFACTS_r{n}.json pinned at {commit[:9]}")
 EOF
-echo "now: commit all four artifacts; any LATER commit touching src/"
-echo "makes them stale — scripts/artifacts_fresh.sh $N will say so"
+echo "now: commit all four artifacts; any LATER commit touching"
+echo "src/main, build.sbt, or the bench/fold scripts makes them"
+echo "stale — scripts/artifacts_fresh.sh $N will say so"
