@@ -3248,6 +3248,58 @@ object Queries {
       |GROUP BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** d22 — FUZZY benchmark decontamination (r14 verdict #3, the #1
+    * "what's missing" item): the near-dup companion to d07's exact
+    * 5-gram pass, mirroring the GPT-3-appendix/Llama practice of
+    * dropping training docs with high n-gram overlap against eval
+    * sets — paraphrased or lightly-edited eval leakage an exact
+    * shingle semi-join misses. d03's MinHash-LSH banding generates
+    * train×eval candidates; verification scores BOTH symmetric
+    * Jaccard and d14's asymmetric eval-containment as HALF_UP
+    * integer ppm (thresholds compare the ppm longs — engine-exact).
+    * No fence needed: exact verification is candidate-bounded by
+    * construction (the d12 discipline). Body + scale shape:
+    * [[graft.dedup.Dedup.fuzzyDecontaminate]]. */
+  val d22_fuzzy_decontaminate: QFn = (s, d) =>
+    Dedup.fuzzyDecontaminate(t(s, d, "documents"), "doc_id", "text",
+      shingleSize = 3, numHashes = 12, bands = 4, evalMod = 50)
+
+  val d22_sql: String =
+    s"""WITH toks AS (SELECT doc_id, $shingleToksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM toks WHERE len(t) >= 3),
+       |sig AS (SELECT doc_id, shingles, list_transform(range(0, 12),
+       |    s -> list_min(list_transform(shingles,
+       |      x -> md5(s::VARCHAR || ':' || x)))) AS sig
+       |  FROM sh),
+       |banded AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+       |    b -> b::VARCHAR || '|' ||
+       |      md5(array_to_string(sig[b*3+1 : b*3+3], ',')))) AS band
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+       |  FROM banded a JOIN banded b ON a.band = b.band
+       |  WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+       |m AS (SELECT train_id, eval_id,
+       |    len(list_intersect(s1.shingles, s2.shingles)) AS inter,
+       |    len(s1.shingles) AS n_t, len(s2.shingles) AS n_e
+       |  FROM cand JOIN sh s1 ON train_id = s1.doc_id
+       |  JOIN sh s2 ON eval_id = s2.doc_id),
+       |scored AS (SELECT train_id, eval_id,
+       |    CAST((inter * 2000000 + (n_t + n_e - inter))
+       |      // (2 * (n_t + n_e - inter)) AS BIGINT) AS jaccard_ppm,
+       |    CAST((inter * 2000000 + n_e) // (2 * n_e) AS BIGINT)
+       |      AS containment_ppm
+       |  FROM m)
+       |SELECT train_id, eval_id, jaccard_ppm, containment_ppm,
+       |  CASE WHEN jaccard_ppm >= 500000 AND containment_ppm >= 800000
+       |    THEN 'both' WHEN jaccard_ppm >= 500000 THEN 'jaccard'
+       |    ELSE 'containment' END AS reason
+       |FROM scored
+       |WHERE jaccard_ppm >= 500000 OR containment_ppm >= 800000""".stripMargin
+
+  // ---------------------------------------------------------------
   // Similarity search (embeddings)
   // ---------------------------------------------------------------
 
@@ -9899,6 +9951,7 @@ object Queries {
     "d19_edit_pairs" -> d19_edit_pairs,
     "d20_span_removal" -> d20_span_removal,
     "d21_substr_removal" -> d21_substr_removal,
+    "d22_fuzzy_decontaminate" -> d22_fuzzy_decontaminate,
     "q66_profile" -> q66_profile,
     "e17_ohlc" -> e17_ohlc,
     "e18_bar_rollup" -> e18_bar_rollup,
@@ -10076,6 +10129,7 @@ object Queries {
     "d19_edit_pairs" -> d19_sql,
     "d20_span_removal" -> d20_sql,
     "d21_substr_removal" -> d21_sql,
+    "d22_fuzzy_decontaminate" -> d22_sql,
     "q66_profile" -> q66_sql,
     "e17_ohlc" -> e17_sql,
     "e18_bar_rollup" -> e18_sql,

@@ -136,11 +136,23 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup candidate pairs with exact
     * Jaccard verification on the shingle sets.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 3, numHashes: Int = 12,
-                      bands: Int = 4, threshold: Double = 0.5,
-                      cache: Option[ShingleCache] = None)
-    : DataFrame = {
+  /** Shared MinHash-LSH plumbing for [[minhashLshPairs]] and
+    * [[fuzzyDecontaminate]]: ONE doc_id shuffle computes the minhash
+    * signature AND the verification shingle set (the
+    * md5(seed:shingle) minima are bit-identical to
+    * minhashSignatures, so the DuckDB oracles are unchanged), then
+    * the band keys explode over ids only. `combined` comes back
+    * persisted AND materialized (band join sides + verify joins fan
+    * out — parallel stages would otherwise race-recompute it); the
+    * banded rows carry ids only, so the (possibly skewed) band join
+    * never shuffles shingle payloads, and recomputing the explode
+    * per join side is a cheap projection over the materialized
+    * cache. */
+  private def sigShingleBands(docs: DataFrame, idCol: String,
+                              textCol: String, shingleSize: Int,
+                              numHashes: Int, bands: Int,
+                              cache: Option[ShingleCache])
+    : (DataFrame, DataFrame) = {
     require(bands > 0 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
@@ -148,11 +160,6 @@ object Dedup {
       .map(_.postings(shingleSize, distinct = true))
       .getOrElse(TextFunctions.shinglePostings(docs, idCol, textCol,
         shingleSize, distinct = true))
-    // ONE doc_id shuffle computes the minhash signature AND the
-    // verification shingle set (the md5(seed:shingle) minima are
-    // bit-identical to minhashSignatures, so the DuckDB oracle is
-    // unchanged). The old shape aggregated the persisted postings
-    // twice — signatures, then sets — paying a second full shuffle.
     val mins = minhashMinExprs(numHashes)
     val combined = postings
       .groupBy("doc_id")
@@ -162,17 +169,21 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
         col("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize before fan-out (band self-join sides + two verify
-    // joins) — parallel stages would otherwise race-recompute it
     combined.count()
-    // banded rows carry ids only — the (possibly skewed) band join
-    // never shuffles shingle payloads. Recomputing the explode per
-    // join side is a cheap projection over the materialized cache, so
-    // no second persist is needed.
     val banded = combined
       .withColumn("band", explode(lshBandKeys(col("sig"), bands,
         rowsPerBand)))
       .select("band", "doc_id")
+    (combined, banded)
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 12,
+                      bands: Int = 4, threshold: Double = 0.5,
+                      cache: Option[ShingleCache] = None)
+    : DataFrame = {
+    val (combined, banded) = sigShingleBands(docs, idCol, textCol,
+      shingleSize, numHashes, bands, cache)
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -761,6 +772,72 @@ object Dedup {
         (floor((coalesce(col("n_hits"), lit(0L)) * 20000 +
           col("n_shingles")) / (col("n_shingles").cast("double") * 2))
           / 10000.0).as("contaminated_frac"))
+  }
+
+  /** FUZZY benchmark decontamination (d22) — the near-dup companion
+    * to [[decontaminate]]'s exact 5-gram pass: the published
+    * pipelines this family mirrors (GPT-3 appendix C, Llama) also
+    * drop training docs with high n-gram overlap against eval sets,
+    * catching paraphrased or lightly-edited eval leakage an exact
+    * shingle semi-join misses. Same eval convention as d07
+    * (doc_id % evalMod == 0 is the eval set).
+    *
+    * Candidates come from [[sigShingleBands]]'s MinHash-LSH banding
+    * (the d03 machinery) restricted to train×eval band pairs;
+    * verification computes, per candidate, BOTH the symmetric
+    * shingle Jaccard and the ASYMMETRIC eval-containment
+    * |train ∩ eval| / |eval| (the d14 relation — a train doc that
+    * quotes a whole eval item inside much more text has low Jaccard
+    * but high containment). A pair is contamination when either
+    * integer-ppm score (HALF_UP — cross-engine exact, thresholds
+    * compare the ppm longs themselves) clears its threshold.
+    *
+    * Scale shape: identical to d03 — candidate generation is banded
+    * (never corpus×eval all-pairs), band rows carry ids only, exact
+    * verification touches candidates only. Output: one row per
+    * contaminated (train, eval) pair with both scores and the
+    * firing reason. */
+  def fuzzyDecontaminate(docs: DataFrame, idCol: String,
+                         textCol: String, shingleSize: Int = 3,
+                         numHashes: Int = 12, bands: Int = 4,
+                         evalMod: Int = 50,
+                         jaccardPpm: Long = 500000L,
+                         containPpm: Long = 800000L,
+                         cache: Option[ShingleCache] = None)
+    : DataFrame = {
+    val (combined, banded) = sigShingleBands(docs, idCol, textCol,
+      shingleSize, numHashes, bands, cache)
+    val candidates = banded.as("a")
+      .filter(col("doc_id") % evalMod =!= 0)
+      .join(banded.as("b").filter(col("doc_id") % evalMod === 0),
+        Seq("band"))
+      .select(col("a.doc_id").as("train_id"),
+        col("b.doc_id").as("eval_id"))
+      .distinct()
+    candidates
+      .join(combined.select(col("doc_id").as("train_id"),
+        col("sh").as("sh_t")), "train_id")
+      .join(combined.select(col("doc_id").as("eval_id"),
+        col("sh").as("sh_e")), "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        size(array_intersect(col("sh_t"), col("sh_e")))
+          .cast("long").as("inter"),
+        size(col("sh_t")).cast("long").as("n_t"),
+        size(col("sh_e")).cast("long").as("n_e"))
+      // HALF_UP integer ppm (the d12 idiom) — thresholds compare the
+      // ppm longs themselves, so both engines decide identically
+      .selectExpr("train_id", "eval_id",
+        "CAST((inter * 2000000 + (n_t + n_e - inter)) DIV " +
+          "(2 * (n_t + n_e - inter)) AS BIGINT) AS jaccard_ppm",
+        "CAST((inter * 2000000 + n_e) DIV (2 * n_e) AS BIGINT) " +
+          "AS containment_ppm")
+      .filter(col("jaccard_ppm") >= jaccardPpm ||
+        col("containment_ppm") >= containPpm)
+      .withColumn("reason",
+        when(col("jaccard_ppm") >= jaccardPpm &&
+          col("containment_ppm") >= containPpm, "both")
+          .when(col("jaccard_ppm") >= jaccardPpm, "jaccard")
+          .otherwise("containment"))
   }
 
   /** Bloom-filter decontamination (d10): d07's semantics at the

@@ -256,6 +256,86 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, "", 8L, 8L, 2L, 2L)))
   }
 
+  test("fuzzyDecontaminate equals an independent md5 replica " +
+    "(banding, both scores, thresholds, reasons) over seeded corpora " +
+    "with planted eval leakage") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def shingleSet(text: String): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Seq.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    def replica(docs: Seq[(Long, String)])
+      : Set[(Long, Long, Long, Long, String)] = {
+      val sh = docs.map { case (id, t) => id -> shingleSet(t) }
+        .filter(_._2.nonEmpty).toMap
+      val sig = sh.map { case (id, s) =>
+        id -> (0 until 12).map(i => s.map(x => md5hex(s"$i:$x")).min)
+      }
+      val bandsOf = sig.map { case (id, g) =>
+        id -> (0 until 4).map(b =>
+          s"$b|${md5hex(g.slice(b * 3, b * 3 + 3).mkString(","))}")
+          .toSet
+      }
+      val (ev, tr) = sh.keys.toSeq.partition(_ % 50 == 0)
+      (for {
+        t <- tr; e <- ev
+        if bandsOf(t).exists(bandsOf(e).contains)
+      } yield {
+        val (st, se) = (sh(t).toSet, sh(e).toSet)
+        val inter = (st & se).size.toLong
+        val den = st.size + se.size - inter
+        val jac = (inter * 2000000L + den) / (2L * den)
+        val con = (inter * 2000000L + se.size) / (2L * se.size)
+        (t, e, jac, con)
+      }).collect {
+        case (t, e, j, c) if j >= 500000L || c >= 800000L =>
+          val reason =
+            if (j >= 500000L && c >= 800000L) "both"
+            else if (j >= 500000L) "jaccard" else "containment"
+          (t, e, j, c, reason)
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("w0", "w1", "w2", "w3", "w4", "w5")
+    var sawPair = false
+    (1 to 8).foreach { trial =>
+      val train = (1L to 12L).map { id =>
+        (id, List.fill(rnd.nextInt(10) + 3)(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // planted leakage: eval 50 is a verbatim copy of a train doc
+      // (jaccard 1e6 → 'both'); eval 100 is a train doc QUOTED inside
+      // extra text (containment-leaning); eval 150 is fresh text
+      val evals = Seq(
+        (50L, train(trial % 12)._2),
+        (100L, train((trial + 3) % 12)._2),
+        (150L, List.fill(8)(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")))
+      // the quote-inclusion goes on the TRAIN side: a train doc
+      // containing eval 100's whole text plus more
+      val quoter = (13L,
+        evals(1)._2 + " " + List.fill(6)(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val docs = train ++ evals :+ quoter
+      val got = Dedup.fuzzyDecontaminate(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleSize = 3, numHashes = 12,
+          bands = 4, evalMod = 50)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val want = replica(docs)
+      assert(got == want, s"trial $trial: docs=$docs")
+      sawPair ||= got.nonEmpty
+      // the verbatim copy MUST band-fire and flag as 'both' (every
+      // band of identical shingle sets matches)
+      val verbatim = got.filter(_._2 == 50L)
+      assert(verbatim.exists(p => p._3 == 1000000L &&
+        p._5 == "both"), s"trial $trial: verbatim copy not flagged")
+    }
+    assert(sawPair, "no trial produced any contamination pair")
+  }
+
   test("substringRemovalConverged: duplicate-free corpus adopts zero " +
     "passes; the pass cap throws instead of returning unconverged") {
     val clean = Seq((1L, "a b c d"), (2L, "e f g h"))
