@@ -832,4 +832,45 @@ class Round15OpsSpec extends SparkSpec {
     assert(zo.toDouble / zt < 0.2,
       s"z-order pruned too little: $zo/$zt")
   }
+
+  test("micro-nat cost tables are cross-engine exact: StrictMath " +
+    "matches DuckDB-computed vectors (the r15 oracle premise for " +
+    "q24/t29/t30)") {
+    // Every vector below was computed by DuckDB 1.0's
+    // CAST(round(±1e6*ln(...)) AS BIGINT) and cross-checked against
+    // a 15k-point Java sweep (zero mismatches, StrictMath AND
+    // Math variants) during round 15. Pinning them here keeps the
+    // premise falsifiable on any future JVM: if StrictMath.log ever
+    // drifts from these, the q24/t29/t30 oracles break HERE first,
+    // not as an unexplained parity mismatch.
+    // wordninja Zipf cost: round(1e6*ln(rank*ln(n)))
+    val zipf = Seq(
+      ((1, 31), 1233722L), ((2, 31), 1926869L), ((7, 31), 3179632L),
+      ((31, 31), 4667709L), ((1, 9), 787195L), ((9, 9), 2984420L),
+      ((100, 1000), 6537815L), ((999, 1000), 8839400L),
+      ((1, 100000), 2443470L), ((50000, 100000), 13263249L),
+      ((100000, 100000), 13956396L), ((12345, 54321), 11810014L))
+    zipf.foreach { case ((rank, n), want) =>
+      val logN = StrictMath.log(n.toDouble)
+      assert(math.round(1e6 * StrictMath.log(rank * logN)) == want,
+        s"zipf($rank, $n)")
+    }
+    // unigram piece cost: round(-1e6*ln(c/total))
+    val piece = Seq(
+      ((1L, 100L), 4605170L), ((50L, 100L), 693147L),
+      ((99L, 100L), 10050L), ((1L, 16384L), 9704061L),
+      ((8192L, 16384L), 693147L), ((3L, 27170L), 9111256L),
+      ((271L, 2716543L), 9212752L), ((12345L, 2716543L), 5393864L))
+    piece.foreach { case ((c, total), want) =>
+      assert(math.round(-1e6 * StrictMath.log(
+        c.toDouble / total.toDouble)) == want, s"piece($c, $total)")
+    }
+    // unigram unknown cost: round(1e6*ln(total*100))
+    val unk = Seq((100L, 9210340L), (16384L, 14309231L),
+      (2716543L, 19420041L))
+    unk.foreach { case (total, want) =>
+      assert(math.round(1e6 * StrictMath.log(total.toDouble * 100.0))
+        == want, s"unk($total)")
+    }
+  }
 }
