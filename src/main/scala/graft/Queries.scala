@@ -548,9 +548,11 @@ object Queries {
     * recursive keccak-256 label fold — of the curated name under
     * .eth, via the codegen'd [[org.apache.spark.sql.graft
     * .NamehashExpr]]. Byte-for-byte the ids the reference exports
-    * (create_merged.py:807-826). No SQL engine mirrors keccak, so
-    * this entry is rows-only; correctness is spec-pinned to the
-    * published ERC-137 / Keccak test vectors (the q24 precedent). */
+    * (create_merged.py:807-826). FULL DuckDB oracle since round 15:
+    * [[KeccakOracleSql]] unrolls keccak-f[1600] into recursive-CTE
+    * rounds of scalar UBIGINT arithmetic, so the last "no SQL engine
+    * mirrors this" exemption is gone; the published ERC-137 / Keccak
+    * vector pins stay in Round6OpsSpec as the independent anchor. */
   val q16b_namehash: QFn = (s, d) => {
     val label = graft.text.Normalize.curatedName(col("c_name"))
     t(s, d, "customer")
@@ -558,6 +560,17 @@ object Queries {
         graft.text.Normalize.namehash(concat(label, lit(".eth")))
           .as("node"))
   }
+
+  /** Mirrors [[q16b_namehash]]: the curated label is q20's
+    * expression, the namehash chain is [[KeccakOracleSql]]. */
+  val q16b_sql: String = KeccakOracleSql.namehashSql(
+    labelSql = """regexp_replace(regexp_replace(lower(trim(
+                 |    nfc_normalize(c_name))), '\s+', ' ', 'g'),
+                 |    '\.eth$', '')""".stripMargin,
+    keyCol = "c_custkey",
+    srcTable = "customer",
+    outCols =
+      "l.key AS c_custkey, l.label AS label, c.node AS node")
 
   val q17_related_overlap: QFn = (s, d) =>
     Relational.topK(
@@ -9978,6 +9991,7 @@ object Queries {
     "q14_snapshot_diff" -> q14_sql,
     "q15_scoring" -> q15_sql,
     "q16_hash_id" -> q16_sql,
+    "q16b_namehash" -> q16b_sql,
     "q17_related_overlap" -> q17_sql,
     "q18_json_extract" -> q18_sql,
     "q19_collection_pipeline" -> q19_sql,

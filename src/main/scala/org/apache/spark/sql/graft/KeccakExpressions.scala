@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * this engine emits match the reference's ENS namehashes byte for
   * byte — the md5 stand-in (q16) could never.
   *
-  * No SQL engine mirrors keccak, so namehash queries verify via
-  * spec-pinned public vectors (rows-only oracle), the q24 precedent.
+  * Verified two ways: spec-pinned public vectors (Round6OpsSpec,
+  * incl. multi-block digests against an independently written
+  * implementation), and — since round 15 — a full DuckDB oracle
+  * ([[graft.KeccakOracleSql]] unrolls keccak-f[1600] into
+  * recursive-CTE scalar rounds), so q16b is hash-checked end to end.
   */
 object KeccakUtil {
 

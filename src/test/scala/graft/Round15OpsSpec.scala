@@ -873,4 +873,48 @@ class Round15OpsSpec extends SparkSpec {
         == want, s"unk($total)")
     }
   }
+
+  test("KeccakOracleSql generator invariants: RC table, rotation " +
+    "arithmetic, stage chain, domain guards (the q16b oracle)") {
+    val sql = KeccakOracleSql.namehashSql(
+      "nm", "k", "names", "l.key AS k, c.node AS node")
+    // all 24 published iota round constants, as decimal UBIGINTs
+    val rc = Seq(
+      "0000000000000001", "0000000000008082", "800000000000808A",
+      "8000000080008000", "000000000000808B", "0000000080000001",
+      "8000000080008081", "8000000000008009", "000000000000008A",
+      "0000000000000088", "0000000080008009", "000000008000000A",
+      "000000008000808B", "800000000000008B", "8000000000008089",
+      "8000000000008003", "8000000000008002", "8000000000000080",
+      "000000000000800A", "800000008000000A", "8000000080008081",
+      "8000000000008080", "0000000080000001", "8000000080008008")
+    rc.foreach { h =>
+      assert(sql.contains(s"${BigInt(h, 16)}::UBIGINT"), s"RC $h")
+    }
+    // rotl is mask-then-multiply (DuckDB UBIGINT << overflows):
+    // spot-pin two published rho offsets end-to-end. r = 44 (lane
+    // x=1,y=1): >> 20, mask 2^20-1, * 2^44; r = 1 (theta's D):
+    // >> 63, mask 2^63-1, * 2.
+    assert(sql.contains(
+      ">> 20) | ((" ) && sql.contains("& 1048575::UBIGINT) * " +
+      "17592186044416::UBIGINT"), "rho r=44 arithmetic")
+    assert(sql.contains(">> 63) | ((") &&
+      sql.contains("& 9223372036854775807::UBIGINT) * 2::UBIGINT"),
+      "theta r=1 arithmetic")
+    // the namehash chain is three sequential 24-round recursions
+    Seq("arun", "brun", "crun").foreach { st =>
+      assert(sql.contains(s"$st AS (") &&
+        sql.contains(s"FROM $st WHERE rnd < 24"), st)
+    }
+    // 25-lane state, fully unrolled
+    assert(sql.contains("s24") && sql.contains("a24") &&
+      sql.contains("b24") && !sql.contains("s25"))
+    // single-block + single-label domain guards (NULL, not silent)
+    assert(sql.contains("len IS NULL OR len > 135 THEN NULL"))
+    assert(sql.contains("LIKE '%.%' THEN NULL"))
+    // pad10*1 with Keccak's 0x01 domain byte and the 0x80 cap
+    assert(sql.contains("WHEN p = len THEN 1") &&
+      sql.contains("WHEN p = 135 THEN 128"))
+    assert(sql.contains(s"${BigInt(1) << 63}::UBIGINT AS s16"))
+  }
 }

@@ -4,8 +4,9 @@ import graft.text.UnigramLm
 import graft.text.UnigramLm.Model
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the rows-only t29/t30 unigram-LM family (the q24
-  * discipline): the Viterbi E-step has no DuckDB mirror, so its
+/** Pins the t29/t30 unigram-LM family. Since round 15 both rows
+  * ALSO carry full DuckDB recursive-CTE oracles (micro-nat integer
+  * costs); this spec remains the independent in-JVM anchor:
   * semantics are pinned by (a) an INDEPENDENT top-down memoized
   * replica with the same declared tie-break, (b) brute-force
   * enumeration of ALL segmentations for short inputs (cost
