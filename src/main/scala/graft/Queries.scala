@@ -4478,11 +4478,19 @@ object Queries {
     import spark.implicits._
     val docs = t(s, d, "documents").select(col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.count() // sequential EM rounds re-scan it (CLAUDE.md)
+    docs.count() // seed pass + the tokenize pass re-scan it
+    // tokenize ONCE and persist: every EM round re-ran the
+    // split/trim/lower projection from the raw text before r15 —
+    // identical output each round (guide §1.2); the rounds now scan
+    // ready word arrays
+    val tok = text.UnigramLm.tokenize(docs, lit(0L), "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.count()
     val (_, vocab) = text.UnigramLm.train(docs, "text",
       maxPieceWords = ulmMaxPiece, seedCap = ulmSeedCap,
-      rounds = ulmRounds)
+      rounds = ulmRounds, tok = Some(tok))
     docs.unpersist(blocking = false) // output is a LocalRelation
+    tok.unpersist(blocking = false)
     vocab.map { case (p, c, cost) =>
       (p, (p.count(_ == ' ') + 1).toLong, c, cost)
     }.toDF("piece", "n_words", "count", "cost_micronat")
@@ -4496,12 +4504,19 @@ object Queries {
   val t30_unigram_encode: QFn = (s, d) => {
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.count() // EM rounds + the final encode re-scan it
+    docs.count() // seed pass + the tokenize pass re-scan it
+    // ONE persisted tokenization feeds the 4 EM rounds AND the final
+    // encode (ids ride along — training ignores them, the encode
+    // keys its per-doc report on them); before r15 each of those 5
+    // passes re-split the raw text from the cache
+    val tok = text.UnigramLm.tokenize(docs, col("doc_id"), "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tok.count()
     val (model, _) = text.UnigramLm.train(docs, "text",
       maxPieceWords = ulmMaxPiece, seedCap = ulmSeedCap,
-      rounds = ulmRounds)
-    val out = text.UnigramLm.encode(s, docs, model, "doc_id", "text")
-    // the encode is lazy over the persisted docs; Verify/Bench clear
+      rounds = ulmRounds, tok = Some(tok))
+    val out = text.UnigramLm.encodeTok(s, tok, model, "doc_id")
+    // the encode is lazy over the persisted tok; Verify/Bench clear
     // the cache manager after each query, so no unpersist here
     out
   }

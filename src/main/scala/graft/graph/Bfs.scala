@@ -47,11 +47,55 @@ object Bfs {
     * `dist` is the exact minimum hop count (BIGINT). `edges` must
     * already contain both directions for an undirected walk. */
   def hopDistances(edges: DataFrame, seeds: DataFrame,
-                   maxHops: Int): DataFrame = {
+                   maxHops: Int,
+                   driverFinishMaxEdges: Long = 2000000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // consumed every round — materialize once (CLAUDE.md)
+    val nEdges = e.count() // consumed every round — materialize once
+    // RAW-EDGE exact driver finish (the PageRank/LabelPropagation
+    // economics): at ≤ driverFinishMaxEdges edge ROWS the whole
+    // frontier loop — per hop one join + distinct + anti-join + eager
+    // checkpoint, each a driver-scheduled job — collapses to one
+    // 2-column collect and an in-memory BFS with identical semantics
+    // (first reach = min hops; duplicate edges are fanout only;
+    // seeds kept only when they appear as a src — the same left-semi
+    // guard). Spec-pinned equal to the distributed loop
+    // (Round15OpsSpec); 0 forces the distributed path.
+    if (nEdges <= driverFinishMaxEdges) {
+      val nodeType = e.schema("src").dataType
+      val es = e.select(col("src").cast("long"),
+          col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val adj = new java.util.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      es.foreach { case (s0, d0) =>
+        adj.computeIfAbsent(s0,
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += d0
+      }
+      val seedArr = seeds.select(col("node").cast("long")).collect()
+        .map(_.getLong(0)).distinct.filter(adj.containsKey)
+      val dist = new scala.collection.mutable.LongMap[Long]()
+      var frontier = seedArr.toSeq
+      frontier.foreach(n => dist(n) = 0L)
+      var hop = 1
+      while (hop <= maxHops && frontier.nonEmpty) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { n =>
+          val out = adj.get(n)
+          if (out != null) out.foreach { d0 =>
+            if (!dist.contains(d0)) { dist(d0) = hop.toLong; next += d0 }
+          }
+        }
+        frontier = next.toSeq
+        hop += 1
+      }
+      val ses = edges.sparkSession
+      import ses.implicits._
+      return dist.toSeq.map(identity).toDF("node", "dist")
+        .select(col("node").cast(nodeType), col("dist"))
+    }
     val seedLayer = seeds.select(col("node")).distinct()
       .join(e.select(col("src").as("node")), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("dist"))

@@ -20,7 +20,9 @@ object GraphStats {
     * degree 200); past that cast the four moments to DECIMAL(38,0)
     * (the DuckDB oracle mirrors in HUGEINT either way).
     */
-  def assortativityPpm(edges: DataFrame): DataFrame = {
+  def assortativityPpm(edges: DataFrame,
+                       driverFinishMaxEdges: Long = 2000000L)
+    : DataFrame = {
     // the canonical edge set feeds the union twice, the degree
     // aggregate and the join chain — uncached, the caller's edge
     // pipeline (a co-occurrence join) replays once per consumer
@@ -32,7 +34,44 @@ object GraphStats {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nE = e.count()
+    // RAW-EDGE exact driver finish (the PageRank/Triangles
+    // economics): the four moments are one O(|E|) pass over the
+    // collected list, in the SAME Long arithmetic as the distributed
+    // expressions (including the documented Long range — overflow
+    // behaviour stays identical, and the gate keeps it far from the
+    // documented 1e8-edge bound anyway). Spec-pinned equal
+    // (DriverFinishParitySpec); 0 forces the distributed path.
+    if (nE <= driverFinishMaxEdges) {
+      import scala.collection.mutable.LongMap
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val degM = new LongMap[Long](es.length * 4)
+      es.foreach { case (a, b) =>
+        degM(a) = degM.getOrElse(a, 0L) + 1L
+        degM(b) = degM.getOrElse(b, 0L) + 1L
+      }
+      var n = 0L; var sx = 0L; var sxy = 0L; var sxx = 0L
+      es.foreach { case (a, b) =>
+        val da = degM(a)
+        val db = degM(b)
+        // both directions of the symmetrized list
+        n += 2L
+        sx += da + db
+        sxy += 2L * da * db
+        sxx += da * da + db * db
+      }
+      val varx = n * sxx - sx * sx
+      val cov = n * sxy - sx * sx
+      val ppm =
+        if (varx == 0L) 0L
+        else if (cov >= 0L) (2L * 1000000L * cov + varx) / (2L * varx)
+        else -((2L * 1000000L * (-cov) + varx) / (2L * varx))
+      val ses = edges.sparkSession
+      import ses.implicits._
+      return Seq((n, sx, sxy, sxx, ppm))
+        .toDF("n", "sx", "sxy", "sxx", "assortativity_ppm")
+    }
     val dir = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val deg = dir.groupBy("u").agg(count(lit(1)).as("deg"))

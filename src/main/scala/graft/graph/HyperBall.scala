@@ -64,12 +64,28 @@ object HyperBall {
     * read the internal persisted edge projection — the session cache
     * clear releases it after the caller's action (the Dedup caching
     * contract; Bench/Verify clear between queries). */
-  private def ballStates(edges: DataFrame, rounds: Int)
-    : Seq[DataFrame] = {
+  private def ballStates(edges: DataFrame, rounds: Int,
+                         driverFinishMaxEdges: Long): Seq[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // consumed every round — materialize once
+    val nEdges = e.count() // consumed every round — materialize once
+    // RAW-EDGE exact driver finish (the PageRank/LabelPropagation
+    // economics): at ≤ driverFinishMaxEdges edge ROWS, the register
+    // init (md5 digit-for-digit) and the per-round byte-max merges
+    // run in-memory over one 2-column collect, and each round's
+    // state returns as a LocalRelation of the SAME (node, regs)
+    // shape — [[estimate]] then applies the IDENTICAL
+    // HllRegisterExpressions over it, so the estimate arithmetic is
+    // shared, not replicated. Spec-pinned equal to the distributed
+    // loop (Round15OpsSpec); 0 forces the distributed path.
+    if (nEdges <= driverFinishMaxEdges) {
+      val nodeType = e.schema("src").dataType
+      val es = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      return localStates(edges.sparkSession, nodeType, es, rounds)
+    }
     val nodes = e.select(col("src").as("node")).distinct()
     val h = md5(col("node").cast("string"))
     val j = conv(substring(h, 1, 2), 16, 10).cast("long") % R
@@ -97,6 +113,77 @@ object HyperBall {
     }
   }
 
+  /** In-memory register init + max-merge rounds — the [[ballStates]]
+    * driver finish. The init mirrors the distributed column math
+    * digit for digit: j = first md5 hex byte mod 64, rho from the
+    * leading zeros of the next 13 hex digits (nibble-refined, capped
+    * 53 → 40), register j of a 64-byte vector = rho. Each round k's
+    * state is byte-wise max over the node's own state and every
+    * in-neighbour's — identical to the union + byteMax aggregate.
+    * Returns one LocalRelation per round, (node, regs BINARY). */
+  private def localStates(spark: org.apache.spark.sql.SparkSession,
+                          nodeType: org.apache.spark.sql.types.DataType,
+                          es: Array[(Long, Long)], rounds: Int)
+    : Seq[DataFrame] = {
+    import scala.collection.mutable.LongMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def initRegs(node: Long): Array[Byte] = {
+      md.reset()
+      val dig = md.digest(node.toString.getBytes("UTF-8"))
+      val hex = dig.map(b => f"$b%02x").mkString
+      val j = java.lang.Integer.parseInt(hex.substring(0, 2), 16) % R
+      val wh = hex.substring(2, 15) // 13 hex digits
+      var lz = 0
+      while (lz < 13 && wh.charAt(lz) == '0') lz += 1
+      val rho =
+        if (lz == 13) 53
+        else {
+          val nib = wh.charAt(lz)
+          val blen = nib match {
+            case '1' => 1
+            case '2' | '3' => 2
+            case '4' | '5' | '6' | '7' => 3
+            case _ => 4
+          }
+          lz * 4 + (4 - blen) + 1
+        }
+      val regs = new Array[Byte](R)
+      regs(j) = math.min(rho, 40).toByte
+      regs
+    }
+    // nodes = distinct sources, exactly like the distributed init
+    var state = new LongMap[Array[Byte]]()
+    es.foreach { case (s0, _) =>
+      if (!state.contains(s0)) state(s0) = initRegs(s0)
+    }
+    def byteMaxInto(dst: Array[Byte], src: Array[Byte]): Unit = {
+      var i = 0
+      while (i < R) {
+        if (src(i) > dst(i)) dst(i) = src(i)
+        i += 1
+      }
+    }
+    def toDf(st: LongMap[Array[Byte]]): DataFrame = {
+      import spark.implicits._
+      st.toSeq.map { case (n, r) => (n, r) }.toDF("node", "regs")
+        .select(col("node").cast(nodeType), col("regs"))
+    }
+    (1 to rounds).map { _ =>
+      val next = new LongMap[Array[Byte]](state.size * 2)
+      state.foreachEntry((n, r) => next(n) = r.clone())
+      es.foreach { case (s0, d0) =>
+        state.get(s0).foreach { sr =>
+          next.get(d0) match {
+            case Some(dr) => byteMaxInto(dr, sr)
+            case None => next(d0) = sr.clone()
+          }
+        }
+      }
+      state = next
+      toDf(state)
+    }
+  }
+
   /** q42's integer-space estimate over a dense register state; an
     * empty register (0) contributes 2^40 to the scaled harmonic sum —
     * exactly the sparse form's (64 − count) · 2^40 term. */
@@ -117,8 +204,9 @@ object HyperBall {
   /** Per-node radius-`rounds` ball-size estimates:
     * `(node, s_scaled, v_empty, ball_est)` — `ball_est` counts the
     * node itself, exact sketch parity with the q42 formula. */
-  def neighborhood(edges: DataFrame, rounds: Int): DataFrame =
-    estimate(ballStates(edges, rounds).last)
+  def neighborhood(edges: DataFrame, rounds: Int,
+                   driverFinishMaxEdges: Long = 2000000L): DataFrame =
+    estimate(ballStates(edges, rounds, driverFinishMaxEdges).last)
 
   /** Harmonic centrality from the per-radius estimate deltas — the
     * HyperBall paper's application: H(u) ≈ Σ_k (|ball_k| −
@@ -128,8 +216,10 @@ object HyperBall {
     * ESTIMATE down — the clamp is mirrored by the oracle), and the
     * 1/k weights are exact integer `DIV`s in milli units. Output:
     * `(node, est_1.., harmonic_milli)`. */
-  def harmonicCentrality(edges: DataFrame, rounds: Int): DataFrame = {
-    val states = ballStates(edges, rounds)
+  def harmonicCentrality(edges: DataFrame, rounds: Int,
+                         driverFinishMaxEdges: Long = 2000000L)
+    : DataFrame = {
+    val states = ballStates(edges, rounds, driverFinishMaxEdges)
     val ests = states.zipWithIndex.map { case (st, i) =>
       estimate(st).select(col("node"),
         col("ball_est").as(s"est${i + 1}"))

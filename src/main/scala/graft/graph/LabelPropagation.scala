@@ -64,16 +64,37 @@ object LabelPropagation {
     * @param canonical edges are already distinct (a < b) pairs from a
     *               persisted+materialized frame — skip the
     *               re-canonicalizing distinct shuffle (see [[canon]])
+    * @param driverFinishMaxEdges raw-edge exact driver finish bound
+    *               (the PageRank.run economics): at or under it the
+    *               synchronous rounds run in-memory with the SAME
+    *               packed-argmax arithmetic — 4 rounds of
+    *               (join + two aggregate exchanges + eager
+    *               checkpoint) collapse to one 2-column collect.
+    *               Spec-pinned equal to the distributed loop
+    *               (Round15OpsSpec); 0 forces the distributed path.
     * @return (node, label): the community label after `rounds` rounds
     */
   def run(edges: DataFrame, rounds: Int,
-          canonical: Boolean = false): DataFrame = {
+          canonical: Boolean = false,
+          driverFinishMaxEdges: Long = 2000000L): DataFrame = {
     require(rounds >= 1)
-    val e = canon(edges, canonical)
+    val e0 = canon(edges, canonical)
+    // non-canonical: the distinct'd list feeds the gate count AND
+    // both symmetrizing arms — persist it (previously each arm of
+    // sym recomputed the distinct under sym's own materialization)
+    val e = if (canonical) e0
+      else e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    if (nEdges <= driverFinishMaxEdges) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (!canonical) e.unpersist(false)
+      return runLocal(edges.sparkSession, es, rounds)
+    }
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count() // reused by every round — materialize before the loop
+    if (!canonical) e.unpersist(false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
@@ -92,6 +113,46 @@ object LabelPropagation {
     }
     sym.unpersist(false)
     labels
+  }
+
+  /** In-memory synchronous LPA over a collected canonical edge list —
+    * the [[run]] driver finish. Arithmetic is the distributed loop's
+    * EXACTLY: one message per edge row per direction, per-(node,
+    * label) counts packed `enc = cnt·2^32 − (label+1)`, per-node max,
+    * the same decode — so duplicate edge rows, ties and label ranges
+    * behave identically (spec-pinned on random graphs). Node/label
+    * ids must sit in [0, 2^31) — the packing contract the distributed
+    * aggregate already carries. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+                       es: Array[(Long, Long)], rounds: Int)
+    : DataFrame = {
+    import scala.collection.mutable.LongMap
+    var lab = new LongMap[Long](es.length * 4)
+    es.foreach { case (a, b) => lab(a) = a; lab(b) = b }
+    for (_ <- 1 to rounds) {
+      // cnt per (dst node, neighbour label), key-packed: both ids
+      // < 2^31 by the enc contract, so (node << 32) | label is exact
+      val cnt = new LongMap[Long](es.length * 4)
+      def msg(dst: Long, srcLab: Long): Unit = {
+        val k = (dst << 32) | srcLab
+        cnt(k) = cnt.getOrElse(k, 0L) + 1L
+      }
+      es.foreach { case (a, b) => msg(b, lab(a)); msg(a, lab(b)) }
+      val best = new LongMap[Long](lab.size * 2)
+      cnt.foreachEntry { (k, c) =>
+        val node = k >>> 32
+        val label = k & 0xFFFFFFFFL
+        val enc = c * 4294967296L - (label + 1L)
+        if (best.getOrElse(node, Long.MinValue) < enc) best(node) = enc
+      }
+      val next = new LongMap[Long](lab.size * 2)
+      best.foreachEntry { (node, enc) =>
+        next(node) = ((enc / 4294967296L) + 1L) * 4294967296L - enc - 1L
+      }
+      lab = next
+    }
+    import spark.implicits._
+    lab.toSeq.map(identity).toDF("node", "label")
   }
 
   /** Labels + modularity + community-size histogram off ONE LPA run —
@@ -180,10 +241,39 @@ object LabelPropagation {
     // LocalRelation whose stats Catalyst sees, so the remap join
     // broadcasts itself — the corpus-sized side never reshuffles.
     if (nEdges <= driverFinishMaxEdges) {
-      val bet = between.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val dcm = dc.collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // RAW-EDGE driver finish (the PageRank.run / modularityPpm
+      // economics): between/dc are label-keyed sums over the bounded
+      // edge list — computing them driver-side from one 2-column
+      // collect skips the two edge-label join jobs the old bounded
+      // branch still scheduled (it collected the DISTRIBUTED
+      // between/dc). Inner-join semantics mirrored: endpoints with
+      // no label row drop from both. Spec-pinned equal to the
+      // distributed fallback (Round13OpsSpec/Round15OpsSpec).
+      import scala.collection.mutable.LongMap
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labM = new LongMap[Long]()
+      lab.select(col("node").cast("long"), col("label").cast("long"))
+        .collect().foreach(r => labM(r.getLong(0)) = r.getLong(1))
+      val dcmM = new LongMap[Long]()
+      // labels sit in [0, 2^31) (the run() packing contract), so a
+      // (c << 32) | p key is exact for the between counts
+      val betM = new LongMap[Long]()
+      es.foreach { case (a, b) =>
+        val la = labM.get(a)
+        val lb = labM.get(b)
+        la.foreach(l => dcmM(l) = dcmM.getOrElse(l, 0L) + 1L)
+        lb.foreach(l => dcmM(l) = dcmM.getOrElse(l, 0L) + 1L)
+        (la, lb) match {
+          case (Some(x), Some(y)) if x != y =>
+            val k = (math.min(x, y) << 32) | math.max(x, y)
+            betM(k) = betM.getOrElse(k, 0L) + 1L
+          case _ => ()
+        }
+      }
+      val bet = betM.toSeq.map { case (k, n) =>
+        (k >>> 32, k & 0xFFFFFFFFL, n)
+      }.toArray
+      val dcm = dcmM
       val m = nEdges
       // both directions of every community pair; gains in BigInt so
       // a caller raising driverFinishMaxEdges past ~1e9 edges can't
@@ -283,13 +373,58 @@ object LabelPropagation {
     * @return one row: n_communities, m_edges, modularity_ppm
     */
   def modularityPpm(edges: DataFrame, labels: DataFrame,
-                    canonical: Boolean = false): DataFrame = {
+                    canonical: Boolean = false,
+                    driverFinishMaxEdges: Long = 2000000L): DataFrame = {
     val e0 = canon(edges, canonical)
     val e = if (canonical) e0
       else e0.persist(StorageLevel.MEMORY_AND_DISK)
     // the materializing count IS m (e is canonical+distinct) — ride
     // it as a literal instead of a scalar agg + two cross joins
     val m = e.count()
+    // Exact driver finish (the [[run]]/PageRank economics): ec/dc
+    // are label-keyed sums over a bounded edge list and labels is
+    // node-sized (≤ 2m) — under the gate the two edge-label joins,
+    // the degree aggregate and the scalar rollup collapse to two
+    // collects + BigInt arithmetic identical to the distributed
+    // DECIMAL(38,0) chain. Spec-pinned equal (Round15OpsSpec);
+    // 0 forces the distributed path.
+    if (m <= driverFinishMaxEdges) {
+      import scala.collection.mutable.LongMap
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (!canonical) e.unpersist(false)
+      val labM = new LongMap[Long]()
+      labels.select(col("node").cast("long"), col("label").cast("long"))
+        .collect().foreach(r => labM(r.getLong(0)) = r.getLong(1))
+      // inner-join semantics mirrored: nodes/edges whose label is
+      // missing drop from dc/ec exactly as the distributed joins drop
+      val dcM = new LongMap[Long]()
+      val ecM = new LongMap[Long]()
+      es.foreach { case (a, b) =>
+        labM.get(a).foreach(la => dcM(la) = dcM.getOrElse(la, 0L) + 1L)
+        labM.get(b).foreach(lb => dcM(lb) = dcM.getOrElse(lb, 0L) + 1L)
+        (labM.get(a), labM.get(b)) match {
+          case (Some(la), Some(lb)) if la == lb =>
+            ecM(la) = ecM.getOrElse(la, 0L) + 1L
+          case _ => ()
+        }
+      }
+      var num = BigInt(0)
+      dcM.foreachEntry { (label: Long, dc: Long) =>
+        val ec: Long = ecM.getOrElse(label, 0L)
+        val term: BigInt =
+          (BigInt(4) * BigInt(m) * BigInt(ec)) - (BigInt(dc) * BigInt(dc))
+        num += term
+      }
+      val fourM2 = BigInt(4) * BigInt(m) * BigInt(m)
+      val eightM2 = fourM2 * 2
+      val ppm =
+        if (num >= 0) (BigInt(2) * 1000000 * num + fourM2) / eightM2
+        else -((BigInt(2) * 1000000 * (-num) + fourM2) / eightM2)
+      val ses = edges.sparkSession
+      import ses.implicits._
+      return Seq((dcM.size.toLong, m, ppm.toLong))
+        .toDF("n_communities", "m_edges", "modularity_ppm")
+    }
     val la = labels.select(col("node").as("a"), col("label").as("la"))
     val lb = labels.select(col("node").as("b"), col("label").as("lb"))
     val ec = e.join(la, Seq("a")).join(lb, Seq("b"))

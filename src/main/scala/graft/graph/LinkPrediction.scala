@@ -36,7 +36,9 @@ import org.apache.spark.storage.StorageLevel
 object LinkPrediction {
 
   def jaccardCandidates(edges: DataFrame, topK: Int = 50,
-                        maxCenterDegree: Long = 10000L): DataFrame = {
+                        maxCenterDegree: Long = 10000L,
+                        driverFinishMaxEdges: Long = 2000000L)
+    : DataFrame = {
     // canonical undirected edge set; persisted — it feeds the wedge
     // stream (via adj), the degree aggregate AND the anti-join, and
     // the caller's edge pipeline (a co-occurrence join) dwarfs the
@@ -47,7 +49,81 @@ object LinkPrediction {
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nE = e.count()
+    // RAW-EDGE exact driver finish (the PageRank/Triangles
+    // economics), doubly gated: edge rows ≤ driverFinishMaxEdges AND
+    // capped wedge count Σ_{deg≤cap} C(deg,2) ≤ Triangles'
+    // maxLocalWedges (the hub cap bounds the blowup, but a graph of
+    // many mid-degree centers can still imply too much single-thread
+    // work). Mirrors the distributed chain operator for operator:
+    // capped centers → p<q wedge pairs → common-neighbour counts →
+    // drop adjacent pairs → HALF_UP integer-ppm Jaccard →
+    // (ppm desc, id1, id2) top-k. Spec-pinned equal
+    // (DriverFinishParitySpec); 0 forces the distributed path.
+    if (nE <= driverFinishMaxEdges) {
+      import scala.collection.mutable.{ArrayBuffer, LongMap}
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val degM = new LongMap[Long](es.length * 4)
+      es.foreach { case (a, b) =>
+        degM(a) = degM.getOrElse(a, 0L) + 1L
+        degM(b) = degM.getOrElse(b, 0L) + 1L
+      }
+      var wedgeBound = 0L
+      degM.foreachEntry { (_, d) =>
+        if (d <= maxCenterDegree) wedgeBound += d * (d - 1) / 2
+      }
+      if (wedgeBound <= graft.graph.Triangles.maxLocalWedges) {
+        e.unpersist(false)
+        val adjM = new LongMap[ArrayBuffer[Long]](degM.size * 2)
+        val eset = new java.util.HashSet[Long](es.length * 2)
+        var maxNode = 0L
+        es.foreach { case (a, b) =>
+          if (a > maxNode) maxNode = a
+          if (b > maxNode) maxNode = b
+        }
+        require(maxNode < 1000000000L,
+          s"jaccardCandidates: node id $maxNode >= 1e9 breaks the " +
+            "packed pair key — remap ids first")
+        es.foreach { case (a, b) =>
+          if (degM(a) <= maxCenterDegree)
+            adjM.getOrElseUpdate(a, ArrayBuffer.empty[Long]) += b
+          if (degM(b) <= maxCenterDegree)
+            adjM.getOrElseUpdate(b, ArrayBuffer.empty[Long]) += a
+          eset.add(a * 1000000000L + b)
+        }
+        val cn = new LongMap[Long]()
+        adjM.foreachEntry { (_, ns) =>
+          val arr = ns.toArray
+          var i = 0
+          while (i < arr.length) {
+            var j = i + 1
+            while (j < arr.length) {
+              val p = math.min(arr(i), arr(j))
+              val q = math.max(arr(i), arr(j))
+              val k = p * 1000000000L + q
+              cn(k) = cn.getOrElse(k, 0L) + 1L
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val rows = cn.toSeq.collect {
+          case (k, c) if !eset.contains(k) =>
+            val p = k / 1000000000L
+            val q = k % 1000000000L
+            val dp = degM(p)
+            val dq = degM(q)
+            val ppm = (2L * 1000000L * c + (dp + dq - c)) /
+              (2L * (dp + dq - c))
+            (p, q, c, dp, dq, ppm)
+        }.sortBy { case (p, q, _, _, _, ppm) => (-ppm, p, q) }
+          .take(topK)
+        val ses = edges.sparkSession
+        import ses.implicits._
+        return rows.toDF("id1", "id2", "common", "deg1", "deg2",
+          "jaccard_ppm")
+      }
+    }
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
     // deg feeds FOUR consumers (the center cap and both wedge-join

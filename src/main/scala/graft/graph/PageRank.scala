@@ -101,19 +101,29 @@ object PageRank {
     : DataFrame = {
     require(cohortBatchSize > 0, "cohortBatchSize must be positive")
     require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
-    val e = edges.select(col("src").cast("long"),
-        col("dst").cast("long")).distinct()
+    // raw projection first: the driver-finish gate counts RAW rows
+    // (≥ the distinct count, so strictly conservative) and the
+    // bounded path dedups ON THE DRIVER — the global distinct
+    // exchange of the full edge list (1.2M rows at sf0.1 for g06)
+    // was the single biggest stage of the bounded path (guide §2.4:
+    // remove shuffles outright). The distributed path still
+    // distincts from this cached projection, one scan either way.
+    val e0 = edges.select(col("src").cast("long"),
+        col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e.count()
+    val nRaw = e0.count()
     val total = 1000000000000L
     val teleport = total - total * dampNum / dampDen
-    if (nEdges <= driverFinishMaxEdges) {
+    if (nRaw <= driverFinishMaxEdges) {
       // raw-edge driver finish (see run()): degrees, the source set
       // and per-cohort teleport shares all derive on the driver —
       // no deg aggregate, no attach join, a 2-column collect
       import scala.collection.mutable.LongMap
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      e.unpersist(false)
+      val esRaw = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e0.unpersist(false)
+      // driver-side distinct (ids may exceed 2^31 — no packed key)
+      val seen = new java.util.HashSet[(Long, Long)](esRaw.length * 2)
+      val es = esRaw.filter(seen.add)
       val degM = new LongMap[Long](es.length * 2)
       es.foreach { case (s0, _) => degM(s0) = degM.getOrElse(s0, 0L) + 1L }
       val seedRows = seeds.select(col("cohort").cast("long"),
@@ -152,6 +162,9 @@ object PageRank {
       import ses.implicits._
       return out.result().toDF("cohort", "node", "rank_u")
     }
+    val e = e0.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    e0.unpersist(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)

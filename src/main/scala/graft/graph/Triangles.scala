@@ -31,14 +31,105 @@ object Triangles {
     * materialize, and recomputing the caller's whole edge pipeline
     * (the dominant cost of a co-occurrence graph) would dwarf the
     * cache; the session harness releases caches between queries. */
-  private def orient(edges: DataFrame): (DataFrame, DataFrame, Long) = {
-    val e = edges.select(
+  /** Canonical (a < b, loop-free) distinct edge view, persisted —
+    * shared by the driver-finish gate and [[orient]]. Callers count
+    * it to materialize. */
+  private def canonPersisted(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("id1"), col("id2")).cast("long").as("a"),
         greatest(col("id1"), col("id2")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+
+  /** In-memory mirror of orient + wedge + closing-edge counting over
+    * a collected canonical edge list — the [[count]]/[[perNode]]
+    * driver finish. Same packed (deg·10⁹ + id) total order, same
+    * wedge canonicalization (dstk(v) < dstk(w)), same closing-edge
+    * membership, same 1e9 id guard. Returns (nNodes, nEdges,
+    * nWedges, nTriangles, degM, triM). */
+  private[graph] def localTriangles(es: Array[(Long, Long)])
+    : (Long, Long, Long, Long,
+       scala.collection.mutable.LongMap[Long],
+       scala.collection.mutable.LongMap[Long]) = {
+    import scala.collection.mutable.{ArrayBuffer, LongMap}
+    val degM = new LongMap[Long](es.length * 4)
+    var maxNode = Long.MinValue
+    es.foreach { case (a, b) =>
+      degM(a) = degM.getOrElse(a, 0L) + 1L
+      degM(b) = degM.getOrElse(b, 0L) + 1L
+      if (a > maxNode) maxNode = a
+      if (b > maxNode) maxNode = b
+    }
+    require(maxNode < 1000000000L,
+      s"Triangles: node id $maxNode >= 1e9 breaks the packed " +
+        "(deg, id) order key — remap ids first")
+    val maxId = 1000000000L
+    def okey(n: Long): Long = degM(n) * maxId + n
+    // oriented adjacency: src = smaller (deg, id); membership set
+    // packs src·10⁹ + dst (ids < 10⁹ by the guard above)
+    val out = new LongMap[ArrayBuffer[Long]](degM.size * 2)
+    val eset = new java.util.HashSet[Long](es.length * 2)
+    es.foreach { case (a, b) =>
+      val (s0, d0) = if (okey(a) < okey(b)) (a, b) else (b, a)
+      out.getOrElseUpdate(s0, ArrayBuffer.empty[Long]) += d0
+      eset.add(s0 * maxId + d0)
+    }
+    var nWedges = 0L
+    var nTriangles = 0L
+    val triM = new LongMap[Long]()
+    def bump(n: Long): Unit = triM(n) = triM.getOrElse(n, 0L) + 1L
+    out.foreachEntry { (src, ds) =>
+      val arr = ds.toArray
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          nWedges += 1L
+          // canonical wedge order: dstk(v) < dstk(w)
+          val (v, w) =
+            if (okey(arr(i)) < okey(arr(j))) (arr(i), arr(j))
+            else (arr(j), arr(i))
+          if (eset.contains(v * maxId + w)) {
+            nTriangles += 1L
+            bump(src); bump(v); bump(w)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    (degM.size.toLong, es.length.toLong, nWedges, nTriangles, degM,
+      triM)
+  }
+
+  /** Wedge count implied by a degree-oriented edge list — the
+    * driver-finish admission test: even under the edge gate, a dense
+    * graph's Σ C(outdeg, 2) can exceed what a single thread should
+    * chew, so past `maxLocalWedges` the distributed path runs. */
+  private[graph] def localWedgeBound(es: Array[(Long, Long)]): Long = {
+    import scala.collection.mutable.LongMap
+    val degM = new LongMap[Long](es.length * 4)
+    es.foreach { case (a, b) =>
+      degM(a) = degM.getOrElse(a, 0L) + 1L
+      degM(b) = degM.getOrElse(b, 0L) + 1L
+    }
+    def okey(n: Long): Long = degM(n) * 1000000000L + n
+    val outdeg = new LongMap[Long](degM.size * 2)
+    es.foreach { case (a, b) =>
+      val s0 = if (okey(a) < okey(b)) a else b
+      outdeg(s0) = outdeg.getOrElse(s0, 0L) + 1L
+    }
+    var w = 0L
+    outdeg.foreachEntry((_, d) => w += d * (d - 1) / 2)
+    w
+  }
+
+  private[graph] val maxLocalWedges: Long = 50000000L
+
+  private def orient(e: DataFrame): (DataFrame, DataFrame, Long) = {
+    // e: canonical distinct (a < b) pairs, persisted+materialized by
+    // the caller via [[canonPersisted]]
     // ids must fit under the okey packing factor — corrupt order keys
     // would silently mis-orient edges, so refuse loudly instead.
     // e is materialized, so this max is a cheap cached scan.
@@ -95,8 +186,28 @@ object Triangles {
     * @return one row: n_nodes, n_edges, n_wedges, n_triangles
     */
   def count(edges: DataFrame,
-            maxBroadcastBytes: Long = defaultBroadcastBytes): DataFrame = {
-    val (oriented, deg, nEdges) = orient(edges)
+            maxBroadcastBytes: Long = defaultBroadcastBytes,
+            driverFinishMaxEdges: Long = 2000000L): DataFrame = {
+    val eC = canonPersisted(edges)
+    val nE = eC.count()
+    // RAW-EDGE exact driver finish (the PageRank/LabelPropagation
+    // economics), doubly gated: edge rows ≤ driverFinishMaxEdges AND
+    // implied wedge count ≤ maxLocalWedges (a dense graph under the
+    // edge gate can still imply E^1.5 wedges — that work belongs on
+    // the cluster). Spec-pinned equal (DriverFinishParitySpec);
+    // 0 forces the distributed path.
+    if (nE <= driverFinishMaxEdges) {
+      val es = eC.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (localWedgeBound(es) <= maxLocalWedges) {
+        eC.unpersist(false)
+        val (nn, ne, nw, nt, _, _) = localTriangles(es)
+        val ses = edges.sparkSession
+        import ses.implicits._
+        return Seq((nn, ne, nw, nt))
+          .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+      }
+    }
+    val (oriented, deg, nEdges) = orient(eC)
     // e stays persisted: the n_nodes branch below re-reads deg (and
     // through it e) when the RESULT materializes — unpersisting here
     // would recompute the caller's whole edge pipeline (the dominant
@@ -145,8 +256,30 @@ object Triangles {
     * @return (node, deg, tri, cc_ppm) for every node with deg ≥ 2
     */
   def perNode(edges: DataFrame,
-              maxBroadcastBytes: Long = defaultBroadcastBytes): DataFrame = {
-    val (oriented, deg, nEdges) = orient(edges)
+              maxBroadcastBytes: Long = defaultBroadcastBytes,
+              driverFinishMaxEdges: Long = 2000000L): DataFrame = {
+    val eC = canonPersisted(edges)
+    val nE = eC.count()
+    // same double gate as [[count]]; per-node output mirrors the
+    // deg ≥ 2 filter, the left-join coalesce and the HALF_UP ppm
+    if (nE <= driverFinishMaxEdges) {
+      val es = eC.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (localWedgeBound(es) <= maxLocalWedges) {
+        eC.unpersist(false)
+        val (_, _, _, _, degM, triM) = localTriangles(es)
+        val rows = degM.toSeq.collect {
+          case (node, deg) if deg >= 2 =>
+            val tri = triM.getOrElse(node, 0L)
+            (node, deg, tri,
+              (4L * tri * 1000000L + deg * (deg - 1)) /
+                (2L * deg * (deg - 1)))
+        }
+        val ses = edges.sparkSession
+        import ses.implicits._
+        return rows.toDF("node", "deg", "tri", "cc_ppm")
+      }
+    }
+    val (oriented, deg, nEdges) = orient(eC)
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") &&
         col("x.dstk") < col("y.dstk"))

@@ -111,29 +111,35 @@ object UnigramLm {
   private def wordsCol(textCol: String) =
     filter(split(trim(lower(col(textCol))), "\\s+"), x => x =!= "")
 
-  /** One E-step pass: segment every doc with the broadcast model,
-    * emit (id, pieces). */
-  private def segmented(spark: SparkSession, docs: DataFrame,
-                        idCol: String, textCol: String, model: Model)
-    : DataFrame = segmentedBc(spark, docs, idCol, textCol, model)._1
+  /** Tokenized corpus view `(id, w)` — the split/trim/lower
+    * projection EVERY E-step re-ran from parquet before round 15.
+    * Callers persist+count it once and feed it to every round (and
+    * to encode): the per-round scan then reads ready word arrays
+    * instead of re-tokenizing the raw text 4-5× per train() (guide
+    * §1.2 "don't compute things you throw away" — the tokenization
+    * is identical each round). */
+  def tokenize(docs: DataFrame, idCol: org.apache.spark.sql.Column,
+               textCol: String): DataFrame =
+    docs.select(idCol.cast("long").as("id"),
+      wordsCol(textCol).as("w"))
 
-  /** [[segmented]] plus the round's model broadcast, so train() can
+  /** One E-step pass over a pre-[[tokenize]]d `(id, w)` frame:
+    * segment every doc with the broadcast model, emit (id, pieces,
+    * n_words) plus the round's model broadcast, so train() can
     * destroy it once the round's action (topCounts' collect) has
     * materialized — hard-EM otherwise leaks one executor broadcast
     * block per round per train call across a bench session.
-    * encode()'s broadcast must stay alive (its output is consumed
+    * encode's broadcast must stay alive (its output is consumed
     * lazily) — that one is the ContextCleaner's. */
-  private def segmentedBc(spark: SparkSession, docs: DataFrame,
-                          idCol: String, textCol: String, model: Model)
+  private def segmentedBcTok(spark: SparkSession, tok: DataFrame,
+                             model: Model)
     : (DataFrame, org.apache.spark.broadcast.Broadcast[Model]) = {
     val bc = spark.sparkContext.broadcast(model)
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("id", LongType),
       StructField("pieces", ArrayType(StringType)),
       StructField("n_words", LongType))))
-    val ds: Dataset[Row] = docs
-      .select(col(idCol).cast("long").as("id"),
-        wordsCol(textCol).as("w"))
+    val ds: Dataset[Row] = tok
       .mapPartitions { rows =>
         val m = bc.value
         rows.map { r =>
@@ -168,7 +174,8 @@ object UnigramLm {
     * to the pieces Viterbi actually used (top `seedCap`). Returns
     * the model plus the final vocabulary with counts. */
   def train(docs: DataFrame, textCol: String, maxPieceWords: Int = 4,
-            seedCap: Int = 16384, rounds: Int = 4)
+            seedCap: Int = 16384, rounds: Int = 4,
+            tok: Option[DataFrame] = None)
     : (Model, Seq[(String, Long, Long)]) = {
     val spark = docs.sparkSession
     require(rounds >= 1, s"rounds >= 1, got $rounds")
@@ -186,12 +193,17 @@ object UnigramLm {
     val (costs0, unk0) = toCosts(seedCounts)
     var model = Model(costs0, maxPieceWords, unk0)
     var lastCounts = seedCounts
-    val withId = docs.withColumn("__uid", lit(0L))
+    // the E-steps read the pre-tokenized `(id, w)` frame when the
+    // caller persisted one (ids are irrelevant to the count
+    // aggregate); otherwise tokenize per round as before
+    val tokFrame = tok.getOrElse(
+      tokenize(docs.withColumn("__uid", lit(0L)), col("__uid"),
+        textCol))
     // ---- hard-EM rounds (sequential driver rounds, one bounded
     // collect each — the q63 economics) ----
     (1 to rounds).foreach { _ =>
       val (pieces, bc) =
-        segmentedBc(spark, withId, "__uid", textCol, model)
+        segmentedBcTok(spark, tokFrame, model)
       lastCounts = topCounts(
         pieces.select(explode(col("pieces")).as("piece")), seedCap)
       // topCounts' collect is the action boundary: the round's
@@ -211,7 +223,15 @@ object UnigramLm {
     * compression accounting a tokenizer run reports (t23's shape). */
   def encode(spark: SparkSession, docs: DataFrame, model: Model,
              idCol: String, textCol: String): DataFrame =
-    segmented(spark, docs, idCol, textCol, model)
+    encodeTok(spark, tokenize(docs, col(idCol), textCol), model,
+      idCol)
+
+  /** [[encode]] over a pre-[[tokenize]]d `(id, w)` frame — t30
+    * shares ONE persisted tokenization between the EM rounds and the
+    * final encode pass. */
+  def encodeTok(spark: SparkSession, tok: DataFrame, model: Model,
+                idCol: String): DataFrame =
+    segmentedBcTok(spark, tok, model)._1
       .select(col("id").as(idCol), col("n_words"),
         size(col("pieces")).cast("long").as("n_pieces"))
       .withColumn("saved_ppm",

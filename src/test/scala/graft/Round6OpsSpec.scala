@@ -25,19 +25,25 @@ class Round6OpsSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val fallback = Triangles.count(k5, maxBroadcastBytes = 1L)
+      // driverFinishMaxEdges = 0: this spec pins the DISTRIBUTED
+      // closing-join plan shapes (the r15 driver finish would
+      // otherwise return a LocalRelation with no join at all)
+      val fallback = Triangles.count(k5, maxBroadcastBytes = 1L,
+        driverFinishMaxEdges = 0L)
       val rows = fallback.collect()
       // with auto-broadcast off and the hint gated out, the closing
       // join must have planned as a shuffle join
       assert(!fallback.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"))
-      val hinted = Triangles.count(k5)
+      val hinted = Triangles.count(k5, driverFinishMaxEdges = 0L)
       val hintedRows = hinted.collect()
       assert(hinted.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin"))
       assert(rows.toSeq == hintedRows.toSeq)
       // K5: C(5,3) = 10 triangles, every wedge closes
       assert(rows.head.getLong(3) == 10L)
+      // and the default path (driver finish) agrees with both
+      assert(Triangles.count(k5).collect().toSeq == rows.toSeq)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
