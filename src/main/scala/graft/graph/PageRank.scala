@@ -133,6 +133,11 @@ object PageRank {
       require(seedRows.nonEmpty,
         "blockPersonalized: no cohort has a seed inside the graph")
       val out = Seq.newBuilder[(Long, Long, Long)]
+      // src-sorted edge walk (the run() shape): one rank lookup and
+      // one contribution division per SOURCE per round — the sparse
+      // early rounds skip whole out-edge runs of unreached sources
+      val sorted = es.sortBy(_._1)
+      val mEdges = sorted.length
       seedRows.groupBy(_._1).foreach { case (cohort, rows) =>
         val ns = rows.length.toLong
         val b = teleport / ns
@@ -141,11 +146,23 @@ object PageRank {
         var r = LongMap.from(rows.iterator.map(t => t._2 -> r0))
         for (_ <- 0 until iters) {
           val acc = new LongMap[Long]()
-          es.foreach { case (s0, d0) =>
+          var i = 0
+          while (i < mEdges) {
+            val s0 = sorted(i)._1
+            var j = i
+            while (j < mEdges && sorted(j)._1 == s0) j += 1
             val rs = r.getOrElse(s0, 0L)
-            if (rs > 0L)
-              acc(d0) = acc.getOrElse(d0, 0L) +
-                (rs * dampNum) / (degM(s0) * dampDen)
+            if (rs > 0L) {
+              val c = (rs * dampNum) / (degM(s0) * dampDen)
+              if (c != 0L) {
+                var k = i
+                while (k < j) {
+                  acc(sorted(k)._2) = acc.getOrElse(sorted(k)._2, 0L) + c
+                  k += 1
+                }
+              }
+            }
+            i = j
           }
           val nr = new LongMap[Long]()
           base.foreach { case (n, bb) =>
@@ -225,10 +242,17 @@ object PageRank {
                   dampNum: Long, dampDen: Long,
                   driverFinishMaxEdges: Long): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
-    val e = edges.select(col("src").cast("long"),
-        col("dst").cast("long")).distinct()
+    // raw projection first (the blockPersonalized r15 shape): the
+    // driver-finish gate counts RAW rows (≥ distinct, so strictly
+    // conservative) and the bounded path dedups ON THE DRIVER — the
+    // global distinct exchange of the full edge list (1.2M rows at
+    // sf0.1 for g01/g04's bipartite graph) was the bounded path's
+    // biggest stage (guide §2.4). The distributed path distincts
+    // from this cached projection, one scan either way.
+    val e0 = edges.select(col("src").cast("long"),
+        col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e.count()
+    val nRaw = e0.count()
     val total = 1000000000000L // 1e12 mass units
     val teleport = total - total * dampNum / dampDen
     // Exact driver finish on RAW edges: degrees, the node set and
@@ -238,10 +262,13 @@ object PageRank {
     // finishing from the degree-attached list (measured ~1 s per
     // graph query at sf0.1). Arithmetic identical to the distributed
     // loop; the pinning specs cover every variant.
-    if (nEdges <= driverFinishMaxEdges) {
+    if (nRaw <= driverFinishMaxEdges) {
       import scala.collection.mutable.LongMap
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      e.unpersist(false)
+      val esRaw = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e0.unpersist(false)
+      // driver-side distinct (ids may exceed 2^31 — no packed key)
+      val seen = new java.util.HashSet[(Long, Long)](esRaw.length * 2)
+      val es = esRaw.filter(seen.add)
       val degM = new LongMap[Long](es.length * 2)
       es.foreach { case (s0, _) => degM(s0) = degM.getOrElse(s0, 0L) + 1L }
       val nodeArr = degM.keys.toArray
@@ -269,11 +296,31 @@ object PageRank {
               n -> (if (inSeed(n)) r0 else 0L))))
       }
       var r = r0M
+      // src-sorted edge walk: the per-edge contribution
+      // (r(s)·dampNum) DIV (deg(s)·dampDen) is constant per source,
+      // so compute it once per source run and add it per out-edge —
+      // one rank lookup per SOURCE per round instead of two LongMap
+      // probes per EDGE per round; zero contributions add zero
+      // either way, so sums are identical
+      val sorted = es.sortBy(_._1)
+      val mEdges = sorted.length
       for (_ <- 0 until iters) {
         val acc = new LongMap[Long](nodeArr.length * 2)
-        es.foreach { case (s0, d0) =>
-          acc(d0) = acc.getOrElse(d0, 0L) +
-            (r(s0) * dampNum) / (degM(s0) * dampDen)
+        var i = 0
+        while (i < mEdges) {
+          val s0 = sorted(i)._1
+          var j = i
+          while (j < mEdges && sorted(j)._1 == s0) j += 1
+          val c = (r(s0) * dampNum) / (degM(s0) * dampDen)
+          if (c != 0L) {
+            var k = i
+            while (k < j) {
+              val d0 = sorted(k)._2
+              acc(d0) = acc.getOrElse(d0, 0L) + c
+              k += 1
+            }
+          }
+          i = j
         }
         val nr = new LongMap[Long](nodeArr.length * 2)
         nodeArr.foreach { n =>
@@ -285,6 +332,9 @@ object PageRank {
       import ses.implicits._
       return r.toSeq.map(identity).toDF("node", "rank_u")
     }
+    val e = e0.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    e0.unpersist(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // edge list with out-degree attached, reused every round
     val ed = e.join(deg, "src")
