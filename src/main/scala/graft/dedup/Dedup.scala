@@ -97,6 +97,47 @@ object Dedup {
     * separator, hash fn are mirrored literally by the DuckDB oracle),
     * shared by every aggregate-form minhash consumer so it cannot
     * silently fork. */
+  /** Per-DISTINCT-shingle hash attach (guide §1.2 per-task work):
+    * a signature hash family that evaluates expressions of the
+    * SHINGLE alone per POSTING row repeats each distinct shingle's
+    * work df times — measured mean df ≈ 9.6 at sf0.1 (260 388
+    * posting rows over 27 213 distinct shingles). `build` receives
+    * the distinct-shingle table and must return it with the hash
+    * columns attached (keeping `shingle`); the result joins back
+    * onto the postings, so values are bit-identical (the same
+    * strings through the same expressions — oracles untouched) and
+    * the join is a bijection per posting row (inner equi-join
+    * against exactly the postings' own distinct keys). The hashed
+    * side broadcasts under the house byte gate (EXACT count ×
+    * estimated row width vs ~100 MB); past it the equi-join shuffles
+    * both sides, and the map-side partial aggregation above still
+    * collapses per doc. The small distinct table persists for its
+    * two consumers (count + join build) and is released by the
+    * session cache clear (the HyperBall convention). Downstream
+    * aggregates must stay order-insensitive (sums / set-intersect) —
+    * the join does not preserve posting order.
+    *
+    * WHEN IT PAYS (r16 A/B): only when the per-shingle work is
+    * genuinely expensive AND the attached columns are narrow —
+    * simhash's 8 hex→long `conv` parses attach as 8 longs (d04
+    * 2.45 → 1.64 s, d06/d08/d13 −16..20% same-session). The minhash
+    * family is the counterexample: 12 md5 over short strings are
+    * intrinsics, and attaching 12 × 32-char strings per posting plus
+    * the fixed distinct+count+broadcast jobs measured 8-15% SLOWER —
+    * those sites keep per-posting evaluation (see
+    * minhashSignatures). */
+  private def withShingleHashes(postings: DataFrame, rowBytes: Long,
+                                build: DataFrame => DataFrame)
+    : DataFrame = {
+    val dist = postings.select(col("shingle")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = dist.count()
+    val hashed = build(dist)
+    val side = if (n * rowBytes <= (100L << 20)) broadcast(hashed)
+      else hashed
+    postings.join(side, Seq("shingle"))
+  }
+
   private def minhashMinExprs(numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
@@ -111,6 +152,12 @@ object Dedup {
     */
   def minhashSignatures(postings: DataFrame, numHashes: Int)
     : DataFrame = {
+    // NOTE (r16 A/B): computing the 12 md5 per DISTINCT shingle and
+    // joining back (withShingleHashes, the simhash win) measured
+    // 8-15% SLOWER here — md5 over short strings is an intrinsic
+    // (~0.2 µs), so the saving never repays the joined ~400 B
+    // 12-string rows plus the fixed distinct+count+broadcast jobs.
+    // Per-posting evaluation with map-side partial min IS the floor.
     val mins = minhashMinExprs(numHashes)
     postings
       .groupBy("doc_id")
@@ -160,6 +207,8 @@ object Dedup {
       .map(_.postings(shingleSize, distinct = true))
       .getOrElse(TextFunctions.shinglePostings(docs, idCol, textCol,
         shingleSize, distinct = true))
+    // per-posting md5 minima (see the minhashSignatures r16 A/B note:
+    // the per-distinct-shingle attach join measured slower here)
     val mins = minhashMinExprs(numHashes)
     val combined = postings
       .groupBy("doc_id")
@@ -433,10 +482,10 @@ object Dedup {
     // then join this table twice and BOTH columns come from the same
     // two rows — exact Jaccard is an in-row array_intersect, no
     // postings self-join, no second aggregate pass
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("shingle"))))
-        .as(s"h$i"))
-    val combined = post.groupBy("doc_id")
+    // per-posting md5 minima (see the minhashSignatures r16 A/B note)
+    val mins = minhashMinExprs(numHashes)
+    val combined = post
+      .groupBy("doc_id")
       .agg(mins.head,
         (mins.tail :+ collect_list(col("shingle")).as("sh")): _*)
       .select(col("doc_id"),
@@ -550,11 +599,16 @@ object Dedup {
       if (bits <= 32) md5(col("shingle"))
       else concat(md5(col("shingle")),
         md5(concat(lit("x:"), col("shingle"))))
-    val withMasks = postings
-      .withColumn("d", digest)
+    // digest + conv parses once per DISTINCT shingle, mask longs
+    // joined back (withShingleHashes; the vote sums are
+    // order-insensitive); ~48 B overhead + 8 B per mask long
+    val withMasks = withShingleHashes(postings, 48L + 8L * groups,
+        d => d.withColumn("d", digest)
+          .select(col("shingle") +: (0 until groups).map(g =>
+            conv(substring(col("d"), g * 8 + 1, 8), 16, 10)
+              .cast("long").as(s"m$g")): _*))
       .select(col("doc_id") +: (0 until groups).map(g =>
-        conv(substring(col("d"), g * 8 + 1, 8), 16, 10).cast("long")
-          .as(s"m$g")): _*)
+        col(s"m$g")): _*)
     val votes = (0 until bits).map { i =>
       val parity = shiftright(col(s"m${i / 8}"), 4 * (7 - i % 8))
         .bitwiseAND(lit(1L))

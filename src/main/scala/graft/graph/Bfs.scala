@@ -48,7 +48,9 @@ object Bfs {
     * already contain both directions for an undirected walk. */
   def hopDistances(edges: DataFrame, seeds: DataFrame,
                    maxHops: Int,
-                   driverFinishMaxEdges: Long = 2000000L): DataFrame = {
+                   driverFinishMaxEdges: Long = 2000000L,
+                   maxBroadcastBytes: Long =
+                     GraphJoins.defaultBroadcastBytes): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -96,29 +98,59 @@ object Bfs {
       return dist.toSeq.map(identity).toDF("node", "dist")
         .select(col("node").cast(nodeType), col("dist"))
     }
+    // Per-round join-side policy (guide §2.4/§3.1, the GraphJoins
+    // discipline): frontier and settled sets are node-sized, and
+    // their row counts are FREE (the loop counts the frontier every
+    // hop anyway) — broadcast them while they fit, so the cached
+    // edge list is never re-exchanged or sorted in any round. When
+    // |V| can exceed the cap, the edge cache is pre-partitioned on
+    // the join key once up-front and the state sides carry a
+    // shuffled-hash hint (edge side streams sort-free). Spec-pinned:
+    // broadcast == fallback == driver finish (Round16OpsSpec).
+    val nNodes = e.select(col("src")).distinct().count()
+    val allFit = GraphJoins.fitsBroadcast(nNodes,
+      GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes)
     val seedLayer = seeds.select(col("node")).distinct()
       .join(e.select(col("src").as("node")), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    val eLoop =
+      if (allFit) e
+      else {
+        val ep = e.repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ep.count()
+        e.unpersist(false) // seedLayer is checkpointed — e is done
+        ep
+      }
     var layers = List(seedLayer)
     var frontier = seedLayer.select("node")
     var frontierSize = frontier.count()
+    var settledCount = frontierSize
     var hop = 1
     while (hop <= maxHops && frontierSize > 0) {
       val settledNodes =
         layers.map(_.select("node")).reduce(_ union _)
-      val next = e
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+      val fSide = GraphJoins.sideFor(
+        frontier.withColumnRenamed("node", "src"),
+        GraphJoins.fitsBroadcast(frontierSize,
+          GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes))
+      val sSide = GraphJoins.sideFor(settledNodes,
+        GraphJoins.fitsBroadcast(settledCount,
+          GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes))
+      val next = eLoop
+        .join(fSide, Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(settledNodes, Seq("node"), "left_anti")
+        .join(sSide, Seq("node"), "left_anti")
         .select(col("node"), lit(hop.toLong).as("dist"))
         .localCheckpoint(true)
       frontierSize = next.count()
+      settledCount += frontierSize
       layers = next :: layers
       frontier = next.select("node")
       hop += 1
     }
-    e.unpersist(false)
+    eLoop.unpersist(false)
     layers.reduce(_ union _)
   }
 }

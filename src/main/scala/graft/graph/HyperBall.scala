@@ -65,7 +65,8 @@ object HyperBall {
     * clear releases it after the caller's action (the Dedup caching
     * contract; Bench/Verify clear between queries). */
   private def ballStates(edges: DataFrame, rounds: Int,
-                         driverFinishMaxEdges: Long): Seq[DataFrame] = {
+                         driverFinishMaxEdges: Long,
+                         maxBroadcastBytes: Long): Seq[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,7 +87,24 @@ object HyperBall {
       e.unpersist(false)
       return localStates(edges.sparkSession, nodeType, es, rounds)
     }
+    // Per-round join-side policy (guide §2.4/§3.1, the GraphJoins
+    // discipline): the register state is one ~70 B row per node, so
+    // under the byte gate every round BROADCASTS the state (the
+    // scaladoc's long-standing claim, now actually planned — a
+    // localCheckpoint'ed state has no stats, so auto-broadcast never
+    // fired) and the cached edge list is never re-exchanged or
+    // sorted; past the gate the edge cache pre-partitions on src
+    // once and the state side carries a shuffled-hash hint. The
+    // state's node set only grows: it starts at the distinct sources
+    // and can reach every distinct endpoint, so the gate bounds it by
+    // |distinct src ∪ dst| (one aggregate over the cache, amortized
+    // over all rounds). Spec-pinned: broadcast == fallback == driver
+    // finish (Round16OpsSpec).
     val nodes = e.select(col("src").as("node")).distinct()
+    val nV = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().count()
+    val bcastState = GraphJoins.fitsBroadcast(nV,
+      GraphJoins.bytesPerRegisterRow, maxBroadcastBytes)
     val h = md5(col("node").cast("string"))
     val j = conv(substring(h, 1, 2), 16, 10).cast("long") % R
     val wh = substring(h, 3, 13)
@@ -100,9 +118,22 @@ object HyperBall {
     var state = nodes.select(col("node"),
         hllInit(j, least(rho, lit(40)).cast("long")).as("regs"))
       .localCheckpoint(true)
+    // state is checkpointed — in the fallback branch the plain cache
+    // has no consumers left once the pre-partitioned copy exists
+    val eLoop =
+      if (bcastState) e
+      else {
+        val ep = e.repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ep.count()
+        e.unpersist(false)
+        ep
+      }
     (1 to rounds).map { r =>
-      val prop = e
-        .join(state.withColumnRenamed("node", "src"), Seq("src"))
+      val prop = eLoop
+        .join(GraphJoins.sideFor(
+          state.withColumnRenamed("node", "src"), bcastState),
+          Seq("src"))
         .select(col("dst").as("node"), col("regs"))
       val merged = state.union(prop)
         .groupBy("node")
@@ -205,8 +236,11 @@ object HyperBall {
     * `(node, s_scaled, v_empty, ball_est)` — `ball_est` counts the
     * node itself, exact sketch parity with the q42 formula. */
   def neighborhood(edges: DataFrame, rounds: Int,
-                   driverFinishMaxEdges: Long = 2000000L): DataFrame =
-    estimate(ballStates(edges, rounds, driverFinishMaxEdges).last)
+                   driverFinishMaxEdges: Long = 2000000L,
+                   maxBroadcastBytes: Long =
+                     GraphJoins.defaultBroadcastBytes): DataFrame =
+    estimate(ballStates(edges, rounds, driverFinishMaxEdges,
+      maxBroadcastBytes).last)
 
   /** Harmonic centrality from the per-radius estimate deltas — the
     * HyperBall paper's application: H(u) ≈ Σ_k (|ball_k| −
@@ -217,9 +251,12 @@ object HyperBall {
     * 1/k weights are exact integer `DIV`s in milli units. Output:
     * `(node, est_1.., harmonic_milli)`. */
   def harmonicCentrality(edges: DataFrame, rounds: Int,
-                         driverFinishMaxEdges: Long = 2000000L)
+                         driverFinishMaxEdges: Long = 2000000L,
+                         maxBroadcastBytes: Long =
+                           GraphJoins.defaultBroadcastBytes)
     : DataFrame = {
-    val states = ballStates(edges, rounds, driverFinishMaxEdges)
+    val states = ballStates(edges, rounds, driverFinishMaxEdges,
+      maxBroadcastBytes)
     val ests = states.zipWithIndex.map { case (st, i) =>
       estimate(st).select(col("node"),
         col("ball_est").as(s"est${i + 1}"))

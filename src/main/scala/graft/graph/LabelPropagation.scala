@@ -76,7 +76,9 @@ object LabelPropagation {
     */
   def run(edges: DataFrame, rounds: Int,
           canonical: Boolean = false,
-          driverFinishMaxEdges: Long = 2000000L): DataFrame = {
+          driverFinishMaxEdges: Long = 2000000L,
+          maxBroadcastBytes: Long = GraphJoins.defaultBroadcastBytes)
+    : DataFrame = {
     require(rounds >= 1)
     val e0 = canon(edges, canonical)
     // non-canonical: the distinct'd list feeds the gate count AND
@@ -90,29 +92,53 @@ object LabelPropagation {
       if (!canonical) e.unpersist(false)
       return runLocal(edges.sparkSession, es, rounds)
     }
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+    // per-round edge-side shuffle removal (guide §2.4/§3.1): labels
+    // are one row per node, so when |V|·row bytes clears the
+    // broadcast cap every round's join broadcasts the LABELS and the
+    // cached edge list is never re-exchanged or sorted; past the cap
+    // the edge list persists PRE-PARTITIONED on the join key (src) —
+    // the per-round sort-merge exchange+sort of the EDGE side
+    // becomes one up-front shuffle, and the shuffled-hash hint on
+    // the label side keeps the streamed edge side sort-free.
+    // Both branches spec-pinned equal (Round16OpsSpec).
+    val symRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    var labels = symRaw.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    val nNodes = labels.count()
+    val bcastLabels = GraphJoins.fitsBroadcast(nNodes,
+      GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes)
+    val sym = (if (bcastLabels) symRaw
+      else symRaw.repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count() // reused by every round — materialize before the loop
     if (!canonical) e.unpersist(false)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
-      val msgs = sym
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("label"))
-      labels = msgs
-        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-        .groupBy("node")
-        .agg(max(col("cnt") * lit(4294967296L)
-          - (col("label") + lit(1L))).as("enc"))
-        .select(col("node"),
-          ((expr("enc DIV 4294967296") + lit(1L)) * lit(4294967296L)
-            - col("enc") - lit(1L)).as("label"))
-        .localCheckpoint(true)
+      labels = lpaRound(sym, labels, bcastLabels).localCheckpoint(true)
     }
     sym.unpersist(false)
     labels
+  }
+
+  /** One synchronous LPA round over the persisted symmetrized edge
+    * list — factored out so the round's physical plan is inspectable
+    * (plans/r16 evidence) and the broadcast/shuffled-hash branches
+    * share one body. Arithmetic identical to the pre-r16 inline loop. */
+  private[graft] def lpaRound(sym: DataFrame, labels: DataFrame,
+                              bcastLabels: Boolean): DataFrame = {
+    val lab = GraphJoins.sideFor(
+      labels.withColumnRenamed("node", "src"), bcastLabels)
+    val msgs = sym.join(lab, Seq("src"))
+      .select(col("dst").as("node"), col("label"))
+    msgs
+      .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("node")
+      .agg(max(col("cnt") * lit(4294967296L)
+        - (col("label") + lit(1L))).as("enc"))
+      .select(col("node"),
+        ((expr("enc DIV 4294967296") + lit(1L)) * lit(4294967296L)
+          - col("enc") - lit(1L)).as("label"))
   }
 
   /** In-memory synchronous LPA over a collected canonical edge list —

@@ -72,18 +72,19 @@ object LinkPrediction {
       degM.foreachEntry { (_, d) =>
         if (d <= maxCenterDegree) wedgeBound += d * (d - 1) / 2
       }
-      if (wedgeBound <= graft.graph.Triangles.maxLocalWedges) {
+      var maxNode = 0L
+      es.foreach { case (a, b) =>
+        if (a > maxNode) maxNode = a
+        if (b > maxNode) maxNode = b
+      }
+      // node ids ≥ 1e9 break the packed pair key below — fall through
+      // to the distributed chain (no packing constraint) instead of
+      // refusing a graph the pre-finish code handled (r15 advice)
+      if (wedgeBound <= graft.graph.Triangles.maxLocalWedges &&
+          maxNode < 1000000000L) {
         e.unpersist(false)
         val adjM = new LongMap[ArrayBuffer[Long]](degM.size * 2)
         val eset = new java.util.HashSet[Long](es.length * 2)
-        var maxNode = 0L
-        es.foreach { case (a, b) =>
-          if (a > maxNode) maxNode = a
-          if (b > maxNode) maxNode = b
-        }
-        require(maxNode < 1000000000L,
-          s"jaccardCandidates: node id $maxNode >= 1e9 breaks the " +
-            "packed pair key — remap ids first")
         es.foreach { case (a, b) =>
           if (degM(a) <= maxCenterDegree)
             adjM.getOrElseUpdate(a, ArrayBuffer.empty[Long]) += b

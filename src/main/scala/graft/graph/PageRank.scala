@@ -42,8 +42,11 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, iters: Int = 5,
                dampNum: Long = 17L, dampDen: Long = 20L,
-               driverFinishMaxEdges: Long = 2000000L): DataFrame =
-    run(edges, None, iters, dampNum, dampDen, driverFinishMaxEdges)
+               driverFinishMaxEdges: Long = 2000000L,
+               maxBroadcastBytes: Long =
+                 GraphJoins.defaultBroadcastBytes): DataFrame =
+    run(edges, None, iters, dampNum, dampDen, driverFinishMaxEdges,
+      maxBroadcastBytes)
 
   /** Personalized PageRank: teleport mass lands ONLY on `seeds`
     * (uniformly, in exact integer units), so ranks measure proximity
@@ -60,9 +63,11 @@ object PageRank {
     */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
                    dampNum: Long = 17L, dampDen: Long = 20L,
-                   driverFinishMaxEdges: Long = 2000000L): DataFrame =
+                   driverFinishMaxEdges: Long = 2000000L,
+                   maxBroadcastBytes: Long =
+                     GraphJoins.defaultBroadcastBytes): DataFrame =
     run(edges, Some(seeds), iters, dampNum, dampDen,
-      driverFinishMaxEdges)
+      driverFinishMaxEdges, maxBroadcastBytes)
 
   /** BLOCK-personalized PageRank: many seed cohorts through ONE
     * shared loop. Rank state is SPARSE — a (cohort, node, rank) row
@@ -97,7 +102,9 @@ object PageRank {
                         iters: Int = 5,
                         dampNum: Long = 17L, dampDen: Long = 20L,
                         driverFinishMaxEdges: Long = 2000000L,
-                        cohortBatchSize: Int = Int.MaxValue)
+                        cohortBatchSize: Int = Int.MaxValue,
+                        maxBroadcastBytes: Long =
+                          GraphJoins.defaultBroadcastBytes)
     : DataFrame = {
     require(cohortBatchSize > 0, "cohortBatchSize must be positive")
     require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
@@ -210,7 +217,15 @@ object PageRank {
       var ranks = bases.select(col("cohort"), col("node"),
         col("r0").as("r")).localCheckpoint(true)
       for (_ <- 0 until iters) {
-        val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        // join-side policy per round (GraphJoins): the sparse state
+        // grows with each cohort's reached neighbourhood, so the
+        // byte gate re-reads the count every round — cheap, ranks is
+        // already checkpointed. Fallback past the cap: shuffled-hash
+        // hint, the cached ed plan is hash-partitioned on src
+        val rankSide = GraphJoins.sideFor(ranks,
+          GraphJoins.fitsBroadcast(ranks.count(),
+            GraphJoins.bytesPerKeyedLongRow + 8L, maxBroadcastBytes))
+        val contrib = ed.join(rankSide, ed("src") === ranks("node"))
           .select(col("cohort"), col("dst").as("node"),
             expr(s"(r * $dampNum) DIV (deg * $dampDen)").as("c"))
           .groupBy("cohort", "node").agg(sum("c").as("s"))
@@ -240,7 +255,9 @@ object PageRank {
 
   private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
                   dampNum: Long, dampDen: Long,
-                  driverFinishMaxEdges: Long): DataFrame = {
+                  driverFinishMaxEdges: Long,
+                  maxBroadcastBytes: Long =
+                    GraphJoins.defaultBroadcastBytes): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen >= dampNum)
     // raw projection first (the blockPersonalized r15 shape): the
     // driver-finish gate counts RAW rows (≥ distinct, so strictly
@@ -366,21 +383,29 @@ object PageRank {
     }).localCheckpoint(true)
     var ranks = nodes.select(col("node"), col("r0").as("r"))
       .localCheckpoint(true)
+    // Per-round join-side policy (guide §2.4/§3.1, the GraphJoins
+    // discipline): ranks is exactly one row per node every round, so
+    // the broadcast decision is one byte gate on the node count —
+    // under it the rank side broadcasts EXPLICITLY (the pre-r16 loop
+    // left the choice to AQE over a checkpointed relation's size
+    // ESTIMATE against the 10 MB auto threshold — deliberate and
+    // exact beats estimated); past it the shuffled-hash hint keeps
+    // the cached degree-attached edge list sort-free (its cached
+    // plan is already hash-partitioned on src by the deg join).
+    // Spec-pinned: broadcast == fallback == driver finish
+    // (Round16OpsSpec).
+    val nNodes = nodes.count()
+    val bcastRanks = GraphJoins.fitsBroadcast(nNodes,
+      GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes)
     for (_ <- 0 until iters) {
-      // DIV = exact integral division on longs — floor(double-div)
-      // could round across an integer boundary and break the oracle
-      val contrib = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("dst").as("node"),
-          expr(s"(r * $dampNum) DIV (deg * $dampDen)").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
+      val contrib = prContrib(ed, ranks, dampNum, dampDen, bcastRanks)
       // every node has out-edges by construction; in a symmetrized
       // graph it therefore also has in-edges, but a directed caller
-      // may have sources nobody links to — they keep just the base
-      // per-round EAGER checkpoint: ranks feeds the next round only
-      // once (linear lineage, unlike Components' doubling), but the
-      // checkpoint hands AQE an exactly-sized relation so every
-      // round's rank join plans as a broadcast — measured ~2x faster
-      // than one deep 5-round plan whose joins fall back to SMJ
+      // may have sources nobody links to — they keep just the base.
+      // Per-round EAGER checkpoint: ranks feeds the next round only
+      // once (linear lineage, unlike Components' doubling), and the
+      // checkpoint keeps each round's plan flat — one deep 5-round
+      // plan measured ~2x slower when its joins fell back to SMJ
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (col("base") + coalesce(col("s"), lit(0L))).as("r"))
@@ -389,4 +414,19 @@ object PageRank {
     ed.unpersist(false)
     ranks.select(col("node"), col("r").as("rank_u"))
   }
+
+  /** One PageRank contribution round over the persisted degree-
+    * attached edge list — factored out so the round's physical plan
+    * is inspectable (plans/r16 evidence) and both join-side branches
+    * share one body. DIV = exact integral division on longs —
+    * floor(double-div) could round across an integer boundary and
+    * break the oracle. */
+  private[graft] def prContrib(ed: DataFrame, ranks: DataFrame,
+                               dampNum: Long, dampDen: Long,
+                               bcastRanks: Boolean): DataFrame =
+    ed.join(GraphJoins.sideFor(ranks, bcastRanks),
+        ed("src") === ranks("node"))
+      .select(col("dst").as("node"),
+        expr(s"(r * $dampNum) DIV (deg * $dampDen)").as("c"))
+      .groupBy("node").agg(sum("c").as("s"))
 }

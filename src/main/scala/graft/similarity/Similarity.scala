@@ -142,8 +142,15 @@ object Similarity {
         // norms are pair-invariant: sqrt(Σp²) once per probe per task
         // and sqrt(Σv²) once per corpus row, instead of re-summing
         // both inside the O(|corpus|·|probes|) pair loop (3x fewer
-        // flops; the partial sums and the sqrt·sqrt product are the
-        // same doubles in the same order, so cos is bit-identical)
+        // flops). Norms run over each vector's FULL length — exactly
+        // the oracle's list_dot_product(v, v) — while the dot product
+        // truncates to min(|v|, |p|); when all vectors share one
+        // dimension (true of every registered corpus, spec-pinned in
+        // SimilaritySpec's ragged test) the partial sums and the
+        // sqrt·sqrt product are the same doubles in the same order as
+        // the pre-hoist code, so cos is bit-identical to it. Ragged
+        // inputs are still well-defined (full-norm semantics, the
+        // oracle's form) but differ from the pre-r15 truncated norms.
         val pids = ps.map(_._1)
         val pvecs = ps.map(_._2)
         val pnorm = pvecs.map { p =>

@@ -78,6 +78,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("partitioned kNN on RAGGED vectors uses full-length norms " +
+    "(the oracle's list_dot_product(v,v) semantics)") {
+    // the r15 norm hoist sums each vector's FULL norm while the dot
+    // truncates to min(|v|, |p|); this pins that declared semantics
+    // on inputs of differing dimension so a future refactor cannot
+    // silently revert to truncated norms (r15 advice)
+    val corpus = Seq(
+      (0L, Seq(3.0, 4.0)),            // dim 2
+      (1L, Seq(1.0, 2.0, 2.0)),       // dim 3
+      (2L, Seq(2.0))                  // dim 1
+    ).toDF("vec_id", "embedding")
+    val probes = Seq((0L, Seq(3.0, 4.0))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopKPartitioned(corpus, probes, 2)
+      .select("vec_id", "cos").as[(Long, Double)].collect().toMap
+    def cosFull(v: Array[Double], p: Array[Double]): Double = {
+      val dot = v.zip(p).map { case (a, b) => a * b }.sum // truncated
+      val nv = math.sqrt(v.map(x => x * x).sum)           // full
+      val np = math.sqrt(p.map(x => x * x).sum)           // full
+      java.math.BigDecimal.valueOf(dot / (nv * np))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val p = Array(3.0, 4.0)
+    assert(got(1L) == cosFull(Array(1.0, 2.0, 2.0), p))
+    assert(got(2L) == cosFull(Array(2.0), p))
+  }
+
   test("ivfTopK finds the identical vector through its list") {
     val vecs = (0L until 20L).map(i =>
       (i, Seq.tabulate(4)(j => math.sin(i * 7 + j).abs + 0.1)))
