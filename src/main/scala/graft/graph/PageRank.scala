@@ -140,11 +140,13 @@ object PageRank {
       require(seedRows.nonEmpty,
         "blockPersonalized: no cohort has a seed inside the graph")
       val out = Seq.newBuilder[(Long, Long, Long)]
-      // src-sorted edge walk (the run() shape): one rank lookup and
-      // one contribution division per SOURCE per round — the sparse
-      // early rounds skip whole out-edge runs of unreached sources
-      val sorted = es.sortBy(_._1)
-      val mEdges = sorted.length
+      // CSR adjacency walk (r16, the run() shape): one rank probe +
+      // one contribution division per SOURCE per round over primitive
+      // arrays — the sparse early rounds skip unreached sources at
+      // one LongMap probe each, with no per-edge run-boundary scan
+      // and no tuple deref (the former sorted-tuple walk paid O(|E|)
+      // boundary detection per round per cohort)
+      val (csrSrcs, csrStarts, csrDsts) = csr(es)
       seedRows.groupBy(_._1).foreach { case (cohort, rows) =>
         val ns = rows.length.toLong
         val b = teleport / ns
@@ -153,23 +155,22 @@ object PageRank {
         var r = LongMap.from(rows.iterator.map(t => t._2 -> r0))
         for (_ <- 0 until iters) {
           val acc = new LongMap[Long]()
-          var i = 0
-          while (i < mEdges) {
-            val s0 = sorted(i)._1
-            var j = i
-            while (j < mEdges && sorted(j)._1 == s0) j += 1
-            val rs = r.getOrElse(s0, 0L)
+          var k0 = 0
+          while (k0 < csrSrcs.length) {
+            val rs = r.getOrElse(csrSrcs(k0), 0L)
             if (rs > 0L) {
-              val c = (rs * dampNum) / (degM(s0) * dampDen)
+              val lo = csrStarts(k0)
+              val hi = csrStarts(k0 + 1)
+              val c = (rs * dampNum) / ((hi - lo) * dampDen)
               if (c != 0L) {
-                var k = i
-                while (k < j) {
-                  acc(sorted(k)._2) = acc.getOrElse(sorted(k)._2, 0L) + c
-                  k += 1
+                var e1 = lo
+                while (e1 < hi) {
+                  acc(csrDsts(e1)) = acc.getOrElse(csrDsts(e1), 0L) + c
+                  e1 += 1
                 }
               }
             }
-            i = j
+            k0 += 1
           }
           val nr = new LongMap[Long]()
           base.foreach { case (n, bb) =>
@@ -253,6 +254,34 @@ object PageRank {
     out
   }
 
+  /** CSR layout of a deduplicated edge array for the driver-finish
+    * walks: `(srcs, starts, dsts)` with `srcs` the distinct sources
+    * in ascending order, `dsts(starts(k) until starts(k+1))` the
+    * k-th source's out-neighbours (so the out-degree is the offset
+    * delta), all primitive arrays. Built once; each PageRank
+    * iteration then probes one rank per SOURCE instead of scanning
+    * per-edge run boundaries over a tuple array. */
+  private def csr(es: Array[(Long, Long)])
+    : (Array[Long], Array[Int], Array[Long]) = {
+    val sorted = es.sortBy(_._1)
+    val m = sorted.length
+    val dsts = new Array[Long](m)
+    val srcsB = Array.newBuilder[Long]
+    val startsB = Array.newBuilder[Int]
+    var i = 0
+    while (i < m) {
+      val s0 = sorted(i)._1
+      srcsB += s0
+      startsB += i
+      while (i < m && sorted(i)._1 == s0) {
+        dsts(i) = sorted(i)._2
+        i += 1
+      }
+    }
+    startsB += m
+    (srcsB.result(), startsB.result(), dsts)
+  }
+
   private def run(edges: DataFrame, seeds: Option[DataFrame], iters: Int,
                   dampNum: Long, dampDen: Long,
                   driverFinishMaxEdges: Long,
@@ -313,31 +342,33 @@ object PageRank {
               n -> (if (inSeed(n)) r0 else 0L))))
       }
       var r = r0M
-      // src-sorted edge walk: the per-edge contribution
+      // CSR adjacency walk (r16): the per-edge contribution
       // (r(s)·dampNum) DIV (deg(s)·dampDen) is constant per source,
-      // so compute it once per source run and add it per out-edge —
-      // one rank lookup per SOURCE per round instead of two LongMap
-      // probes per EDGE per round; zero contributions add zero
-      // either way, so sums are identical
-      val sorted = es.sortBy(_._1)
-      val mEdges = sorted.length
+      // so compute it once per source and add it per out-edge. The
+      // CSR layout (primitive src/offset/dst arrays built ONCE)
+      // replaces the former src-sorted tuple-array walk: per
+      // iteration one rank probe per SOURCE over a primitive array
+      // (no per-edge run-boundary scan, no tuple deref), and the
+      // out-degree IS the offset delta (no degree-map probe). Sums
+      // are identical — same contributions in the same per-source
+      // order, zero contributions add zero either way.
+      val (csrSrcs, csrStarts, csrDsts) = csr(es)
       for (_ <- 0 until iters) {
         val acc = new LongMap[Long](nodeArr.length * 2)
-        var i = 0
-        while (i < mEdges) {
-          val s0 = sorted(i)._1
-          var j = i
-          while (j < mEdges && sorted(j)._1 == s0) j += 1
-          val c = (r(s0) * dampNum) / (degM(s0) * dampDen)
+        var k = 0
+        while (k < csrSrcs.length) {
+          val lo = csrStarts(k)
+          val hi = csrStarts(k + 1)
+          val c = (r(csrSrcs(k)) * dampNum) / ((hi - lo) * dampDen)
           if (c != 0L) {
-            var k = i
-            while (k < j) {
-              val d0 = sorted(k)._2
+            var e1 = lo
+            while (e1 < hi) {
+              val d0 = csrDsts(e1)
               acc(d0) = acc.getOrElse(d0, 0L) + c
-              k += 1
+              e1 += 1
             }
           }
-          i = j
+          k += 1
         }
         val nr = new LongMap[Long](nodeArr.length * 2)
         nodeArr.foreach { n =>
