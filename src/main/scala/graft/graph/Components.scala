@@ -58,7 +58,9 @@ object Components {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
-                          driverFinishMaxEdges: Long = 1000000L)
+                          driverFinishMaxEdges: Long = 1000000L,
+                          maxBroadcastBytes: Long =
+                            GraphJoins.defaultBroadcastBytes)
     : DataFrame = {
     val e = edges.select(col("id1"), col("id2"))
       .filter(col("id1") =!= col("id2"))
@@ -66,25 +68,46 @@ object Components {
     val nEdges = e.count()
     if (nEdges <= driverFinishMaxEdges)
       return driverFinish(nodes, e)
-    val sym = e.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
     // eager: materialized now, logical plan truncated (see scaladoc)
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+    // Per-round join-side policy (GraphJoins, guide §2.4/§3.1): the
+    // label/nbrMin/stepA sides are all bounded by |nodes| — under the
+    // byte gate every per-round join BROADCASTS its node-sized side,
+    // so the edge stream is never exchanged or sorted; past it the
+    // symmetrized edge list persists pre-partitioned on its join key
+    // (dst) and node-sized sides carry shuffled-hash hints.
+    // Spec-pinned: broadcast == fallback == driver finish
+    // (Round16OpsSpec).
+    val nNodes = labels.count()
+    val bcast = GraphJoins.fitsBroadcast(nNodes,
+      GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes)
+    val symRaw = e.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
+    val sym =
+      if (bcast) symRaw
+      else {
+        val sp = symRaw.repartition(col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        sp.count()
+        sp
+      }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // neighbour minima: one shuffle join + one aggregate
+      // neighbour minima: one join (node side broadcast/SHJ-built)
+      // + one aggregate
       val nbrMin = sym
-        .join(labels.select(col("id").as("dst"),
-          col("component").as("nbr")), Seq("dst"))
+        .join(GraphJoins.sideFor(labels.select(col("id").as("dst"),
+          col("component").as("nbr")), bcast), Seq("dst"))
         .groupBy("src").agg(min(col("nbr")).as("nbr_min"))
       // materialized eagerly: stepA feeds BOTH sides of the pointer-
       // jump self-join below (different join keys, so ReuseExchange
       // cannot dedupe the subtree) — without the checkpoint the
       // neighbour-min join + aggregate would execute twice per round
       val stepA = labels
-        .join(nbrMin.select(col("src").as("id"), col("nbr_min")),
+        .join(GraphJoins.sideFor(
+          nbrMin.select(col("src").as("id"), col("nbr_min")), bcast),
           Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"),
@@ -99,9 +122,10 @@ object Components {
       // ever decrease and always name a node of the same component,
       // so the shortcut preserves the invariant while collapsing
       // label chains exponentially.
+      val ptr = stepA.select(col("id").as("cid"),
+        col("component").as("cc"))
       labels = stepA.as("x")
-        .join(stepA.select(col("id").as("cid"),
-          col("component").as("cc")).as("p"),
+        .join(GraphJoins.sideFor(ptr, bcast).as("p"),
           col("x.component") === col("p.cid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("p.cc"), col("x.component")).as("component"))
@@ -109,6 +133,7 @@ object Components {
       converged = changed == 0
       iter += 1
     }
+    if (!bcast) sym.unpersist(false)
     e.unpersist(false)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: not converged after $maxIter rounds")

@@ -37,7 +37,9 @@ object KCore {
     *         deg ≥ k
     */
   def kcore(edges: DataFrame, k: Int, rounds: Int,
-            driverFinishMaxEdges: Long = 2000000L): DataFrame = {
+            driverFinishMaxEdges: Long = 2000000L,
+            maxBroadcastBytes: Long =
+              GraphJoins.defaultBroadcastBytes): DataFrame = {
     require(k >= 1 && rounds >= 0)
     val e = edges.select(
         least(col("id1"), col("id2")).cast("long").as("a"),
@@ -74,20 +76,44 @@ object KCore {
       import ses.implicits._
       return fin.toSeq.map(identity).toDF("node", "deg")
     }
-    // degrees of the subgraph induced on `alive` — nodes with zero
-    // induced edges simply don't appear (and could never reach k)
-    def degrees(alive: DataFrame): DataFrame = {
-      val ind = e
-        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
-      ind.select(col("a").as("node"))
-        .union(ind.select(col("b").as("node")))
-        .groupBy("node").agg(sqlCount(lit(1)).as("deg"))
-    }
     var alive = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // Per-round join-side policy (GraphJoins, guide §2.4/§3.1): the
+    // survivor set only SHRINKS from |V|, so one byte gate on the
+    // initial node count decides every round — under it both endpoint
+    // semi-joins BROADCAST the survivor set and the cached edge list
+    // streams unexchanged/unsorted; past it the edge cache persists
+    // pre-partitioned on `a` (the first semi-join's key) and the
+    // survivor sides carry shuffled-hash hints. Spec-pinned:
+    // broadcast == fallback == driver finish (Round16OpsSpec).
+    val nNodes = alive.count()
+    val bcast = GraphJoins.fitsBroadcast(nNodes,
+      GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes)
+    val eLoop =
+      if (bcast) e
+      else {
+        val ep = e.repartition(col("a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ep.count()
+        e.unpersist(false) // alive is checkpointed — e is done
+        ep
+      }
+    // degrees of the subgraph induced on `alive` — nodes with zero
+    // induced edges simply don't appear (and could never reach k)
+    def degrees(alive: DataFrame): DataFrame = {
+      val ind = eLoop
+        .join(GraphJoins.sideFor(
+          alive.select(col("node").as("a")), bcast), Seq("a"),
+          "left_semi")
+        .join(GraphJoins.sideFor(
+          alive.select(col("node").as("b")), bcast), Seq("b"),
+          "left_semi")
+      ind.select(col("a").as("node"))
+        .union(ind.select(col("b").as("node")))
+        .groupBy("node").agg(sqlCount(lit(1)).as("deg"))
+    }
     for (_ <- 0 until rounds) {
       alive = degrees(alive).filter(col("deg") >= k)
         .select("node")

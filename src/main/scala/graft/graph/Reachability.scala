@@ -72,20 +72,46 @@ object Reachability {
     */
   def reachingSet(edges: DataFrame, targets: DataFrame,
                   maxRounds: Int = 20,
-                  driverFinishMaxEdges: Long = 2000000L): DataFrame = {
+                  driverFinishMaxEdges: Long = 2000000L,
+                  maxBroadcastBytes: Long =
+                    GraphJoins.defaultBroadcastBytes): DataFrame = {
     val e0 = edges.select(col("child"), col("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e0.count()
     if (nEdges <= driverFinishMaxEdges) return driverFinish(e0, targets)
-    val e = e0
+    // Per-round join-side policy (GraphJoins, guide §2.4/§3.1): the
+    // reach set is node-sized and its count is FREE (the convergence
+    // check counts it every round) — broadcast it while it fits, so
+    // the cached edge list is never re-exchanged or sorted; when the
+    // closure can outgrow the cap (node count over the byte gate),
+    // pre-partition the edge cache on the join key (parent) once and
+    // hint shuffled-hash on the reach side. Spec-pinned: broadcast ==
+    // fallback == driver finish (Round16OpsSpec).
+    val nV = e0.select(col("child").as("node"))
+      .union(e0.select(col("parent").as("node"))).distinct().count()
+    val allFit = GraphJoins.fitsBroadcast(nV,
+      GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes)
     var reach = targets.select(col("node")).distinct()
       .localCheckpoint(true)
+    val e =
+      if (allFit) e0
+      else {
+        val ep = e0.repartition(col("parent"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ep.count()
+        e0.unpersist(false) // reach is checkpointed — e0 is done
+        ep
+      }
     var size = reach.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      val rSide = GraphJoins.sideFor(
+        reach.select(col("node").as("parent")),
+        GraphJoins.fitsBroadcast(size,
+          GraphJoins.bytesPerKeyedLongRow, maxBroadcastBytes))
       val next = e
-        .join(reach.select(col("node").as("parent")), Seq("parent"))
+        .join(rSide, Seq("parent"))
         .select(col("child").as("node"))
         .union(reach.select("node"))
         .distinct()

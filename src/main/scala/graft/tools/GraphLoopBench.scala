@@ -83,9 +83,40 @@ object GraphLoopBench {
         if (fb) graft.graph.PageRank.pageRank(sym, iters = 5,
           driverFinishMaxEdges = 0L, maxBroadcastBytes = 0L)
         else graft.graph.PageRank.pageRank(sym, iters = 5,
-          driverFinishMaxEdges = 0L)))
+          driverFinishMaxEdges = 0L)),
+      "components" -> { () =>
+        val nodes = spark.range(300000).select(col("id"))
+        if (fb) graft.graph.Components.connectedComponents(nodes,
+          edges.select(col("src").as("id1"), col("dst").as("id2")),
+          driverFinishMaxEdges = 0L, maxBroadcastBytes = 0L)
+        else graft.graph.Components.connectedComponents(nodes,
+          edges.select(col("src").as("id1"), col("dst").as("id2")),
+          driverFinishMaxEdges = 0L)
+      },
+      "kcore4" -> (() =>
+        if (fb) graft.graph.KCore.kcore(
+          edges.select(col("src").as("id1"), col("dst").as("id2")),
+          k = 8, rounds = 4, driverFinishMaxEdges = 0L,
+          maxBroadcastBytes = 0L)
+        else graft.graph.KCore.kcore(
+          edges.select(col("src").as("id1"), col("dst").as("id2")),
+          k = 8, rounds = 4, driverFinishMaxEdges = 0L)),
+      "reach" -> { () =>
+        val targets = spark.range(10).select(col("id").as("node"))
+        val dedges = edges.select(col("src").as("child"),
+          col("dst").as("parent"))
+        if (fb) graft.graph.Reachability.reachingSet(dedges, targets,
+          maxRounds = 40, driverFinishMaxEdges = 0L,
+          maxBroadcastBytes = 0L)
+        else graft.graph.Reachability.reachingSet(dedges, targets,
+          maxRounds = 40, driverFinishMaxEdges = 0L)
+      })
 
-    val results = ops.map { case (name, build) =>
+    // optional 4th arg: comma-separated op subset for targeted A/Bs
+    val only = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = ops.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, build) =>
       spark.sparkContext.setJobDescription(s"glb:$name")
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
